@@ -1,0 +1,98 @@
+"""RBSP bit reader for HEVC syntax parsing.
+
+TPU-native rebuild of the reference's input bitstream layer
+(reference: source/Lib/TLibCommon/TComBitStream.cpp:165-217 and
+source/Lib/TLibDecoder/SyntaxElementParser.cpp) — re-designed as a plain
+Python reader over a bytes object; the production fast path lives in the
+C++ host library (libhm_tpu/hostdec/native).
+"""
+
+
+def strip_emulation_prevention(data: bytes) -> bytes:
+    """EBSP -> RBSP: remove emulation_prevention_three_byte (00 00 03).
+
+    Mirrors behavior of reference source/Lib/TLibDecoder/NALread.cpp:55.
+    """
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if zeros == 2 and b == 0x03:
+            zeros = 0
+            i += 1
+            continue
+        zeros = zeros + 1 if b == 0 else 0
+        out.append(b)
+        i += 1
+    return bytes(out)
+
+
+class BitReader:
+    """MSB-first bit reader over RBSP bytes."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+        self.nbits = 8 * len(data)
+
+    def u(self, n: int) -> int:
+        """Read n bits as unsigned int (f(n)/u(n))."""
+        v = 0
+        pos = self.pos
+        if pos + n > self.nbits:
+            raise EOFError("bitstream overrun")
+        data = self.data
+        for _ in range(n):
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+    def flag(self) -> int:
+        pos = self.pos
+        if pos >= self.nbits:
+            raise EOFError("bitstream overrun")
+        self.pos = pos + 1
+        return (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
+
+    def ue(self) -> int:
+        """Exp-Golomb unsigned (ue(v))."""
+        zeros = 0
+        while self.flag() == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("bad ue(v)")
+        if zeros == 0:
+            return 0
+        return (1 << zeros) - 1 + self.u(zeros)
+
+    def se(self) -> int:
+        """Exp-Golomb signed (se(v))."""
+        k = self.ue()
+        return (k + 1) >> 1 if (k & 1) else -(k >> 1)
+
+    def byte_align(self):
+        self.pos = (self.pos + 7) & ~7
+
+    def is_byte_aligned(self) -> bool:
+        return (self.pos & 7) == 0
+
+    def bits_left(self) -> int:
+        return self.nbits - self.pos
+
+    def more_rbsp_data(self) -> bool:
+        """True if there is RBSP payload before the rbsp_stop_one_bit."""
+        if self.pos >= self.nbits:
+            return False
+        # The final one-bit in the stream is the rbsp_stop_one_bit; payload
+        # remains iff the current position is before it.
+        last = self.nbits - 1
+        while last >= self.pos:
+            if (self.data[last >> 3] >> (7 - (last & 7))) & 1:
+                break
+            last -= 1
+        return self.pos < last
