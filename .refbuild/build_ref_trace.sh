@@ -1,0 +1,16 @@
+#!/bin/bash
+# Traced (ENC_DEC_TRACE) decoder build for syntax-trace diffing.
+set -e
+REF=/root/reference/source
+OUT=/root/repo/.refbuild
+CXX=g++
+CXXFLAGS="-O1 -w -fpermissive -std=gnu++03 -DENC_DEC_TRACE=1 -I$REF/Lib -I$REF/App/TAppDecoder -I$REF"
+mkdir -p $OUT/objtrace
+for src in $REF/Lib/TLibCommon/*.cpp $REF/Lib/libmd5/*.c $REF/Lib/TLibVideoIO/*.cpp $REF/Lib/TAppCommon/*.cpp $REF/Lib/TLibDecoder/*.cpp; do
+  obj=$OUT/objtrace/$(echo "$src" | sed "s|$REF/||; s|/|_|g; s|\.cpp$|.o|; s|\.c$|.o|")
+  [ -f "$obj" ] && [ ! "$src" -nt "$obj" ] && continue
+  $CXX $CXXFLAGS -c "$src" -o "$obj" &
+done
+wait
+$CXX $CXXFLAGS $REF/App/TAppDecoder/*.cpp $OUT/objtrace/*.o -o $OUT/TAppDecoderTrace
+echo DONE

@@ -1,0 +1,317 @@
+"""Top-level HEVC decoder: NAL dispatch, POC, DPB, output bumping.
+
+Rebuild of the reference decoder control plane: TDecTop::decode NAL switch
+(reference: source/Lib/TLibDecoder/TDecTop.cpp:729-857), POC derivation and
+RPS application (TDecTop.cpp:351-669), and the output-order bumping of the
+decoder app / library wrapper (TAppDecTop.cpp:324 xWriteOutput,
+libHMDecoder.cpp:255-339) which implements Rec. H.265 Annex C.5.2.2.
+"""
+import numpy as np
+
+from . import nal as N
+from .params import parse_sps, parse_pps, parse_slice_header, I_SLICE
+from .picture import PicSyntax
+from .slicedec import SliceDecoder
+from .recon_np import PictureRecon
+
+
+class DecodedPicture:
+    def __init__(self, poc, planes, sps, temporal_id, output_flag):
+        self.poc = poc
+        self.planes = planes             # padded int32 planes
+        self.sps = sps
+        self.temporal_id = temporal_id
+        self.needed_for_output = bool(output_flag)
+        self.is_reference = True
+        self.is_long_term = False
+        self.pic_syntax = None           # kept while needed for TMVP
+
+    def cropped(self):
+        """Conformance-cropped planes at native bit depth (uint8/uint16)."""
+        sps = self.sps
+        cl, cr, ct, cb = sps.conf_win
+        out = []
+        for c, p in enumerate(self.planes):
+            sx = sps.chroma_shift_x() if c else 0
+            sy = sps.chroma_shift_y() if c else 0
+            w = (sps.width >> sx)
+            h = (sps.height >> sy)
+            # conformance window offsets are in chroma units scaled by SubWidthC
+            mulx = 1 if c else (1 << sps.chroma_shift_x())
+            muly = 1 if c else (1 << sps.chroma_shift_y())
+            x0, x1 = cl * mulx, w - cr * mulx
+            y0, y1 = ct * muly, h - cb * muly
+            bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+            dt = np.uint8 if bd == 8 else np.uint16
+            out.append(p[y0:y1, x0:x1].astype(dt))
+        return out
+
+
+class Decoder:
+    """Full-stream decoder with the numpy reconstruction backend by default.
+
+    recon_backend: factory(sps, pic_syntax, zmap, tile_map) -> object with
+    .reconstruct(ref_pics, mc_fn) -> planes.
+    """
+
+    def __init__(self, recon_backend=None):
+        self.sps_map = {}
+        self.pps_map = {}
+        self.dpb = []
+        self.outputs = []               # cropped pictures in output order
+        self.prev_tid0_poc = 0
+        self.first_slice_of_seq = True
+        self.cur = None                 # (sh, PicSyntax, SliceDecoder)
+        self.slice_count = 0
+        self.no_rasl_output = False
+        self.poc_cra = 0
+        self.assoc_irap_type = N.NAL_IDR_W_RADL
+        self.recon_backend = recon_backend or PictureRecon
+        self.new_sequence = True
+
+    # ------------------------------------------------------------------
+    def decode_annexb(self, data: bytes):
+        for ebsp in N.split_annexb(data):
+            self.decode_nal(N.parse_nal(ebsp))
+        self.flush()
+        return self.outputs
+
+    def decode_nal(self, nalu):
+        t = nalu.nal_type
+        if t == N.NAL_SPS:
+            sps = parse_sps(nalu.rbsp)
+            self.sps_map[sps.sps_id] = sps
+        elif t == N.NAL_PPS:
+            pps = parse_pps(nalu.rbsp)
+            self.pps_map[pps.pps_id] = pps
+        elif t in (N.NAL_VPS, N.NAL_AUD, N.NAL_PREFIX_SEI, N.NAL_SUFFIX_SEI,
+                   N.NAL_FD):
+            pass
+        elif t == N.NAL_EOS:
+            self._finish_picture()
+            self.new_sequence = True
+        elif N.is_vcl(t):
+            self._decode_slice_nal(nalu)
+
+    # ------------------------------------------------------------------
+    def _decode_slice_nal(self, nalu):
+        sh = parse_slice_header(nalu.rbsp, nalu.nal_type, nalu.temporal_id,
+                                self.sps_map, self.pps_map)
+        pps = self.pps_map[sh.pps_id]
+        sps = self.sps_map[pps.sps_id]
+
+        if sh.first_slice_in_pic:
+            self._finish_picture()
+
+        # POC derivation (Rec. H.265 8.3.1)
+        if N.is_idr(nalu.nal_type):
+            poc = 0
+        else:
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            prev_lsb = self.prev_tid0_poc & (max_lsb - 1)
+            prev_msb = self.prev_tid0_poc - prev_lsb
+            if N.is_bla(nalu.nal_type) or (N.is_irap(nalu.nal_type) and
+                                           self.new_sequence):
+                msb = 0
+                poc = sh.poc_lsb
+            else:
+                if sh.poc_lsb < prev_lsb and prev_lsb - sh.poc_lsb >= max_lsb // 2:
+                    msb = prev_msb + max_lsb
+                elif sh.poc_lsb > prev_lsb and sh.poc_lsb - prev_lsb > max_lsb // 2:
+                    msb = prev_msb - max_lsb
+                else:
+                    msb = prev_msb
+                poc = msb + sh.poc_lsb
+        sh.poc = poc
+        if nalu.temporal_id == 0 and not N.is_rasl(nalu.nal_type) and \
+                not N.is_radl(nalu.nal_type) and \
+                not N.is_sublayer_non_ref(nalu.nal_type):
+            self.prev_tid0_poc = poc
+
+        # RASL skip after CRA that starts the sequence / after BLA
+        if N.is_irap(nalu.nal_type):
+            self.no_rasl_output = N.is_idr(nalu.nal_type) or \
+                N.is_bla(nalu.nal_type) or self.new_sequence
+            if sh.first_slice_in_pic:
+                self.assoc_irap_type = nalu.nal_type
+                self.assoc_irap_no_rasl_output = self.no_rasl_output
+        if N.is_rasl(nalu.nal_type) and getattr(self, "assoc_irap_no_rasl_output", False):
+            return  # skipped RASL picture
+
+        if sh.first_slice_in_pic:
+            # start new picture
+            if N.is_irap(nalu.nal_type) and self.no_rasl_output:
+                # NoOutputOfPriorPicsFlag: inferred 1 for CRA w/ NoRaslOutput
+                no_output = sh.no_output_of_prior_pics or \
+                    nalu.nal_type == N.NAL_CRA
+                self._flush_dpb_for_irap(no_output)
+            self._apply_rps_retirement(sh, sps)
+            pic = PicSyntax(sps, pps)
+            sd = SliceDecoder(sps, pps, pic)
+            if sh.slice_type != I_SLICE:
+                from .motion import MotionDeriver
+                sd.motion = MotionDeriver(sd, sh, self._build_ref_lists(sh, sps))
+            self.cur = (sh, pic, sd, nalu)
+            self.new_sequence = False
+            self.slice_count = 0
+        sh_first = self.cur[0]
+        pic, sd = self.cur[1], self.cur[2]
+        if not sh.first_slice_in_pic and sh.slice_type != I_SLICE:
+            from .motion import MotionDeriver
+            sd.motion = MotionDeriver(sd, sh, self._build_ref_lists(sh, sps))
+        sd.decode_slice(nalu.rbsp, sh, self.slice_count)
+        self.slice_count += 1
+
+    # ------------------------------------------------------------------
+    def _build_ref_lists(self, sh, sps):
+        """Apply the RPS and construct RefPicList0/1 (Rec. 8.3.2-8.3.4)."""
+        poc = sh.poc
+        st_curr_before, st_curr_after, lt_curr = [], [], []
+        rps = sh.rps
+        for i in range(rps.num_pics):
+            ref_poc = poc + rps.delta_poc[i]
+            p = self._find_dpb(ref_poc)
+            if rps.used[i]:
+                if rps.delta_poc[i] < 0:
+                    st_curr_before.append(p)
+                else:
+                    st_curr_after.append(p)
+        max_lsb = 1 << sps.log2_max_poc_lsb
+        for i in range(len(sh.lt_poc_lsb)):
+            if sh.lt_msb_present[i]:
+                ref_poc = sh.lt_poc_lsb[i] + poc - (poc & (max_lsb - 1)) - \
+                    sh.lt_delta_poc_msb[i] * max_lsb
+                p = self._find_dpb(ref_poc)
+            else:
+                p = self._find_dpb_lsb(sh.lt_poc_lsb[i], max_lsb)
+            if p is not None:
+                p.is_long_term = True
+            if sh.lt_used[i]:
+                lt_curr.append(p)
+        # default order
+        l0 = st_curr_before + st_curr_after + lt_curr
+        l1 = st_curr_after + st_curr_before + lt_curr
+        lists = []
+        for li, (default, n_active) in enumerate(((l0, sh.num_ref_idx[0]),
+                                                  (l1, sh.num_ref_idx[1]))):
+            if not default:
+                lists.append([])
+                continue
+            full = (default * ((n_active // max(1, len(default))) + 1))
+            mods = sh.ref_pic_list_modification
+            if mods and mods[li] is not None:
+                sel = [default[j] for j in mods[li]]
+            else:
+                sel = full[:n_active]
+            lists.append(sel)
+        return lists
+
+    def _find_dpb(self, poc):
+        for p in self.dpb:
+            if p.poc == poc and p.is_reference:
+                return p
+        # lost reference: fabricate by copying closest POC
+        # (reference TDecTop::xCreateLostPicture)
+        if self.dpb:
+            best = min(self.dpb, key=lambda p: abs(p.poc - poc))
+            return best
+        return None
+
+    def _find_dpb_lsb(self, lsb, max_lsb):
+        for p in self.dpb:
+            if (p.poc & (max_lsb - 1)) == lsb and p.is_reference:
+                return p
+        return None
+
+    # ------------------------------------------------------------------
+    def _finish_picture(self):
+        if self.cur is None:
+            return
+        sh, pic, sd, nalu = self.cur
+        self.cur = None
+        sps = self.sps_map[self.pps_map[sh.pps_id].sps_id]
+
+        recon = self.recon_backend(sps, pic, sd._zmap, sd.tile_map)
+        recon.constrained_intra = bool(self.pps_map[sh.pps_id].constrained_intra_pred)
+        if pic.inter_list:
+            from .motion import motion_compensate_np
+            ref_pics = sd.motion.ref_lists
+            planes = recon.reconstruct(ref_pics, motion_compensate_np)
+        else:
+            planes = recon.reconstruct()
+
+        # in-loop filters
+        from .loopfilter_np import deblock_picture, sao_picture
+        deblock_picture(planes, pic, sps, self.pps_map[sh.pps_id])
+        if sps.sao_enabled:
+            sao_picture(planes, pic, sps, self.pps_map[sh.pps_id])
+
+        dp = DecodedPicture(sh.poc, planes, sps, nalu.temporal_id,
+                            sh.pic_output_flag)
+        dp.pic_syntax = pic
+        self.dpb.append(dp)
+        self._bump_outputs(sps, nalu.temporal_id)
+
+    def _apply_rps_retirement(self, sh, sps):
+        """Unmark DPB pictures not present in the current RPS (Rec. 8.3.2)."""
+        if N.is_idr(sh.nal_type) or N.is_bla(sh.nal_type):
+            for p in self.dpb:
+                p.is_reference = False
+            return
+        if sh.rps is None:
+            return
+        keep = set()
+        for i in range(sh.rps.num_pics):
+            keep.add(sh.poc + sh.rps.delta_poc[i])
+        max_lsb = 1 << sps.log2_max_poc_lsb
+        for i in range(len(sh.lt_poc_lsb)):
+            if sh.lt_msb_present[i]:
+                keep.add(sh.lt_poc_lsb[i] + sh.poc - (sh.poc & (max_lsb - 1)) -
+                         sh.lt_delta_poc_msb[i] * max_lsb)
+            else:
+                for p in self.dpb:
+                    if (p.poc & (max_lsb - 1)) == sh.lt_poc_lsb[i]:
+                        keep.add(p.poc)
+        for p in self.dpb:
+            if p.poc not in keep:
+                p.is_reference = False
+
+    # ------------------------------------------------------------------
+    def _flush_dpb_for_irap(self, no_output):
+        """At an IRAP with NoRaslOutputFlag: bump or drop prior pictures."""
+        if no_output:
+            for p in self.dpb:
+                p.needed_for_output = False
+        self._output_all()
+
+    def _output_all(self):
+        for p in sorted(self.dpb, key=lambda q: q.poc):
+            if p.needed_for_output:
+                self.outputs.append(p.cropped())
+                p.needed_for_output = False
+        self.dpb = [p for p in self.dpb if p.is_reference]
+
+    def _bump_outputs(self, sps, tid):
+        """C.5.2.2-style bumping mirroring TAppDecTop::xWriteOutput."""
+        num_reorder = sps.num_reorder_pics[sps.max_sub_layers_minus1]
+        max_dpb = sps.max_dec_pic_buffering[sps.max_sub_layers_minus1]
+        while True:
+            not_displayed = sum(1 for p in self.dpb if p.needed_for_output)
+            if not_displayed > num_reorder or len(self.dpb) >= max_dpb + 1:
+                cands = [p for p in self.dpb if p.needed_for_output]
+                if not cands:
+                    # evict a non-output non-reference picture
+                    self.dpb = [p for p in self.dpb
+                                if p.is_reference or p.needed_for_output]
+                    break
+                p = min(cands, key=lambda q: q.poc)
+                self.outputs.append(p.cropped())
+                p.needed_for_output = False
+                self.dpb = [q for q in self.dpb
+                            if q.is_reference or q.needed_for_output]
+            else:
+                break
+
+    def flush(self):
+        self._finish_picture()
+        self._output_all()

@@ -643,6 +643,9 @@ def parse_slice_header(rbsp: bytes, nal_type: int, temporal_id: int,
         n = r.ue()
         for _ in range(n):
             r.u(8)
+    # byte_alignment(): one alignment_bit_equal_to_one, then zero pad —
+    # consumed even when already aligned (Rec. H.265 7.3.2.8)
+    r.flag()
     r.byte_align()
     sh.data_bit_offset = r.pos
     return sh

@@ -279,7 +279,18 @@ def make_context_bank(slice_type: int, qp: int, cabac_init_flag: int = 0) -> dic
     for name, rows in INIT_VALUES.items():
         bank[name] = np.array([ctx_init_state(v, qp) for v in rows[row]],
                               dtype=np.int32)
+    # X and Y last-position coordinates use independent context sets that are
+    # initialised from the same values (reference: TDecSbac m_cCuCtxLastX/Y)
+    bank["last_x"] = bank.pop("last")
+    bank["last_y"] = bank["last_x"].copy()
     return bank
+
+
+# last-position group tables (Rec. H.265 Table 9-48 binarization support)
+MIN_IN_GROUP = np.array([0, 1, 2, 3, 4, 6, 8, 12, 16, 24], dtype=np.int32)
+GROUP_IDX = np.array([0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7,
+                      8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9, 9],
+                     dtype=np.int32)
 
 
 # Golomb-Rice parameter update (Rec. H.265 9.3.3.13, persistent stats for RExt)

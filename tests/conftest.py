@@ -1,0 +1,4 @@
+import os
+# force CPU with a virtual 8-device mesh for sharding tests
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
