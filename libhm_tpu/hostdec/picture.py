@@ -86,6 +86,7 @@ class PicSyntax:
         self.tq_bypass = np.zeros(shape, np.int8)
         self.intra_y = np.full(shape, 1, np.int8)       # DC default
         self.intra_c = np.full(shape, 1, np.int8)
+        self.chroma_dm = np.zeros(shape, np.int8)   # chroma dir was DM
         self.qp = np.zeros(shape, np.int8)
         self.cbf_y = np.zeros(shape, np.int8)           # cbf of containing TU
         self.mv = np.zeros(shape + (2, 2), np.int32)    # [list][x,y] quarter-pel

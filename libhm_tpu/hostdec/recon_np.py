@@ -115,8 +115,10 @@ class PictureRecon:
         top, left = refimpl.fill_reference_samples(plane, avail, blk.x, blk.y,
                                                    blk.w, bd)
         if refimpl.use_filtered_refs(blk.comp, blk.w, mode, sps):
+            # strong bilinear smoothing is luma-only (reference TComPattern)
+            strong = bool(sps.strong_intra_smoothing) and blk.comp == 0
             top, left = refimpl.filter_reference_samples(
-                top, left, blk.w, mode, bd, bool(sps.strong_intra_smoothing))
+                top, left, blk.w, mode, bd, strong)
         pred = refimpl.predict_intra(top, left, blk.w, mode, blk.comp, bd, sps)
         if blk.tu_index >= 0:
             pred = pred + residuals[blk.tu_index]

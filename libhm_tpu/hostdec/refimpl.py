@@ -97,6 +97,8 @@ def residual_for_tu(tu, sps, scaling_lists=None):
     log2w = tu.w.bit_length() - 1
     if tu.tq_bypass:
         res = tu.coeffs.copy()
+        if sps.transform_skip_rotation and tu.w == 4:
+            res = res[::-1, ::-1]
         if tu.rdpcm_mode:
             res = inverse_rdpcm(res, tu.rdpcm_mode)
         return res

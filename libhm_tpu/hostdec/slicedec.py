@@ -534,22 +534,28 @@ class SliceDecoder:
                     mode += (mode >= p)
             modes.append(mode)
             pic.set_rect(pic.intra_y, px, py, pu_size, pu_size, mode)
-        # one chroma mode per CU (HM 16.0 parses a single chroma direction)
+        # chroma direction: one per CU, except 4:4:4 NxN which carries one per
+        # PU (reference TDecEntropy::decodePredInfo enable4ChromaPUsInIntraNxNCU)
         if self.sps.chroma_format_idc != 0:
-            if d.decode_bin(bank["intra_chroma_mode"], 0) == 0:
-                cmode = DM_CHROMA_IDX
-            else:
-                idx = d.decode_bypass_bins(2)
-                allowed = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX]
-                luma_mode = modes[0]
-                for i in range(4):
-                    if allowed[i] == luma_mode:
-                        allowed[i] = 34
-                        break
-                cmode = allowed[idx]
-            real_c = modes[0] if cmode == DM_CHROMA_IDX else cmode
-            pic.set_rect(pic.intra_c, x, y, size, size, real_c)
-            self.cu_chroma_mode_is_dm = (cmode == DM_CHROMA_IDX)
+            n_chroma = npu if (self.sps.chroma_format_idc == 3 and npu == 4) else 1
+            for j in range(n_chroma):
+                px, py = pu_pos[j]
+                csize = pu_size if n_chroma == 4 else size
+                if d.decode_bin(bank["intra_chroma_mode"], 0) == 0:
+                    cmode = DM_CHROMA_IDX
+                else:
+                    idx = d.decode_bypass_bins(2)
+                    allowed = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX]
+                    luma_mode = modes[j]
+                    for i in range(4):
+                        if allowed[i] == luma_mode:
+                            allowed[i] = 34
+                            break
+                    cmode = allowed[idx]
+                real_c = modes[j] if cmode == DM_CHROMA_IDX else cmode
+                pic.set_rect(pic.intra_c, px, py, csize, csize, real_c)
+                pic.set_rect(pic.chroma_dm, px, py, csize, csize,
+                             1 if cmode == DM_CHROMA_IDX else 0)
 
     def _intra_mpm(self, x, y):
         """3 most-probable luma modes for PU at (x, y) (Rec. H.265 8.4.2)."""
@@ -870,17 +876,30 @@ class SliceDecoder:
                 clog2 = log2size - ssx
                 cpx, cpy = x >> ssx, y >> ssy
             for comp, cbf in ((1, cbf_cb), (2, cbf_cr)):
-                if self.cu_pred_mode == MODE_INTRA:
-                    cmode = int(pic.intra_c[y >> 2, x >> 2])
-                    tu_idx = len(pic.tu_list) if cbf[0] else -1
-                    pic.intra_list.append(IntraBlock(
-                        comp, cpx, cpy, 1 << clog2, 1 << clog2, cmode, 0, tu_idx))
+                alpha = 0
                 if pps.cross_component_prediction and cbf_y and \
-                        (self.cu_pred_mode == MODE_INTER or self.cu_chroma_mode_is_dm):
-                    self._parse_cross_comp(comp)
+                        (self.cu_pred_mode == MODE_INTER or
+                         pic.chroma_dm[y >> 2, x >> 2]):
+                    alpha = self._parse_cross_comp(comp)
+                tu_idx = -1
                 if cbf[0]:
+                    tu_idx = len(pic.tu_list)
                     self._parse_residual(comp, cpx, cpy, clog2, clog2, tr_depth,
                                          chroma_parent=chroma_last)
+                elif alpha:
+                    # CCP applies even with no coded chroma residual
+                    # (reference TDecCu xIntraRecBlk/xReconInter: residual
+                    # buffer zeroed, then crossComponentPrediction)
+                    tu_idx = len(pic.tu_list)
+                    cs = 1 << clog2
+                    pic.tu_list.append(TransformUnit(
+                        comp, cpx, cpy, cs, cs, np.zeros((cs, cs), np.int32),
+                        self._qp_for_comp(comp), False, 0, 0, 0, alpha))
+                    self._cross_comp_alpha = 0
+                if self.cu_pred_mode == MODE_INTRA:
+                    cmode = int(pic.intra_c[y >> 2, x >> 2])
+                    pic.intra_list.append(IntraBlock(
+                        comp, cpx, cpy, 1 << clog2, 1 << clog2, cmode, 0, tu_idx))
 
     def _parse_cu_qp_delta(self):
         d, bank = self.d, self.bank

@@ -24,3 +24,9 @@ def test_intra_bit_exact(name):
 
 def test_intra_416x240_bit_exact():
     assert decode_and_hash("intra_416x240") == GOLD["intra_416x240"]["decoded_yuv_md5"]
+
+
+@pytest.mark.parametrize("name", ["intra_main10_416x240", "intra_rext444_416x240",
+                                  "intra_rext444_nofilt"])
+def test_intra_extended_bit_exact(name):
+    assert decode_and_hash(name) == GOLD[name]["decoded_yuv_md5"]
