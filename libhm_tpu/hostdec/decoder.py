@@ -235,8 +235,7 @@ class Decoder:
         recon.constrained_intra = bool(self.pps_map[sh.pps_id].constrained_intra_pred)
         if pic.inter_list:
             from .motion import motion_compensate_np
-            ref_pics = sd.motion.ref_lists
-            planes = recon.reconstruct(ref_pics, motion_compensate_np)
+            planes = recon.reconstruct(None, motion_compensate_np)
         else:
             planes = recon.reconstruct()
 

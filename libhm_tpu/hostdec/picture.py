@@ -55,7 +55,7 @@ class IntraBlock:
 
 class InterPU:
     """One inter prediction unit ready for motion compensation."""
-    __slots__ = ("x", "y", "w", "h", "inter_dir", "mv", "ref_idx", "ref_poc")
+    __slots__ = ("x", "y", "w", "h", "inter_dir", "mv", "ref_idx", "ref_poc", "wp")
 
     def __init__(self, x, y, w, h, inter_dir, mv, ref_idx, ref_poc):
         self.x = x
@@ -65,7 +65,8 @@ class InterPU:
         self.inter_dir = inter_dir  # 1=L0, 2=L1, 3=bi
         self.mv = mv                # [(mvx, mvy)] * 2
         self.ref_idx = ref_idx      # [refIdxL0, refIdxL1] (-1 unused)
-        self.ref_poc = ref_poc
+        self.ref_poc = ref_poc      # DecodedPicture refs (resolved at parse)
+        self.wp = None
 
 
 class PicSyntax:

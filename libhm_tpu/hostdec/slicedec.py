@@ -138,11 +138,14 @@ class SliceDecoder:
     # ------------------------------------------------------------------
     # neighbour availability (z-scan + slice + tile; reference
     # TComDataCU::getPULeft/getPUAbove semantics)
-    def available(self, x, y, cur_x, cur_y):
+    def available(self, x, y, cur_x, cur_y, check_z=True):
+        """check_z=False mirrors the reference's getPULeft/getPUAbove, which
+        trust direct left/above neighbours without a z-scan comparison (needed
+        for same-CU AMP PU neighbours whose raw z index is higher)."""
         if x < 0 or y < 0 or x >= self.W or y >= self.H:
             return False
         x4, y4, cx4, cy4 = x >> 2, y >> 2, cur_x >> 2, cur_y >> 2
-        if self._zmap[y4, x4] >= self._zmap[cy4, cx4]:
+        if check_z and self._zmap[y4, x4] >= self._zmap[cy4, cx4]:
             return False
         if self.pic.slice_idx[y4, x4] != self.pic.slice_idx[cy4, cx4]:
             # dependent slice segments share parse state but availability is
@@ -607,7 +610,7 @@ class SliceDecoder:
         # AMVP mode
         inter_dir = 1  # P slice: L0
         if sh.slice_type == B_SLICE:
-            inter_dir = self._parse_inter_dir(px, py, w, h, depth, part_size)
+            inter_dir = self._parse_inter_dir(cu_size, depth, part_size)
         mvd = [(0, 0), (0, 0)]
         ref_idx = [-1, -1]
         mvp_idx = [0, 0]
@@ -624,10 +627,12 @@ class SliceDecoder:
         self.motion.apply_amvp(self, px, py, w, h, inter_dir, ref_idx, mvd,
                                mvp_idx, cx, cy, cu_size, pu_idx, part_size)
 
-    def _parse_inter_dir(self, px, py, w, h, depth, part_size):
+    def _parse_inter_dir(self, cu_size, depth, part_size):
+        # first bin skipped only for non-2Nx2N PUs of 8x8 CUs (reference
+        # parseInterDir uses the CU height, not the PU height)
         d, bank = self.d, self.bank
         sym = 0
-        if part_size == SIZE_2Nx2N or h != 8:
+        if part_size == SIZE_2Nx2N or cu_size != 8:
             sym = d.decode_bin(bank["inter_dir"], depth)
         if sym:
             return 3
