@@ -1,0 +1,392 @@
+// Top-level decoder (NAL loop, POC, RPS, ref lists) + C API.
+// Single translation unit pulling in the whole native parser.
+#include "hevcdec.cpp"
+#include "sliceparse.cpp"
+#include "motion.cpp"
+
+#include <deque>
+#include <map>
+
+namespace hevc {
+
+// ---------------------------------------------------------------------------
+static std::vector<uint8_t> stripEp(const uint8_t* d, size_t n) {
+  std::vector<uint8_t> out;
+  out.reserve(n);
+  int zeros = 0;
+  for (size_t i = 0; i < n; i++) {
+    uint8_t b = d[i];
+    if (zeros == 2 && b == 3) { zeros = 0; continue; }
+    zeros = b == 0 ? zeros + 1 : 0;
+    out.push_back(b);
+  }
+  return out;
+}
+
+static bool isVcl(int t) { return t < 32; }
+static bool isIrap(int t) { return t >= 16 && t <= 23; }
+static bool isIdr(int t) { return t == 19 || t == 20; }
+static bool isBla(int t) { return t >= 16 && t <= 18; }
+static bool isRasl(int t) { return t == 8 || t == 9; }
+static bool isRadl(int t) { return t == 6 || t == 7; }
+static bool isSubNonRef(int t) {
+  return t == 0 || t == 2 || t == 4 || t == 6 || t == 8 || t == 10 || t == 12 || t == 14;
+}
+
+struct Decoder {
+  std::map<int, SPS> spsMap;
+  std::map<int, PPS> ppsMap;
+  // DPB of parse-plane pictures (kept alive for TMVP + ref poc bookkeeping)
+  std::vector<std::unique_ptr<Picture>> dpb;
+  std::vector<std::unique_ptr<Picture>> done;  // finished pictures in decode order
+  int prevTid0Poc = 0;
+  bool newSequence = true;
+  bool noRaslOutput = false;
+  bool assocIrapNoRasl = false;
+  // current picture under construction
+  std::unique_ptr<Picture> cur;
+  std::unique_ptr<SliceParser> parser;
+  int sliceCount = 0;
+  SliceHeader curSh;  // first slice header of current picture
+
+  Picture* findDpbPoc(int p) {
+    Picture* best = nullptr;
+    for (auto& q : dpb)
+      if (q->poc == p && q->is_reference) return q.get();
+    // lost reference: closest poc (reference TDecTop::xCreateLostPicture)
+    int bd = 1 << 30;
+    for (auto& q : dpb) {
+      int dd = std::abs(q->poc - p);
+      if (dd < bd) { bd = dd; best = q.get(); }
+    }
+    return best;
+  }
+  Picture* findDpbLsb(int lsb, int maxLsb) {
+    for (auto& q : dpb)
+      if ((q->poc & (maxLsb - 1)) == lsb && q->is_reference) return q.get();
+    return nullptr;
+  }
+
+  void buildRefLists(SliceParser& sp, const SliceHeader& sh, const SPS& sps) {
+    std::vector<RefPicInfo> before, after, lt;
+    for (int i = 0; i < sh.rps.numPics(); i++) {
+      int rp = sh.poc + sh.rps.delta_poc[i];
+      Picture* p = findDpbPoc(rp);
+      if (sh.rps.used[i]) {
+        RefPicInfo info{p, p ? p->poc : rp, p ? p->is_long_term : false};
+        if (sh.rps.delta_poc[i] < 0) before.push_back(info);
+        else after.push_back(info);
+      }
+    }
+    int maxLsb = 1 << sps.log2_max_poc_lsb;
+    for (size_t i = 0; i < sh.lt_poc_lsb.size(); i++) {
+      Picture* p;
+      if (sh.lt_msb_present[i]) {
+        int rp = sh.lt_poc_lsb[i] + sh.poc - (sh.poc & (maxLsb - 1)) -
+                 sh.lt_delta_poc_msb[i] * maxLsb;
+        p = findDpbPoc(rp);
+      } else p = findDpbLsb(sh.lt_poc_lsb[i], maxLsb);
+      if (p) p->is_long_term = true;
+      if (sh.lt_used[i]) lt.push_back({p, p ? p->poc : 0, true});
+    }
+    std::vector<RefPicInfo> l0 = before, l1 = after;
+    l0.insert(l0.end(), after.begin(), after.end());
+    l0.insert(l0.end(), lt.begin(), lt.end());
+    l1.insert(l1.end(), before.begin(), before.end());
+    l1.insert(l1.end(), lt.begin(), lt.end());
+    const std::vector<RefPicInfo>* defaults[2] = {&l0, &l1};
+    for (int li = 0; li < 2; li++) {
+      sp.refList[li].clear();
+      const auto& def = *defaults[li];
+      if (def.empty()) continue;
+      if (sh.has_list_mod[li]) {
+        for (int j : sh.list_mod[li]) sp.refList[li].push_back(def[j]);
+      } else {
+        for (int i = 0; i < sh.num_ref_idx[li]; i++)
+          sp.refList[li].push_back(def[i % def.size()]);
+      }
+    }
+  }
+
+  void applyRpsRetirement(const SliceHeader& sh, const SPS& sps) {
+    if (isIdr(sh.nal_type) || isBla(sh.nal_type)) {
+      for (auto& p : dpb) p->is_reference = false;
+      return;
+    }
+    std::vector<int> keep;
+    for (int i = 0; i < sh.rps.numPics(); i++)
+      keep.push_back(sh.poc + sh.rps.delta_poc[i]);
+    int maxLsb = 1 << sps.log2_max_poc_lsb;
+    for (size_t i = 0; i < sh.lt_poc_lsb.size(); i++) {
+      if (sh.lt_msb_present[i])
+        keep.push_back(sh.lt_poc_lsb[i] + sh.poc - (sh.poc & (maxLsb - 1)) -
+                       sh.lt_delta_poc_msb[i] * maxLsb);
+      else
+        for (auto& p : dpb)
+          if ((p->poc & (maxLsb - 1)) == sh.lt_poc_lsb[i]) keep.push_back(p->poc);
+    }
+    for (auto& p : dpb) {
+      bool found = false;
+      for (int k : keep) if (p->poc == k) { found = true; break; }
+      if (!found) p->is_reference = false;
+    }
+  }
+
+  void finishPicture() {
+    if (!cur) return;
+    // keep a raw pointer in the DPB list for TMVP / ref bookkeeping;
+    // ownership moves to `done`, DPB holds non-owning copies via shared ptrs.
+    // Simpler: DPB owns; `done` records an index.
+    dpb.push_back(std::move(cur));
+    doneOrder.push_back(dpb.back().get());
+    cur.reset();
+    parser.reset();
+  }
+  std::vector<Picture*> doneOrder;  // decode order
+
+  void decodeNal(const uint8_t* ebsp, size_t n) {
+    if (n < 2) return;
+    int nalType = (ebsp[0] >> 1) & 0x3F;
+    int tid = (ebsp[1] & 7) - 1;
+    std::vector<uint8_t> rbsp = stripEp(ebsp + 2, n - 2);
+    if (nalType == 33) {
+      SPS s = parseSps(rbsp.data(), rbsp.size());
+      spsMap[s.sps_id] = s;
+      return;
+    }
+    if (nalType == 34) {
+      PPS p = parsePps(rbsp.data(), rbsp.size());
+      ppsMap[p.pps_id] = p;
+      return;
+    }
+    if (nalType == 36) {  // EOS
+      finishPicture();
+      newSequence = true;
+      return;
+    }
+    if (!isVcl(nalType)) return;
+
+    // need pps id to parse header: peek via a throwaway header parse
+    // (header parsing needs SPS/PPS; parse pps id first)
+    BitReader pr; pr.init(rbsp.data(), rbsp.size());
+    pr.bit();
+    if (isIrap(nalType)) pr.bit();
+    int ppsId = int(pr.ue());
+    const PPS& pps = ppsMap[ppsId];
+    const SPS& sps = spsMap[pps.sps_id];
+    SliceHeader sh = parseSliceHeader(rbsp.data(), rbsp.size(), nalType, tid, sps, pps);
+
+    if (sh.first_slice_in_pic) finishPicture();
+
+    // POC
+    int poc;
+    if (isIdr(nalType)) poc = 0;
+    else {
+      int maxLsb = 1 << sps.log2_max_poc_lsb;
+      int prevLsb = prevTid0Poc & (maxLsb - 1);
+      int prevMsb = prevTid0Poc - prevLsb;
+      if (isBla(nalType) || (isIrap(nalType) && newSequence)) poc = sh.poc_lsb;
+      else {
+        int msb;
+        if (sh.poc_lsb < prevLsb && prevLsb - sh.poc_lsb >= maxLsb / 2) msb = prevMsb + maxLsb;
+        else if (sh.poc_lsb > prevLsb && sh.poc_lsb - prevLsb > maxLsb / 2) msb = prevMsb - maxLsb;
+        else msb = prevMsb;
+        poc = msb + sh.poc_lsb;
+      }
+    }
+    sh.poc = poc;
+    if (tid == 0 && !isRasl(nalType) && !isRadl(nalType) && !isSubNonRef(nalType))
+      prevTid0Poc = poc;
+
+    if (isIrap(nalType)) {
+      noRaslOutput = isIdr(nalType) || isBla(nalType) || newSequence;
+      if (sh.first_slice_in_pic) assocIrapNoRasl = noRaslOutput;
+    }
+    if (isRasl(nalType) && assocIrapNoRasl) return;  // skipped RASL
+
+    if (sh.first_slice_in_pic) {
+      applyRpsRetirement(sh, sps);
+      cur = std::make_unique<Picture>();
+      cur->init(sps);
+      cur->poc = poc;
+      cur->nal_type = nalType;
+      cur->temporal_id = tid;
+      cur->output_flag = sh.pic_output_flag;
+      cur->sps_id = sps.sps_id;
+      cur->pps_id = pps.pps_id;
+      parser = std::make_unique<SliceParser>();
+      parser->sps = &sps;
+      parser->pps = &pps;
+      parser->pic = cur.get();
+      parser->buildGeometry();
+      newSequence = false;
+      sliceCount = 0;
+      curSh = sh;
+    }
+    shStore.push_back(std::make_unique<SliceHeader>(sh));
+    SliceHeader* shp = shStore.back().get();
+    parser->poc = poc;
+    if (sh.slice_type != 2) {
+      buildRefLists(*parser, *shp, sps);
+      parser->allRefsBefore = true;
+      for (int l = 0; l < 2; l++)
+        for (auto& rp : parser->refList[l])
+          if (rp.poc > poc) parser->allRefsBefore = false;
+      parser->colPic = nullptr;
+      if (shp->temporal_mvp) {
+        int cl = 1 - shp->collocated_from_l0;
+        if (int(parser->refList[cl].size()) > shp->collocated_ref_idx) {
+          parser->colPic = parser->refList[cl][shp->collocated_ref_idx].pic;
+          parser->colPoc = parser->refList[cl][shp->collocated_ref_idx].poc;
+        }
+      }
+    }
+    parser->decodeSlice(rbsp.data(), rbsp.size(), *shp, sliceCount);
+    sliceCount++;
+  }
+  std::vector<std::unique_ptr<SliceHeader>> shStore;
+
+  void decodeAnnexB(const uint8_t* data, size_t n) {
+    size_t i = 0;
+    std::vector<std::pair<size_t, size_t>> nals;
+    // find start codes
+    size_t prev = SIZE_MAX;
+    for (size_t p = 0; p + 2 < n; p++) {
+      if (data[p] == 0 && data[p + 1] == 0 && data[p + 2] == 1) {
+        if (prev != SIZE_MAX) {
+          size_t e = p;
+          while (e > prev && data[e - 1] == 0) e--;
+          nals.push_back({prev, e});
+        }
+        prev = p + 3;
+        p += 2;
+      }
+    }
+    if (prev != SIZE_MAX && prev < n) nals.push_back({prev, n});
+    for (auto& pr : nals)
+      if (pr.second > pr.first) decodeNal(data + pr.first, pr.second - pr.first);
+    finishPicture();
+    (void)i;
+  }
+};
+
+}  // namespace hevc
+
+// ===========================================================================
+// C API
+extern "C" {
+
+void* hevcdec_create() { return new hevc::Decoder(); }
+void hevcdec_destroy(void* h) { delete static_cast<hevc::Decoder*>(h); }
+
+int hevcdec_decode(void* h, const uint8_t* data, size_t n) {
+  auto* d = static_cast<hevc::Decoder*>(h);
+  d->decodeAnnexB(data, n);
+  return int(d->doneOrder.size());
+}
+
+// per-picture accessors (idx = decode order)
+static hevc::Picture* P(void* h, int idx) {
+  return static_cast<hevc::Decoder*>(h)->doneOrder[idx];
+}
+
+void hevcdec_pic_info(void* h, int idx, int32_t* out) {
+  hevc::Picture* p = P(h, idx);
+  out[0] = p->poc; out[1] = p->nal_type; out[2] = p->temporal_id;
+  out[3] = p->output_flag; out[4] = p->sps_id; out[5] = p->pps_id;
+  out[6] = p->w4; out[7] = p->h4; out[8] = p->nctu;
+  out[9] = int32_t(p->tu_list.size());
+  out[10] = int32_t(p->coeffs.size());
+  out[11] = int32_t(p->intra_list.size());
+  out[12] = int32_t(p->inter_list.size());
+  out[13] = int32_t(p->pcm_list.size());
+  out[14] = int32_t(p->pcm_samples.size());
+}
+
+#define COPY8(name) \
+  void hevcdec_get_##name(void* h, int idx, int8_t* dst) { \
+    hevc::Picture* p = P(h, idx); \
+    memcpy(dst, p->name.data(), p->name.size()); \
+  }
+COPY8(depth) COPY8(pred_mode) COPY8(part_size) COPY8(skip) COPY8(pcm)
+COPY8(tq_bypass) COPY8(intra_y) COPY8(intra_c) COPY8(chroma_dm) COPY8(qp)
+COPY8(cbf_y) COPY8(inter_dir) COPY8(ref_idx) COPY8(ref_is_lt)
+COPY8(deblock_disable) COPY8(beta_offset) COPY8(tc_offset) COPY8(lf_across)
+COPY8(sao_type) COPY8(sao_band)
+#undef COPY8
+
+void hevcdec_get_edge_flags(void* h, int idx, uint8_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->edge_flags.data(), p->edge_flags.size());
+}
+void hevcdec_get_mv(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->mv.data(), p->mv.size() * 4);
+}
+void hevcdec_get_ref_poc(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->ref_poc.data(), p->ref_poc.size() * 4);
+}
+void hevcdec_get_slice_idx(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->slice_idx.data(), p->slice_idx.size() * 4);
+}
+void hevcdec_get_sao_offsets(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->sao_offsets.data(), p->sao_offsets.size() * 4);
+}
+void hevcdec_get_tu_meta(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->tu_list.data(), p->tu_list.size() * sizeof(hevc::TuMeta));
+}
+void hevcdec_get_coeffs(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->coeffs.data(), p->coeffs.size() * 4);
+}
+void hevcdec_get_intra_meta(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->intra_list.data(), p->intra_list.size() * sizeof(hevc::IntraMeta));
+}
+void hevcdec_get_inter_meta(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->inter_list.data(), p->inter_list.size() * sizeof(hevc::PuMeta));
+}
+void hevcdec_get_pcm_meta(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->pcm_list.data(), p->pcm_list.size() * sizeof(hevc::PcmMeta));
+}
+void hevcdec_get_pcm_samples(void* h, int idx, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->pcm_samples.data(), p->pcm_samples.size() * 4);
+}
+
+// SPS info for a picture (geometry needed by the recon backend)
+void hevcdec_sps_info(void* h, int idx, int32_t* out) {
+  auto* d = static_cast<hevc::Decoder*>(h);
+  hevc::Picture* p = P(h, idx);
+  const hevc::SPS& s = d->spsMap[p->sps_id];
+  const hevc::PPS& pp = d->ppsMap[p->pps_id];
+  int i = 0;
+  out[i++] = s.width; out[i++] = s.height;
+  out[i++] = s.chroma_format_idc;
+  out[i++] = s.bit_depth_luma; out[i++] = s.bit_depth_chroma;
+  out[i++] = s.log2_ctb; out[i++] = s.log2_min_cb;
+  out[i++] = s.sao_enabled; out[i++] = s.strong_intra_smoothing;
+  out[i++] = s.pcm_loop_filter_disabled;
+  out[i++] = s.transform_skip_rotation;
+  out[i++] = s.implicit_rdpcm;
+  out[i++] = s.extended_precision;
+  out[i++] = s.intra_smoothing_disabled;
+  out[i++] = s.pcm_enabled;
+  out[i++] = s.conf_win[0]; out[i++] = s.conf_win[1];
+  out[i++] = s.conf_win[2]; out[i++] = s.conf_win[3];
+  out[i++] = s.num_reorder_pics[s.max_sub_layers_minus1];
+  out[i++] = s.max_dec_pic_buffering[s.max_sub_layers_minus1];
+  out[i++] = pp.cb_qp_offset; out[i++] = pp.cr_qp_offset;
+  out[i++] = pp.loop_filter_across_tiles;
+  out[i++] = pp.tiles_enabled;
+  out[i++] = pp.sao_offset_scale_luma; out[i++] = pp.sao_offset_scale_chroma;
+  out[i++] = pp.cross_component_prediction;
+}
+
+}  // extern "C"

@@ -1,0 +1,138 @@
+"""ctypes bridge to the native host parser (libhevcdec.so).
+
+Parses a whole Annex-B stream in C++ and materialises the same PicSyntax
+objects the Python parser produces, so the reconstruction backends (numpy
+oracle or TPU) are shared between both parse planes.
+"""
+import ctypes as C
+import os
+import subprocess
+
+import numpy as np
+
+from .picture import PicSyntax, TransformUnit, IntraBlock, InterPU
+from . import params as hls
+
+_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = os.path.join(_DIR, "libhevcdec.so")
+    src_newer = not os.path.exists(so) or any(
+        os.path.getmtime(os.path.join(_DIR, f)) > os.path.getmtime(so)
+        for f in os.listdir(_DIR) if f.endswith((".cpp", ".h")))
+    if src_newer:
+        subprocess.check_call(["make", "-s", "-C", _DIR])
+    lib = C.CDLL(so)
+    lib.hevcdec_create.restype = C.c_void_p
+    lib.hevcdec_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_size_t]
+    _LIB = lib
+    return lib
+
+
+I8 = np.int8
+I32 = np.int32
+U8 = np.uint8
+
+
+def _get(lib, fn, h, idx, shape, dtype):
+    a = np.empty(shape, dtype)
+    getattr(lib, fn)(C.c_void_p(h), C.c_int(idx),
+                     a.ctypes.data_as(C.c_void_p))
+    return a
+
+
+class NativeParsedPicture:
+    """PicSyntax-compatible view over the native parser output."""
+
+
+def parse_stream(data: bytes):
+    """Parse an Annex-B stream natively; returns list of (info, PicSyntax)."""
+    lib = _load()
+    h = lib.hevcdec_create()
+    try:
+        npic = lib.hevcdec_decode(h, data, len(data))
+        out = []
+        for i in range(npic):
+            info = np.zeros(16, I32)
+            lib.hevcdec_pic_info(C.c_void_p(h), C.c_int(i),
+                                 info.ctypes.data_as(C.c_void_p))
+            (poc, nal_type, tid, output_flag, sps_id, pps_id, w4, h4, nctu,
+             ntu, ncoef, nintra, ninter, npcm, npcm_samp, _) = [int(v) for v in info]
+            sinfo = np.zeros(32, I32)
+            lib.hevcdec_sps_info(C.c_void_p(h), C.c_int(i),
+                                 sinfo.ctypes.data_as(C.c_void_p))
+            pic = PicSyntax.__new__(PicSyntax)
+            pic.w4, pic.h4 = w4, h4
+            g = lambda fn, shape, dt: _get(lib, fn, h, i, shape, dt)
+            pic.depth = g("hevcdec_get_depth", (h4, w4), I8)
+            pic.pred_mode = g("hevcdec_get_pred_mode", (h4, w4), I8)
+            pic.part_size = g("hevcdec_get_part_size", (h4, w4), I8)
+            pic.skip = g("hevcdec_get_skip", (h4, w4), I8)
+            pic.pcm = g("hevcdec_get_pcm", (h4, w4), I8)
+            pic.tq_bypass = g("hevcdec_get_tq_bypass", (h4, w4), I8)
+            pic.intra_y = g("hevcdec_get_intra_y", (h4, w4), I8)
+            pic.intra_c = g("hevcdec_get_intra_c", (h4, w4), I8)
+            pic.chroma_dm = g("hevcdec_get_chroma_dm", (h4, w4), I8)
+            pic.qp = g("hevcdec_get_qp", (h4, w4), I8)
+            pic.cbf_y = g("hevcdec_get_cbf_y", (h4, w4), I8)
+            pic.inter_dir = g("hevcdec_get_inter_dir", (h4, w4), I8)
+            pic.ref_idx = g("hevcdec_get_ref_idx", (h4, w4, 2), I8)
+            pic.ref_is_lt = g("hevcdec_get_ref_is_lt", (h4, w4, 2), I8)
+            pic.mv = g("hevcdec_get_mv", (h4, w4, 2, 2), I32)
+            pic.ref_poc = g("hevcdec_get_ref_poc", (h4, w4, 2), I32)
+            pic.slice_idx = g("hevcdec_get_slice_idx", (h4, w4), I32)
+            pic.edge_flags = g("hevcdec_get_edge_flags", (h4, w4), U8)
+            pic.deblock_disable = g("hevcdec_get_deblock_disable", (h4, w4), I8)
+            pic.beta_offset = g("hevcdec_get_beta_offset", (h4, w4), I8)
+            pic.tc_offset = g("hevcdec_get_tc_offset", (h4, w4), I8)
+            pic.loopfilter_across_slice = g("hevcdec_get_lf_across", (h4, w4), I8)
+            pic.sao_type = g("hevcdec_get_sao_type", (nctu, 3), I8)
+            pic.sao_band_pos = g("hevcdec_get_sao_band", (nctu, 3), I8)
+            pic.sao_offsets = g("hevcdec_get_sao_offsets", (nctu, 3, 4), I32)
+
+            tu_meta = g("hevcdec_get_tu_meta", (max(ntu, 1), 12), I32)
+            coeffs = g("hevcdec_get_coeffs", (max(ncoef, 1),), I32)
+            pic.tu_list = []
+            for t in range(ntu):
+                (comp, x, y, w, hh, qp, use_dst, ts, byp, rdpcm, alpha,
+                 off) = [int(v) for v in tu_meta[t]]
+                blk = coeffs[off:off + w * hh].reshape(hh, w)
+                pic.tu_list.append(TransformUnit(
+                    comp, x, y, w, hh, blk, qp, bool(use_dst), ts, byp,
+                    rdpcm, alpha))
+            im = g("hevcdec_get_intra_meta", (max(nintra, 1), 7), I32)
+            pic.intra_list = [IntraBlock(int(r[0]), int(r[1]), int(r[2]),
+                                         int(r[3]), int(r[4]), int(r[5]), 0,
+                                         int(r[6])) for r in im[:nintra]]
+            pu_sz = 28  # sizeof(PuMeta)/4
+            pm = g("hevcdec_get_inter_meta", (max(ninter, 1), pu_sz), I32)
+            pic.inter_list = []
+            for r in pm[:ninter]:
+                pu = InterPU(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                             int(r[4]),
+                             [(int(r[5]), int(r[6])), (int(r[7]), int(r[8]))],
+                             [int(r[9]), int(r[10])],
+                             [int(r[11]), int(r[12])])
+                if int(r[13]):  # has_wp
+                    pu.wp = ("native", r[14:].copy())
+                pic.inter_list.append(pu)
+            pcm_meta = g("hevcdec_get_pcm_meta", (max(npcm, 1), 7), I32)
+            pcm_samples = g("hevcdec_get_pcm_samples", (max(npcm_samp, 1),), I32)
+            pic.pcm_list = []
+            for r in pcm_meta[:npcm]:
+                comp, x, y, w, hh, bits, off = [int(v) for v in r]
+                pic.pcm_list.append((comp, x, y, w, hh,
+                                     pcm_samples[off:off + w * hh].reshape(hh, w),
+                                     bits))
+            pic.slice_headers = []
+            meta = dict(poc=poc, nal_type=nal_type, temporal_id=tid,
+                        output_flag=output_flag, sps=sinfo)
+            out.append((meta, pic))
+        return out
+    finally:
+        lib.hevcdec_destroy(C.c_void_p(h))
