@@ -54,7 +54,9 @@ class Decoder:
     .reconstruct(ref_pics, mc_fn) -> planes.
     """
 
-    def __init__(self, recon_backend=None):
+    def __init__(self, recon_backend=None, parse="python"):
+        self.parse = parse
+        self._native_queue = None
         self.sps_map = {}
         self.pps_map = {}
         self.dpb = []
@@ -71,6 +73,10 @@ class Decoder:
 
     # ------------------------------------------------------------------
     def decode_annexb(self, data: bytes):
+        if self.parse == "native":
+            from . import native_bridge
+            self._native_queue = list(native_bridge.parse_stream(data))
+            self._native_pos = 0
         for ebsp in N.split_annexb(data):
             self.decode_nal(N.parse_nal(ebsp))
         self.flush()
@@ -156,6 +162,9 @@ class Decoder:
             self.slice_count = 0
         sh_first = self.cur[0]
         pic, sd = self.cur[1], self.cur[2]
+        if self.parse == "native":
+            self.slice_count += 1
+            return
         if not sh.first_slice_in_pic and sh.slice_type != I_SLICE:
             from .motion import MotionDeriver
             sd.motion = MotionDeriver(sd, sh, self._build_ref_lists(sh, sps))
@@ -230,6 +239,21 @@ class Decoder:
         sh, pic, sd, nalu = self.cur
         self.cur = None
         sps = self.sps_map[self.pps_map[sh.pps_id].sps_id]
+
+        if self.parse == "native":
+            meta, npic = self._native_queue[self._native_pos]
+            self._native_pos += 1
+            assert meta["poc"] == sh.poc, (meta["poc"], sh.poc)
+            # resolve per-PU reference POCs to DecodedPicture objects
+            for pu in npic.inter_list:
+                refs = [None, None]
+                for l in range(2):
+                    if pu.inter_dir & (1 << l):
+                        refs[l] = self._find_dpb(int(pu.ref_poc[l]))
+                pu.ref_poc = refs
+            npic.sps = sps
+            npic.pps = self.pps_map[sh.pps_id]
+            pic = npic
 
         recon = self.recon_backend(sps, pic, sd._zmap, sd.tile_map)
         recon.constrained_intra = bool(self.pps_map[sh.pps_id].constrained_intra_pred)

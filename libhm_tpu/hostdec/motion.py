@@ -394,8 +394,20 @@ class MotionDeriver:
                      [tuple(mvs[0]), tuple(mvs[1])], list(ref_idx), None)
         pu.ref_poc = ref_pics  # store picture objects for MC
         if self.sh.wp_luma is not None:
-            pu.wp = [self.sh.wp_luma, self.sh.wp_chroma,
-                     self.sh.wp_log2_denom_luma, self.sh.wp_log2_denom_chroma]
+            # resolved per-PU weights: {denom_l, denom_c, w[l][c], o[l][c]}
+            ww = [[0, 0, 0], [0, 0, 0]]
+            oo = [[0, 0, 0], [0, 0, 0]]
+            for l in range(2):
+                ri = ref_idx[l] if ref_idx[l] >= 0 else 0
+                _, wl, ol = self.sh.wp_luma[l][ri] if self.sh.wp_luma[l] and ri < len(self.sh.wp_luma[l]) and self.sh.wp_luma[l][ri] else (0, 0, 0)
+                ww[l][0], oo[l][0] = wl, ol
+                if self.sh.wp_chroma is not None and self.sh.wp_chroma[l] and ri < len(self.sh.wp_chroma[l]) and self.sh.wp_chroma[l][ri]:
+                    _, cb, cr = self.sh.wp_chroma[l][ri]
+                    ww[l][1], oo[l][1] = cb
+                    ww[l][2], oo[l][2] = cr
+            pu.wp = {"denom_l": self.sh.wp_log2_denom_luma,
+                     "denom_c": self.sh.wp_log2_denom_chroma,
+                     "w": ww, "o": oo}
         pic.inter_list.append(pu)
 
 
@@ -539,13 +551,9 @@ def motion_compensate_np(recon, ref_pics_unused, residuals):
 
 
 def _wp_params(pu, l, c):
-    wp_luma, wp_chroma, ld_l, ld_c = pu.wp
-    if c == 0:
-        flag, w, o = wp_luma[l][pu.ref_idx[l]]
-        return w, o, ld_l
-    flag, cb, cr = wp_chroma[l][pu.ref_idx[l]]
-    w, o = (cb if c == 1 else cr)
-    return w, o, ld_c
+    wp = pu.wp
+    denom = wp["denom_l"] if c == 0 else wp["denom_c"]
+    return wp["w"][l][c], wp["o"][l][c], denom
 
 
 def _weighted_uni(p, pu, l, c, bd):

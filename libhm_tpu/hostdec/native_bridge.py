@@ -119,7 +119,11 @@ def parse_stream(data: bytes):
                              [int(r[9]), int(r[10])],
                              [int(r[11]), int(r[12])])
                 if int(r[13]):  # has_wp
-                    pu.wp = ("native", r[14:].copy())
+                    # layout: denom_l, denom_c, w[2][3], o[2][3]
+                    ww = [[int(r[16 + l * 3 + c]) for c in range(3)] for l in range(2)]
+                    oo = [[int(r[22 + l * 3 + c]) for c in range(3)] for l in range(2)]
+                    pu.wp = {"denom_l": int(r[14]), "denom_c": int(r[15]),
+                             "w": ww, "o": oo}
                 pic.inter_list.append(pu)
             pcm_meta = g("hevcdec_get_pcm_meta", (max(npcm, 1), 7), I32)
             pcm_samples = g("hevcdec_get_pcm_samples", (max(npcm_samp, 1),), I32)

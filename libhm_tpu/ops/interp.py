@@ -1,0 +1,144 @@
+"""Motion-compensated prediction — JAX gather + separable filter formulation.
+
+Replaces the reference's per-PU filterHor/filterVer calls (reference:
+source/Lib/TLibCommon/TComInterpolationFilter.cpp:94-250,
+TComPrediction.cpp:514-716) with a rasterized whole-picture kernel: every
+4x4 luma block (and its chroma co-block) carries an MV / ref-index from the
+parse-plane maps; the kernel gathers per-block source windows from a stacked
+reference-plane tensor and applies the 8/4-tap filters with exact 14-bit
+intermediates, then the uni/bi/weighted epilogues.  Bit-exact vs
+hostdec/motion.py's numpy oracle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IF_PREC = 14
+IF_OFFS = 1 << (IF_PREC - 1)
+
+LUMA_FILTER = jnp.asarray([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1]], jnp.int32)
+
+CHROMA_FILTER = jnp.asarray([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2]], jnp.int32)
+
+
+def _gather_windows(refs, ref_sel, y0, x0, win, W, H):
+    """refs: [R, Hp, Wp]; per block gather [N, win, win] with edge clamp."""
+    oy = jnp.arange(win)
+    ys = jnp.clip(y0[:, None] + oy[None, :], 0, H - 1)     # [N, win]
+    xs = jnp.clip(x0[:, None] + oy[None, :], 0, W - 1)     # [N, win]
+    # two-stage gather: rows then cols
+    rows = refs[ref_sel[:, None], ys, :]                   # [N, win, Wp]
+    out = jnp.take_along_axis(
+        rows, xs[:, None, :].repeat(win, axis=1), axis=2)  # [N, win, win]
+    return out
+
+
+def _filter_h(src, coefs, taps, outw, bd, is_first, is_last):
+    """src: [N, rows, outw+taps-1]; coefs: [N, taps]."""
+    headroom = max(2, IF_PREC - bd)
+    if is_last:
+        shift = 6 + (0 if is_first else headroom)
+        offset = (1 << (shift - 1)) + (0 if is_first else (IF_OFFS << 6))
+    else:
+        shift = 6 - (headroom if is_first else 0)
+        offset = (-IF_OFFS << shift) if is_first else 0
+    acc = jnp.zeros(src.shape[:-1] + (outw,), jnp.int32)
+    for i in range(taps):
+        acc = acc + coefs[:, i][:, None, None] * src[..., i:i + outw]
+    val = (acc + offset) >> shift
+    if is_last:
+        return jnp.clip(val, 0, (1 << bd) - 1)
+    return val
+
+
+def _filter_v(src, coefs, taps, outh, bd, is_first, is_last):
+    headroom = max(2, IF_PREC - bd)
+    if is_last:
+        shift = 6 + (0 if is_first else headroom)
+        offset = (1 << (shift - 1)) + (0 if is_first else (IF_OFFS << 6))
+    else:
+        shift = 6 - (headroom if is_first else 0)
+        offset = (-IF_OFFS << shift) if is_first else 0
+    acc = jnp.zeros((src.shape[0], outh, src.shape[2]), jnp.int32)
+    for i in range(taps):
+        acc = acc + coefs[:, i][:, None, None] * src[:, i:i + outh, :]
+    val = (acc + offset) >> shift
+    if is_last:
+        return jnp.clip(val, 0, (1 << bd) - 1)
+    return val
+
+
+def mc_blocks(refs, ref_sel, bx, by, mvx, mvy, blk, taps, frac_bits_x,
+              frac_bits_y, bd, is_last, W, H):
+    """Predict one list for N blocks of size blk x blk.
+
+    refs: [R, Hp, Wp] int32 stacked reference planes (component)
+    ref_sel: [N] int32 index into refs
+    bx, by: [N] block top-left in the component plane
+    mvx, mvy: [N] int32 MVs (quarter/eighth-pel per component)
+    Returns [N, blk, blk] int32 (clipped samples if is_last, else 14-bit).
+    """
+    ftab = LUMA_FILTER if taps == 8 else CHROMA_FILTER
+    half = taps // 2 - 1
+    fx = mvx & ((1 << frac_bits_x) - 1)
+    fy = mvy & ((1 << frac_bits_y) - 1)
+    ix = bx + (mvx >> frac_bits_x)
+    iy = by + (mvy >> frac_bits_y)
+    win = blk + taps - 1
+    src = _gather_windows(refs, ref_sel, iy - half, ix - half, win, W, H)
+    cfx = ftab[fx]                                         # [N, taps]
+    cfy = ftab[fy]
+    headroom = max(2, IF_PREC - bd)
+
+    # full filter pipeline (computed for all; select by frac case)
+    h1 = _filter_h(src, cfx, taps, blk, bd, True, False)   # [N, win, blk]
+    hv = _filter_v(h1, cfy, taps, blk, bd, False, is_last)  # frac both
+    h_only = _filter_h(src[:, half:half + blk, :], cfx, taps, blk, bd, True, is_last)
+    v_only = _filter_v(src[:, :, half:half + blk], cfy, taps, blk, bd, True, is_last)
+    copy = src[:, half:half + blk, half:half + blk]
+    if is_last:
+        copy_out = copy
+    else:
+        copy_out = (copy << headroom) - IF_OFFS
+    fx_b = (fx != 0)[:, None, None]
+    fy_b = (fy != 0)[:, None, None]
+    out = jnp.where(fx_b & fy_b, hv,
+          jnp.where(fx_b, h_only,
+          jnp.where(fy_b, v_only, copy_out)))
+    return out
+
+
+def bi_average(p0, p1, bd):
+    shift = IF_PREC + 1 - bd
+    off = (1 << (shift - 1)) + 2 * IF_OFFS
+    return jnp.clip((p0 + p1 + off) >> shift, 0, (1 << bd) - 1)
+
+
+def weighted_uni(p, w, o, log2d, bd):
+    """p: [N, blk, blk] 14-bit; w/o: [N] (o already bit-depth scaled)."""
+    shift = log2d + max(2, IF_PREC - bd)
+    rnd = jnp.where(shift > 0, 1 << jnp.maximum(shift - 1, 0), 0)
+    val = ((w[:, None, None] * (p + IF_OFFS) + rnd[:, None, None]) >> shift) \
+        + o[:, None, None]
+    return jnp.clip(val, 0, (1 << bd) - 1)
+
+
+def weighted_bi(p0, p1, w0, o0, w1, o1, log2d, bd):
+    shift = (log2d + 1) + max(2, IF_PREC - bd)
+    rnd = 1 << (shift - 1)
+    off = (o0 + o1)[:, None, None]
+    val = (w0[:, None, None] * (p0 + IF_OFFS) + w1[:, None, None] * (p1 + IF_OFFS)
+           + rnd + (off << (shift - 1))) >> shift
+    return jnp.clip(val, 0, (1 << bd) - 1)
