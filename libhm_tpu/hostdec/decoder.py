@@ -54,8 +54,9 @@ class Decoder:
     .reconstruct(ref_pics, mc_fn) -> planes.
     """
 
-    def __init__(self, recon_backend=None, parse="python"):
+    def __init__(self, recon_backend=None, parse="python", recon="numpy"):
         self.parse = parse
+        self.recon = recon
         self._native_queue = None
         self.sps_map = {}
         self.pps_map = {}
@@ -255,19 +256,40 @@ class Decoder:
             npic.pps = self.pps_map[sh.pps_id]
             pic = npic
 
-        recon = self.recon_backend(sps, pic, sd._zmap, sd.tile_map)
-        recon.constrained_intra = bool(self.pps_map[sh.pps_id].constrained_intra_pred)
-        if pic.inter_list:
-            from .motion import motion_compensate_np
-            planes = recon.reconstruct(None, motion_compensate_np)
-        else:
+        pps = self.pps_map[sh.pps_id]
+        if self.recon == "tpu":
+            from ..recon_tpu import (TpuPictureRecon, deblock_picture_tpu,
+                                     sao_picture_tpu)
+            recon = TpuPictureRecon(sps, pic, sd._zmap, sd.tile_map)
+            recon.constrained_intra = bool(pps.constrained_intra_pred)
             planes = recon.reconstruct()
+            if pps.transquant_bypass_enabled or \
+                    (sps.pcm_enabled and sps.pcm_loop_filter_disabled):
+                pic.prefilter_planes = [p.copy() for p in planes]
+            deblock_picture_tpu(planes, pic, sps, pps, sd.tile_map)
+            if sps.sao_enabled:
+                sao_picture_tpu(planes, pic, sps, pps, sd.tile_map)
+            from .loopfilter_np import _restore_unfiltered
+            _restore_unfiltered(planes, None, pic, sps)
+        else:
+            recon = self.recon_backend(sps, pic, sd._zmap, sd.tile_map)
+            recon.constrained_intra = bool(pps.constrained_intra_pred)
+            if pic.inter_list:
+                from .motion import motion_compensate_np
+                planes = recon.reconstruct(None, motion_compensate_np)
+            else:
+                planes = recon.reconstruct()
 
-        # in-loop filters
-        from .loopfilter_np import deblock_picture, sao_picture
-        deblock_picture(planes, pic, sps, self.pps_map[sh.pps_id])
-        if sps.sao_enabled:
-            sao_picture(planes, pic, sps, self.pps_map[sh.pps_id])
+            # in-loop filters
+            from .loopfilter_np import deblock_picture, sao_picture
+            if pps.transquant_bypass_enabled or \
+                    (sps.pcm_enabled and sps.pcm_loop_filter_disabled):
+                pic.prefilter_planes = [p.copy() for p in planes]
+            deblock_picture(planes, pic, sps, pps)
+            if sps.sao_enabled:
+                sao_picture(planes, pic, sps, pps)
+            from .loopfilter_np import _restore_unfiltered
+            _restore_unfiltered(planes, None, pic, sps)
 
         dp = DecodedPicture(sh.poc, planes, sps, nalu.temporal_id,
                             sh.pic_output_flag)

@@ -78,16 +78,15 @@ def dequant_batch(coeffs, qp, bit_depth, log2_size, max_dyn_range=15):
     return jnp.clip(q, tmin, tmax).astype(jnp.int32)
 
 
+# matrices kept as host numpy (closed over as constants inside jit)
 _T_CACHE = {}
+for _n in (4, 8, 16, 32):
+    _T_CACHE[(_n, False)] = (DCT[_n].T.astype(np.int8), DCT[_n].astype(np.int8))
+_T_CACHE[(4, True)] = (DST4.T.astype(np.int8), DST4.astype(np.int8))
 
 
 def _mats(n, use_dst):
-    key = (n, bool(use_dst))
-    if key not in _T_CACHE:
-        t = DST4 if use_dst else DCT[n]
-        _T_CACHE[key] = (jnp.asarray(t.T.astype(np.int8)),
-                         jnp.asarray(t.astype(np.int8)))
-    return _T_CACHE[key]
+    return _T_CACHE[(n, bool(use_dst))]
 
 
 def inverse_transform_batch(coeffs, n, use_dst, bit_depth, max_dyn_range=15):

@@ -1,0 +1,424 @@
+"""TPU reconstruction backend — batched JAX kernels over whole pictures.
+
+Drop-in replacement for hostdec/recon_np.PictureRecon + loopfilter_np:
+ - residual synthesis: TUs bucketed by (size, path, dst, bitdepth) through
+   ops/transform.py (MXU int8-split matmuls) and scattered into residual
+   planes on device;
+ - inter prediction: rasterized per-4x4 MC through ops/interp.py;
+ - intra prediction: z-scan host loop over the numpy oracle (device wavefront
+   kernel lands next);
+ - deblocking: host BS maps + ops/deblock.py device passes (V then H);
+ - SAO: ops/sao.py device pass.
+
+Bit-exact against the numpy backend (same HM golden MD5s).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .hostdec import refimpl
+from .hostdec.picture import MODE_INTRA, MODE_INTER
+from .hostdec.deblock_maps import compute_bs_maps
+from .ops import transform as TK
+from .ops import interp as IK
+from .ops import deblock as DK
+from .ops import sao as SK
+
+
+def _pad_pow2(n, lo=16):
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
+@functools.lru_cache(maxsize=None)
+def _residual_fn(n, use_dst, path, bd, max_dyn, rotate):
+    @jax.jit
+    def fn(coeffs, qp, rdpcm):
+        if path == "bypass":
+            res = coeffs
+            if rotate:
+                res = res[:, ::-1, ::-1]
+            res = jnp.clip(res, -32768, 32767)
+        else:
+            deq = TK.dequant_batch(coeffs, qp, bd, n.bit_length() - 1, max_dyn)
+            if path == "tskip":
+                res = TK.inverse_transform_skip_batch(deq, bd, n.bit_length() - 1,
+                                                      max_dyn, rotate)
+            else:
+                res = TK.inverse_transform_batch(deq, n, use_dst, bd, max_dyn)
+        return TK.inverse_rdpcm_batch(res, rdpcm)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _mc_fn(blk, taps, fbx, fby, bd, epilogue):
+    @jax.jit
+    def fn(refs0, refs1, sel0, sel1, bx, by, mv, dirm, wpw, wpo, denom, W, H):
+        p0 = IK.mc_blocks(refs0, sel0, bx, by, mv[:, 0, 0], mv[:, 0, 1],
+                          blk, taps, fbx, fby, bd, is_last=False, W=W, H=H)
+        p1 = IK.mc_blocks(refs1, sel1, bx, by, mv[:, 1, 0], mv[:, 1, 1],
+                          blk, taps, fbx, fby, bd, is_last=False, W=W, H=H)
+        headroom = max(2, IK.IF_PREC - bd)
+        if epilogue == "wp":
+            uni0 = IK.weighted_uni(p0, wpw[:, 0], wpo[:, 0], denom, bd)
+            uni1 = IK.weighted_uni(p1, wpw[:, 1], wpo[:, 1], denom, bd)
+            bi = IK.weighted_bi(p0, p1, wpw[:, 0], wpo[:, 0], wpw[:, 1],
+                                wpo[:, 1], denom, bd)
+        else:
+            # plain: convert 14-bit intermediates back to samples for uni
+            off = 1 << (headroom - 1)
+            uni0 = jnp.clip((p0 + IK.IF_OFFS + off) >> headroom, 0, (1 << bd) - 1)
+            uni1 = jnp.clip((p1 + IK.IF_OFFS + off) >> headroom, 0, (1 << bd) - 1)
+            bi = IK.bi_average(p0, p1, bd)
+        d = dirm[:, None, None]
+        return jnp.where(d == 3, bi, jnp.where(d == 1, uni0, uni1))
+    return fn
+
+
+class TpuPictureRecon:
+    """Matches the recon_np.PictureRecon interface."""
+
+    def __init__(self, sps, pic_syntax, zmap, tile_map):
+        self.sps = sps
+        self.pic = pic_syntax
+        self.zmap = zmap
+        self.tile_map = tile_map
+        self.ncomp = 3 if sps.chroma_format_idc else 1
+        self.Wp = sps.pic_width_ctbs << sps.log2_ctb
+        self.Hp = sps.pic_height_ctbs << sps.log2_ctb
+        self.planes = []
+        for c in range(self.ncomp):
+            sx = sps.chroma_shift_x() if c else 0
+            sy = sps.chroma_shift_y() if c else 0
+            self.planes.append(np.zeros((self.Hp >> sy, self.Wp >> sx), np.int32))
+        self.constrained_intra = False
+
+    def comp_dims(self, c):
+        sps = self.sps
+        sx = sps.chroma_shift_x() if c else 0
+        sy = sps.chroma_shift_y() if c else 0
+        return sps.width >> sx, sps.height >> sy
+
+    # ------------------------------------------------------------------
+    def _residual_planes(self):
+        """Dequant+ITX all TUs into per-component residual planes (device)."""
+        sps, pic = self.sps, self.pic
+        res_planes = [np.zeros_like(p) for p in self.planes]
+        buckets = {}
+        for i, tu in enumerate(pic.tu_list):
+            bd = sps.bit_depth_luma if tu.comp == 0 else sps.bit_depth_chroma
+            if tu.tq_bypass:
+                path = "bypass"
+            elif tu.transform_skip:
+                path = "tskip"
+            else:
+                path = "itx"
+            rotate = bool(sps.transform_skip_rotation) and tu.w == 4 and \
+                path in ("tskip", "bypass")
+            key = (tu.w, bool(tu.use_dst), path, bd, rotate)
+            buckets.setdefault(key, []).append(i)
+        max_dyn_l = 15 if not sps.extended_precision else max(15, sps.bit_depth_luma + 6)
+        for (n, use_dst, path, bd, rotate), idxs in buckets.items():
+            max_dyn = 15 if not sps.extended_precision else max(15, bd + 6)
+            N = len(idxs)
+            P = _pad_pow2(N)
+            coeffs = np.zeros((P, n, n), np.int32)
+            qp = np.zeros(P, np.int32)
+            rdpcm = np.zeros(P, np.int32)
+            for k, i in enumerate(idxs):
+                tu = pic.tu_list[i]
+                coeffs[k] = tu.coeffs
+                qp[k] = tu.qp
+                rdpcm[k] = tu.rdpcm_mode
+            fn = _residual_fn(n, use_dst, path, bd, max_dyn, rotate)
+            out = np.asarray(fn(jnp.asarray(coeffs), jnp.asarray(qp),
+                                jnp.asarray(rdpcm)))
+            for k, i in enumerate(idxs):
+                tu = pic.tu_list[i]
+                res_planes[tu.comp][tu.y:tu.y + tu.h, tu.x:tu.x + tu.w] = out[k]
+        # cross-component prediction (4:4:4)
+        if sps.chroma_format_idc == 3:
+            for tu in pic.tu_list:
+                if tu.comp and tu.cross_comp_alpha:
+                    lr = res_planes[0][tu.y:tu.y + tu.h, tu.x:tu.x + tu.w].astype(np.int64)
+                    r = res_planes[tu.comp][tu.y:tu.y + tu.h, tu.x:tu.x + tu.w].astype(np.int64)
+                    r += (tu.cross_comp_alpha * lr) >> 3
+                    res_planes[tu.comp][tu.y:tu.y + tu.h, tu.x:tu.x + tu.w] = \
+                        np.clip(r, -32768, 32767)
+        return res_planes
+
+    # ------------------------------------------------------------------
+    def _inter_stage(self, res_planes):
+        """MC for all inter 4x4 blocks + residual add, per component."""
+        sps, pic = self.sps, self.pic
+        inter4 = np.asarray(pic.pred_mode) == MODE_INTER
+        if not inter4.any():
+            return
+        ys4, xs4 = np.nonzero(inter4)
+        nblk = len(ys4)
+        # reference plane stack per component (by poc)
+        pocs = {}
+        for pu in pic.inter_list:
+            for l in range(2):
+                rp = pu.ref_poc[l]
+                if rp is not None and rp.poc not in pocs:
+                    pocs[rp.poc] = rp
+        poc_list = sorted(pocs)
+        poc_index = {p: i for i, p in enumerate(poc_list)}
+        # per-4x4 ref selector from ref_poc maps
+        dirm = np.asarray(pic.inter_dir)[ys4, xs4].astype(np.int32)
+        mv = np.asarray(pic.mv)[ys4, xs4].astype(np.int32)       # [N, 2, 2]
+        refpoc = np.asarray(pic.ref_poc)[ys4, xs4]               # [N, 2]
+        sel = np.zeros((nblk, 2), np.int32)
+        for l in range(2):
+            used = (dirm & (1 << l)) != 0
+            sel[used, l] = [poc_index[p] for p in refpoc[used, l]]
+        # weighted prediction per block
+        has_wp = any(getattr(pu, "wp", None) is not None for pu in pic.inter_list)
+        wpw = np.zeros((pic.h4, pic.w4, 2, 3), np.int32)
+        wpo = np.zeros((pic.h4, pic.w4, 2, 3), np.int32)
+        denom_l = denom_c = 0
+        if has_wp:
+            for pu in pic.inter_list:
+                if pu.wp is None:
+                    continue
+                sl = np.s_[pu.y >> 2:(pu.y + pu.h) >> 2, pu.x >> 2:(pu.x + pu.w) >> 2]
+                wpw[sl] = np.asarray(pu.wp["w"])
+                wpo[sl] = np.asarray(pu.wp["o"])
+                denom_l = pu.wp["denom_l"]
+                denom_c = pu.wp["denom_c"]
+
+        for c in range(self.ncomp):
+            sx = sps.chroma_shift_x() if c else 0
+            sy = sps.chroma_shift_y() if c else 0
+            bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+            W, H = self.comp_dims(c)
+            blk = 4 >> max(sx, sy) if c else 4
+            blkx, blky = 4 >> sx, 4 >> sy
+            # for 4:2:2 blocks are 2x4; kernel assumes square — use the
+            # smaller dim and do multiple calls if needed (422 later)
+            assert blkx == blky, "4:2:2 inter lands with the RExt-inter milestone"
+            taps = 8 if c == 0 else 4
+            fbx = 2 + (sx if c else 0)
+            fby = 2 + (sy if c else 0)
+            refs = np.stack([np.ascontiguousarray(pocs[p].planes[c][:H, :W])
+                             for p in poc_list]) if poc_list else \
+                np.zeros((1, H, W), np.int32)
+            bx = (xs4 << 2) >> sx
+            by = (ys4 << 2) >> sy
+            scale = 1 << (bd - 8)
+            if has_wp:
+                w_arr = wpw[ys4, xs4][:, :, c]
+                o_arr = wpo[ys4, xs4][:, :, c] * scale
+                denom = denom_l if c == 0 else denom_c
+                epi = "wp"
+            else:
+                w_arr = np.zeros((nblk, 2), np.int32)
+                o_arr = np.zeros((nblk, 2), np.int32)
+                denom = 0
+                epi = "plain"
+            N = nblk
+            P = _pad_pow2(N, 64)
+            def pad(a, fill=0):
+                out = np.full((P,) + a.shape[1:], fill, a.dtype)
+                out[:N] = a
+                return out
+            fn = _mc_fn(blkx, taps, fbx, fby, bd, epi)
+            out = np.asarray(fn(jnp.asarray(refs), jnp.asarray(refs),
+                                jnp.asarray(pad(sel[:, 0])), jnp.asarray(pad(sel[:, 1])),
+                                jnp.asarray(pad(bx)), jnp.asarray(pad(by)),
+                                jnp.asarray(pad(mv)), jnp.asarray(pad(dirm, 1)),
+                                jnp.asarray(pad(w_arr)), jnp.asarray(pad(o_arr)),
+                                denom, W, H))[:N]
+            # scatter + residual add + clip
+            plane = self.planes[c]
+            res = res_planes[c]
+            maxv = (1 << bd) - 1
+            for k in range(N):
+                yy, xx = by[k], bx[k]
+                blkv = out[k] + res[yy:yy + blky, xx:xx + blkx]
+                plane[yy:yy + blky, xx:xx + blkx] = np.clip(blkv, 0, maxv)
+
+    # ------------------------------------------------------------------
+    def reconstruct(self, ref_pics=None, mc_fn=None):
+        sps, pic = self.sps, self.pic
+        res_planes = self._residual_planes()
+        if pic.inter_list:
+            self._inter_stage(res_planes)
+        for (c, x, y, w, h, samples, bits) in pic.pcm_list:
+            bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+            self.planes[c][y:y + h, x:x + w] = samples << (bd - bits)
+        # intra blocks in decode order (host oracle; device wavefront next)
+        from .hostdec.recon_np import PictureRecon
+        residuals = [None] * len(pic.tu_list)
+        helper = PictureRecon.__new__(PictureRecon)
+        helper.sps = sps
+        helper.pic = pic
+        helper.zmap = self.zmap
+        helper.tile_map = self.tile_map
+        helper.ncomp = self.ncomp
+        helper.Wp, helper.Hp = self.Wp, self.Hp
+        helper.planes = self.planes
+        helper.constrained_intra = self.constrained_intra
+        for blk in pic.intra_list:
+            if blk.tu_index >= 0 and residuals[blk.tu_index] is None:
+                tu = pic.tu_list[blk.tu_index]
+                residuals[blk.tu_index] = res_planes[tu.comp][
+                    tu.y:tu.y + tu.h, tu.x:tu.x + tu.w]
+            helper._recon_intra_block(blk, residuals)
+        return self.planes
+
+
+# ---------------------------------------------------------------------------
+# device loop filters, shared by the TPU decode path
+@functools.lru_cache(maxsize=None)
+def _deblock_v_fn(bd):
+    return jax.jit(lambda *a: DK.deblock_luma_vertical(*a, bit_depth=bd))
+
+
+@functools.lru_cache(maxsize=None)
+def _deblock_cv_fn(bd):
+    return jax.jit(lambda *a: DK.deblock_chroma_vertical(*a, bit_depth=bd))
+
+
+def deblock_picture_tpu(planes, pic, sps, pps, tile_map):
+    """V pass then H pass using the device kernels."""
+    for vertical in (True, False):
+        bs, qp_l, boff, toff, no_p, no_q = compute_bs_maps(
+            pic, sps, pps, tile_map, vertical)
+        _deblock_pass_tpu(planes, pic, sps, pps, bs, qp_l, boff, toff,
+                          no_p, no_q, vertical)
+
+
+def _seg_maps(arr, vertical):
+    """[h4, w4] per-4x4-edge map -> [ns_y, ns_x] per-segment map."""
+    if vertical:
+        return arr[:, ::2]
+    return arr[::2, :].T
+
+
+def _deblock_pass_tpu(planes, pic, sps, pps, bs, qp_l, boff, toff, no_p,
+                      no_q, vertical):
+    bd_l = sps.bit_depth_luma
+    bd_c = sps.bit_depth_chroma
+    # luma
+    plane = planes[0]
+    if not vertical:
+        plane = plane.T
+    H, W = plane.shape
+    segb = _seg_maps(bs, vertical).astype(np.int32)
+    segq = _seg_maps(qp_l, vertical)
+    segbo = _seg_maps(boff, vertical)
+    segto = _seg_maps(toff, vertical)
+    segnp = _seg_maps(no_p, vertical)
+    segnq = _seg_maps(no_q, vertical)
+    ns_y, ns_x = H // 4, W // 8
+    segb = segb[:ns_y, :ns_x]
+    out = np.asarray(_deblock_v_fn(bd_l)(
+        jnp.asarray(plane), jnp.asarray(segb),
+        jnp.asarray(segq[:ns_y, :ns_x]), jnp.asarray(segbo[:ns_y, :ns_x]),
+        jnp.asarray(segto[:ns_y, :ns_x]),
+        jnp.asarray(segnp[:ns_y, :ns_x]), jnp.asarray(segnq[:ns_y, :ns_x])))
+    if vertical:
+        planes[0][:, :] = out
+    else:
+        planes[0][:, :] = out.T
+
+    if sps.chroma_format_idc == 0:
+        return
+    # chroma: BS==2 edges on the 8-chroma-sample grid
+    ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+    from .hostdec.tables import CHROMA_QP_SCALE
+    from .ops.deblock import TC_TABLE
+    tc_tab = np.asarray(TC_TABLE)
+    for c in (1, 2):
+        cpl = planes[c]
+        if not vertical:
+            cpl = cpl.T
+        Hc, Wc = cpl.shape
+        ns = Wc // 8
+        # chroma edge at chroma column 8k == luma column 8k << ssx
+        # segment rows: per chroma row
+        tc_rows = np.zeros((Hc, ns), np.int32)
+        filt = np.zeros((Hc, ns), bool)
+        nop = np.zeros((Hc, ns), bool)
+        noq = np.zeros((Hc, ns), bool)
+        qp_off = pps.cb_qp_offset if c == 1 else pps.cr_qp_offset
+        # iterate 4x4-luma edge entries that fall on the chroma grid
+        if vertical:
+            step_l = (8 << ssx) >> 2        # luma 4x4 cols between chroma edges
+            ys4, xs4 = np.nonzero(bs == 2)
+            on = (xs4 % step_l) == 0
+            ys4, xs4 = ys4[on], xs4[on]
+            crow0 = (ys4 << 2) >> ssy       # first chroma row of segment
+            nrows = 4 >> ssy
+            cseg = ((xs4 << 2) >> ssx) // 8
+        else:
+            step_l = (8 << ssy) >> 2
+            ys4, xs4 = np.nonzero(bs == 2)
+            on = (ys4 % step_l) == 0
+            ys4, xs4 = ys4[on], xs4[on]
+            crow0 = (xs4 << 2) >> ssx       # transposed: rows run along x
+            nrows = 4 >> ssx
+            cseg = ((ys4 << 2) >> ssy) // 8
+        qpl = qp_l[ys4, xs4]
+        qpi = np.clip(qpl + qp_off, 0, 57)
+        qpc = np.asarray(CHROMA_QP_SCALE[sps.chroma_format_idc])[qpi]
+        idx_tc = np.clip(qpc + 2 + toff[ys4, xs4], 0, 53)
+        tcc = tc_tab[idx_tc] << (bd_c - 8)
+        for k in range(len(ys4)):
+            r0 = crow0[k]
+            tc_rows[r0:r0 + nrows, cseg[k]] = tcc[k]
+            filt[r0:r0 + nrows, cseg[k]] = tcc[k] != 0
+            nop[r0:r0 + nrows, cseg[k]] = no_p[ys4[k], xs4[k]]
+            noq[r0:r0 + nrows, cseg[k]] = no_q[ys4[k], xs4[k]]
+        out = np.asarray(_deblock_cv_fn(bd_c)(
+            jnp.asarray(cpl), jnp.asarray(tc_rows), jnp.asarray(filt),
+            jnp.asarray(nop), jnp.asarray(noq)))
+        if vertical:
+            planes[c][:, :] = out
+        else:
+            planes[c][:, :] = out.T
+
+
+@functools.lru_cache(maxsize=None)
+def _sao_fn(log2c, bd, scale, W, H):
+    return jax.jit(lambda pl, vm, t, b, o: SK.sao_component(
+        pl, vm, t, b, o, log2c, bd, scale, W, H))
+
+
+def sao_picture_tpu(planes, pic, sps, pps, tile_map):
+    wc = sps.pic_width_ctbs
+    hc = sps.pic_height_ctbs
+    ncomp = 3 if sps.chroma_format_idc else 1
+    sao_type = np.asarray(pic.sao_type).reshape(hc * wc, 3)
+    sao_band = np.asarray(pic.sao_band_pos).reshape(hc * wc, 3)
+    sao_off = np.asarray(pic.sao_offsets).reshape(hc * wc, 3, 4)
+    # validity: single-slice + single-tile fast path; otherwise pairwise mask
+    multi = (np.asarray(pic.slice_idx).max() > 0) or pps.tiles_enabled
+    for c in range(ncomp):
+        sx = sps.chroma_shift_x() if c else 0
+        sy = sps.chroma_shift_y() if c else 0
+        bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+        W, H = sps.width >> sx, sps.height >> sy
+        log2c = sps.log2_ctb - sx  # CTB size in component units (x==y for 420/444)
+        scale = pps.sao_offset_scale_luma if c == 0 else pps.sao_offset_scale_chroma
+        t = sao_type[:, c].reshape(hc, wc).astype(np.int32)
+        b = sao_band[:, c].reshape(hc, wc).astype(np.int32)
+        o = sao_off[:, :, :][:, c].reshape(hc, wc, 4).astype(np.int32)
+        plane = planes[c]
+        vm = np.ones_like(plane, bool)
+        if multi:
+            # per-sample loop-filter flags (conservative exact pairwise check
+            # falls back to the numpy oracle)
+            from .hostdec.loopfilter_np import sao_picture as sao_np
+            sao_np(planes, pic, sps, pps)
+            return
+        out = np.asarray(_sao_fn(log2c, bd, scale, W, H)(
+            jnp.asarray(plane), jnp.asarray(vm), jnp.asarray(t),
+            jnp.asarray(b), jnp.asarray(o)))
+        planes[c][:, :] = out
