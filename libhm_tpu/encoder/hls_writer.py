@@ -1,0 +1,205 @@
+"""High-level syntax writing: SPS/PPS/slice headers, NAL/EBSP, hash SEI.
+
+Rebuild of the reference's TEncCavlc / NALwrite / SEIwrite
+(source/Lib/TLibEncoder/TEncCavlc.cpp, NALwrite.cpp, SEIwrite.cpp) for the
+encoder's minimal-feature profile; extended as encoder tools land.
+"""
+import hashlib
+
+from .cabac_enc import BitWriter
+
+
+def add_emulation_prevention(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def nal_unit(nal_type: int, rbsp: bytes, temporal_id: int = 0) -> bytes:
+    hdr = bytes([(nal_type << 1) & 0x7E, 1 + temporal_id])
+    return b"\x00\x00\x00\x01" + add_emulation_prevention(hdr + rbsp)
+
+
+def write_ptl(w: BitWriter, profile_idc=1):
+    w.put_bits(0, 2)            # profile_space
+    w.put(0)                    # tier
+    w.put_bits(profile_idc, 5)
+    for i in range(32):
+        w.put(1 if i == profile_idc else 0)
+    w.put(1)                    # progressive_source
+    w.put(0)                    # interlaced
+    w.put(1)                    # non_packed
+    w.put(1)                    # frame_only
+    w.put_bits(0, 32)
+    w.put_bits(0, 12)           # 44 reserved bits
+    w.put_bits(120, 8)          # level 4.0
+
+
+def write_vps(cfg) -> bytes:
+    w = BitWriter()
+    w.put_bits(0, 4)    # vps id
+    w.put_bits(3, 2)    # reserved_three
+    w.put_bits(0, 6)    # reserved zero
+    w.put_bits(0, 3)    # max_sub_layers_minus1
+    w.put(1)            # temporal_id_nesting
+    w.put_bits(0xFFFF, 16)
+    write_ptl(w)
+    w.put(0)            # sub_layer_ordering_info_present
+    w.ue(cfg.max_dec_pic_buffering - 1)
+    w.ue(cfg.num_reorder_pics)
+    w.ue(0)             # max_latency
+    w.put_bits(0, 6)    # max_layer_id
+    w.ue(0)             # num_layer_sets_minus1
+    w.put(0)            # timing_info_present
+    w.put(0)            # extension
+    w.byte_align_one()
+    return w.data()
+
+
+def write_sps(cfg) -> bytes:
+    w = BitWriter()
+    w.put_bits(0, 4)    # vps id
+    w.put_bits(0, 3)    # max_sub_layers_minus1
+    w.put(1)            # temporal_id_nesting
+    write_ptl(w)
+    w.ue(0)             # sps id
+    w.ue(cfg.chroma_format_idc)
+    w.ue(cfg.width)
+    w.ue(cfg.height)
+    w.put(0)            # conformance_window
+    w.ue(cfg.bit_depth - 8)
+    w.ue(cfg.bit_depth - 8)
+    w.ue(cfg.log2_max_poc_lsb - 4)
+    w.put(1)            # sub_layer_ordering_info_present
+    w.ue(cfg.max_dec_pic_buffering - 1)
+    w.ue(cfg.num_reorder_pics)
+    w.ue(0)
+    w.ue(cfg.log2_min_cb - 3)
+    w.ue(cfg.log2_ctb - cfg.log2_min_cb)
+    w.ue(cfg.log2_min_tb - 2)
+    w.ue(cfg.log2_max_tb - cfg.log2_min_tb)
+    w.ue(cfg.max_tr_hierarchy_inter)
+    w.ue(cfg.max_tr_hierarchy_intra)
+    w.put(0)            # scaling_list_enabled
+    w.put(0)            # amp_enabled
+    w.put(1 if cfg.sao else 0)
+    w.put(0)            # pcm_enabled
+    w.ue(len(cfg.st_rps))   # num_short_term_ref_pic_sets
+    for rps in cfg.st_rps:  # (list of (delta_poc<0 list...)) simple neg-only
+        if cfg.st_rps.index(rps) != 0:
+            w.put(0)    # inter_ref_pic_set_prediction_flag
+        negs = rps
+        w.ue(len(negs))
+        w.ue(0)         # num_positive
+        prev = 0
+        for dp in negs:
+            w.ue(-(dp - prev) - 1)
+            prev = dp
+            w.put(1)    # used_by_curr
+    w.put(0)            # long_term_ref_pics_present
+    w.put(1 if cfg.tmvp else 0)
+    w.put(1 if cfg.strong_intra_smoothing else 0)
+    w.put(0)            # vui
+    w.put(0)            # sps_extension
+    w.byte_align_one()
+    return w.data()
+
+
+def write_pps(cfg) -> bytes:
+    w = BitWriter()
+    w.ue(0)             # pps id
+    w.ue(0)             # sps id
+    w.put(0)            # dependent_slice_segments
+    w.put(0)            # output_flag_present
+    w.put_bits(0, 3)    # extra slice header bits
+    w.put(0)            # sign_data_hiding
+    w.put(0)            # cabac_init_present
+    w.ue(cfg.num_ref_l0 - 1)
+    w.ue(cfg.num_ref_l1 - 1)
+    w.se(cfg.qp - 26)   # init_qp_minus26
+    w.put(0)            # constrained_intra_pred
+    w.put(0)            # transform_skip
+    w.put(0)            # cu_qp_delta
+    w.se(0)             # cb_qp_offset
+    w.se(0)             # cr_qp_offset
+    w.put(0)            # slice_chroma_qp_offsets_present
+    w.put(0)            # weighted_pred
+    w.put(0)            # weighted_bipred
+    w.put(0)            # transquant_bypass
+    w.put(0)            # tiles
+    w.put(0)            # entropy_coding_sync
+    w.put(1)            # loop_filter_across_slices
+    w.put(1)            # deblocking_filter_control_present
+    w.put(0)            # deblocking_override_enabled
+    w.put(0 if cfg.deblock else 1)  # pps_deblocking_disabled
+    if cfg.deblock:
+        w.se(0)
+        w.se(0)
+    w.put(0)            # pps_scaling_list
+    w.put(0)            # lists_modification_present
+    w.ue(0)             # log2_parallel_merge_level_minus2
+    w.put(0)            # slice_header_extension
+    w.put(0)            # pps_extension
+    w.byte_align_one()
+    return w.data()
+
+
+def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
+                       rps_idx=0) -> BitWriter:
+    """Returns the writer positioned after the header (byte-aligned)."""
+    w = BitWriter()
+    w.put(1)            # first_slice_segment_in_pic
+    if 16 <= nal_type <= 23:
+        w.put(0)        # no_output_of_prior_pics
+    w.ue(0)             # pps id
+    w.ue(slice_type)    # 0=B 1=P 2=I
+    if nal_type not in (19, 20):
+        w.put_bits(poc & ((1 << cfg.log2_max_poc_lsb) - 1), cfg.log2_max_poc_lsb)
+        w.put(1)        # short_term_ref_pic_set_sps_flag
+        import math
+        if len(cfg.st_rps) > 1:
+            w.put_bits(rps_idx, max(1, math.ceil(math.log2(len(cfg.st_rps)))))
+        if cfg.tmvp:
+            w.put(1)    # slice_temporal_mvp_enabled
+    if cfg.sao:
+        w.put(1)
+        w.put(1)
+    if slice_type in (0, 1):
+        w.put(0)        # num_ref_idx_active_override
+        if slice_type == 0:
+            w.put(0)    # mvd_l1_zero
+        if cfg.tmvp:
+            w.ue(0)     # collocated_ref_idx (from_l0 default 1 for P)
+        w.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
+    w.se(slice_qp - cfg.qp)
+    # deblocking control (none: pps says disabled/enabled w/o override)
+    # loop_filter_across_slices present iff sao or deblock on
+    if cfg.sao or cfg.deblock:
+        w.put(1)
+    w.byte_align_one()
+    return w
+
+
+def hash_sei_md5(planes, bit_depth) -> bytes:
+    """decoded_picture_hash SEI with MD5 (reference TComPicYuvMD5 packing)."""
+    payload = bytearray()
+    payload.append(0)  # hash_type = MD5
+    for p in planes:
+        md5 = hashlib.md5()
+        if bit_depth <= 8:
+            md5.update(p.astype("uint8").tobytes())
+        else:
+            md5.update(p.astype("<u2").tobytes())
+        payload += md5.digest()
+    sei = bytearray()
+    sei.append(132)          # payload_type = decoded_picture_hash
+    sei.append(len(payload))
+    sei += payload
+    sei.append(0x80)         # rbsp trailing
+    return bytes(sei)

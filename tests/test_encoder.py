@@ -1,0 +1,72 @@
+"""Encoder round-trip tests: our encoder -> our decoder + HM reference."""
+import hashlib
+import os
+import subprocess
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def synth_frames(w, h, n):
+    import sys
+    sys.path.insert(0, ROOT)
+    import tools.gen_golden as gg
+    import tempfile
+    path = tempfile.mktemp(suffix=".yuv")
+    gg.synth_yuv(path, w, h, n)
+    raw = np.fromfile(path, np.uint8)
+    os.unlink(path)
+    fsz = w * h * 3 // 2
+    out = []
+    for f in range(n):
+        fr = raw[f * fsz:(f + 1) * fsz]
+        out.append((fr[:w * h].reshape(h, w),
+                    fr[w * h:w * h + w * h // 4].reshape(h // 2, w // 2),
+                    fr[w * h + w * h // 4:].reshape(h // 2, w // 2)))
+    return out
+
+
+@pytest.mark.parametrize("w,h,qp", [(64, 64, 32), (96, 80, 27)])
+def test_intra_encoder_roundtrip(w, h, qp):
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(w, h, 2)
+    enc = IntraEncoder(EncoderConfig(w, h, qp=qp))
+    recons = []
+    stream_parts = []
+    from libhm_tpu.encoder.hls_writer import (write_vps, write_sps, write_pps,
+                                              nal_unit, hash_sei_md5)
+    cfg = enc.cfg
+    out = bytearray()
+    out += nal_unit(32, write_vps(cfg))
+    out += nal_unit(33, write_sps(cfg))
+    out += nal_unit(34, write_pps(cfg))
+    for fr in frames:
+        rbsp, rec = enc.encode_picture(fr)
+        out += nal_unit(19, rbsp)
+        out += nal_unit(40, hash_sei_md5(rec, cfg.bit_depth))
+        recons.append(rec)
+    stream = bytes(out)
+    outs = Decoder().decode_annexb(stream)
+    assert len(outs) == 2
+    for i in range(2):
+        for c in range(3):
+            assert (outs[i][c].astype(int) == recons[i][c].astype(int)).all()
+
+
+def test_intra_encoder_hm_verifies():
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if not os.path.exists(exe):
+        pytest.skip("reference binary not built")
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    frames = synth_frames(64, 64, 1)
+    stream = IntraEncoder(EncoderConfig(64, 64, qp=30)).encode_stream(frames)
+    import tempfile
+    bs = tempfile.mktemp(suffix=".bin")
+    open(bs, "wb").write(stream)
+    r = subprocess.run([exe, "-b", bs, "-o", "/dev/null"],
+                       capture_output=True, text=True)
+    os.unlink(bs)
+    assert r.returncode == 0
+    assert "(OK)" in r.stdout and "***ERROR***" not in r.stdout
