@@ -62,6 +62,7 @@ class Decoder:
         self.pps_map = {}
         self.dpb = []
         self.outputs = []               # cropped pictures in output order
+        self.output_records = []        # DecodedPicture per output
         self.prev_tid0_poc = 0
         self.first_slice_of_seq = True
         self.cur = None                 # (sh, PicSyntax, SliceDecoder)
@@ -333,6 +334,7 @@ class Decoder:
         for p in sorted(self.dpb, key=lambda q: q.poc):
             if p.needed_for_output:
                 self.outputs.append(p.cropped())
+                self.output_records.append(p)
                 p.needed_for_output = False
         self.dpb = [p for p in self.dpb if p.is_reference]
 
@@ -351,6 +353,7 @@ class Decoder:
                     break
                 p = min(cands, key=lambda q: q.poc)
                 self.outputs.append(p.cropped())
+                self.output_records.append(p)
                 p.needed_for_output = False
                 self.dpb = [q for q in self.dpb
                             if q.is_reference or q.needed_for_output]
