@@ -170,6 +170,8 @@ class Decoder:
         if not sh.first_slice_in_pic and sh.slice_type != I_SLICE:
             from .motion import MotionDeriver
             sd.motion = MotionDeriver(sd, sh, self._build_ref_lists(sh, sps))
+        if not sh.first_slice_in_pic:
+            pic.drop_products_from_ctu(sh.segment_address)
         sd.decode_slice(nalu.rbsp, sh, self.slice_count)
         self.slice_count += 1
 

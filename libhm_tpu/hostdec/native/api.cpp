@@ -241,8 +241,54 @@ struct Decoder {
         }
       }
     }
+    if (!sh.first_slice_in_pic) dropProductsFromCtu(sps, sh.segment_address);
     parser->decodeSlice(rbsp.data(), rbsp.size(), *shp, sliceCount);
     sliceCount++;
+  }
+
+  // Drop parse products at CTU raster addresses >= firstCtu before a later
+  // slice re-parses them.  HM's SliceMode encoder entropy-codes every slice's
+  // substream to the END of the picture (TEncCu.cpp:937 only terminates at
+  // the real end address) and HM's decoder re-parses / overwrites the overlap
+  // in z-order (TDecCu.cpp:157).  Map-style tensors get overwritten naturally
+  // (plus the per-CTU re-init in decodeSlice); the append-only product lists
+  // must discard the earlier pass's overlap entries.  IntraMeta.tu_index is
+  // remapped (coeff/sample pools keep orphaned data; offsets stay valid).
+  void dropProductsFromCtu(const SPS& sps, int firstCtu) {
+    if (!cur) return;
+    int lg = sps.log2_ctb, wc = sps.picWCtbs();
+    int ssx = sps.ssx(), ssy = sps.ssy();
+    auto keep = [&](int x, int y, int comp) {
+      int lx = comp ? (x << ssx) : x;
+      int ly = comp ? (y << ssy) : y;
+      return (ly >> lg) * wc + (lx >> lg) < firstCtu;
+    };
+    std::vector<int32_t> remap(cur->tu_list.size(), -1);
+    std::vector<TuMeta> tus;
+    for (size_t i = 0; i < cur->tu_list.size(); i++) {
+      const TuMeta& t = cur->tu_list[i];
+      if (keep(t.x, t.y, t.comp)) {
+        remap[i] = int32_t(tus.size());
+        tus.push_back(t);
+      }
+    }
+    cur->tu_list.swap(tus);
+    std::vector<IntraMeta> ib;
+    for (const IntraMeta& b : cur->intra_list)
+      if (keep(b.x, b.y, b.comp)) {
+        IntraMeta nb = b;
+        if (nb.tu_index >= 0) nb.tu_index = remap[nb.tu_index];
+        ib.push_back(nb);
+      }
+    cur->intra_list.swap(ib);
+    std::vector<PuMeta> pus;
+    for (const PuMeta& p : cur->inter_list)
+      if (keep(p.x, p.y, 0)) pus.push_back(p);
+    cur->inter_list.swap(pus);
+    std::vector<PcmMeta> pcms;
+    for (const PcmMeta& p : cur->pcm_list)
+      if (keep(p.x, p.y, p.comp)) pcms.push_back(p);
+    cur->pcm_list.swap(pcms);
   }
   std::vector<std::unique_ptr<SliceHeader>> shStore;
 

@@ -338,6 +338,21 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
     for (int yy = cy >> 2; yy < y4hi; yy++)
       for (int xx = cx >> 2; xx < x4hi; xx++)
         pic->slice_idx[size_t(yy) * w4() + xx] = sidx;
+    // Per-CTU re-init of conditionally-written maps (reference
+    // TComDataCU::initCtu zero-fills all arrays before each CTU parse).
+    // Needed when a later slice re-parses CTUs that an earlier slice's
+    // substream already covered: HM's SliceMode encoder entropy-codes each
+    // slice's substream to the picture end and the decoder overwrites the
+    // overlap (TDecCu.cpp:157); the two codings come from separate RDO
+    // passes so the CU/TU trees can differ.
+    for (int yy = cy >> 2; yy < y4hi; yy++)
+      for (int xx = cx >> 2; xx < x4hi; xx++) {
+        size_t i = size_t(yy) * w4() + xx;
+        pic->cbf_y[i] = 0;
+        pic->pcm[i] = 0;
+        pic->edge_flags[i] = 0;
+        pic->skip[i] = 0;
+      }
     // deblock per-CTU slice params
     for (int yy = cy >> 2; yy < y4hi; yy++)
       for (int xx = cx >> 2; xx < x4hi; xx++) {

@@ -117,3 +117,47 @@ class PicSyntax:
 
     def set_rect(self, arr, x, y, w, h, val):
         arr[y >> 2:(y + h) >> 2, x >> 2:(x + w) >> 2] = val
+
+    def drop_products_from_ctu(self, first_ctu):
+        """Drop parse products at CTU raster addresses >= first_ctu.
+
+        HM's SliceMode=1 encoder entropy-codes every slice's substream from
+        its start address to the END of the picture (TEncCu.cpp:937 only
+        terminates at the real end address; end_of_slice stays 0 at the
+        nominal slice boundary), and HM's decoder parses each substream to
+        the picture end and lets the next slice's re-parse overwrite the
+        overlap in z-order (TDecCu.cpp:157 xDecodeSliceEnd).  Our map-style
+        tensors get overwritten naturally, but the append-only product lists
+        (TUs / intra blocks / inter PUs / PCM) would keep the earlier pass's
+        overlap entries, so when slice N+1 starts we discard products of
+        CTUs it is about to re-parse.  IntraBlock.tu_index is remapped.
+        """
+        sps = self.sps
+        lg, wc = sps.log2_ctb, sps.pic_width_ctbs
+        ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+
+        def keep(x, y, comp):
+            lx = x << (ssx if comp else 0)
+            ly = y << (ssy if comp else 0)
+            return (ly >> lg) * wc + (lx >> lg) < first_ctu
+
+        remap = {}
+        new_tus = []
+        for i, t in enumerate(self.tu_list):
+            if keep(t.x, t.y, t.comp):
+                remap[i] = len(new_tus)
+                new_tus.append(t)
+        self.tu_list = new_tus
+        kept_intra = []
+        for b in self.intra_list:
+            if keep(b.x, b.y, b.comp):
+                if b.tu_index >= 0:
+                    b.tu_index = remap[b.tu_index]
+                kept_intra.append(b)
+        self.intra_list = kept_intra
+        self.inter_list = [p for p in self.inter_list if keep(p.x, p.y, 0)]
+        self.pcm_list = [p for p in self.pcm_list if keep(p[1], p[2], p[0])]
+        # Stale map state (cbf/pcm/edge flags/skip) is handled by the
+        # per-CTU re-init in SliceDecoder.decode_slice — the two entropy
+        # codings of the overlap come from separate encoder RDO passes, so
+        # the CU/TU trees can genuinely differ.

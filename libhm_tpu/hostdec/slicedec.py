@@ -227,6 +227,14 @@ class SliceDecoder:
             x4hi = min((cx + self.ctb) >> 2, pic.w4)
             y4hi = min((cy + self.ctb) >> 2, pic.h4)
             pic.slice_idx[cy >> 2:y4hi, cx >> 2:x4hi] = slice_idx
+            # Per-CTU re-init of conditionally-written maps (reference
+            # TComDataCU::initCtu zero-fills every array before each CTU
+            # parse).  Matters when a later slice re-parses CTUs an earlier
+            # slice's substream already covered (HM's SliceMode encodings
+            # entropy-code each slice to the picture end): skip CUs never
+            # write cbf, non-PCM CUs never write pcm, edge flags OR-accumulate.
+            for arr in (pic.cbf_y, pic.pcm, pic.edge_flags, pic.skip):
+                arr[cy >> 2:y4hi, cx >> 2:x4hi] = 0
 
             if sps.sao_enabled:
                 self._parse_sao_ctu(addr, cx, cy)
@@ -234,11 +242,11 @@ class SliceDecoder:
             self._set_deblock_ctu(cx, cy, sh)
             self.parse_cqt(cx, cy, self.log2_ctb, 0)
 
-            is_last = d.decode_terminate()
+            is_last = self.d.decode_terminate()
             if is_last:
                 break
             if wpp and col == self._tile_last_col(addr):
-                one = d.decode_terminate()  # end_of_subset_one_bit
+                one = self.d.decode_terminate()  # end_of_subset_one_bit
                 assert one
             if wpp and col == self._tile_first_col(addr) + 1:
                 self._wpp_saved = ({k: v.copy() for k, v in self.bank.items()},
@@ -423,6 +431,14 @@ class SliceDecoder:
             if self.available(x, y - 1, x, y) and self.pic.skip[(y - 1) >> 2, x >> 2]:
                 ctx += 1
             skip = d.decode_bin(bank["skip"], ctx)
+        if not skip:
+            # Clear any stale value: with multiple slices per picture, HM
+            # parses slice N's substream to the end of the picture (garbage
+            # past the real slice boundary, TDecCu.cpp:172 reads terminate
+            # per CTU and the flag stays 0) and slice N+1 re-parses its CTUs,
+            # overwriting in z-order.  Context reads (left/above skip) must
+            # therefore see the re-parsed value, so non-skip must write 0.
+            pic.set_rect(pic.skip, x, y, size, size, 0)
         if skip:
             pic.set_rect(pic.skip, x, y, size, size, 1)
             pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)

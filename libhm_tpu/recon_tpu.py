@@ -34,6 +34,18 @@ def _pad_pow2(n, lo=16):
     return p
 
 
+def _device_plane(dp, c, H, W):
+    """Cached device copy of a reference picture's component plane."""
+    cache = getattr(dp, "_device_planes", None)
+    if cache is None:
+        cache = {}
+        dp._device_planes = cache
+    key = (c, H, W)
+    if key not in cache:
+        cache[key] = jnp.asarray(np.ascontiguousarray(dp.planes[c][:H, :W]))
+    return cache[key]
+
+
 @functools.lru_cache(maxsize=None)
 def _residual_fn(n, use_dst, path, bd, max_dyn, rotate):
     @jax.jit
@@ -205,9 +217,11 @@ class TpuPictureRecon:
             taps = 8 if c == 0 else 4
             fbx = 2 + (sx if c else 0)
             fby = 2 + (sy if c else 0)
-            refs = np.stack([np.ascontiguousarray(pocs[p].planes[c][:H, :W])
-                             for p in poc_list]) if poc_list else \
-                np.zeros((1, H, W), np.int32)
+            if poc_list:
+                refs = jnp.stack([_device_plane(pocs[p], c, H, W)
+                                  for p in poc_list])
+            else:
+                refs = jnp.zeros((1, H, W), jnp.int32)
             bx = (xs4 << 2) >> sx
             by = (ys4 << 2) >> sy
             scale = 1 << (bd - 8)
@@ -234,14 +248,18 @@ class TpuPictureRecon:
                                 jnp.asarray(pad(mv)), jnp.asarray(pad(dirm, 1)),
                                 jnp.asarray(pad(w_arr)), jnp.asarray(pad(o_arr)),
                                 denom, W, H))[:N]
-            # scatter + residual add + clip
+            # scatter + residual add + clip (vectorized fancy indexing)
             plane = self.planes[c]
             res = res_planes[c]
             maxv = (1 << bd) - 1
-            for k in range(N):
-                yy, xx = by[k], bx[k]
-                blkv = out[k] + res[yy:yy + blky, xx:xx + blkx]
-                plane[yy:yy + blky, xx:xx + blkx] = np.clip(blkv, 0, maxv)
+            oy = np.arange(blky)
+            ox = np.arange(blkx)
+            iy = by[:, None, None] + oy[None, :, None]      # [N, blky, 1]
+            ix = bx[:, None, None] + ox[None, None, :]      # [N, 1, blkx]
+            iy = np.broadcast_to(iy, (N, blky, blkx))
+            ix = np.broadcast_to(ix, (N, blky, blkx))
+            blkv = out + res[iy, ix]
+            plane[iy, ix] = np.clip(blkv, 0, maxv)
 
     # ------------------------------------------------------------------
     def reconstruct(self, ref_pics=None, mc_fn=None):

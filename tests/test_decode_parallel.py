@@ -1,0 +1,36 @@
+"""Bit-exactness for parallel-tool streams: multi-slice, WPP, tiles.
+
+These streams exercise the substream / context-management paths of the
+parser (reference: TDecSlice::decompressSlice substream switching,
+TDecSbac::updateContextTables tile resets, WPP context save/restore) and
+the multi-slice overlap re-parse behaviour (HM's SliceMode encoder
+entropy-codes each slice's substream to the picture end; the decoder
+re-parses and overwrites the overlap — TDecCu.cpp:157).
+"""
+import hashlib
+import json
+import os
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = json.load(open(os.path.join(ROOT, "testdata", "golden.json")))
+
+STREAMS = ["slices_416x240", "wpp_416x240", "tiles_832x480"]
+
+
+def decode_and_hash(name, parse):
+    from libhm_tpu.hostdec.decoder import Decoder
+    data = open(os.path.join(ROOT, "testdata", GOLD[name]["bitstream"]), "rb").read()
+    outs = Decoder(parse=parse).decode_annexb(data)
+    buf = b"".join(p.tobytes() for pic in outs for p in pic)
+    return hashlib.md5(buf).hexdigest()
+
+
+@pytest.mark.parametrize("name", STREAMS)
+def test_parallel_bit_exact_python(name):
+    assert decode_and_hash(name, "python") == GOLD[name]["decoded_yuv_md5"]
+
+
+@pytest.mark.parametrize("name", STREAMS)
+def test_parallel_bit_exact_native(name):
+    assert decode_and_hash(name, "native") == GOLD[name]["decoded_yuv_md5"]
