@@ -278,8 +278,8 @@ class Decoder:
             recon = self.recon_backend(sps, pic, sd._zmap, sd.tile_map)
             recon.constrained_intra = bool(pps.constrained_intra_pred)
             if pic.inter_list:
-                from .motion import motion_compensate_np
-                planes = recon.reconstruct(None, motion_compensate_np)
+                from .motion import motion_compensate_np_vec
+                planes = recon.reconstruct(None, motion_compensate_np_vec)
             else:
                 planes = recon.reconstruct()
 

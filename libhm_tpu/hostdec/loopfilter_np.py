@@ -185,11 +185,173 @@ def _filter_luma_line(src, offs, pos, tc, beta, no_p, no_q, maxv):
 
 
 def deblock_picture(planes, pic, sps, pps):
-    """In-place deblocking, V pass then H pass (reference loopFilterPic)."""
+    """In-place deblocking, V pass then H pass (reference loopFilterPic).
+
+    Fully vectorized over edge segments: HEVC deblock edges sit on an
+    8-pel grid and the luma filter reads <=4 / writes <=3 samples per
+    side, so segments within one pass never overlap and all of them can
+    be gathered, decided and scattered at once.
+    """
+    from .deblock_maps import compute_bs_maps
+    tile_map = _tile_map(pic, sps, pps)
+    for vertical in (True, False):
+        bs, qp_l, beta_off, tc_off, no_p, no_q = \
+            compute_bs_maps(pic, sps, pps, tile_map, vertical)
+        _deblock_pass_vec(planes, pic, sps, pps, bs, qp_l, beta_off, tc_off,
+                          no_p, no_q, vertical)
+
+
+def deblock_picture_oracle(planes, pic, sps, pps):
+    """Scalar reference implementation (kept as the test oracle)."""
     tile_map = _tile_map(pic, sps, pps)
     for vertical in (True, False):
         bs = compute_bs(pic, sps, pps, tile_map, vertical)
         _deblock_pass(planes, pic, sps, pps, bs, vertical)
+
+
+def _deblock_pass_vec(planes, pic, sps, pps, bs_m, qp_m, boff_m, toff_m,
+                      nop_m, noq_m, vertical):
+    """One direction of deblocking, vectorized over 4-line edge segments.
+
+    Mirrors reference TComLoopFilter::xEdgeFilterLuma/xPelFilterLuma and
+    xEdgeFilterChroma/xPelFilterChroma semantics exactly (decisions from
+    segment lines 0 and 3, per-line weak deltas, +-2*tc strong clips).
+    """
+    ys, xs = np.nonzero(bs_m)
+    if len(ys) == 0:
+        return
+    b = bs_m[ys, xs].astype(np.int64)
+    qp_l = qp_m[ys, xs].astype(np.int64)
+    boff = boff_m[ys, xs].astype(np.int64)
+    toff = toff_m[ys, xs].astype(np.int64)
+    no_p = nop_m[ys, xs].astype(bool)
+    no_q = noq_m[ys, xs].astype(bool)
+    bd_shift = sps.bit_depth_luma - 8
+    maxv_l = (1 << sps.bit_depth_luma) - 1
+    beta = BETA_TABLE[np.clip(qp_l + boff, 0, 51)].astype(np.int64) << bd_shift
+    tc = TC_TABLE[np.clip(qp_l + 2 * (b - 1) + toff, 0, 53)].astype(np.int64) \
+        << bd_shift
+
+    luma = planes[0] if vertical else planes[0].T
+    if vertical:
+        rows, cols = ys << 2, xs << 2
+    else:
+        rows, cols = xs << 2, ys << 2
+
+    lsel = beta > 0
+    if lsel.any():
+        r = rows[lsel][:, None, None] + np.arange(4)[None, :, None]
+        c = cols[lsel][:, None, None] + (np.arange(8) - 4)[None, None, :]
+        W = luma[r, c].astype(np.int64)          # [n, 4, 8] p3..p0 q0..q3
+        tcs = tc[lsel][:, None]
+        betas = beta[lsel][:, None]
+        nop = no_p[lsel][:, None]
+        noq = no_q[lsel][:, None]
+        p3, p2, p1, p0 = W[:, :, 0], W[:, :, 1], W[:, :, 2], W[:, :, 3]
+        q0, q1, q2, q3 = W[:, :, 4], W[:, :, 5], W[:, :, 6], W[:, :, 7]
+        dp = np.abs(p2 - 2 * p1 + p0)            # [n, 4]
+        dq = np.abs(q2 - 2 * q1 + q0)
+        d0 = dp[:, 0] + dq[:, 0]
+        d3 = dp[:, 3] + dq[:, 3]
+        d = (d0 + d3)[:, None]
+        filt = d < betas                          # [n, 1]
+
+        def strong_line(i, di):
+            return (2 * di < (betas[:, 0] >> 2)) & \
+                   (np.abs(p3[:, i] - p0[:, i]) + np.abs(q0[:, i] - q3[:, i])
+                    < (betas[:, 0] >> 3)) & \
+                   (np.abs(p0[:, i] - q0[:, i]) < ((tcs[:, 0] * 5 + 1) >> 1))
+        sw = (strong_line(0, d0) & strong_line(3, d3))[:, None]
+
+        out = W.copy()
+        # strong filter (writes p2..q2, clipped to +-2*tc)
+        tc2 = 2 * tcs
+        sp0 = np.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                      p0 - tc2, p0 + tc2)
+        sp1 = np.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - tc2, p1 + tc2)
+        sp2 = np.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                      p2 - tc2, p2 + tc2)
+        sq0 = np.clip((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                      q0 - tc2, q0 + tc2)
+        sq1 = np.clip((q2 + q1 + q0 + p0 + 2) >> 2, q1 - tc2, q1 + tc2)
+        sq2 = np.clip((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3,
+                      q2 - tc2, q2 + tc2)
+        # weak filter
+        delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+        wk_on = np.abs(delta) < tcs * 10          # [n, 4] per line
+        dlt = np.clip(delta, -tcs, tcs)
+        wp0 = np.clip(p0 + dlt, 0, maxv_l)
+        wq0 = np.clip(q0 - dlt, 0, maxv_l)
+        side_thr = (betas + (betas >> 1)) >> 3
+        dEp = ((dp[:, 0] + dp[:, 3])[:, None] < side_thr)
+        dEq = ((dq[:, 0] + dq[:, 3])[:, None] < side_thr)
+        tch = tcs >> 1
+        wp1 = np.clip(p1 + np.clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1,
+                                   -tch, tch), 0, maxv_l)
+        wq1 = np.clip(q1 + np.clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1,
+                                   -tch, tch), 0, maxv_l)
+
+        st = filt & sw
+        wf = filt & ~sw & wk_on
+        wrp = ~nop
+        wrq = ~noq
+        out[:, :, 1] = np.where(st & wrp, sp2, out[:, :, 1])
+        out[:, :, 2] = np.where(st & wrp, sp1,
+                                np.where(wf & wrp & dEp, wp1, out[:, :, 2]))
+        out[:, :, 3] = np.where(st & wrp, sp0,
+                                np.where(wf & wrp, wp0, out[:, :, 3]))
+        out[:, :, 4] = np.where(st & wrq, sq0,
+                                np.where(wf & wrq, wq0, out[:, :, 4]))
+        out[:, :, 5] = np.where(st & wrq, sq1,
+                                np.where(wf & wrq & dEq, wq1, out[:, :, 5]))
+        out[:, :, 6] = np.where(st & wrq, sq2, out[:, :, 6])
+        luma[r, c] = out.astype(luma.dtype)
+
+    # chroma: BS==2 edges on the chroma 8-pel grid
+    if sps.chroma_format_idc == 0:
+        return
+    ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+    grid = 8 << (ssx if vertical else ssy)
+    coord = (xs << 2) if vertical else (ys << 2)
+    csel = (b == 2) & (coord % grid == 0)
+    if not csel.any():
+        return
+    maxv_c = (1 << sps.bit_depth_chroma) - 1
+    bd_c = sps.bit_depth_chroma - 8
+    qp_c = qp_l[csel]
+    toff_c = toff[csel]
+    nop_c = no_p[csel][:, None]
+    noq_c = no_q[csel][:, None]
+    if vertical:
+        crow = (ys[csel] << 2) >> ssy
+        ccol = (xs[csel] << 2) >> ssx
+        nlines = 4 >> ssy
+    else:
+        crow = (xs[csel] << 2) >> ssx
+        ccol = (ys[csel] << 2) >> ssy
+        nlines = 4 >> ssx
+    for comp in (1, 2):
+        plane = planes[comp] if vertical else planes[comp].T
+        qp_off = pps.cb_qp_offset if comp == 1 else pps.cr_qp_offset
+        qpi = np.clip(qp_c + qp_off, 0, 57)
+        qpc = np.asarray(CHROMA_QP_SCALE[sps.chroma_format_idc])[qpi]
+        tcc = TC_TABLE[np.clip(qpc + 2 + toff_c, 0, 53)].astype(np.int64) \
+            << bd_c
+        sel = tcc > 0
+        if not sel.any():
+            continue
+        r = crow[sel][:, None, None] + np.arange(nlines)[None, :, None]
+        c = ccol[sel][:, None, None] + (np.arange(4) - 2)[None, None, :]
+        W = plane[r, c].astype(np.int64)         # [m, nlines, 4] p1 p0 q0 q1
+        p1, p0, q0, q1 = W[:, :, 0], W[:, :, 1], W[:, :, 2], W[:, :, 3]
+        delta = np.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3,
+                        -tcc[sel][:, None], tcc[sel][:, None])
+        out = W.copy()
+        out[:, :, 1] = np.where(~nop_c[sel],
+                                np.clip(p0 + delta, 0, maxv_c), out[:, :, 1])
+        out[:, :, 2] = np.where(~noq_c[sel],
+                                np.clip(q0 - delta, 0, maxv_c), out[:, :, 2])
+        plane[r, c] = out.astype(plane.dtype)
 
 
 def _tile_map(pic, sps, pps):

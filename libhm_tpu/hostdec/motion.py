@@ -485,6 +485,230 @@ def _filt_v(src, coefs, taps, h, bd, is_first, is_last):
     return val
 
 
+def motion_compensate_np_vec(recon, ref_pics_unused, residuals):
+    """Vectorized MC over PUs grouped by (w, h).
+
+    PUs are the atomic MC units, so grouping by size (HEVC has ~20 distinct
+    PU shapes) batches the separable interpolation with minimal gather
+    overdraw (a 16x16 PU reads a 23x23 window: 2.1x, vs 7.6x for a 4x4
+    rasterization).  Per-block filter taps come from the phase table, so no
+    per-phase grouping is needed.
+
+    Bit-exact with the scalar oracle below: the only case where blanket
+    H-then-V two-stage filtering is NOT exact is (fx!=0, fy==0, unidir
+    final) at bit depths > 8 -- the oracle applies a single H stage with
+    shift 6 while an identity V stage would re-round.  That case runs as a
+    separate batch with the stages swapped (identity V first), which
+    reproduces (sum(c*x) + 32) >> 6 exactly.
+    """
+    pic, sps = recon.pic, recon.sps
+    if not pic.inter_list:
+        return
+    pocs = {}
+    for pu in pic.inter_list:
+        for l in range(2):
+            rp = pu.ref_poc[l]
+            if rp is not None and rp.poc not in pocs:
+                pocs[rp.poc] = rp
+    poc_list = sorted(pocs)
+    poc_index = {q: i for i, q in enumerate(poc_list)}
+
+    groups = {}
+    for pu in pic.inter_list:
+        groups.setdefault((pu.w, pu.h), []).append(pu)
+
+    rsps = next(iter(pocs.values())).sps
+    ref_cache = [None] * recon.ncomp
+
+    def ref_stack(c, Hc, Wc):
+        if ref_cache[c] is None:
+            def mc_plane(rp):
+                cache = getattr(rp, "_mc_cache", None)
+                if cache is None:
+                    cache = rp._mc_cache = {}
+                if c not in cache:
+                    cache[c] = np.ascontiguousarray(rp.planes[c][:Hc, :Wc],
+                                                    dtype=np.int32)
+                return cache[c]
+            ref_cache[c] = np.stack([mc_plane(pocs[q]) for q in poc_list])
+        return ref_cache[c]
+
+    for (pw, ph), pus in groups.items():
+        n = len(pus)
+        dirm = np.array([pu.inter_dir for pu in pus], np.int32)
+        mv = np.array([pu.mv for pu in pus], np.int64)          # [n, 2, 2]
+        px = np.array([pu.x for pu in pus], np.int64)
+        py = np.array([pu.y for pu in pus], np.int64)
+        sel = np.zeros((n, 2), np.int32)
+        for i, pu in enumerate(pus):
+            for l in range(2):
+                if pu.inter_dir & (1 << l):
+                    sel[i, l] = poc_index[pu.ref_poc[l].poc]
+        wp_blk = np.array([getattr(pu, "wp", None) is not None for pu in pus])
+        has_wp = wp_blk.any()
+        bi = dirm == 3
+        uni = ~bi
+        uni_l = dirm == 1
+        is_last_blk = uni & ~wp_blk
+
+        for c in range(recon.ncomp):
+            ssx = sps.chroma_shift_x() if c else 0
+            ssy = sps.chroma_shift_y() if c else 0
+            bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+            taps = 8 if c == 0 else 4
+            half = taps // 2 - 1
+            ftab = np.asarray(LUMA_FILTER if c == 0 else CHROMA_FILTER,
+                              np.int32)
+            fbx = 2 + (ssx if c else 0)
+            fby = 2 + (ssy if c else 0)
+            blkx, blky = pw >> ssx, ph >> ssy
+            Wc, Hc = rsps.width >> ssx, rsps.height >> ssy
+            refs = ref_stack(c, Hc, Wc)
+            bx = px >> ssx
+            by = py >> ssy
+            headroom = IF_INTERNAL_PREC - bd
+            hr = max(2, headroom)
+            maxv = (1 << bd) - 1
+            preds = np.zeros((n, 2, blky, blkx), np.int32)
+            chunk = max(1, (1 << 22) // ((blky + taps) * (blkx + taps)))
+            for l in range(2):
+                lm = (dirm & (1 << l)) != 0
+                if not lm.any():
+                    continue
+                mvx = mv[:, l, 0]
+                mvy = mv[:, l, 1]
+                fx = mvx & ((1 << fbx) - 1)
+                fy = mvy & ((1 << fby) - 1)
+                ix = bx + (mvx >> fbx)
+                iy = by + (mvy >> fby)
+                caseB = lm & is_last_blk & (fx != 0) & (fy == 0)
+                batches = (
+                    (lm & is_last_blk & ~caseB, True, False),
+                    (lm & ~is_last_blk, False, False),
+                    (caseB, True, True),
+                )
+                for mask, last, swapped in batches:
+                    idx = np.nonzero(mask)[0]
+                    if len(idx) == 0:
+                        continue
+                    for s0 in range(0, len(idx), chunk):
+                        ii = idx[s0:s0 + chunk]
+                        ch = ftab[fx[ii]]            # [m, taps]
+                        cv = ftab[fy[ii]]
+                        if swapped:
+                            rows = np.clip(iy[ii][:, None] + np.arange(blky),
+                                           0, Hc - 1)
+                            cols = np.clip(ix[ii][:, None] +
+                                           np.arange(blkx + taps - 1) - half,
+                                           0, Wc - 1)
+                            W = refs[sel[ii, l][:, None, None],
+                                     rows[:, :, None], cols[:, None, :]]
+                            t = (W << hr) - IF_OFFS   # int32; |t| < 2**16
+                            sh2 = 6 + hr
+                            off2 = (1 << (sh2 - 1)) + (IF_OFFS << 6)
+                            acc = ch[:, 0, None, None] * t[:, :, 0:blkx]
+                            for k in range(1, taps):
+                                acc += ch[:, k, None, None] * t[:, :, k:k + blkx]
+                            out = np.clip((acc + off2) >> sh2, 0, maxv)
+                        else:
+                            rows = np.clip(iy[ii][:, None] +
+                                           np.arange(blky + taps - 1) - half,
+                                           0, Hc - 1)
+                            cols = np.clip(ix[ii][:, None] +
+                                           np.arange(blkx + taps - 1) - half,
+                                           0, Wc - 1)
+                            W = refs[sel[ii, l][:, None, None],
+                                     rows[:, :, None], cols[:, None, :]]
+                            sh1 = 6 - hr
+                            off1 = -(IF_OFFS << sh1)
+                            acc = ch[:, 0, None, None] * W[:, :, 0:blkx]
+                            for k in range(1, taps):
+                                acc += ch[:, k, None, None] * W[:, :, k:k + blkx]
+                            t = (acc + off1) >> sh1   # int32; |t| < 2**16
+                            if last:
+                                sh2 = 6 + hr
+                                off2 = (1 << (sh2 - 1)) + (IF_OFFS << 6)
+                            else:
+                                sh2, off2 = 6, 0
+                            acc2 = cv[:, 0, None, None] * t[:, 0:blky, :]
+                            for k in range(1, taps):
+                                acc2 += cv[:, k, None, None] * t[:, k:k + blky, :]
+                            out = (acc2 + off2) >> sh2  # |acc2| < 2**23
+                            if last:
+                                out = np.clip(out, 0, maxv)
+                        preds[ii, l] = out
+            # epilogue
+            final = np.zeros((n, blky, blkx), np.int64)
+            p0 = preds[:, 0].astype(np.int64)
+            p1 = preds[:, 1].astype(np.int64)
+            m = is_last_blk
+            final[m & uni_l] = p0[m & uni_l]
+            final[m & ~uni_l & uni] = p1[m & ~uni_l & uni]
+            mb = bi & ~wp_blk
+            if mb.any():
+                shift = IF_INTERNAL_PREC + 1 - bd
+                off = (1 << (shift - 1)) + 2 * IF_OFFS
+                final[mb] = np.clip((p0[mb] + p1[mb] + off) >> shift, 0, maxv)
+            if has_wp:
+                scale = 1 << (bd - 8)
+                wv = np.zeros((n, 2), np.int64)
+                ov = np.zeros((n, 2), np.int64)
+                denoms = np.zeros(n, np.int64)
+                for i, pu in enumerate(pus):
+                    if getattr(pu, "wp", None) is None:
+                        continue
+                    for l in range(2):
+                        wv[i, l] = pu.wp["w"][l][c]
+                        ov[i, l] = pu.wp["o"][l][c] * scale
+                    denoms[i] = pu.wp["denom_l"] if c == 0 else pu.wp["denom_c"]
+                wu = wp_blk & uni
+                if wu.any():
+                    pv = np.where(uni_l[:, None, None], p0, p1)
+                    l_arr = np.where(uni_l, 0, 1)
+                    wl = np.take_along_axis(wv, l_arr[:, None], 1)[:, 0]
+                    ol = np.take_along_axis(ov, l_arr[:, None], 1)[:, 0]
+                    shift = denoms + max(2, IF_INTERNAL_PREC - bd)
+                    rnd = np.where(shift > 0, 1 << np.maximum(shift - 1, 0), 0)
+                    val = ((wl[:, None, None] * (pv + IF_OFFS) +
+                            rnd[:, None, None]) >> shift[:, None, None]) + \
+                        ol[:, None, None]
+                    final[wu] = np.clip(val, 0, maxv)[wu]
+                wb = wp_blk & bi
+                if wb.any():
+                    shift = (denoms + 1) + max(2, IF_INTERNAL_PREC - bd)
+                    rnd = (1 << np.maximum(shift - 1, 0))
+                    offv = (ov[:, 0] + ov[:, 1])[:, None, None]
+                    sh3 = shift[:, None, None]
+                    val = (wv[:, 0, None, None] * (p0 + IF_OFFS) +
+                           wv[:, 1, None, None] * (p1 + IF_OFFS) +
+                           rnd[:, None, None] + (offv << (sh3 - 1))) >> sh3
+                    final[wb] = np.clip(val, 0, maxv)[wb]
+            # scatter (PUs never overlap)
+            iy0 = by[:, None, None] + np.arange(blky)[None, :, None]
+            ix0 = bx[:, None, None] + np.arange(blkx)[None, None, :]
+            iy0 = np.broadcast_to(iy0, (n, blky, blkx))
+            ix0 = np.broadcast_to(ix0, (n, blky, blkx))
+            plane = recon.planes[c]
+            plane[iy0, ix0] = final.astype(plane.dtype)
+
+    _add_inter_residuals(recon, residuals)
+
+
+def _add_inter_residuals(recon, residuals):
+    pic, sps = recon.pic, recon.sps
+    pm = pic.pred_mode
+    for i, tu in enumerate(pic.tu_list):
+        ssx = sps.chroma_shift_x() if tu.comp else 0
+        ssy = sps.chroma_shift_y() if tu.comp else 0
+        ly, lx = (tu.y << ssy) >> 2, (tu.x << ssx) >> 2
+        if pm[ly, lx] != MODE_INTER:
+            continue
+        bd = sps.bit_depth_luma if tu.comp == 0 else sps.bit_depth_chroma
+        pl = recon.planes[tu.comp]
+        blk = pl[tu.y:tu.y + tu.h, tu.x:tu.x + tu.w] + residuals[i]
+        pl[tu.y:tu.y + tu.h, tu.x:tu.x + tu.w] = np.clip(blk, 0, (1 << bd) - 1)
+
+
 def motion_compensate_np(recon, ref_pics_unused, residuals):
     """MC + residual add for all inter PUs of the picture (decode-order free)."""
     pic, sps = recon.pic, recon.sps
