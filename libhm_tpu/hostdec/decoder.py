@@ -77,7 +77,8 @@ class Decoder:
     def decode_annexb(self, data: bytes):
         if self.parse == "native":
             from . import native_bridge
-            self._native_queue = list(native_bridge.parse_stream(data))
+            self._native_queue = list(native_bridge.parse_stream(
+                data, recon=(self.recon == "native")))
             self._native_pos = 0
         for ebsp in N.split_annexb(data):
             self.decode_nal(N.parse_nal(ebsp))
@@ -248,19 +249,23 @@ class Decoder:
             meta, npic = self._native_queue[self._native_pos]
             self._native_pos += 1
             assert meta["poc"] == sh.poc, (meta["poc"], sh.poc)
-            # resolve per-PU reference POCs to DecodedPicture objects
-            for pu in npic.inter_list:
-                refs = [None, None]
-                for l in range(2):
-                    if pu.inter_dir & (1 << l):
-                        refs[l] = self._find_dpb(int(pu.ref_poc[l]))
-                pu.ref_poc = refs
+            if self.recon != "native":
+                # resolve per-PU reference POCs to DecodedPicture objects
+                for pu in npic.inter_list:
+                    refs = [None, None]
+                    for l in range(2):
+                        if pu.inter_dir & (1 << l):
+                            refs[l] = self._find_dpb(int(pu.ref_poc[l]))
+                    pu.ref_poc = refs
             npic.sps = sps
             npic.pps = self.pps_map[sh.pps_id]
             pic = npic
 
         pps = self.pps_map[sh.pps_id]
-        if self.recon == "tpu":
+        if self.recon == "native":
+            assert self.parse == "native", "recon='native' needs parse='native'"
+            planes = meta["planes"]
+        elif self.recon == "tpu":
             from ..recon_tpu import (TpuPictureRecon, deblock_picture_tpu,
                                      sao_picture_tpu)
             recon = TpuPictureRecon(sps, pic, sd._zmap, sd.tile_map)

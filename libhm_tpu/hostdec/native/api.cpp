@@ -3,8 +3,12 @@
 #include "hevcdec.cpp"
 #include "sliceparse.cpp"
 #include "motion.cpp"
+#include "recon.cpp"
 
 #include <deque>
+#include <cstdio>
+#include <cstdlib>
+#include <ctime>
 #include <map>
 
 namespace hevc {
@@ -34,6 +38,7 @@ static bool isSubNonRef(int t) {
 }
 
 struct Decoder {
+  bool reconEnabled = false;
   std::map<int, SPS> spsMap;
   std::map<int, PPS> ppsMap;
   // DPB of parse-plane pictures (kept alive for TMVP + ref poc bookkeeping)
@@ -132,8 +137,23 @@ struct Decoder {
     }
   }
 
+  double tParse = 0, tRecon = 0;
+  static double now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+  }
   void finishPicture() {
     if (!cur) return;
+    if (reconEnabled) {
+      Picture* p = cur.get();
+      const SPS& sps = spsMap[p->sps_id];
+      const PPS& pps = ppsMap[p->pps_id];
+      double t0 = now();
+      reconstructPicture(*p, sps, pps,
+                         [this](int poc) { return findDpbPoc(poc); });
+      tRecon += now() - t0;
+    }
     // keep a raw pointer in the DPB list for TMVP / ref bookkeeping;
     // ownership moves to `done`, DPB holds non-owning copies via shared ptrs.
     // Simpler: DPB owns; `done` records an index.
@@ -309,9 +329,17 @@ struct Decoder {
       }
     }
     if (prev != SIZE_MAX && prev < n) nals.push_back({prev, n});
-    for (auto& pr : nals)
-      if (pr.second > pr.first) decodeNal(data + pr.first, pr.second - pr.first);
+    for (auto& pr : nals) {
+      if (pr.second > pr.first) {
+        double t0 = now();
+        decodeNal(data + pr.first, pr.second - pr.first);
+        tParse += now() - t0;
+      }
+    }
     finishPicture();
+    if (getenv("HEVCDEC_TIMING"))
+      fprintf(stderr, "hevcdec timing: parse(+recon@finish) %.3fs recon %.3fs\n",
+              tParse - tRecon, tRecon);
     (void)i;
   }
 };
@@ -323,6 +351,9 @@ struct Decoder {
 extern "C" {
 
 void* hevcdec_create() { return new hevc::Decoder(); }
+void hevcdec_enable_recon(void* h, int on) {
+  static_cast<hevc::Decoder*>(h)->reconEnabled = on != 0;
+}
 void hevcdec_destroy(void* h) { delete static_cast<hevc::Decoder*>(h); }
 
 int hevcdec_decode(void* h, const uint8_t* data, size_t n) {
@@ -404,6 +435,14 @@ void hevcdec_get_pcm_meta(void* h, int idx, int32_t* dst) {
 void hevcdec_get_pcm_samples(void* h, int idx, int32_t* dst) {
   hevc::Picture* p = P(h, idx);
   memcpy(dst, p->pcm_samples.data(), p->pcm_samples.size() * 4);
+}
+
+void hevcdec_get_plane(void* h, int idx, int comp, int32_t* dst) {
+  hevc::Picture* p = P(h, idx);
+  memcpy(dst, p->plane[comp].data(), p->plane[comp].size() * 4);
+}
+int hevcdec_plane_size(void* h, int idx, int comp) {
+  return int(P(h, idx)->plane[comp].size());
 }
 
 // SPS info for a picture (geometry needed by the recon backend)

@@ -220,6 +220,9 @@ struct Picture {
   std::vector<PuMeta> inter_list;
   std::vector<PcmMeta> pcm_list;
   std::vector<int32_t> pcm_samples;
+  // reconstructed planes (filled by recon.cpp when recon is enabled),
+  // padded to CTU multiples like the reference picture buffers
+  std::vector<int32_t> plane[3];
   // long-term flag for this picture while in DPB (decoder-side)
   bool is_long_term = false;
   bool is_reference = true;

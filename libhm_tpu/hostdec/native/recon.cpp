@@ -1,0 +1,1202 @@
+// Native reconstruction backend: residual synthesis, intra prediction,
+// motion compensation, deblocking and SAO for one parsed Picture.
+//
+// Port targets (bit-exact):
+//   dequant / inverse transform  <- TComTrQuant::xDeQuant, partialButterfly*
+//                                   (reference: TLibCommon/TComTrQuant.cpp)
+//   intra prediction             <- TComPrediction::predIntraAng/Planar/DC
+//                                   (TLibCommon/TComPrediction.cpp:245-845)
+//   reference sample fill        <- TComPattern::fillReferenceSamples
+//                                   (TLibCommon/TComPattern.cpp:310)
+//   MC interpolation             <- TComInterpolationFilter (filter<N>)
+//   deblocking                   <- TComLoopFilter::xEdgeFilterLuma/Chroma
+//   SAO                          <- TComSampleAdaptiveOffset::offsetBlock
+//
+// Structure mirrors the validated numpy oracle (hostdec/refimpl.py,
+// recon_np.py, loopfilter_np.py): whole-picture flat maps in, planes out.
+
+#include "hevcdec.h"
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <ctime>
+#include <map>
+#include <tuple>
+#include <cstring>
+#include <functional>
+
+namespace hevc {
+
+// ---------------------------------------------------------------------------
+// tables
+// ---------------------------------------------------------------------------
+static const int kDctBase[32] = {
+    64, 90, 90, 90, 89, 88, 87, 85, 83, 82, 80, 78, 75, 73, 70, 67,
+    64, 61, 57, 54, 50, 46, 43, 38, 36, 31, 25, 22, 18, 13, 9, 4};
+
+static int dctEntry(int idx) {
+  int i = idx % 128;
+  if (i < 32) return kDctBase[i];
+  if (i == 32) return 0;
+  if (i <= 64) return -kDctBase[64 - i];
+  if (i < 96) return -kDctBase[i - 64];
+  return kDctBase[128 - i];
+}
+
+struct TransformTables {
+  // forward matrices M[k][j] (rows are basis vectors); inverse uses M^T
+  std::vector<int32_t> dct[6];  // index by log2 size (2..5)
+  int32_t dst4[16];
+  TransformTables() {
+    static const int d4[16] = {29, 55, 74, 84, 74, 74, 0, -74,
+                               84, -29, -74, 55, 55, -84, 74, -29};
+    memcpy(dst4, d4, sizeof(d4));
+    for (int lg = 2; lg <= 5; lg++) {
+      int n = 1 << lg, step = 32 / n;
+      dct[lg].resize(size_t(n) * n);
+      for (int k = 0; k < n; k++)
+        for (int j = 0; j < n; j++)
+          dct[lg][size_t(k) * n + j] = dctEntry(k * step * (2 * j + 1));
+    }
+  }
+};
+static const TransformTables kT;
+
+static const int kInvQuantScales[6] = {40, 45, 51, 57, 64, 72};
+
+static const int kChromaQp420[58] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 29, 30, 31, 32, 33, 33, 34, 34,
+    35, 35, 36, 36, 37, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49,
+    50, 51};
+
+static int chromaQpScale(int fmt, int qpi) {
+  if (fmt == 1) return kChromaQp420[qpi];
+  if (fmt == 0) return 0;
+  return qpi < 51 ? qpi : 51;
+}
+
+static const int kBetaTbl[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+    44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64};
+static const int kTcTbl[54] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
+    13, 14, 16, 18, 20, 22, 24};
+
+static const int kLumaF[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0},
+    {-1, 4, -11, 40, 40, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}};
+static const int kChromaF[8][4] = {
+    {0, 64, 0, 0},  {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
+    {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
+
+static const int kAng[35] = {0, 0, 32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5,
+                             -9, -13, -17, -21, -26, -32, -26, -21, -17, -13,
+                             -9, -5, -2, 0, 2, 5, 9, 13, 17, 21, 26, 32};
+static int invAngOf(int ang) {
+  switch (ang) {
+    case -2: return 4096; case -5: return 1638; case -9: return 910;
+    case -13: return 630; case -17: return 482; case -21: return 390;
+    case -26: return 315; case -32: return 256; default: return 0;
+  }
+}
+
+static const int kC422Map[36] = {0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13,
+                                 15, 17, 18, 19, 20, 21, 22, 23, 23, 24, 24,
+                                 25, 25, 26, 27, 27, 28, 28, 29, 29, 30, 31,
+                                 36};
+
+static const int kIfPrec = 14;
+static const int kIfOffs = 1 << (kIfPrec - 1);
+enum { I16MIN = -32768, I16MAX = 32767 };
+
+static inline int clip3(int lo, int hi, int v) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// ---------------------------------------------------------------------------
+struct ReconCtx {
+  const SPS* sps;
+  const PPS* pps;
+  Picture* pic;
+  std::function<Picture*(int)> findRef;  // poc -> reconstructed Picture
+
+  int ncomp, Wp, Hp, log2Ctb, ctb, wCtbs, hCtbs;
+  std::vector<int64_t> zmap;     // [h4*w4]
+  std::vector<int32_t> tileMap;  // [nctu]
+  std::vector<int32_t> resPool;  // residuals, same layout/offsets as coeffs
+
+  int w4() const { return pic->w4; }
+
+  int compW(int c) const { return c ? sps->width >> sps->ssx() : sps->width; }
+  int compH(int c) const { return c ? sps->height >> sps->ssy() : sps->height; }
+  int planeW(int c) const { return c ? Wp >> sps->ssx() : Wp; }
+  int planeH(int c) const { return c ? Hp >> sps->ssy() : Hp; }
+  int bitDepth(int c) const {
+    return c ? sps->bit_depth_chroma : sps->bit_depth_luma;
+  }
+
+  void buildGeometry() {
+    ncomp = sps->chroma_format_idc ? 3 : 1;
+    log2Ctb = sps->log2_ctb;
+    ctb = 1 << log2Ctb;
+    wCtbs = sps->picWCtbs();
+    hCtbs = sps->picHCtbs();
+    Wp = wCtbs << log2Ctb;
+    Hp = hCtbs << log2Ctb;
+    int n = log2Ctb - 2, m = 1 << n;
+    std::vector<int64_t> zin(size_t(m) * m);
+    for (int yy = 0; yy < m; yy++)
+      for (int xx = 0; xx < m; xx++) {
+        int64_t z = 0;
+        for (int b = 0; b < n; b++) {
+          z |= int64_t((xx >> b) & 1) << (2 * b);
+          z |= int64_t((yy >> b) & 1) << (2 * b + 1);
+        }
+        zin[size_t(yy) * m + xx] = z;
+      }
+    zmap.assign(size_t(pic->h4) * pic->w4, 0);
+    int64_t parts = int64_t(m) * m;
+    for (int cy = 0; cy < pic->h4; cy += m)
+      for (int cx = 0; cx < pic->w4; cx += m) {
+        int64_t base = (int64_t(cy / m) * wCtbs + cx / m) * parts;
+        for (int yy = 0; yy < m; yy++)
+          for (int xx = 0; xx < m; xx++)
+            zmap[size_t(cy + yy) * pic->w4 + cx + xx] =
+                base + zin[size_t(yy) * m + xx];
+      }
+    tileMap.assign(size_t(wCtbs) * hCtbs, 0);
+    if (pps->tiles_enabled) {
+      int nc = pps->num_tile_cols, nr = pps->num_tile_rows;
+      std::vector<int> cb, rb;
+      if (pps->uniform_spacing) {
+        for (int i = 0; i <= nc; i++) cb.push_back(i * wCtbs / nc);
+        for (int i = 0; i <= nr; i++) rb.push_back(i * hCtbs / nr);
+      } else {
+        cb.push_back(0);
+        for (int v : pps->tile_col_widths) cb.push_back(cb.back() + v);
+        cb.push_back(wCtbs);
+        rb.push_back(0);
+        for (int v : pps->tile_row_heights) rb.push_back(rb.back() + v);
+        rb.push_back(hCtbs);
+      }
+      for (int y = 0; y < hCtbs; y++) {
+        int tr = 0;
+        while (!(rb[tr] <= y && y < rb[tr + 1])) tr++;
+        for (int x = 0; x < wCtbs; x++) {
+          int tc = 0;
+          while (!(cb[tc] <= x && x < cb[tc + 1])) tc++;
+          tileMap[size_t(y) * wCtbs + x] = tr * nc + tc;
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // residuals
+  // -------------------------------------------------------------------------
+  void dequantTu(const TuMeta& t, int32_t* out) {
+    int bd = bitDepth(t.comp);
+    int maxDyn = sps->extended_precision ? std::max(15, bd + 6) : 15;
+    int log2w = 0;
+    while ((1 << log2w) < t.w) log2w++;
+    int per = t.qp / 6, rem = t.qp % 6;
+    int tshift = maxDyn - bd - log2w;
+    int64_t tmin = -(int64_t(1) << maxDyn), tmax = (int64_t(1) << maxDyn) - 1;
+    int scale = kInvQuantScales[rem];
+    int right = 6 - (tshift + per);
+    int targetBits = std::min(maxDyn + 1, 32 + right - 7);
+    int64_t lo = -(int64_t(1) << (targetBits - 1));
+    int64_t hi = (int64_t(1) << (targetBits - 1)) - 1;
+    const int32_t* c = &pic->coeffs[t.coeff_off];
+    size_t nn = size_t(t.w) * t.h;
+    for (size_t i = 0; i < nn; i++) {
+      int64_t v = c[i];
+      v = v < lo ? lo : (v > hi ? hi : v);
+      int64_t q = right > 0 ? (v * scale + (int64_t(1) << (right - 1))) >> right
+                            : (v * scale) << (-right);
+      out[i] = int32_t(q < tmin ? tmin : (q > tmax ? tmax : q));
+    }
+  }
+
+  void inverseTransform(const TuMeta& t, int32_t* buf) {
+    // buf holds dequantized coeffs [h][w]; result written in place
+    int h = t.h, w = t.w;
+    int bd = bitDepth(t.comp);
+    int maxDyn = sps->extended_precision ? std::max(15, bd + 6) : 15;
+    int lgH = 0; while ((1 << lgH) < h) lgH++;
+    int lgW = 0; while ((1 << lgW) < w) lgW++;
+    const int32_t* ty = (t.use_dst && h == 4) ? kT.dst4 : kT.dct[lgH].data();
+    const int32_t* tx = (t.use_dst && w == 4) ? kT.dst4 : kT.dct[lgW].data();
+    int shift1 = 7;
+    int shift2 = maxDyn == 15 ? 20 - bd : (6 + maxDyn - 1) - bd;
+    // stage 1: t1 = (ty^T @ c + r) >> shift1, clip int16.
+    // Coefficients concentrate in the low-frequency rows; skipping all-zero
+    // rows mirrors the reference's zo/partial-butterfly fast paths.
+    int lastRow = h - 1;
+    while (lastRow > 0) {
+      bool z = true;
+      for (int j = 0; j < w; j++)
+        if (buf[size_t(lastRow) * w + j]) { z = false; break; }
+      if (!z) break;
+      lastRow--;
+    }
+    static thread_local int32_t t1[32 * 32];
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        int64_t acc = 0;
+        for (int k = 0; k <= lastRow; k++)
+          acc += int64_t(ty[size_t(k) * h + i]) * buf[size_t(k) * w + j];
+        int64_t v = (acc + (1 << (shift1 - 1))) >> shift1;
+        t1[size_t(i) * w + j] =
+            int32_t(v < I16MIN ? I16MIN : (v > I16MAX ? I16MAX : v));
+      }
+    // stage 2: t2 = (t1 @ tx + r) >> shift2, clip int16
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        int64_t acc = 0;
+        for (int k = 0; k < w; k++)
+          acc += int64_t(t1[size_t(i) * w + k]) * tx[size_t(k) * w + j];
+        int64_t v = (acc + (int64_t(1) << (shift2 - 1))) >> shift2;
+        buf[size_t(i) * w + j] =
+            int32_t(v < I16MIN ? I16MIN : (v > I16MAX ? I16MAX : v));
+      }
+  }
+
+  void rdpcm(int32_t* r, int w, int h, int mode) {
+    if (mode == 1) {          // horizontal cumsum along rows
+      for (int y = 0; y < h; y++) {
+        int64_t s = 0;
+        for (int x = 0; x < w; x++) {
+          s += r[size_t(y) * w + x];
+          r[size_t(y) * w + x] =
+              int32_t(s < I16MIN ? I16MIN : (s > I16MAX ? I16MAX : s));
+        }
+      }
+    } else if (mode == 2) {   // vertical
+      for (int x = 0; x < w; x++) {
+        int64_t s = 0;
+        for (int y = 0; y < h; y++) {
+          s += r[size_t(y) * w + x];
+          r[size_t(y) * w + x] =
+              int32_t(s < I16MIN ? I16MIN : (s > I16MAX ? I16MAX : s));
+        }
+      }
+    }
+  }
+
+  void residualForTu(const TuMeta& t, int32_t* out) {
+    int bd = bitDepth(t.comp);
+    int maxDyn = sps->extended_precision ? std::max(15, bd + 6) : 15;
+    int w = t.w, h = t.h;
+    size_t nn = size_t(w) * h;
+    bool rot = sps->transform_skip_rotation && w == 4;
+    auto reverseInPlace = [&]() {
+      for (size_t i = 0, j = nn - 1; i < j; i++, j--)
+        std::swap(out[i], out[j]);
+    };
+    if (t.bypass) {
+      memcpy(out, &pic->coeffs[t.coeff_off], nn * 4);
+      if (rot) reverseInPlace();
+      rdpcm(out, w, h, t.rdpcm);
+      return;
+    }
+    dequantTu(t, out);
+    if (t.tskip) {
+      int log2w = 0; while ((1 << log2w) < w) log2w++;
+      int tshift = maxDyn - bd - log2w;
+      if (rot) reverseInPlace();
+      for (size_t i = 0; i < nn; i++) {
+        int64_t x = out[i];
+        int64_t y = tshift >= 0
+            ? (x + (tshift == 0 ? 0 : (int64_t(1) << (tshift - 1)))) >> tshift
+            : x << (-tshift);
+        out[i] = int32_t(y < I16MIN ? I16MIN : (y > I16MAX ? I16MAX : y));
+      }
+      rdpcm(out, w, h, t.rdpcm);
+      return;
+    }
+    inverseTransform(t, out);
+  }
+
+  void buildResiduals() {
+    resPool.resize(pic->coeffs.size());
+    for (size_t i = 0; i < pic->tu_list.size(); i++)
+      residualForTu(pic->tu_list[i], &resPool[pic->tu_list[i].coeff_off]);
+    // cross-component prediction (RExt 4:4:4)
+    if (sps->chroma_format_idc == 3) {
+      std::map<std::tuple<int, int, int>, size_t> lumaRes;
+      for (size_t i = 0; i < pic->tu_list.size(); i++) {
+        const TuMeta& t = pic->tu_list[i];
+        if (t.comp == 0) lumaRes[{t.x, t.y, t.w}] = i;
+      }
+      for (size_t i = 0; i < pic->tu_list.size(); i++) {
+        const TuMeta& t = pic->tu_list[i];
+        if (t.comp && t.alpha) {
+          auto it = lumaRes.find({t.x, t.y, t.w});
+          if (it == lumaRes.end()) continue;
+          const int32_t* lr = &resPool[pic->tu_list[it->second].coeff_off];
+          int32_t* r = &resPool[t.coeff_off];
+          size_t nn = size_t(t.w) * t.h;
+          for (size_t k = 0; k < nn; k++) {
+            int64_t v = r[k] + ((int64_t(t.alpha) * lr[k]) >> 3);
+            r[k] = int32_t(v < I16MIN ? I16MIN : (v > I16MAX ? I16MAX : v));
+          }
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // inter prediction
+  // -------------------------------------------------------------------------
+  // one block, one list: writes IF-precision (not-last) or final samples
+  void interpBlock(const int32_t* ref, int refW, int refH, int64_t stride,
+                   int x, int y, int w, int h, int mvx, int mvy,
+                   int fbx, int fby, int taps, bool isLuma, int bd,
+                   bool isLast, int32_t* dst, int dstStride) {
+    int fx = mvx & ((1 << fbx) - 1);
+    int fy = mvy & ((1 << fby) - 1);
+    int ix = x + (mvx >> fbx);
+    int iy = y + (mvy >> fby);
+    int headroom = kIfPrec - bd;
+    int half = taps / 2 - 1;
+    int maxv = (1 << bd) - 1;
+    auto S = [&](int yy, int xx) -> int {
+      yy = clip3(0, refH - 1, yy);
+      xx = clip3(0, refW - 1, xx);
+      return ref[int64_t(yy) * stride + xx];
+    };
+    const int* fh = isLuma ? kLumaF[fx] : kChromaF[fx];
+    const int* fv = isLuma ? kLumaF[fy] : kChromaF[fy];
+    // interior fast test: the full gather window stays inside the plane
+    bool interior = ix - half >= 0 && ix + w - 1 + (taps - 1 - half) < refW &&
+                    iy - half >= 0 && iy + h - 1 + (taps - 1 - half) < refH;
+    if (fx == 0 && fy == 0) {
+      for (int j = 0; j < h; j++)
+        for (int i = 0; i < w; i++) {
+          int v = S(iy + j, ix + i);
+          dst[int64_t(j) * dstStride + i] =
+              isLast ? v : (v << headroom) - kIfOffs;
+        }
+      return;
+    }
+    int hr = std::max(2, headroom);
+    if (fy == 0) {
+      // single horizontal stage
+      int shift = 6, offset;
+      if (isLast) { offset = 1 << (shift - 1); }
+      else { shift -= hr; offset = -(kIfOffs << shift); }
+      for (int j = 0; j < h; j++) {
+        if (interior) {
+          const int32_t* row = ref + int64_t(iy + j) * stride + ix - half;
+          for (int i = 0; i < w; i++) {
+            int64_t acc = 0;
+            for (int k = 0; k < taps; k++)
+              acc += int64_t(fh[k]) * row[i + k];
+            int64_t v = (acc + offset) >> shift;
+            dst[int64_t(j) * dstStride + i] =
+                isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+          }
+        } else {
+          for (int i = 0; i < w; i++) {
+            int64_t acc = 0;
+            for (int k = 0; k < taps; k++)
+              acc += int64_t(fh[k]) * S(iy + j, ix + i + k - half);
+            int64_t v = (acc + offset) >> shift;
+            dst[int64_t(j) * dstStride + i] =
+                isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+          }
+        }
+      }
+      return;
+    }
+    if (fx == 0) {
+      int shift = 6, offset;
+      if (isLast) { offset = 1 << (shift - 1); }
+      else { shift -= hr; offset = -(kIfOffs << shift); }
+      for (int j = 0; j < h; j++) {
+        if (interior) {
+          const int32_t* col = ref + int64_t(iy + j - half) * stride + ix;
+          for (int i = 0; i < w; i++) {
+            int64_t acc = 0;
+            for (int k = 0; k < taps; k++)
+              acc += int64_t(fv[k]) * col[int64_t(k) * stride + i];
+            int64_t v = (acc + offset) >> shift;
+            dst[int64_t(j) * dstStride + i] =
+                isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+          }
+        } else {
+          for (int i = 0; i < w; i++) {
+            int64_t acc = 0;
+            for (int k = 0; k < taps; k++)
+              acc += int64_t(fv[k]) * S(iy + j + k - half, ix + i);
+            int64_t v = (acc + offset) >> shift;
+            dst[int64_t(j) * dstStride + i] =
+                isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+          }
+        }
+      }
+      return;
+    }
+    // two stages: H first (is_first, not last), then V
+    int sh1 = 6 - hr;
+    int64_t off1 = -(int64_t(kIfOffs) << sh1);
+    static thread_local std::vector<int32_t> tmp((64 + 8) * 64);
+    for (int j = 0; j < h + taps - 1; j++) {
+      if (interior) {
+        const int32_t* row = ref + int64_t(iy + j - half) * stride + ix - half;
+        for (int i = 0; i < w; i++) {
+          int64_t acc = 0;
+          for (int k = 0; k < taps; k++)
+            acc += int64_t(fh[k]) * row[i + k];
+          tmp[size_t(j) * w + i] = int32_t((acc + off1) >> sh1);
+        }
+      } else {
+        for (int i = 0; i < w; i++) {
+          int64_t acc = 0;
+          for (int k = 0; k < taps; k++)
+            acc += int64_t(fh[k]) * S(iy + j - half, ix + i + k - half);
+          tmp[size_t(j) * w + i] = int32_t((acc + off1) >> sh1);
+        }
+      }
+    }
+    int sh2; int64_t off2;
+    if (isLast) { sh2 = 6 + hr; off2 = (int64_t(1) << (sh2 - 1)) + (int64_t(kIfOffs) << 6); }
+    else { sh2 = 6; off2 = 0; }
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int64_t acc = 0;
+        for (int k = 0; k < taps; k++)
+          acc += int64_t(fv[k]) * tmp[size_t(j + k) * w + i];
+        int64_t v = (acc + off2) >> sh2;
+        dst[int64_t(j) * dstStride + i] =
+            isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+      }
+  }
+
+  void interStage() {
+    if (pic->inter_list.empty()) return;
+    static thread_local std::vector<int32_t> p0(64 * 64), p1(64 * 64);
+    for (const PuMeta& pu : pic->inter_list) {
+      bool bi = pu.dir == 3;
+      bool useWp = pu.has_wp != 0;
+      for (int c = 0; c < ncomp; c++) {
+        int sx = c ? sps->ssx() : 0;
+        int sy = c ? sps->ssy() : 0;
+        int bd = bitDepth(c);
+        int maxv = (1 << bd) - 1;
+        int x = pu.x >> sx, y = pu.y >> sy;
+        int w = pu.w >> sx, h = pu.h >> sy;
+        int taps = c == 0 ? 8 : 4;
+        int fbx = c ? 2 + sx : 2;
+        int fby = c ? 2 + sy : 2;
+        bool isLast = !bi && !useWp;
+        int refW = compW(c), refH = compH(c);
+        int32_t* preds[2] = {p0.data(), p1.data()};
+        bool have[2] = {false, false};
+        for (int l = 0; l < 2; l++) {
+          if (!(pu.dir & (1 << l))) continue;
+          Picture* rp = findRef(pu.ref_poc[l]);
+          if (!rp) continue;
+          const int32_t* ref = rp->plane[c].data();
+          interpBlock(ref, refW, refH, planeW(c), x, y, w, h,
+                      pu.mv[l][0], pu.mv[l][1], fbx, fby, taps, c == 0, bd,
+                      isLast, preds[l], w);
+          have[l] = true;
+        }
+        int32_t* out = &pic->plane[c][int64_t(y) * planeW(c) + x];
+        int64_t ostride = planeW(c);
+        if (bi && !useWp) {
+          int shift = kIfPrec + 1 - bd;
+          int off = (1 << (shift - 1)) + 2 * kIfOffs;
+          for (int j = 0; j < h; j++)
+            for (int i = 0; i < w; i++)
+              out[j * ostride + i] = clip3(
+                  0, maxv,
+                  int((int64_t(p0[size_t(j) * w + i]) + p1[size_t(j) * w + i] +
+                       off) >> shift));
+        } else if (!useWp) {
+          const int32_t* p = have[0] ? p0.data() : p1.data();
+          for (int j = 0; j < h; j++)
+            memcpy(out + j * ostride, p + size_t(j) * w, size_t(w) * 4);
+        } else {
+          int denom = c == 0 ? pu.wp_denom_l : pu.wp_denom_c;
+          int scale = 1 << (bd - 8);
+          if (bi) {
+            int w0 = pu.wp_w[0][c], w1 = pu.wp_w[1][c];
+            int64_t o0 = int64_t(pu.wp_o[0][c]) * scale;
+            int64_t o1 = int64_t(pu.wp_o[1][c]) * scale;
+            int shift = (denom + 1) + std::max(2, kIfPrec - bd);
+            int64_t rnd = int64_t(1) << (shift - 1);
+            int64_t off = o0 + o1;
+            for (int j = 0; j < h; j++)
+              for (int i = 0; i < w; i++) {
+                int64_t v = (int64_t(w0) * (p0[size_t(j) * w + i] + kIfOffs) +
+                             int64_t(w1) * (p1[size_t(j) * w + i] + kIfOffs) +
+                             rnd + (off << (shift - 1))) >> shift;
+                out[j * ostride + i] = clip3(0, maxv, int(v));
+              }
+          } else {
+            int l = have[0] ? 0 : 1;
+            const int32_t* p = preds[l];
+            int wl = pu.wp_w[l][c];
+            int64_t ol = int64_t(pu.wp_o[l][c]) * scale;
+            int shift = denom + std::max(2, kIfPrec - bd);
+            int64_t rnd = shift > 0 ? int64_t(1) << (shift - 1) : 0;
+            for (int j = 0; j < h; j++)
+              for (int i = 0; i < w; i++) {
+                int64_t v = ((int64_t(wl) * (p[size_t(j) * w + i] + kIfOffs) +
+                              rnd) >> shift) + ol;
+                out[j * ostride + i] = clip3(0, maxv, int(v));
+              }
+          }
+        }
+      }
+    }
+    // add inter residuals
+    const int8_t* pm = pic->pred_mode.data();
+    for (size_t i = 0; i < pic->tu_list.size(); i++) {
+      const TuMeta& t = pic->tu_list[i];
+      int sx = t.comp ? sps->ssx() : 0;
+      int sy = t.comp ? sps->ssy() : 0;
+      int ly4 = (t.y << sy) >> 2, lx4 = (t.x << sx) >> 2;
+      if (pm[size_t(ly4) * w4() + lx4] != 0) continue;  // MODE_INTER == 0
+      int bd = bitDepth(t.comp);
+      int maxv = (1 << bd) - 1;
+      int32_t* pl = pic->plane[t.comp].data();
+      int64_t stride = planeW(t.comp);
+      const int32_t* r = &resPool[t.coeff_off];
+      for (int j = 0; j < t.h; j++)
+        for (int k = 0; k < t.w; k++) {
+          int64_t v = pl[(int64_t(t.y) + j) * stride + t.x + k] +
+                      r[size_t(j) * t.w + k];  // flat pool, TU-local raster
+          pl[(int64_t(t.y) + j) * stride + t.x + k] = clip3(0, maxv, int(v));
+        }
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // intra prediction
+  // -------------------------------------------------------------------------
+  bool availAt(int cx, int cy, int sx, int sy, int64_t zCur, int sliceCur,
+               int tileCur, int compWv, int compHv, bool constrained) {
+    if (cx < 0 || cy < 0 || cx >= compWv || cy >= compHv) return false;
+    int lx = cx << sx, ly = cy << sy;
+    size_t i4 = size_t(ly >> 2) * w4() + (lx >> 2);
+    if (zmap[i4] >= zCur) return false;
+    if (pic->slice_idx[i4] != sliceCur) return false;
+    if (tileMap[size_t(ly >> log2Ctb) * wCtbs + (lx >> log2Ctb)] != tileCur)
+      return false;
+    if (constrained && pic->pred_mode[i4] != 1) return false;  // MODE_INTRA==1
+    return true;
+  }
+
+  void reconIntraBlock(const IntraMeta& blk) {
+    int c = blk.comp;
+    int sx = c ? sps->ssx() : 0;
+    int sy = c ? sps->ssy() : 0;
+    int bd = bitDepth(c);
+    int maxv = (1 << bd) - 1;
+    int mode = blk.mode;
+    if (c && sps->chroma_format_idc == 2) mode = kC422Map[mode];
+    int n = blk.w;
+    int32_t* plane = pic->plane[c].data();
+    int64_t stride = planeW(c);
+    // availability context
+    int lx = blk.x << sx, ly = blk.y << sy;
+    int64_t zCur = zmap[size_t(ly >> 2) * w4() + (lx >> 2)];
+    int sliceCur = pic->slice_idx[size_t(ly >> 2) * w4() + (lx >> 2)];
+    int tileCur = tileMap[size_t(ly >> log2Ctb) * wCtbs + (lx >> log2Ctb)];
+    bool constrained = pps->constrained_intra_pred != 0;
+    int cw = compW(c), chh = compH(c);
+
+    // fill reference samples (Rec. 8.4.4.2.2)
+    int total = 4 * n + 1;
+    std::vector<int32_t> vals(total, 0);
+    std::vector<uint8_t> av(total, 0);
+    int x = blk.x, y = blk.y;
+    bool anyAvail = false;
+    for (int i = 0; i < total; i++) {
+      int cx, cy;
+      if (i < 2 * n) { cx = x - 1; cy = y + 2 * n - 1 - i; }
+      else if (i == 2 * n) { cx = x - 1; cy = y - 1; }
+      else { cx = x + (i - 2 * n - 1); cy = y - 1; }
+      bool a = availAt(cx, cy, sx, sy, zCur, sliceCur, tileCur, cw, chh,
+                       constrained);
+      av[i] = a;
+      if (a) { vals[i] = plane[int64_t(cy) * stride + cx]; anyAvail = true; }
+    }
+    if (!anyAvail) {
+      int dc = 1 << (bd - 1);
+      for (auto& v : vals) v = dc;
+    } else {
+      if (!av[0]) {
+        int j = 1;
+        while (j < total && !av[j]) j++;
+        vals[0] = vals[j];
+      }
+      for (int i = 1; i < total; i++)
+        if (!av[i]) vals[i] = vals[i - 1];
+    }
+    // left[0..2n]: corner then downwards; top[0..2n]: corner then rightwards
+    std::vector<int32_t> left(2 * n + 1), top(2 * n + 1);
+    for (int i = 0; i <= 2 * n; i++) left[i] = vals[2 * n - i];
+    for (int i = 0; i <= 2 * n; i++) top[i] = vals[2 * n + i];
+
+    // smoothing decision (Rec. 8.4.4.2.3)
+    bool filt = false;
+    if (!sps->intra_smoothing_disabled &&
+        (c == 0 || sps->chroma_format_idc == 3) && mode != 1 && n != 4) {
+      if (mode == 0) filt = n >= 8;
+      else {
+        int minDist = std::min(std::abs(mode - 26), std::abs(mode - 10));
+        int thr = n == 8 ? 7 : n == 16 ? 1 : n == 32 ? 0 : n == 64 ? 0 : 10;
+        filt = minDist > thr;
+      }
+    }
+    if (filt) {
+      bool strongDone = false;
+      if (sps->strong_intra_smoothing && c == 0 && n == 32) {
+        int thr = 1 << (bd - 5);
+        int corner = top[0];
+        bool f1 = std::abs(corner + top[2 * n] - 2 * top[n]) < thr;
+        bool f2 = std::abs(corner + left[2 * n] - 2 * left[n]) < thr;
+        if (f1 && f2) {
+          int bl = left[2 * n], tr = top[2 * n], co = corner;
+          std::vector<int32_t> nl(2 * n + 1), nt(2 * n + 1);
+          nl[0] = co; nt[0] = co;
+          for (int i = 0; i < 2 * n; i++) {
+            nl[i + 1] = ((2 * n - 1 - i) * co + (i + 1) * bl + n) >> 6;
+            nt[i + 1] = ((2 * n - 1 - i) * co + (i + 1) * tr + n) >> 6;
+          }
+          nl[2 * n] = bl; nt[2 * n] = tr;
+          left.swap(nl); top.swap(nt);
+          strongDone = true;
+        }
+      }
+      if (!strongDone) {
+        // [1 2 1] over the full border
+        std::vector<int32_t> full(4 * n + 1);
+        for (int i = 0; i < 2 * n; i++) full[i] = left[2 * n - i];
+        full[2 * n] = top[0];
+        for (int i = 1; i <= 2 * n; i++) full[2 * n + i] = top[i];
+        std::vector<int32_t> sm(full);
+        for (int i = 1; i < 4 * n; i++)
+          sm[i] = (full[i - 1] + 2 * full[i] + full[i + 1] + 2) >> 2;
+        for (int i = 0; i <= 2 * n; i++) left[i] = sm[2 * n - i];
+        for (int i = 0; i <= 2 * n; i++) top[i] = sm[2 * n + i];
+      }
+    }
+
+    // predict (Rec. 8.4.4.2.4-6)
+    std::vector<int32_t> pred(size_t(n) * n);
+    if (mode == 0) {  // planar
+      int tr = top[n + 1], bl = left[n + 1];
+      int log2n = 0; while ((1 << log2n) < n) log2n++;
+      for (int j = 0; j < n; j++)
+        for (int i = 0; i < n; i++) {
+          int64_t hor = int64_t(n - 1 - i) * left[j + 1] + int64_t(i + 1) * tr;
+          int64_t ver = int64_t(n - 1 - j) * top[i + 1] + int64_t(j + 1) * bl;
+          pred[size_t(j) * n + i] = int32_t((hor + ver + n) >> (log2n + 1));
+        }
+    } else if (mode == 1) {  // DC
+      int64_t s = 0;
+      for (int i = 1; i <= n; i++) s += top[i] + left[i];
+      int log2n = 0; while ((1 << log2n) < n) log2n++;
+      int dc = int((s + n) >> (log2n + 1));
+      for (auto& v : pred) v = dc;
+      if (c == 0 && n < 32) {
+        pred[0] = (left[1] + 2 * dc + top[1] + 2) >> 2;
+        for (int i = 1; i < n; i++) pred[i] = (top[i + 1] + 3 * dc + 2) >> 2;
+        for (int j = 1; j < n; j++)
+          pred[size_t(j) * n] = (left[j + 1] + 3 * dc + 2) >> 2;
+      }
+    } else {  // angular
+      int ang = kAng[mode];
+      bool vertical = mode >= 18;
+      const std::vector<int32_t>& main = vertical ? top : left;
+      const std::vector<int32_t>& side = vertical ? left : top;
+      std::vector<int32_t> ref;
+      int baseIdx;
+      if (ang < 0) {
+        int inv = invAngOf(ang);
+        ref.assign(2 * n + 1, 0);
+        for (int i = 0; i <= n; i++) ref[n + i] = main[i];
+        int lo = (n * ang) >> 5;
+        for (int i = -1; i >= lo; i--)
+          ref[n + i] = side[std::min((-i * inv + 128) >> 8, 2 * n)];
+        baseIdx = n;
+      } else {
+        ref = main;
+        baseIdx = 0;
+      }
+      for (int j = 0; j < n; j++) {
+        int pos = (j + 1) * ang;
+        int intOff = pos >> 5;
+        int frac = pos & 31;
+        int idx = baseIdx + 1 + intOff;
+        for (int i = 0; i < n; i++) {
+          int v;
+          if (frac)
+            v = int((int64_t(32 - frac) * ref[idx + i] +
+                     int64_t(frac) * ref[idx + i + 1] + 16) >> 5);
+          else
+            v = ref[idx + i];
+          if (vertical) pred[size_t(j) * n + i] = v;
+          else pred[size_t(i) * n + j] = v;
+        }
+      }
+      if (c == 0 && n < 32) {
+        if (mode == 26) {
+          for (int j = 0; j < n; j++) {
+            int64_t d = (int64_t(left[j + 1]) - top[0]) >> 1;
+            pred[size_t(j) * n] = clip3(0, maxv, int(top[1] + d));
+          }
+        } else if (mode == 10) {
+          for (int i = 0; i < n; i++) {
+            int64_t d = (int64_t(top[i + 1]) - left[0]) >> 1;
+            pred[i] = clip3(0, maxv, int(left[1] + d));
+          }
+        }
+      }
+    }
+    // add residual + clip + store
+    const int32_t* res = nullptr;
+    if (blk.tu_index >= 0)
+      res = &resPool[pic->tu_list[blk.tu_index].coeff_off];
+    for (int j = 0; j < blk.h; j++)
+      for (int i = 0; i < blk.w; i++) {
+        int v = pred[size_t(j) * n + i];
+        if (res) v += res[size_t(j) * blk.w + i];
+        plane[int64_t(blk.y + j) * stride + blk.x + i] = clip3(0, maxv, v);
+      }
+  }
+
+  // -------------------------------------------------------------------------
+  // deblocking (scalar port of the validated numpy oracle)
+  // -------------------------------------------------------------------------
+  bool noFilterAt(int y4v, int x4v) {
+    size_t i = size_t(y4v) * w4() + x4v;
+    if (pic->tq_bypass[i]) return true;
+    if (sps->pcm_enabled && sps->pcm_loop_filter_disabled && pic->pcm[i])
+      return true;
+    return false;
+  }
+
+  bool edgeAllowed(int qy4, int qx4, int py4, int px4) {
+    size_t qi = size_t(qy4) * w4() + qx4;
+    size_t pix = size_t(py4) * w4() + px4;
+    if (pic->slice_idx[qi] != pic->slice_idx[pix]) {
+      if (!pic->lf_across[qi] || !pic->lf_across[pix]) return false;
+    }
+    int s = log2Ctb - 2;
+    int tq = tileMap[size_t(qy4 >> s) * wCtbs + (qx4 >> s)];
+    int tp = tileMap[size_t(py4 >> s) * wCtbs + (px4 >> s)];
+    if (tq != tp && !pps->loop_filter_across_tiles) return false;
+    return true;
+  }
+
+  int mvBs(int py4, int px4, int qy4, int qx4) {
+    size_t pix = size_t(py4) * w4() + px4;
+    size_t qi = size_t(qy4) * w4() + qx4;
+    int pdir = pic->inter_dir[pix], qdir = pic->inter_dir[qi];
+    int pr[2], qr[2];
+    int pmv[2][2], qmv[2][2];
+    int np = 0, nq = 0;
+    for (int l = 0; l < 2; l++) {
+      if (pdir & (1 << l)) {
+        pr[np] = pic->ref_poc[pix * 2 + l];
+        pmv[np][0] = pic->mv[(pix * 2 + l) * 2];
+        pmv[np][1] = pic->mv[(pix * 2 + l) * 2 + 1];
+        np++;
+      }
+      if (qdir & (1 << l)) {
+        qr[nq] = pic->ref_poc[qi * 2 + l];
+        qmv[nq][0] = pic->mv[(qi * 2 + l) * 2];
+        qmv[nq][1] = pic->mv[(qi * 2 + l) * 2 + 1];
+        nq++;
+      }
+    }
+    if (np != nq) return 1;
+    auto far = [](const int a[2], const int b[2]) {
+      return std::abs(a[0] - b[0]) >= 4 || std::abs(a[1] - b[1]) >= 4;
+    };
+    if (np == 1) {
+      if (pr[0] != qr[0]) return 1;
+      return far(pmv[0], qmv[0]) ? 1 : 0;
+    }
+    int pl = std::min(pr[0], pr[1]), ph = std::max(pr[0], pr[1]);
+    int ql = std::min(qr[0], qr[1]), qh = std::max(qr[0], qr[1]);
+    if (pl != ql || ph != qh) return 1;
+    if (pr[0] == pr[1]) {
+      if ((far(pmv[0], qmv[0]) || far(pmv[1], qmv[1])) &&
+          (far(pmv[0], qmv[1]) || far(pmv[1], qmv[0])))
+        return 1;
+      return 0;
+    }
+    if (pr[0] == qr[0])
+      return (far(pmv[0], qmv[0]) || far(pmv[1], qmv[1])) ? 1 : 0;
+    return (far(pmv[0], qmv[1]) || far(pmv[1], qmv[0])) ? 1 : 0;
+  }
+
+  void filterLumaSeg(int32_t* luma, int64_t stride, bool vertical, int row,
+                     int col, int tc, int beta, bool noP, bool noQ, int maxv) {
+    // access helper: vertical edges filter along rows; horizontal are the
+    // transpose (row<->col)
+    auto S = [&](int r, int cix) -> int32_t& {
+      return vertical ? luma[int64_t(row + r) * stride + col + cix]
+                      : luma[int64_t(col + cix) * stride + row + r];
+    };
+    int dp0, dp3, dq0, dq3;
+    {
+      int p0 = S(0, -1), p1v = S(0, -2), p2 = S(0, -3);
+      int q0 = S(0, 0), q1v = S(0, 1), q2 = S(0, 2);
+      dp0 = std::abs(p2 - 2 * p1v + p0);
+      dq0 = std::abs(q2 - 2 * q1v + q0);
+      p0 = S(3, -1); p1v = S(3, -2); p2 = S(3, -3);
+      q0 = S(3, 0); q1v = S(3, 1); q2 = S(3, 2);
+      dp3 = std::abs(p2 - 2 * p1v + p0);
+      dq3 = std::abs(q2 - 2 * q1v + q0);
+    }
+    int d0 = dp0 + dq0, d3 = dp3 + dq3;
+    int d = d0 + d3;
+    if (d >= beta) return;
+    auto strongLine = [&](int i, int di) {
+      int p0 = S(i, -1), p3 = S(i, -4), q0 = S(i, 0), q3 = S(i, 3);
+      return 2 * di < (beta >> 2) &&
+             std::abs(p3 - p0) + std::abs(q0 - q3) < (beta >> 3) &&
+             std::abs(p0 - q0) < ((tc * 5 + 1) >> 1);
+    };
+    bool sw = strongLine(0, d0) && strongLine(3, d3);
+    for (int i = 0; i < 4; i++) {
+      int p[4], q[4];
+      for (int k = 0; k < 4; k++) { p[k] = S(i, -1 - k); q[k] = S(i, k); }
+      if (sw) {
+        int tc2 = 2 * tc;
+        if (!noP) {
+          S(i, -1) = clip3(p[0] - tc2, p[0] + tc2,
+                           (p[2] + 2 * p[1] + 2 * p[0] + 2 * q[0] + q[1] + 4) >> 3);
+          S(i, -2) = clip3(p[1] - tc2, p[1] + tc2,
+                           (p[2] + p[1] + p[0] + q[0] + 2) >> 2);
+          S(i, -3) = clip3(p[2] - tc2, p[2] + tc2,
+                           (2 * p[3] + 3 * p[2] + p[1] + p[0] + q[0] + 4) >> 3);
+        }
+        if (!noQ) {
+          S(i, 0) = clip3(q[0] - tc2, q[0] + tc2,
+                          (q[2] + 2 * q[1] + 2 * q[0] + 2 * p[0] + p[1] + 4) >> 3);
+          S(i, 1) = clip3(q[1] - tc2, q[1] + tc2,
+                          (q[2] + q[1] + q[0] + p[0] + 2) >> 2);
+          S(i, 2) = clip3(q[2] - tc2, q[2] + tc2,
+                          (2 * q[3] + 3 * q[2] + q[1] + q[0] + p[0] + 4) >> 3);
+        }
+      } else {
+        int delta = (9 * (q[0] - p[0]) - 3 * (q[1] - p[1]) + 8) >> 4;
+        if (std::abs(delta) < tc * 10) {
+          delta = clip3(-tc, tc, delta);
+          if (!noP) S(i, -1) = clip3(0, maxv, p[0] + delta);
+          if (!noQ) S(i, 0) = clip3(0, maxv, q[0] - delta);
+          int sideThr = beta + (beta >> 1);
+          if ((dp0 + dp3) < (sideThr >> 3) && !noP) {
+            int d2 = clip3(-(tc >> 1), tc >> 1,
+                           (((p[2] + p[0] + 1) >> 1) - p[1] + delta) >> 1);
+            S(i, -2) = clip3(0, maxv, p[1] + d2);
+          }
+          if ((dq0 + dq3) < (sideThr >> 3) && !noQ) {
+            int d2 = clip3(-(tc >> 1), tc >> 1,
+                           (((q[2] + q[0] + 1) >> 1) - q[1] - delta) >> 1);
+            S(i, 1) = clip3(0, maxv, q[1] + d2);
+          }
+        }
+      }
+    }
+  }
+
+  void deblock() {
+    int h4 = pic->h4, w4v = pic->w4;
+    for (int pass = 0; pass < 2; pass++) {
+      bool vertical = pass == 0;
+      int edgeMask = vertical ? (1 | 4 | 16) : (2 | 8 | 32);
+      int tuBit = vertical ? 1 : 2;
+      int puBit = vertical ? 4 : 8;
+      for (int y4v = 0; y4v < h4; y4v++)
+        for (int x4v = 0; x4v < w4v; x4v++) {
+          if (vertical) {
+            if (x4v == 0 || (x4v & 1)) continue;
+          } else {
+            if (y4v == 0 || (y4v & 1)) continue;
+          }
+          size_t qi = size_t(y4v) * w4v + x4v;
+          int flags = pic->edge_flags[qi];
+          if (!(flags & edgeMask)) continue;
+          if (pic->deblock_disable[qi]) continue;
+          int py4 = vertical ? y4v : y4v - 1;
+          int px4 = vertical ? x4v - 1 : x4v;
+          if (!edgeAllowed(y4v, x4v, py4, px4)) continue;
+          size_t piv = size_t(py4) * w4v + px4;
+          int b;
+          if (pic->pred_mode[qi] == 1 || pic->pred_mode[piv] == 1) b = 2;
+          else if ((flags & tuBit) &&
+                   (pic->cbf_y[qi] || pic->cbf_y[piv])) b = 1;
+          else if (flags & (puBit | tuBit)) b = mvBs(py4, px4, y4v, x4v);
+          else b = 0;
+          if (!b) continue;
+          int qpP = pic->qp[piv], qpQ = pic->qp[qi];
+          int qpL = (qpP + qpQ + 1) >> 1;
+          int boff = pic->beta_offset[qi], toff = pic->tc_offset[qi];
+          int idxB = clip3(0, 51, qpL + boff);
+          int idxT = clip3(0, 53, qpL + 2 * (b - 1) + toff);
+          int bdShift = sps->bit_depth_luma - 8;
+          int beta = kBetaTbl[idxB] << bdShift;
+          int tc = kTcTbl[idxT] << bdShift;
+          if (tc == 0 && beta == 0) continue;
+          bool noP = noFilterAt(py4, px4);
+          bool noQ = noFilterAt(y4v, x4v);
+          int maxvL = (1 << sps->bit_depth_luma) - 1;
+          if (beta) {
+            int row = vertical ? y4v << 2 : x4v << 2;
+            int col = vertical ? x4v << 2 : y4v << 2;
+            filterLumaSeg(pic->plane[0].data(), planeW(0), vertical, row, col,
+                          tc, beta, noP, noQ, maxvL);
+          }
+          if (b == 2 && sps->chroma_format_idc != 0) {
+            int sx = sps->ssx(), sy = sps->ssy();
+            int grid = 8 << (vertical ? sx : sy);
+            int coord = vertical ? x4v << 2 : y4v << 2;
+            if (coord % grid) continue;
+            for (int c = 1; c < 3; c++) {
+              int qpOff = c == 1 ? pps->cb_qp_offset : pps->cr_qp_offset;
+              int qpi = clip3(0, 57, qpL + qpOff);
+              int qpc = chromaQpScale(sps->chroma_format_idc, qpi);
+              int idxTc = clip3(0, 53, qpc + 2 + toff);
+              int tcc = kTcTbl[idxTc] << (sps->bit_depth_chroma - 8);
+              if (!tcc) continue;
+              int maxvC = (1 << sps->bit_depth_chroma) - 1;
+              int32_t* plane = pic->plane[c].data();
+              int64_t stride = planeW(c);
+              int cy, cx, nlines;
+              if (vertical) {
+                cy = (y4v << 2) >> sy; cx = (x4v << 2) >> sx;
+                nlines = 4 >> sy;
+              } else {
+                cy = (x4v << 2) >> sx; cx = (y4v << 2) >> sy;
+                nlines = 4 >> sx;
+              }
+              auto SC = [&](int r, int cix) -> int32_t& {
+                return vertical ? plane[int64_t(cy + r) * stride + cx + cix]
+                                : plane[int64_t(cx + cix) * stride + cy + r];
+              };
+              for (int i = 0; i < nlines; i++) {
+                int p1v = SC(i, -2), p0 = SC(i, -1);
+                int q0 = SC(i, 0), q1v = SC(i, 1);
+                int delta = clip3(-tcc, tcc,
+                                  ((((q0 - p0) * 4) + p1v - q1v + 4) >> 3));
+                if (!noP) SC(i, -1) = clip3(0, maxvC, p0 + delta);
+                if (!noQ) SC(i, 0) = clip3(0, maxvC, q0 - delta);
+              }
+            }
+          }
+        }
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // SAO
+  // -------------------------------------------------------------------------
+  bool saoCrossOk(int yy, int xx, int ny, int nx, int sx, int sy) {
+    int ly = yy << sy, lx = xx << sx;
+    int lny = clip3(0, (pic->h4 << 2) - 1, ny << sy);
+    int lnx = clip3(0, (pic->w4 << 2) - 1, nx << sx);
+    size_t ci = size_t(ly >> 2) * w4() + (lx >> 2);
+    size_t ni = size_t(lny >> 2) * w4() + (lnx >> 2);
+    bool okSlice = pic->slice_idx[ci] == pic->slice_idx[ni] ||
+                   (pic->lf_across[ci] && pic->lf_across[ni]);
+    int curT = tileMap[size_t(ly >> log2Ctb) * wCtbs + (lx >> log2Ctb)];
+    int nbT = tileMap[size_t(lny >> log2Ctb) * wCtbs + (lnx >> log2Ctb)];
+    bool okTile = curT == nbT || pps->loop_filter_across_tiles;
+    return okSlice && okTile;
+  }
+
+  void sao() {
+    static const int eoDy1[5] = {0, 0, -1, -1, -1};
+    static const int eoDx1[5] = {0, -1, 0, -1, 1};
+    static const int eoDy2[5] = {0, 0, 1, 1, 1};
+    static const int eoDx2[5] = {0, 1, 0, 1, -1};
+    // copy of deblocked planes as SAO source
+    std::vector<int32_t> srcs[3];
+    for (int c = 0; c < ncomp; c++) srcs[c] = pic->plane[c];
+    for (int addr = 0; addr < wCtbs * hCtbs; addr++) {
+      int cx0 = (addr % wCtbs) << log2Ctb;
+      int cy0 = (addr / wCtbs) << log2Ctb;
+      for (int c = 0; c < ncomp; c++) {
+        int t = pic->sao_type[size_t(addr) * 3 + c];
+        if (t < 0) continue;
+        int sx = c ? sps->ssx() : 0;
+        int sy = c ? sps->ssy() : 0;
+        int bd = bitDepth(c);
+        int maxv = (1 << bd) - 1;
+        int W = compW(c), H = compH(c);
+        int x0 = cx0 >> sx, y0 = cy0 >> sy;
+        int x1 = std::min(x0 + (ctb >> sx), W);
+        int y1 = std::min(y0 + (ctb >> sy), H);
+        int scale = c == 0 ? pps->sao_offset_scale_luma
+                           : pps->sao_offset_scale_chroma;
+        int offs[4];
+        for (int i = 0; i < 4; i++)
+          offs[i] = pic->sao_offsets[(size_t(addr) * 3 + c) * 4 + i] << scale;
+        const int32_t* src = srcs[c].data();
+        int32_t* dst = pic->plane[c].data();
+        int64_t stride = planeW(c);
+        if (t == 0) {  // band
+          int bandShift = bd - 5;
+          int bandPos = pic->sao_band[size_t(addr) * 3 + c];
+          int lut[32] = {0};
+          for (int i = 0; i < 4; i++) lut[(bandPos + i) & 31] = offs[i];
+          for (int yy = y0; yy < y1; yy++)
+            for (int xx = x0; xx < x1; xx++) {
+              int v = src[yy * stride + xx];
+              dst[yy * stride + xx] = clip3(0, maxv, v + lut[v >> bandShift]);
+            }
+        } else {  // edge
+          int dy1 = eoDy1[t], dx1 = eoDx1[t], dy2 = eoDy2[t], dx2 = eoDx2[t];
+          int lut[5] = {offs[0], offs[1], 0, offs[2], offs[3]};
+          // interior CTUs away from picture / slice / tile boundaries can
+          // skip the per-sample validity tests entirely
+          bool fast = x0 + dx1 >= 0 && x1 + dx1 <= W && x0 + dx2 >= 0 &&
+                      x1 + dx2 <= W && y0 + dy1 >= 0 && y1 + dy1 <= H &&
+                      y0 + dy2 >= 0 && y1 + dy2 <= H;
+          if (fast) {
+            // neighbours of the CTU's outer ring must be same-slice/tile
+            fast = saoCrossOk(y0, x0, y0 + dy1, x0 + dx1, sx, sy) &&
+                   saoCrossOk(y0, x0, y0 + dy2, x0 + dx2, sx, sy) &&
+                   saoCrossOk(y0, x1 - 1, y0 + dy1, x1 - 1 + dx1, sx, sy) &&
+                   saoCrossOk(y0, x1 - 1, y0 + dy2, x1 - 1 + dx2, sx, sy) &&
+                   saoCrossOk(y1 - 1, x0, y1 - 1 + dy1, x0 + dx1, sx, sy) &&
+                   saoCrossOk(y1 - 1, x0, y1 - 1 + dy2, x0 + dx2, sx, sy) &&
+                   saoCrossOk(y1 - 1, x1 - 1, y1 - 1 + dy1, x1 - 1 + dx1, sx, sy) &&
+                   saoCrossOk(y1 - 1, x1 - 1, y1 - 1 + dy2, x1 - 1 + dx2, sx, sy);
+          }
+          if (fast) {
+            for (int yy = y0; yy < y1; yy++) {
+              const int32_t* sr = src + yy * stride;
+              const int32_t* n1r = src + (yy + dy1) * stride + dx1;
+              const int32_t* n2r = src + (yy + dy2) * stride + dx2;
+              int32_t* dr = dst + yy * stride;
+              for (int xx = x0; xx < x1; xx++) {
+                int v = sr[xx];
+                int s1 = (v > n1r[xx]) - (v < n1r[xx]);
+                int s2 = (v > n2r[xx]) - (v < n2r[xx]);
+                dr[xx] = clip3(0, maxv, v + lut[s1 + s2 + 2]);
+              }
+            }
+          } else {
+            for (int yy = y0; yy < y1; yy++)
+              for (int xx = x0; xx < x1; xx++) {
+                int ny1 = yy + dy1, nx1 = xx + dx1;
+                int ny2 = yy + dy2, nx2 = xx + dx2;
+                bool valid = ny1 >= 0 && ny1 < H && nx1 >= 0 && nx1 < W &&
+                             ny2 >= 0 && ny2 < H && nx2 >= 0 && nx2 < W;
+                if (valid)
+                  valid = saoCrossOk(yy, xx, ny1, nx1, sx, sy) &&
+                          saoCrossOk(yy, xx, ny2, nx2, sx, sy);
+                if (!valid) continue;
+                int v = src[yy * stride + xx];
+                int a = src[ny1 * stride + nx1], b2 = src[ny2 * stride + nx2];
+                int s1 = v > a ? 1 : (v < a ? -1 : 0);
+                int s2 = v > b2 ? 1 : (v < b2 ? -1 : 0);
+                dst[yy * stride + xx] = clip3(0, maxv, v + lut[s1 + s2 + 2]);
+              }
+          }
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  void restoreUnfiltered(const std::vector<int32_t> pre[3]) {
+    bool pcmRestore = sps->pcm_enabled && sps->pcm_loop_filter_disabled;
+    if (!pps->transquant_bypass_enabled && !pcmRestore) return;
+    for (int y4v = 0; y4v < pic->h4; y4v++)
+      for (int x4v = 0; x4v < pic->w4; x4v++) {
+        size_t i = size_t(y4v) * w4() + x4v;
+        bool m = pic->tq_bypass[i] || (pcmRestore && pic->pcm[i]);
+        if (!m) continue;
+        for (int c = 0; c < ncomp; c++) {
+          int sx = c ? sps->ssx() : 0;
+          int sy = c ? sps->ssy() : 0;
+          int bw = 4 >> sx, bh = 4 >> sy;
+          int px = (x4v << 2) >> sx, py = (y4v << 2) >> sy;
+          int64_t stride = planeW(c);
+          for (int j = 0; j < bh; j++)
+            for (int k = 0; k < bw; k++)
+              pic->plane[c][(int64_t(py) + j) * stride + px + k] =
+                  pre[c][(int64_t(py) + j) * stride + px + k];
+        }
+      }
+  }
+
+  static double now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+  }
+  void run() {
+    static double tRes = 0, tInter = 0, tIntra = 0, tDb = 0, tSao = 0;
+    bool timing = getenv("HEVCDEC_TIMING") != nullptr;
+    double t0 = now();
+    buildGeometry();
+    for (int c = 0; c < ncomp; c++)
+      pic->plane[c].assign(size_t(planeW(c)) * planeH(c), 0);
+    buildResiduals();
+    if (timing) { tRes += now() - t0; t0 = now(); }
+    interStage();
+    if (timing) { tInter += now() - t0; t0 = now(); }
+    for (const PcmMeta& p : pic->pcm_list) {
+      int bd = bitDepth(p.comp);
+      int64_t stride = planeW(p.comp);
+      const int32_t* s = &pic->pcm_samples[p.sample_off];
+      for (int j = 0; j < p.h; j++)
+        for (int i = 0; i < p.w; i++)
+          pic->plane[p.comp][(int64_t(p.y) + j) * stride + p.x + i] =
+              s[size_t(j) * p.w + i] << (bd - p.bits);
+    }
+    for (const IntraMeta& b : pic->intra_list) reconIntraBlock(b);
+    if (timing) { tIntra += now() - t0; t0 = now(); }
+    resPool.clear();
+    resPool.shrink_to_fit();
+    // in-loop filters with PCM / lossless restoration
+    bool needPre = pps->transquant_bypass_enabled ||
+                   (sps->pcm_enabled && sps->pcm_loop_filter_disabled);
+    std::vector<int32_t> pre[3];
+    if (needPre)
+      for (int c = 0; c < ncomp; c++) pre[c] = pic->plane[c];
+    if (!pps->deblocking_disabled || true) {
+      // slice-level disable is honoured per 4x4 via deblock_disable
+      deblock();
+    }
+    if (timing) { tDb += now() - t0; t0 = now(); }
+    if (sps->sao_enabled) sao();
+    if (needPre) restoreUnfiltered(pre);
+    if (timing) {
+      tSao += now() - t0;
+      fprintf(stderr, "recon cum: res %.3f inter %.3f intra %.3f db %.3f sao %.3f\n",
+              tRes, tInter, tIntra, tDb, tSao);
+    }
+  }
+};
+
+inline void reconstructPicture(Picture& pic, const SPS& sps, const PPS& pps,
+                               std::function<Picture*(int)> findRef) {
+  ReconCtx ctx;
+  ctx.sps = &sps;
+  ctx.pps = &pps;
+  ctx.pic = &pic;
+  ctx.findRef = std::move(findRef);
+  ctx.run();
+}
+
+}  // namespace hevc

@@ -30,6 +30,8 @@ def _load():
     lib = C.CDLL(so)
     lib.hevcdec_create.restype = C.c_void_p
     lib.hevcdec_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_size_t]
+    lib.hevcdec_plane_size.restype = C.c_int
+    lib.hevcdec_plane_size.argtypes = [C.c_void_p, C.c_int, C.c_int]
     _LIB = lib
     return lib
 
@@ -50,11 +52,18 @@ class NativeParsedPicture:
     """PicSyntax-compatible view over the native parser output."""
 
 
-def parse_stream(data: bytes):
-    """Parse an Annex-B stream natively; returns list of (info, PicSyntax)."""
+def parse_stream(data: bytes, recon: bool = False):
+    """Parse an Annex-B stream natively; returns list of (info, PicSyntax).
+
+    With recon=True the native library also reconstructs every picture
+    (residuals + intra + MC + deblock + SAO in C++); the padded int32
+    planes are attached as meta["planes"].
+    """
     lib = _load()
     h = lib.hevcdec_create()
     try:
+        if recon:
+            lib.hevcdec_enable_recon(C.c_void_p(h), 1)
         npic = lib.hevcdec_decode(h, data, len(data))
         out = []
         for i in range(npic):
@@ -68,6 +77,29 @@ def parse_stream(data: bytes):
                                  sinfo.ctypes.data_as(C.c_void_p))
             pic = PicSyntax.__new__(PicSyntax)
             pic.w4, pic.h4 = w4, h4
+            if recon:
+                # full decode happens in C++; skip materialising the parse
+                # products (maps / TU / PU lists) on the Python side
+                pic.tu_list, pic.intra_list = [], []
+                pic.inter_list, pic.pcm_list = [], []
+                pic.slice_headers = []
+                meta = dict(poc=poc, nal_type=nal_type, temporal_id=tid,
+                            output_flag=output_flag, sps=sinfo)
+                planes = []
+                for comp in range(3 if int(sinfo[2]) else 1):
+                    nsz = lib.hevcdec_plane_size(C.c_void_p(h), C.c_int(i),
+                                                 C.c_int(comp))
+                    a = np.empty(nsz, I32)
+                    lib.hevcdec_get_plane(C.c_void_p(h), C.c_int(i),
+                                          C.c_int(comp),
+                                          a.ctypes.data_as(C.c_void_p))
+                    sx = (1 if int(sinfo[2]) in (1, 2) else 0) if comp else 0
+                    lg = int(sinfo[5])
+                    wp = (((int(sinfo[0]) + (1 << lg) - 1) >> lg) << lg) >> sx
+                    planes.append(a.reshape(-1, wp))
+                meta["planes"] = planes
+                out.append((meta, pic))
+                continue
             g = lambda fn, shape, dt: _get(lib, fn, h, i, shape, dt)
             pic.depth = g("hevcdec_get_depth", (h4, w4), I8)
             pic.pred_mode = g("hevcdec_get_pred_mode", (h4, w4), I8)
