@@ -28,6 +28,8 @@ class DecodedPicture:
 
     def cropped(self):
         """Conformance-cropped planes at native bit depth (uint8/uint16)."""
+        if getattr(self, "cropped_planes", None) is not None:
+            return self.cropped_planes
         sps = self.sps
         cl, cr, ct, cb = sps.conf_win
         out = []
@@ -264,7 +266,7 @@ class Decoder:
         pps = self.pps_map[sh.pps_id]
         if self.recon == "native":
             assert self.parse == "native", "recon='native' needs parse='native'"
-            planes = meta["planes"]
+            planes = None
         elif self.recon == "tpu":
             from ..recon_tpu import (TpuPictureRecon, deblock_picture_tpu,
                                      sao_picture_tpu)
@@ -301,6 +303,8 @@ class Decoder:
 
         dp = DecodedPicture(sh.poc, planes, sps, nalu.temporal_id,
                             sh.pic_output_flag)
+        if self.recon == "native":
+            dp.cropped_planes = meta["cropped"]
         dp.pic_syntax = pic
         self.dpb.append(dp)
         self._bump_outputs(sps, nalu.temporal_id)

@@ -437,6 +437,50 @@ void hevcdec_get_pcm_samples(void* h, int idx, int32_t* dst) {
   memcpy(dst, p->pcm_samples.data(), p->pcm_samples.size() * 4);
 }
 
+// cropped output at native bit depth (uint8 / uint16 little-endian)
+// out_info: [w, h, bytes_per_sample]
+void hevcdec_output_info(void* h, int idx, int comp, int32_t* out) {
+  auto* d = static_cast<hevc::Decoder*>(h);
+  hevc::Picture* p = P(h, idx);
+  const hevc::SPS& s = d->spsMap[p->sps_id];
+  int sx = comp ? s.ssx() : 0, sy = comp ? s.ssy() : 0;
+  int mulx = comp ? 1 : (1 << s.ssx());
+  int muly = comp ? 1 : (1 << s.ssy());
+  int w = (s.width >> sx) - (s.conf_win[0] + s.conf_win[1]) * mulx;
+  int hh = (s.height >> sy) - (s.conf_win[2] + s.conf_win[3]) * muly;
+  int bd = comp ? s.bit_depth_chroma : s.bit_depth_luma;
+  out[0] = w; out[1] = hh; out[2] = bd <= 8 ? 1 : 2;
+}
+void hevcdec_get_output(void* h, int idx, int comp, uint8_t* dst) {
+  auto* d = static_cast<hevc::Decoder*>(h);
+  hevc::Picture* p = P(h, idx);
+  const hevc::SPS& s = d->spsMap[p->sps_id];
+  int sx = comp ? s.ssx() : 0, sy = comp ? s.ssy() : 0;
+  int mulx = comp ? 1 : (1 << s.ssx());
+  int muly = comp ? 1 : (1 << s.ssy());
+  int x0 = s.conf_win[0] * mulx, y0 = s.conf_win[2] * muly;
+  int w = (s.width >> sx) - (s.conf_win[0] + s.conf_win[1]) * mulx;
+  int hh = (s.height >> sy) - (s.conf_win[2] + s.conf_win[3]) * muly;
+  int bd = comp ? s.bit_depth_chroma : s.bit_depth_luma;
+  int lg = s.log2_ctb;
+  int64_t stride = (int64_t(s.picWCtbs()) << lg) >> sx;
+  const int32_t* src = p->plane[comp].data();
+  if (bd <= 8) {
+    for (int y = 0; y < hh; y++) {
+      const int32_t* r = src + (int64_t(y0) + y) * stride + x0;
+      uint8_t* o = dst + int64_t(y) * w;
+      for (int x = 0; x < w; x++) o[x] = uint8_t(r[x]);
+    }
+  } else {
+    uint16_t* o16 = reinterpret_cast<uint16_t*>(dst);
+    for (int y = 0; y < hh; y++) {
+      const int32_t* r = src + (int64_t(y0) + y) * stride + x0;
+      uint16_t* o = o16 + int64_t(y) * w;
+      for (int x = 0; x < w; x++) o[x] = uint16_t(r[x]);
+    }
+  }
+}
+
 void hevcdec_get_plane(void* h, int idx, int comp, int32_t* dst) {
   hevc::Picture* p = P(h, idx);
   memcpy(dst, p->plane[comp].data(), p->plane[comp].size() * 4);

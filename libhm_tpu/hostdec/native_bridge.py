@@ -85,19 +85,19 @@ def parse_stream(data: bytes, recon: bool = False):
                 pic.slice_headers = []
                 meta = dict(poc=poc, nal_type=nal_type, temporal_id=tid,
                             output_flag=output_flag, sps=sinfo)
-                planes = []
+                outs = []
                 for comp in range(3 if int(sinfo[2]) else 1):
-                    nsz = lib.hevcdec_plane_size(C.c_void_p(h), C.c_int(i),
-                                                 C.c_int(comp))
-                    a = np.empty(nsz, I32)
-                    lib.hevcdec_get_plane(C.c_void_p(h), C.c_int(i),
-                                          C.c_int(comp),
-                                          a.ctypes.data_as(C.c_void_p))
-                    sx = (1 if int(sinfo[2]) in (1, 2) else 0) if comp else 0
-                    lg = int(sinfo[5])
-                    wp = (((int(sinfo[0]) + (1 << lg) - 1) >> lg) << lg) >> sx
-                    planes.append(a.reshape(-1, wp))
-                meta["planes"] = planes
+                    oi = np.zeros(3, I32)
+                    lib.hevcdec_output_info(C.c_void_p(h), C.c_int(i),
+                                            C.c_int(comp),
+                                            oi.ctypes.data_as(C.c_void_p))
+                    ow, oh, bps = int(oi[0]), int(oi[1]), int(oi[2])
+                    a = np.empty((oh, ow), np.uint8 if bps == 1 else np.uint16)
+                    lib.hevcdec_get_output(C.c_void_p(h), C.c_int(i),
+                                           C.c_int(comp),
+                                           a.ctypes.data_as(C.c_void_p))
+                    outs.append(a)
+                meta["cropped"] = outs
                 out.append((meta, pic))
                 continue
             g = lambda fn, shape, dt: _get(lib, fn, h, i, shape, dt)
