@@ -108,6 +108,20 @@ class Decoder:
     def _decode_slice_nal(self, nalu):
         sh = parse_slice_header(nalu.rbsp, nalu.nal_type, nalu.temporal_id,
                                 self.sps_map, self.pps_map)
+        if sh.dependent:
+            # dependent slice segments inherit everything (incl. poc_lsb for
+            # the POC derivation below) but the segment address / entry
+            # points (Rec. 7.4.7.1)
+            import copy
+            base = copy.copy(self._last_indep_sh)
+            base.dependent = 1
+            base.first_slice_in_pic = 0
+            base.segment_address = sh.segment_address
+            base.entry_points = sh.entry_points
+            base.data_bit_offset = sh.data_bit_offset
+            sh = base
+        else:
+            self._last_indep_sh = sh
         pps = self.pps_map[sh.pps_id]
         sps = self.sps_map[pps.sps_id]
 
@@ -175,7 +189,11 @@ class Decoder:
             sd.motion = MotionDeriver(sd, sh, self._build_ref_lists(sh, sps))
         if not sh.first_slice_in_pic:
             pic.drop_products_from_ctu(sh.segment_address)
-        sd.decode_slice(nalu.rbsp, sh, self.slice_count)
+        if sh.dependent:
+            # same slice: segments share the slice id for availability
+            sd.decode_slice(nalu.rbsp, sh, self.slice_count - 1)
+        else:
+            sd.decode_slice(nalu.rbsp, sh, self.slice_count)
         self.slice_count += 1
 
     # ------------------------------------------------------------------

@@ -53,6 +53,7 @@ struct Decoder {
   std::unique_ptr<SliceParser> parser;
   int sliceCount = 0;
   SliceHeader curSh;  // first slice header of current picture
+  SliceHeader lastIndepSh;  // for dependent-segment inheritance
 
   Picture* findDpbPoc(int p) {
     Picture* best = nullptr;
@@ -195,6 +196,19 @@ struct Decoder {
     const PPS& pps = ppsMap[ppsId];
     const SPS& sps = spsMap[pps.sps_id];
     SliceHeader sh = parseSliceHeader(rbsp.data(), rbsp.size(), nalType, tid, sps, pps);
+    if (sh.dependent) {
+      // dependent segments inherit everything (incl. poc_lsb for the POC
+      // derivation below) but address / entry points (Rec. 7.4.7.1)
+      SliceHeader merged = lastIndepSh;
+      merged.dependent = 1;
+      merged.first_slice_in_pic = 0;
+      merged.segment_address = sh.segment_address;
+      merged.entry_points = sh.entry_points;
+      merged.data_bit_offset = sh.data_bit_offset;
+      sh = merged;
+    } else {
+      lastIndepSh = sh;
+    }
 
     if (sh.first_slice_in_pic) finishPicture();
 
@@ -262,7 +276,8 @@ struct Decoder {
       }
     }
     if (!sh.first_slice_in_pic) dropProductsFromCtu(sps, sh.segment_address);
-    parser->decodeSlice(rbsp.data(), rbsp.size(), *shp, sliceCount);
+    parser->decodeSlice(rbsp.data(), rbsp.size(), *shp,
+                        sh.dependent ? sliceCount - 1 : sliceCount);
     sliceCount++;
   }
 

@@ -221,15 +221,64 @@ static ShortTermRPS parseStRps(BitReader& r, int idx,
   return rps;
 }
 
-static void parseScalingListData(BitReader& r) {
+// default scaling lists (reference TComRom.cpp:648 g_quant*Default8x8),
+// raster order
+static const uint8_t kDefSlIntra8[64] = {
+    16, 16, 16, 16, 17, 18, 21, 24, 16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29, 16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47, 18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88, 24, 25, 29, 36, 47, 65, 88, 115};
+static const uint8_t kDefSlInter8[64] = {
+    16, 16, 16, 16, 17, 18, 20, 24, 16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28, 16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41, 18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71, 24, 25, 28, 33, 41, 54, 71, 91};
+
+static void defaultScalingList(int sizeId, int matrixId, uint8_t* dst,
+                               int* dc) {
+  if (sizeId == 0) {
+    for (int i = 0; i < 16; i++) dst[i] = 16;
+    *dc = 8;
+    return;
+  }
+  const uint8_t* s = matrixId < 3 ? kDefSlIntra8 : kDefSlInter8;
+  memcpy(dst, s, 64);
+  *dc = 16;
+}
+
+static void parseScalingListData(BitReader& r, ScalingListData& out) {
+  out.present = true;
   for (int sizeId = 0; sizeId < 4; sizeId++) {
     int step = sizeId == 3 ? 3 : 1;
     for (int m = 0; m < 6; m += step) {
-      if (!r.bit()) { r.ue(); }
-      else {
+      if (!r.bit()) {
+        int delta = int(r.ue()) * step;
+        if (delta == 0) {
+          defaultScalingList(sizeId, m, out.coef[sizeId][m], &out.dc[sizeId][m]);
+        } else {
+          memcpy(out.coef[sizeId][m], out.coef[sizeId][m - delta], 64);
+          out.dc[sizeId][m] = out.dc[sizeId][m - delta];
+        }
+      } else {
         int coefNum = std::min(64, 1 << (4 + (sizeId << 1)));
-        if (sizeId > 1) r.se();
-        for (int i = 0; i < coefNum; i++) r.se();
+        int nextCoef = 8, dc = 8;
+        if (sizeId > 1) { dc = r.se() + 8; nextCoef = dc; }
+        out.dc[sizeId][m] = dc;
+        // up-right diagonal scan -> raster (TDecCAVLC xDecodeScalingList)
+        int base = sizeId == 0 ? 4 : 8;
+        int x = 0, y = 0, i = 0;
+        for (int d = 0; d < 2 * base - 1; d++) {
+          y = std::min(d, base - 1);
+          x = d - y;
+          while (y >= 0 && x < base) {
+            nextCoef = (nextCoef + int(r.se()) + 256) % 256;
+            out.coef[sizeId][m][y * base + x] = uint8_t(nextCoef);
+            y--; x++;
+            i++;
+            if (i >= coefNum) break;
+          }
+          if (i >= coefNum) break;
+        }
       }
     }
   }
@@ -313,7 +362,7 @@ SPS parseSps(const uint8_t* rbsp, size_t n) {
   s.max_tr_hierarchy_inter = int(r.ue());
   s.max_tr_hierarchy_intra = int(r.ue());
   s.scaling_list_enabled = r.bit();
-  if (s.scaling_list_enabled && r.bit()) parseScalingListData(r);
+  if (s.scaling_list_enabled && r.bit()) parseScalingListData(r, s.scaling);
   s.amp_enabled = r.bit();
   s.sao_enabled = r.bit();
   s.pcm_enabled = r.bit();
@@ -401,7 +450,7 @@ PPS parsePps(const uint8_t* rbsp, size_t n) {
       p.tc_offset_div2 = r.se();
     }
   }
-  if (r.bit()) parseScalingListData(r);
+  if (r.bit()) parseScalingListData(r, p.scaling);
   p.lists_modification_present = r.bit();
   p.log2_parallel_merge_level = 2 + int(r.ue());
   p.slice_header_extension_present = r.bit();
@@ -541,9 +590,17 @@ SliceHeader parseSliceHeader(const uint8_t* rbsp, size_t n, int nalType,
             else { sh.wp[l][i][0].w = dl; sh.wp[l][i][0].o = 0; }
             int dc = 1 << sh.wp_log2_denom_chroma;
             if (cf[i]) {
+              // offset derives from the weight (Rec. 7.4.7.3 ChromaOffsetL)
+              int rng = sps.high_precision_offsets
+                  ? 1 << (sps.bit_depth_chroma - 1) : 128;
               for (int c = 1; c <= 2; c++) {
-                sh.wp[l][i][c].w = dc + r.se();
-                sh.wp[l][i][c].o = r.se();
+                int w = dc + int(r.se());
+                int deltaO = int(r.se());
+                int pred = rng - ((rng * w) >> sh.wp_log2_denom_chroma);
+                int o = deltaO + pred;
+                o = o < -rng ? -rng : (o > rng - 1 ? rng - 1 : o);
+                sh.wp[l][i][c].w = w;
+                sh.wp[l][i][c].o = o;
               }
             } else {
               for (int c = 1; c <= 2; c++) { sh.wp[l][i][c].w = dc; sh.wp[l][i][c].o = 0; }

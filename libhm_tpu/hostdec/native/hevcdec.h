@@ -43,6 +43,14 @@ struct BitReader {
 };
 
 // ---------------------------------------------------------------------------
+// dequant scaling lists: base (<=8x8) lists in raster order + DC values,
+// fully materialised at parse time (explicit / copied / default)
+struct ScalingListData {
+  bool present = false;
+  uint8_t coef[4][6][64];  // [sizeId][matrixId][raster]
+  int dc[4][6];
+};
+
 struct ShortTermRPS {
   int num_negative = 0, num_positive = 0;
   std::vector<int> delta_poc;
@@ -76,6 +84,7 @@ struct SPS {
   int implicit_rdpcm = 0, explicit_rdpcm = 0, extended_precision = 0;
   int intra_smoothing_disabled = 0, high_precision_offsets = 0;
   int persistent_rice_adaptation = 0, cabac_bypass_alignment = 0;
+  ScalingListData scaling;
 
   int ctbSize() const { return 1 << log2_ctb; }
   int picWCtbs() const { return (width + ctbSize() - 1) >> log2_ctb; }
@@ -114,6 +123,7 @@ struct PPS {
   int chroma_qp_offset_list_enabled = 0, diff_cu_chroma_qp_offset_depth = 0;
   std::vector<std::array<int, 2>> chroma_qp_offset_list;
   int sao_offset_scale_luma = 0, sao_offset_scale_chroma = 0;
+  ScalingListData scaling;
 };
 
 struct WpEntry { int w = 0, o = 0; };

@@ -129,6 +129,9 @@ struct ReconCtx {
   std::vector<int64_t> zmap;     // [h4*w4]
   std::vector<int32_t> tileMap;  // [nctu]
   std::vector<int32_t> resPool;  // residuals, same layout/offsets as coeffs
+  // dequant scaling matrices [sizeId][matrixId] upsampled to full size
+  bool useScaling = false;
+  std::vector<int32_t> scalMat[4][6];
 
   int w4() const { return pic->w4; }
 
@@ -199,7 +202,70 @@ struct ReconCtx {
   // -------------------------------------------------------------------------
   // residuals
   // -------------------------------------------------------------------------
+  void buildScalingMatrices() {
+    useScaling = sps->scaling_list_enabled != 0;
+    if (!useScaling) return;
+    const ScalingListData* d = nullptr;
+    if (pps->scaling.present) d = &pps->scaling;
+    else if (sps->scaling.present) d = &sps->scaling;
+    for (int sizeId = 0; sizeId < 4; sizeId++) {
+      int n = 4 << sizeId, base = std::min(8, n), ratio = n / base;
+      for (int m = 0; m < 6; m++) {
+        int srcId = sizeId == 3 ? (m / 3) * 3 : m;
+        uint8_t lst[64];
+        int dc;
+        if (d) {
+          memcpy(lst, d->coef[sizeId][srcId], 64);
+          dc = d->dc[sizeId][srcId];
+        } else {
+          defaultScalingList(sizeId, srcId, lst, &dc);
+        }
+        auto& mat = scalMat[sizeId][m];
+        mat.resize(size_t(n) * n);
+        for (int y = 0; y < n; y++)
+          for (int x = 0; x < n; x++)
+            mat[size_t(y) * n + x] = lst[(y / ratio) * base + x / ratio];
+        if (ratio > 1) mat[0] = dc;
+      }
+    }
+  }
+
+  void dequantTuScaling(const TuMeta& t, int32_t* out) {
+    int bd = bitDepth(t.comp);
+    int maxDyn = sps->extended_precision ? std::max(15, bd + 6) : 15;
+    int log2w = 0;
+    while ((1 << log2w) < t.w) log2w++;
+    int per = t.qp / 6, rem = t.qp % 6;
+    int tshift = maxDyn - bd - log2w;
+    int64_t tmin = -(int64_t(1) << maxDyn), tmax = (int64_t(1) << maxDyn) - 1;
+    int scale = kInvQuantScales[rem];
+    int right = 6 - (tshift + per) + 4;  // + LOG2_SCALING_LIST_NEUTRAL_VALUE
+    // dequantCoefBits = 1 + IQUANT_SHIFT + SCALING_LIST_BITS = 15
+    int targetBits = std::min(maxDyn + 1, 32 + right - 15);
+    int64_t lo = -(int64_t(1) << (targetBits - 1));
+    int64_t hi = (int64_t(1) << (targetBits - 1)) - 1;
+    size_t ly4 = (size_t(t.y) << (t.comp ? sps->ssy() : 0)) >> 2;
+    size_t lx4 = (size_t(t.x) << (t.comp ? sps->ssx() : 0)) >> 2;
+    bool intra = pic->pred_mode[ly4 * w4() + lx4] == 1;
+    const int32_t* mat =
+        scalMat[log2w - 2][(intra ? 0 : 3) + t.comp].data();
+    const int32_t* c = &pic->coeffs[t.coeff_off];
+    size_t nn = size_t(t.w) * t.h;
+    for (size_t i = 0; i < nn; i++) {
+      int64_t v = c[i];
+      v = v < lo ? lo : (v > hi ? hi : v);
+      int64_t dq = int64_t(mat[i]) * scale;
+      int64_t q = right > 0 ? (v * dq + (int64_t(1) << (right - 1))) >> right
+                            : (v * dq) << (-right);
+      out[i] = int32_t(q < tmin ? tmin : (q > tmax ? tmax : q));
+    }
+  }
+
   void dequantTu(const TuMeta& t, int32_t* out) {
+    if (useScaling && !(t.tskip && t.w > 4)) {
+      dequantTuScaling(t, out);
+      return;
+    }
     int bd = bitDepth(t.comp);
     int maxDyn = sps->extended_precision ? std::max(15, bd + 6) : 15;
     int log2w = 0;
@@ -324,6 +390,7 @@ struct ReconCtx {
   }
 
   void buildResiduals() {
+    buildScalingMatrices();
     resPool.resize(pic->coeffs.size());
     for (size_t i = 0; i < pic->tu_list.size(); i++)
       residualForTu(pic->tu_list[i], &resPool[pic->tu_list[i].coeff_off]);
@@ -751,7 +818,11 @@ struct ReconCtx {
           else pred[size_t(i) * n + j] = v;
         }
       }
-      if (c == 0 && n < 32) {
+      // edge (gradient) filters are disabled for implicit-RDPCM lossless
+      // CUs (reference TComPrediction.cpp:476 enableEdgeFilters)
+      bool edgeFiltOk = !(sps->implicit_rdpcm &&
+                          pic->tq_bypass[size_t(ly >> 2) * w4() + (lx >> 2)]);
+      if (c == 0 && n < 32 && edgeFiltOk) {
         if (mode == 26) {
           for (int j = 0; j < n; j++) {
             int64_t d = (int64_t(left[j + 1]) - top[0]) >> 1;

@@ -57,6 +57,11 @@ struct SliceParser {
   bool wppSavedValid = false;
   CtxBank wppBank;
   int wppRice[4];
+  // dependent-slice-segment continuation (reference TDecSlice CTXMem[0])
+  bool depSavedValid = false;
+  CtxBank depBank;
+  int depRice[4];
+  int depLastQp = 0, depQpPred = 0;
   std::vector<size_t> substreams;
   size_t curSubstream = 0;
 
@@ -193,7 +198,8 @@ struct SliceParser {
   int minTuLog2 = 2;
   void tt(int x, int y, int log2size, int trDepth, int cbfCb[2], int cbfCr[2],
           int blkIdx);
-  void parseCbfChroma(int log2size, int trDepth, bool is422, int out[2]);
+  void parseCbfChroma(int log2size, int trDepth, bool is422, bool lowest,
+                      int out[2]);
   void emitTu(int x, int y, int log2size, int trDepth, int blkIdx, int cbfY,
               int cbfCb[2], int cbfCr[2]);
   void parseCuQpDelta();
@@ -275,9 +281,18 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
   rbsp = data;
   rbspLen = len;
   int qp = hdr.qp;
-  bank.init(hdr.slice_type, qp, hdr.cabac_init_flag);
-  for (int i = 0; i < 4; i++) riceStats[i] = 0;
-  lastQp = qp; cuQpDelta = 0; qpPred = qp; qpDeltaCoded = false;
+  if (hdr.dependent && depSavedValid) {
+    // CABAC contexts, Rice stats and the QP predictor continue across
+    // dependent slice segments (Rec. 9.3.1 / 8.6.1)
+    bank = depBank;
+    for (int i = 0; i < 4; i++) riceStats[i] = depRice[i];
+    lastQp = depLastQp; qpPred = depQpPred;
+  } else {
+    bank.init(hdr.slice_type, qp, hdr.cabac_init_flag);
+    for (int i = 0; i < 4; i++) riceStats[i] = 0;
+    lastQp = qp; qpPred = qp;
+  }
+  cuQpDelta = 0; qpDeltaCoded = false;
   chromaQpAdj = 0; chromaQpAdjCoded = false;
 
   substreams.clear();
@@ -365,7 +380,15 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
     if (sps->sao_enabled) parseSaoCtu(addr, cx, cy);
     parseCqt(cx, cy, log2Ctb, 0);
     int isLast = d.term();
-    if (isLast) break;
+    if (isLast) {
+      if (pps->dependent_slice_segments_enabled) {
+        depBank = bank;
+        for (int i = 0; i < 4; i++) depRice[i] = riceStats[i];
+        depLastQp = lastQp; depQpPred = qpPred;
+        depSavedValid = true;
+      }
+      break;
+    }
     if (wpp && col == tileLastCol(addr)) {
       d.term();  // end_of_subset_one_bit (asserted 1)
     }
@@ -787,14 +810,24 @@ void SliceParser::parseTtRoot(int x, int y, int log2size, int partSize,
   tt(x, y, log2size, 0, cb, cr, 0);
 }
 
-void SliceParser::parseCbfChroma(int log2size, int trDepth, bool is422, int out[2]) {
+void SliceParser::parseCbfChroma(int log2size, int trDepth, bool is422,
+                                 bool lowest, int out[2]) {
   int ctx = 5 + trDepth;
   if (!is422) {
     int v = d.bin(bank.st[CTX_QT_CBF + ctx]);
     out[0] = out[1] = v;
-  } else {
+    return;
+  }
+  // 4:2:2: the two square sub-TU CBFs are coded only at the lowest TU level
+  // or when the chroma block cannot quad-split further (reference
+  // TDecSbac::parseQtCbf); higher levels code one combined bin.
+  bool canQuadSplit = (log2size - 1) >= 3;
+  if (lowest || !canQuadSplit) {
     out[0] = d.bin(bank.st[CTX_QT_CBF + ctx]);
     out[1] = d.bin(bank.st[CTX_QT_CBF + ctx]);
+  } else {
+    int v = d.bin(bank.st[CTX_QT_CBF + ctx]);
+    out[0] = out[1] = v;
   }
 }
 
@@ -817,9 +850,12 @@ void SliceParser::tt(int x, int y, int log2size, int trDepth, int parentCb[2],
   int cbfCr[2] = {parentCr[0], parentCr[1]};
   if (hasChroma && (log2size > 2 || sps->chroma_format_idc == 3)) {
     bool first = trDepth == 0;
-    if (first || parentCb[0] || parentCb[1]) parseCbfChroma(log2size, trDepth, is422, cbfCb);
+    bool lowest = subdiv == 0;
+    if (first || parentCb[0] || parentCb[1])
+      parseCbfChroma(log2size, trDepth, is422, lowest, cbfCb);
     else cbfCb[0] = cbfCb[1] = 0;
-    if (first || parentCr[0] || parentCr[1]) parseCbfChroma(log2size, trDepth, is422, cbfCr);
+    if (first || parentCr[0] || parentCr[1])
+      parseCbfChroma(log2size, trDepth, is422, lowest, cbfCr);
     else cbfCr[0] = cbfCr[1] = 0;
   }
   if (subdiv) {
@@ -870,7 +906,9 @@ void SliceParser::emitTu(int x, int y, int log2size, int trDepth, int blkIdx,
   bool chromaLast = hasChroma && !chromaHere && blkIdx == 3;
   bool chromaCbf = (chromaHere || chromaLast) &&
                    (cbfCb[0] || cbfCb[1] || cbfCr[0] || cbfCr[1]);
-  bool anyCbf = cbfY || chromaCbf;
+  // dQP gating counts chroma cbfs stored at this part even when the chroma
+  // blocks are coded at the parent node (TDecEntropy.cpp:505)
+  bool anyCbf = cbfY || cbfCb[0] || cbfCb[1] || cbfCr[0] || cbfCr[1];
 
   if (anyCbf) {
     if (pps->cu_qp_delta_enabled && !qpDeltaCoded) {
@@ -901,28 +939,35 @@ void SliceParser::emitTu(int x, int y, int log2size, int trDepth, int blkIdx,
       clog2 = log2size - ssx;
       cpx = x >> ssx; cpy = y >> ssy;
     }
+    // 4:2:2 chroma blocks are two square sub-TUs stacked vertically; each
+    // sub-TU has its own residual and its own square intra prediction
+    // (reference xIntraRecQT iterates TComTU sections)
+    int nSub = sps->chroma_format_idc == 2 ? 2 : 1;
+    int cs = 1 << clog2;
     for (int comp = 1; comp <= 2; comp++) {
       int* cbf = comp == 1 ? cbfCb : cbfCr;
       int alpha = 0;
       if (pps->cross_component_prediction && cbfY &&
           (cuPredMode == MODE_INTER || map8(pic->chroma_dm, x, y)))
         alpha = parseCrossComp(comp);
-      int tuIdx = -1;
-      if (cbf[0]) {
-        tuIdx = int(pic->tu_list.size());
-        parseResidual(comp, cpx, cpy, clog2, clog2);
-      } else if (alpha) {
-        tuIdx = int(pic->tu_list.size());
-        int cs = 1 << clog2;
-        TuMeta m{comp, cpx, cpy, cs, cs, qpForComp(comp), 0, 0, 0, 0, alpha,
-                 int32_t(pic->coeffs.size())};
-        pic->tu_list.push_back(m);
-        pic->coeffs.resize(pic->coeffs.size() + size_t(cs) * cs, 0);
-        crossCompAlpha = 0;
-      }
-      if (cuPredMode == MODE_INTRA) {
-        int cmode = map8(pic->intra_c, x, y);
-        pic->intra_list.push_back({comp, cpx, cpy, 1 << clog2, 1 << clog2, cmode, tuIdx});
+      for (int s = 0; s < nSub; s++) {
+        int sy = cpy + s * cs;
+        int tuIdx = -1;
+        if (cbf[s]) {
+          tuIdx = int(pic->tu_list.size());
+          parseResidual(comp, cpx, sy, clog2, clog2);
+        } else if (alpha) {
+          tuIdx = int(pic->tu_list.size());
+          TuMeta m{comp, cpx, sy, cs, cs, qpForComp(comp), 0, 0, 0, 0, alpha,
+                   int32_t(pic->coeffs.size())};
+          pic->tu_list.push_back(m);
+          pic->coeffs.resize(pic->coeffs.size() + size_t(cs) * cs, 0);
+          crossCompAlpha = 0;
+        }
+        if (cuPredMode == MODE_INTRA) {
+          int cmode = map8(pic->intra_c, x, y);
+          pic->intra_list.push_back({comp, cpx, sy, cs, cs, cmode, tuIdx});
+        }
       }
     }
   }

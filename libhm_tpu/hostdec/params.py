@@ -135,7 +135,14 @@ def parse_scaling_list_data(r: BitReader):
                 for _ in range(coef_num):
                     next_coef = (next_coef + r.se() + 256) % 256
                     lst.append(next_coef)
-                out[(size_id, matrix_id)] = (lst, dc)
+                # deltas arrive in up-right diagonal scan order; store raster
+                # (reference TDecCAVLC xDecodeScalingList writes dst[scan[i]])
+                from .tables import scan_order, SCAN_DIAG
+                base = 4 if size_id == 0 else 8
+                raster = [0] * (base * base)
+                for i, (sx, sy) in enumerate(scan_order(base, base, SCAN_DIAG)):
+                    raster[sy * base + sx] = lst[i]
+                out[(size_id, matrix_id)] = (raster, dc)
     return out
 
 
@@ -675,11 +682,17 @@ def _parse_pred_weight_table(r: BitReader, sh: SliceHeader, sps: SPS):
                 sh.wp_luma[l][i] = (0, denom_l, 0)
             denom_c = 1 << sh.wp_log2_denom_chroma
             if chroma_flags[i]:
+                # offset derives from the weight (Rec. 7.4.7.3 ChromaOffsetL;
+                # reference TDecCAVLC xParsePredWeightTable)
+                rng = (1 << (sps.bit_depth_chroma - 1)) \
+                    if sps.high_precision_offsets else 128
                 pairs = []
                 for _ in range(2):
                     w = denom_c + r.se()
                     delta_o = r.se()
-                    pairs.append((w, delta_o))
+                    pred = rng - ((rng * w) >> sh.wp_log2_denom_chroma)
+                    o = min(max(delta_o + pred, -rng), rng - 1)
+                    pairs.append((w, o))
                 sh.wp_chroma[l][i] = (1, pairs[0], pairs[1])
             else:
                 sh.wp_chroma[l][i] = (0, (denom_c, 0), (denom_c, 0))

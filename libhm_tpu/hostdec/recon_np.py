@@ -34,10 +34,40 @@ class PictureRecon:
         sy = sps.chroma_shift_y() if c else 0
         return sps.width >> sx, sps.height >> sy
 
+    def _scaling_lookup(self):
+        """Per-TU dequant scaling matrix (None when flat / disabled).
+
+        Active when sps.scaling_list_enabled; PPS data overrides SPS data,
+        default lists otherwise.  Transform-skip blocks larger than 4x4 use
+        flat scaling (reference TComTrQuant::getUseScalingList).
+        """
+        sps, pic = self.sps, self.pic
+        if not sps.scaling_list_enabled:
+            return None
+        pps = pic.pps
+        data = getattr(pps, "scaling_list_data", None)
+        if data is None:
+            data = sps.scaling_list_data
+        from .tables import build_scaling_matrices
+        mats = build_scaling_matrices(data)
+        pm = pic.pred_mode
+
+        class _SL:
+            def get(sl, tu, default=None):
+                if tu.transform_skip and tu.w > 4:
+                    return None
+                ssx = sps.chroma_shift_x() if tu.comp else 0
+                ssy = sps.chroma_shift_y() if tu.comp else 0
+                intra = pm[(tu.y << ssy) >> 2, (tu.x << ssx) >> 2] == MODE_INTRA
+                size_id = tu.w.bit_length() - 3
+                return mats[(size_id, (0 if intra else 3) + tu.comp)]
+        return _SL()
+
     def reconstruct(self, ref_pics=None, mc_fn=None):
         sps, pic = self.sps, self.pic
         # 1. residuals for every TU
-        residuals = [refimpl.residual_for_tu(tu, sps) for tu in pic.tu_list]
+        sl = self._scaling_lookup()
+        residuals = [refimpl.residual_for_tu(tu, sps, sl) for tu in pic.tu_list]
         # cross-component prediction (RExt 4:4:4)
         self._apply_cross_component(residuals)
         # 2. inter blocks: MC + residual add (decode-order independent)
@@ -119,7 +149,13 @@ class PictureRecon:
             strong = bool(sps.strong_intra_smoothing) and blk.comp == 0
             top, left = refimpl.filter_reference_samples(
                 top, left, blk.w, mode, bd, strong)
-        pred = refimpl.predict_intra(top, left, blk.w, mode, blk.comp, bd, sps)
+        ssx2 = sps.chroma_shift_x() if blk.comp else 0
+        ssy2 = sps.chroma_shift_y() if blk.comp else 0
+        bypass = bool(self.pic.tq_bypass[(blk.y << ssy2) >> 2,
+                                         (blk.x << ssx2) >> 2])
+        disable_bf = bool(sps.implicit_rdpcm) and bypass
+        pred = refimpl.predict_intra(top, left, blk.w, mode, blk.comp, bd, sps,
+                                     disable_boundary_filters=disable_bf)
         if blk.tu_index >= 0:
             pred = pred + residuals[blk.tu_index]
         plane[blk.y:blk.y + blk.h, blk.x:blk.x + blk.w] = \

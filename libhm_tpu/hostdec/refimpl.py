@@ -37,7 +37,8 @@ def dequant(coeffs, qp, log2_size, bit_depth, scaling=None,
         # scaling-list path: dequantCoef = listCoef * invQuantScale[rem]
         right = 6 - (tshift + per) + 4  # + LOG2_SCALING_LIST_NEUTRAL_VALUE
         dq = scaling.astype(np.int64) * int(INV_QUANT_SCALES[rem])
-        target_bits = min(max_dyn_range + 1, 32 + right - 11)
+        # dequantCoefBits = 1 + IQUANT_SHIFT + SCALING_LIST_BITS = 15
+        target_bits = min(max_dyn_range + 1, 32 + right - 15)
         lo, hi = -(1 << (target_bits - 1)), (1 << (target_bits - 1)) - 1
         c = np.clip(c, lo, hi)
         if right > 0:
@@ -235,7 +236,10 @@ def predict_intra(top, left, size, mode, comp, bit_depth, sps,
         dc = (int(top[1:n + 1].sum()) + int(left[1:n + 1].sum()) + n) >> \
             (n.bit_length() - 1 + 1)
         pred = np.full((n, n), dc, np.int32)
-        if comp == 0 and n < 32 and not disable_boundary_filters:
+        # DC boundary filtering is NOT gated by the RDPCM/lossless edge-filter
+        # disable (reference xDCPredFiltering is called unconditionally,
+        # TComPrediction.cpp:485)
+        if comp == 0 and n < 32:
             pred[0, 0] = (int(left[1]) + 2 * dc + int(top[1]) + 2) >> 2
             pred[0, 1:] = (top[2:n + 1] + 3 * dc + 2) >> 2
             pred[1:, 0] = (left[2:n + 1] + 3 * dc + 2) >> 2

@@ -163,11 +163,22 @@ class SliceDecoder:
         self.slice_idx = slice_idx
         pic.slice_headers.append(sh)
         qp = sh.qp
-        self.bank = make_context_bank(sh.slice_type, qp, sh.cabac_init_flag)
-        self.rice = RiceStats()
-        self.last_qp = qp
+        if sh.dependent and getattr(self, "_dep_saved_ctx", None) is not None:
+            # dependent slice segment: CABAC contexts, Rice statistics and
+            # the QP predictor continue from the end of the previous segment
+            # (reference TDecSlice CTXMem[0]; Rec. 9.3.1 / 8.6.1)
+            bank, rice_vals, last_qp, qp_pred = self._dep_saved_ctx
+            self.bank = {k: v.copy() for k, v in bank.items()}
+            self.rice = RiceStats()
+            self.rice.vals = list(rice_vals)
+            self.last_qp = last_qp
+            self.qp_pred = qp_pred
+        else:
+            self.bank = make_context_bank(sh.slice_type, qp, sh.cabac_init_flag)
+            self.rice = RiceStats()
+            self.last_qp = qp
+            self.qp_pred = qp
         self.cu_qp_delta = 0
-        self.qp_pred = qp
         self.is_qp_delta_coded = False
         self.chroma_qp_adj = 0
         self.is_chroma_qp_adj_coded = False
@@ -244,6 +255,10 @@ class SliceDecoder:
 
             is_last = self.d.decode_terminate()
             if is_last:
+                if self.pps.dependent_slice_segments_enabled:
+                    self._dep_saved_ctx = (
+                        {k: v.copy() for k, v in self.bank.items()},
+                        list(self.rice.vals), self.last_qp, self.qp_pred)
                 break
             if wpp and col == self._tile_last_col(addr):
                 one = self.d.decode_terminate()  # end_of_subset_one_bit
@@ -788,12 +803,15 @@ class SliceDecoder:
         is422 = sps.chroma_format_idc == 2
         if has_chroma and (log2size > 2 or sps.chroma_format_idc == 3):
             first = tr_depth == 0
+            lowest = subdiv == 0
             if first or (parent_cbf_cb[0] or parent_cbf_cb[1]):
-                cbf_cb = self._parse_cbf_chroma(log2size, tr_depth, is422)
+                cbf_cb = self._parse_cbf_chroma(log2size, tr_depth, is422,
+                                                lowest)
             else:
                 cbf_cb = [0, 0]
             if first or (parent_cbf_cr[0] or parent_cbf_cr[1]):
-                cbf_cr = self._parse_cbf_chroma(log2size, tr_depth, is422)
+                cbf_cr = self._parse_cbf_chroma(log2size, tr_depth, is422,
+                                                lowest)
             else:
                 cbf_cr = [0, 0]
 
@@ -821,18 +839,27 @@ class SliceDecoder:
         # register intra luma block (prediction needed even with zero cbf)
         self._emit_tu(x, y, log2size, tr_depth, blk_idx, cbf_y, cbf_cb, cbf_cr)
 
-    def _parse_cbf_chroma(self, log2size, tr_depth, is422):
-        """Returns [cbf_first_sub, cbf_second_sub] (second only for 4:2:2)."""
+    def _parse_cbf_chroma(self, log2size, tr_depth, is422, lowest):
+        """Returns [cbf_first_sub, cbf_second_sub] (second only for 4:2:2).
+
+        4:2:2 chroma TUs are non-square; the two square sub-TU CBFs are
+        coded only at the lowest TU level, or at the parent when the chroma
+        block cannot quad-split any further (reference TDecSbac::parseQtCbf
+        'sub-TUs inherit their parent CBF' note).  Higher levels code one
+        combined bin.
+        """
         d, bank = self.d, self.bank
         ctx = 5 + tr_depth  # chroma context base 5
         if not is422:
             v = d.decode_bin(bank["qt_cbf"], ctx)
             return [v, v]
-        # 4:2:2 non-square: two sub-TU CBFs when at the lowest level
-        # (handled fully in the RExt milestone)
-        v0 = d.decode_bin(bank["qt_cbf"], ctx)
-        v1 = d.decode_bin(bank["qt_cbf"], ctx)
-        return [v0, v1]
+        can_quad_split = (log2size - 1) >= 3  # chroma width >= 2*MIN_TU
+        if lowest or not can_quad_split:
+            v0 = d.decode_bin(bank["qt_cbf"], ctx)
+            v1 = d.decode_bin(bank["qt_cbf"], ctx)
+            return [v0, v1]
+        v = d.decode_bin(bank["qt_cbf"], ctx)
+        return [v, v]
 
     # ------------------------------------------------------------------
     def _qp_for_comp(self, comp):
@@ -861,8 +888,11 @@ class SliceDecoder:
         chroma_here = has_chroma and (log2size - ssx >= 2)
         chroma_last = has_chroma and not chroma_here and blk_idx == 3
 
-        any_cbf = cbf_y or (chroma_here or chroma_last) and \
-            (cbf_cb[0] or cbf_cb[1] or cbf_cr[0] or cbf_cr[1])
+        # dQP/chroma-QP-adj gating counts the chroma cbf values stored at
+        # this part even when the chroma blocks are coded at the parent node
+        # (reference TDecEntropy.cpp:505 reads getCbf per component at every
+        # leaf; parent-coded chroma cbfs propagate to the sub-parts)
+        any_cbf = cbf_y or cbf_cb[0] or cbf_cb[1] or cbf_cr[0] or cbf_cr[1]
 
         if any_cbf:
             if pps.cu_qp_delta_enabled and not self.is_qp_delta_coded:
@@ -896,31 +926,39 @@ class SliceDecoder:
             else:
                 clog2 = log2size - ssx
                 cpx, cpy = x >> ssx, y >> ssy
+            # 4:2:2 chroma blocks are two square sub-TUs stacked vertically;
+            # each sub-TU has its own residual and its own square intra
+            # prediction (reference xIntraRecQT iterates TComTU sections,
+            # the lower sub-block predicting from the upper one's recon)
+            n_sub = 2 if sps.chroma_format_idc == 2 else 1
+            cs = 1 << clog2
             for comp, cbf in ((1, cbf_cb), (2, cbf_cr)):
                 alpha = 0
                 if pps.cross_component_prediction and cbf_y and \
                         (self.cu_pred_mode == MODE_INTER or
                          pic.chroma_dm[y >> 2, x >> 2]):
                     alpha = self._parse_cross_comp(comp)
-                tu_idx = -1
-                if cbf[0]:
-                    tu_idx = len(pic.tu_list)
-                    self._parse_residual(comp, cpx, cpy, clog2, clog2, tr_depth,
-                                         chroma_parent=chroma_last)
-                elif alpha:
-                    # CCP applies even with no coded chroma residual
-                    # (reference TDecCu xIntraRecBlk/xReconInter: residual
-                    # buffer zeroed, then crossComponentPrediction)
-                    tu_idx = len(pic.tu_list)
-                    cs = 1 << clog2
-                    pic.tu_list.append(TransformUnit(
-                        comp, cpx, cpy, cs, cs, np.zeros((cs, cs), np.int32),
-                        self._qp_for_comp(comp), False, 0, 0, 0, alpha))
-                    self._cross_comp_alpha = 0
-                if self.cu_pred_mode == MODE_INTRA:
-                    cmode = int(pic.intra_c[y >> 2, x >> 2])
-                    pic.intra_list.append(IntraBlock(
-                        comp, cpx, cpy, 1 << clog2, 1 << clog2, cmode, 0, tu_idx))
+                for s in range(n_sub):
+                    sy = cpy + s * cs
+                    tu_idx = -1
+                    if cbf[s]:
+                        tu_idx = len(pic.tu_list)
+                        self._parse_residual(comp, cpx, sy, clog2, clog2,
+                                             tr_depth,
+                                             chroma_parent=chroma_last)
+                    elif alpha:
+                        # CCP applies even with no coded chroma residual
+                        # (reference TDecCu xIntraRecBlk/xReconInter:
+                        # residual buffer zeroed, then CCP)
+                        tu_idx = len(pic.tu_list)
+                        pic.tu_list.append(TransformUnit(
+                            comp, cpx, sy, cs, cs, np.zeros((cs, cs), np.int32),
+                            self._qp_for_comp(comp), False, 0, 0, 0, alpha))
+                        self._cross_comp_alpha = 0
+                    if self.cu_pred_mode == MODE_INTRA:
+                        cmode = int(pic.intra_c[y >> 2, x >> 2])
+                        pic.intra_list.append(IntraBlock(
+                            comp, cpx, sy, cs, cs, cmode, 0, tu_idx))
 
     def _parse_cu_qp_delta(self):
         d, bank = self.d, self.bank

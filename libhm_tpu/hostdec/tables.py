@@ -81,11 +81,41 @@ _DEF_SL_INTER_8x8 = [
 
 
 def default_scaling_list(size_id: int, matrix_id: int):
-    """Returns (coef_list in up-right-diagonal order, dc)."""
+    """Returns (coef_list in RASTER order, dc) — the HM g_quant*Default
+    tables are raster (reference TComRom.cpp:648)."""
     if size_id == 0:
         return [16] * 16, 8
     src = _DEF_SL_INTRA_8x8 if matrix_id < 3 else _DEF_SL_INTER_8x8
     return list(src), 16
+
+
+def build_scaling_matrices(data):
+    """Dequant scaling matrices per (size_id, matrix_id).
+
+    data: {(size_id, matrix_id): (raster_list, dc)} from the bitstream
+    (params.parse_scaling_list_data) or None for the default lists.
+    Mirrors reference TComTrQuant::processScalingListDec: nearest-neighbour
+    upsample of the (max 8x8) base list, DC coefficient override at [0][0].
+    32x32 chroma maps to the corresponding luma list (only listId 0/3 are
+    coded at sizeId 3).
+    """
+    out = {}
+    for size_id in range(4):
+        n = 4 << size_id
+        base = min(8, n)
+        ratio = n // base
+        for matrix_id in range(6):
+            src_id = (matrix_id // 3) * 3 if size_id == 3 else matrix_id
+            if data is not None and (size_id, src_id) in data:
+                lst, dc = data[(size_id, src_id)]
+            else:
+                lst, dc = default_scaling_list(size_id, src_id)
+            m = np.array(lst, np.int32).reshape(base, base)
+            m = np.repeat(np.repeat(m, ratio, 0), ratio, 1)
+            if ratio > 1:
+                m[0, 0] = dc
+            out[(size_id, matrix_id)] = m
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,36 @@
+"""Bit-exactness for coding-tool feature streams.
+
+Covers weighted prediction, cu_qp_delta (adaptive QP), default scaling
+lists, lossless (transquant bypass + implicit RDPCM + TS rotation), PCM,
+dependent slice segments, and RExt 4:2:2 intra.
+"""
+import hashlib
+import json
+import os
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = json.load(open(os.path.join(ROOT, "testdata", "golden.json")))
+
+STREAMS = ["wp_lowdelayP_416x240", "dqp_intra_416x240",
+           "scaling_intra_416x240", "lossless_intra_416x240",
+           "pcm_intra_416x240", "depslices_416x240",
+           "rext422_intra_416x240"]
+
+
+def decode_and_hash(name, parse, recon):
+    from libhm_tpu.hostdec.decoder import Decoder
+    data = open(os.path.join(ROOT, "testdata", GOLD[name]["bitstream"]), "rb").read()
+    outs = Decoder(parse=parse, recon=recon).decode_annexb(data)
+    buf = b"".join(p.tobytes() for pic in outs for p in pic)
+    return hashlib.md5(buf).hexdigest()
+
+
+@pytest.mark.parametrize("name", STREAMS)
+def test_feature_bit_exact_python(name):
+    assert decode_and_hash(name, "python", "numpy") == GOLD[name]["decoded_yuv_md5"]
+
+
+@pytest.mark.parametrize("name", STREAMS)
+def test_feature_bit_exact_native(name):
+    assert decode_and_hash(name, "native", "native") == GOLD[name]["decoded_yuv_md5"]
