@@ -13,7 +13,7 @@ import numpy as np
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description="libhm_tpu HEVC encoder (all-intra)")
+    ap = argparse.ArgumentParser(description="libhm_tpu HEVC encoder (all-intra / low-delay P)")
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("-b", "--bitstream", required=True)
     ap.add_argument("-o", "--recon", default=None)
@@ -22,6 +22,9 @@ def main(argv=None):
     ap.add_argument("-f", "--frames", type=int, required=True)
     ap.add_argument("-q", "--qp", type=int, default=32)
     ap.add_argument("--cu-size", type=int, default=32)
+    ap.add_argument("--gop", choices=["intra", "lowdelayP"], default="intra",
+                    help="GOP structure: all-intra or IDR + low-delay P")
+    ap.add_argument("--search-range", type=int, default=8)
     args = ap.parse_args(argv)
 
     from ..encoder.encoder import IntraEncoder, EncoderConfig
@@ -35,7 +38,9 @@ def main(argv=None):
                        fr[w * h:w * h + w * h // 4].reshape(h // 2, w // 2),
                        fr[w * h + w * h // 4:].reshape(h // 2, w // 2)))
     t0 = time.monotonic()
-    enc = IntraEncoder(EncoderConfig(w, h, qp=args.qp, cu_size=args.cu_size))
+    enc = IntraEncoder(EncoderConfig(w, h, qp=args.qp, cu_size=args.cu_size,
+                                     gop=args.gop,
+                                     search_range=args.search_range))
     stream = enc.encode_stream(frames)
     dt = time.monotonic() - t0
     open(args.bitstream, "wb").write(stream)

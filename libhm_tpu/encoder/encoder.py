@@ -24,8 +24,35 @@ from .residual_enc import encode_residual
 from .transforms import forward_transform, quantize
 
 
+class _RefPic:
+    """Reference picture entry for the encoder's one-deep DPB."""
+    def __init__(self, poc, planes, sps):
+        self.poc = poc
+        self.planes = planes
+        self.sps = sps
+        self.is_long_term = False
+
+
+class _PSliceHeader:
+    """Slice-header view the shared MotionDeriver expects."""
+    def __init__(self, poc, cfg):
+        self.poc = poc
+        self.slice_type = 1  # P
+        self.num_ref_idx = [cfg.num_ref_l0, 0]
+        self.temporal_mvp = cfg.tmvp
+        self.collocated_from_l0 = 1
+        self.collocated_ref_idx = 0
+        self.mvd_l1_zero = 0
+        self.max_num_merge_cand = cfg.max_merge_cand
+        self.wp_luma = None
+        self.wp_chroma = None
+        self.wp_log2_denom_luma = 0
+        self.wp_log2_denom_chroma = 0
+
+
 class EncoderConfig:
-    def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32):
+    def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32,
+                 gop="intra", search_range=8):
         self.width = width
         self.height = height
         self.qp = qp
@@ -49,6 +76,12 @@ class EncoderConfig:
         self.max_merge_cand = 5
         self.st_rps = []
         self.cu_size = cu_size
+        self.gop = gop
+        self.search_range = search_range
+        if gop == "lowdelayP":
+            self.st_rps = [[-1]]
+            self.max_dec_pic_buffering = 3
+            self.num_reorder_pics = 0
 
 
 def _mk_sps_pps(cfg):
@@ -74,6 +107,8 @@ class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
         self.sps, self.pps = _mk_sps_pps(cfg)
+        self.slice_type = 2
+        self._prev_ref = None
 
     # ------------------------------------------------------------------
     def encode_stream(self, frames):
@@ -83,14 +118,24 @@ class IntraEncoder:
         out += nal_unit(32, write_vps(cfg))
         out += nal_unit(33, write_sps(cfg))
         out += nal_unit(34, write_pps(cfg))
-        for frame in frames:
-            slice_rbsp, recon = self.encode_picture(frame)
-            out += nal_unit(19, slice_rbsp)          # IDR_W_RADL
+        self._prev_ref = None
+        for poc, frame in enumerate(frames):
+            if cfg.gop == "lowdelayP" and poc > 0:
+                nal_type, slice_type = 1, 1      # TRAIL_R, P
+            else:
+                nal_type, slice_type = 19, 2     # IDR_W_RADL, I
+                poc = 0 if cfg.gop != "lowdelayP" else poc
+            slice_rbsp, recon = self.encode_picture(frame, poc, nal_type,
+                                                    slice_type)
+            out += nal_unit(nal_type, slice_rbsp)
             out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
+            if cfg.gop == "lowdelayP":
+                self._prev_ref = _RefPic(poc, [r.copy() for r in self.recon],
+                                         self.sps)
         return bytes(out)
 
     # ------------------------------------------------------------------
-    def encode_picture(self, frame):
+    def encode_picture(self, frame, poc=0, nal_type=19, slice_type=2):
         cfg, sps, pps = self.cfg, self.sps, self.pps
         Wp = sps.pic_width_ctbs << sps.log2_ctb
         Hp = sps.pic_height_ctbs << sps.log2_ctb
@@ -113,9 +158,16 @@ class IntraEncoder:
             self.orig.append(pl)
             self.recon.append(np.zeros_like(pl))
 
-        w = write_slice_header(cfg, 19, 0, 2, cfg.qp)
+        self.slice_type = slice_type
+        w = write_slice_header(cfg, nal_type, poc, slice_type, cfg.qp)
         self.enc = CabacEncoder(w)
-        self.bank = make_context_bank(2, cfg.qp, 0)
+        self.bank = make_context_bank(slice_type, cfg.qp, 0)
+        if slice_type == 1:
+            self.sh = _PSliceHeader(poc, cfg)
+            from ..hostdec.motion import MotionDeriver
+            self.sd.sh = self.sh
+            self.motion = MotionDeriver(self.sd, self.sh,
+                                        [[self._prev_ref], []])
 
         nctu_x = sps.pic_width_ctbs
         nctu_y = sps.pic_height_ctbs
@@ -134,6 +186,235 @@ class IntraEncoder:
             sy = sps.chroma_shift_y() if c else 0
             crop.append(self.recon[c][:H >> sy, :W >> sx])
         return w.data(), crop
+
+    # ------------------------------------------------------------------
+    def _inter_pred(self, comp, x, y, w, h, mv):
+        """Uni-L0 MC prediction block (final samples)."""
+        from ..hostdec.motion import _interp, LUMA_FILTER, CHROMA_FILTER
+        sps = self.sps
+        ssx = sps.chroma_shift_x() if comp else 0
+        ssy = sps.chroma_shift_y() if comp else 0
+        bd = sps.bit_depth_luma if comp == 0 else sps.bit_depth_chroma
+        rp = self._prev_ref
+        plane = rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
+        taps = 8 if comp == 0 else 4
+        ftab = LUMA_FILTER if comp == 0 else CHROMA_FILTER
+        fbx = 2 + (ssx if comp else 0)
+        fby = 2 + (ssy if comp else 0)
+        return _interp(plane, x >> ssx, y >> ssy, w >> ssx, h >> ssy,
+                       int(mv[0]), int(mv[1]), fbx, fby, taps, ftab, bd,
+                       is_last=True)
+
+    def _motion_search(self, x, y, size, pred_mv):
+        """Integer full search around the predictor + quarter-pel refine."""
+        sps, cfg = self.sps, self.cfg
+        orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
+        plane = self._prev_ref.planes[0][:sps.height, :sps.width]
+        H, W = plane.shape
+        R = cfg.search_range
+        cx = min(max((pred_mv[0] + 2) >> 2, -R), R)
+        cy = min(max((pred_mv[1] + 2) >> 2, -R), R)
+        best, bmv = 1 << 60, (0, 0)
+        for dy in range(cy - R, cy + R + 1):
+            ys0 = np.clip(np.arange(y + dy, y + dy + size), 0, H - 1)
+            for dx in range(cx - R, cx + R + 1):
+                xs0 = np.clip(np.arange(x + dx, x + dx + size), 0, W - 1)
+                cost = int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
+                if cost < best:
+                    best, bmv = cost, (dx << 2, dy << 2)
+        # half then quarter refinement
+        for step in (2, 1):
+            improved = True
+            while improved:
+                improved = False
+                for dmx, dmy in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                    mv = (bmv[0] + dmx, bmv[1] + dmy)
+                    pred = self._inter_pred(0, x, y, size, size, mv)
+                    cost = int(np.abs(pred - orig).sum())
+                    if cost < best:
+                        best, bmv, improved = cost, mv, True
+        return bmv, best
+
+    def _write_merge_idx(self, idx):
+        enc, bank = self.enc, self.bank
+        n = self.cfg.max_merge_cand
+        if n > 1:
+            enc.encode_bin(bank["merge_idx"], 0, 1 if idx > 0 else 0)
+            if idx > 0:
+                for k in range(1, idx):
+                    enc.encode_bypass(1)
+                if idx < n - 1:
+                    enc.encode_bypass(0)
+
+    def _write_mvd(self, mvd):
+        enc, bank = self.enc, self.bank
+        ax, ay = abs(mvd[0]), abs(mvd[1])
+        enc.encode_bin(bank["mvd"], 0, 1 if ax else 0)
+        enc.encode_bin(bank["mvd"], 0, 1 if ay else 0)
+        if ax:
+            enc.encode_bin(bank["mvd"], 1, 1 if ax > 1 else 0)
+        if ay:
+            enc.encode_bin(bank["mvd"], 1, 1 if ay > 1 else 0)
+        if ax:
+            if ax > 1:
+                enc.encode_eg_k(ax - 2, 1)
+            enc.encode_bypass(1 if mvd[0] < 0 else 0)
+        if ay:
+            if ay > 1:
+                enc.encode_eg_k(ay - 2, 1)
+            enc.encode_bypass(1 if mvd[1] < 0 else 0)
+
+    def _skip_ctx(self, x, y):
+        pic, sd = self.pic, self.sd
+        ctx = 0
+        if sd.available(x - 1, y, x, y, False) and pic.skip[y >> 2, (x - 1) >> 2]:
+            ctx += 1
+        if sd.available(x, y - 1, x, y, False) and pic.skip[(y - 1) >> 2, x >> 2]:
+            ctx += 1
+        return ctx
+
+    def encode_cu_inter(self, x, y, log2size, depth):
+        """P-slice CU: skip / merge / AMVP / intra decision + syntax.
+
+        Mirrors the decode-side syntax exactly (slicedec.parse_cu /
+        _parse_pu / _parse_tt_root); motion candidates come from the SAME
+        MotionDeriver the decoder uses, so the streams round-trip.
+        """
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        from ..hostdec.picture import MODE_INTER, SIZE_2Nx2N
+        size = 1 << log2size
+        pic.set_rect(pic.depth, x, y, size, size, depth)
+        orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
+        lam = max(1, 1 << ((cfg.qp - 12) // 6))
+
+        # merge candidates
+        best_m = None
+        for mi in range(cfg.max_merge_cand):
+            cand = self.motion.merge_candidates(x, y, size, size, x, y, size,
+                                                0, SIZE_2Nx2N, mi)
+            dir_ = cand.inter_dir & 1
+            if not dir_:
+                continue
+            pred = self._inter_pred(0, x, y, size, size, cand.mv[0])
+            cost = int(np.abs(pred - orig).sum()) + lam * (mi + 1)
+            if best_m is None or cost < best_m[0]:
+                best_m = (cost, mi, cand)
+        # AMVP / motion estimation
+        amvp = self.motion.amvp_candidates(x, y, size, size, 0, 0)
+        mv, me_sad = self._motion_search(x, y, size, amvp[0])
+        mvd0 = (mv[0] - amvp[0][0], mv[1] - amvp[0][1])
+        mvd1 = (mv[0] - amvp[1][0], mv[1] - amvp[1][1])
+        bits0 = abs(mvd0[0]) + abs(mvd0[1])
+        bits1 = abs(mvd1[0]) + abs(mvd1[1])
+        mvp_idx, mvd = (0, mvd0) if bits0 <= bits1 else (1, mvd1)
+        cost_me = me_sad + lam * (8 + abs(mvd[0]) + abs(mvd[1]))
+        # intra cost
+        best_mode, best_icost = 1, 1 << 60
+        for mode in range(35):
+            ipred = self._intra_pred(0, x, y, size, mode)
+            c = int(np.abs(ipred - orig).sum())
+            if c < best_icost:
+                best_icost, best_mode = c, mode
+        cost_i = best_icost + lam * 24
+
+        if cost_i < min(best_m[0], cost_me):
+            # intra CU inside P slice: skip=0, pred_mode=1, then intra body
+            enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
+            pic.set_rect(pic.skip, x, y, size, size, 0)
+            enc.encode_bin(bank["pred_mode"], 0, 1)
+            self.encode_cu(x, y, log2size, depth, _from_inter=True)
+            return
+
+        use_merge = best_m[0] <= cost_me
+        if use_merge:
+            mi, cand = best_m[1], best_m[2]
+            mvs = cand.mv[0]
+        else:
+            mvs = mv
+
+        # reconstruct prediction for all components, compute residual levels
+        preds, resids, cbfs = [], [], []
+        for comp in range(3):
+            ssx = sps.chroma_shift_x() if comp else 0
+            n = size >> ssx
+            cxp, cyp = x >> ssx, y >> (sps.chroma_shift_y() if comp else 0)
+            pred = self._inter_pred(comp, x, y, size, size, mvs)
+            orig_c = self.orig[comp][cyp:cyp + n, cxp:cxp + n].astype(np.int32)
+            resi = orig_c - pred
+            bd = cfg.bit_depth
+            coef = forward_transform(resi, False, bd)
+            qp = self._qp_for_comp(comp)
+            lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
+            preds.append(pred)
+            resids.append(lev)
+            cbfs.append(1 if lev.any() else 0)
+        any_cbf = cbfs[0] or cbfs[1] or cbfs[2]
+
+        is_skip = use_merge and not any_cbf
+        enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 1 if is_skip else 0)
+        pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)
+        pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
+        pic.set_rect(pic.skip, x, y, size, size, 1 if is_skip else 0)
+        if is_skip:
+            self._write_merge_idx(best_m[1])
+            self.motion.apply_merge(self.sd, x, y, size, size, best_m[1],
+                                    x, y, size, 0)
+            for comp in range(3):
+                ssx = sps.chroma_shift_x() if comp else 0
+                n = size >> ssx
+                ssy = sps.chroma_shift_y() if comp else 0
+                self.recon[comp][y >> ssy:(y >> ssy) + n,
+                                 x >> ssx:(x >> ssx) + n] = preds[comp]
+            self.pic.set_rect(pic.qp, x, y, size, size, cfg.qp)
+            return
+
+        enc.encode_bin(bank["pred_mode"], 0, 0)       # inter
+        enc.encode_bin(bank["part_size"], 0, 1)        # 2Nx2N
+        enc.encode_bin(bank["merge_flag"], 0, 1 if use_merge else 0)
+        if use_merge:
+            self._write_merge_idx(best_m[1])
+            self.motion.apply_merge(self.sd, x, y, size, size, best_m[1],
+                                    x, y, size, 0)
+        else:
+            # P slice, 1 ref: no inter_dir / ref_idx syntax
+            self._write_mvd(mvd)
+            enc.encode_bin(bank["mvp_idx"], 0, mvp_idx)
+            self.motion.apply_amvp(self.sd, x, y, size, size, 1, [0, -1],
+                                   [mvd, (0, 0)], [mvp_idx, 0],
+                                   x, y, size, 0, SIZE_2Nx2N)
+
+        if not use_merge:
+            enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
+        # merge 2Nx2N non-skip: rqt_root_cbf inferred 1 (spec 7.3.8.5) --
+        # guaranteed because is_skip would have been taken otherwise
+
+        if any_cbf:
+            enc.encode_bin(bank["qt_cbf"], 5, cbfs[1])
+            enc.encode_bin(bank["qt_cbf"], 5, cbfs[2])
+            if cbfs[1] or cbfs[2]:
+                enc.encode_bin(bank["qt_cbf"], 1, cbfs[0])
+            # else luma cbf inferred 1 (must hold: any_cbf and no chroma)
+            from ..hostdec.tables import SCAN_DIAG
+            for comp in range(3):
+                if cbfs[comp]:
+                    encode_residual(self.enc, bank, resids[comp], comp,
+                                    SCAN_DIAG)
+        # reconstruct
+        for comp in range(3):
+            ssx = sps.chroma_shift_x() if comp else 0
+            n = size >> ssx
+            cxp, cyp = x >> ssx, y >> (sps.chroma_shift_y() if comp else 0)
+            bd = cfg.bit_depth
+            if cbfs[comp]:
+                qp = self._qp_for_comp(comp)
+                deq = refimpl.dequant(resids[comp], qp, n.bit_length() - 1, bd)
+                rec_resi = refimpl.inverse_transform(deq, False, bd)
+            else:
+                rec_resi = 0
+            self.recon[comp][cyp:cyp + n, cxp:cxp + n] = np.clip(
+                preds[comp] + rec_resi, 0, (1 << bd) - 1)
+        self.pic.set_rect(pic.qp, x, y, size, size, cfg.qp)
 
     # ------------------------------------------------------------------
     def encode_cqt(self, x, y, log2size, depth):
@@ -163,7 +444,10 @@ class IntraEncoder:
                 if nx < sps.width and ny < sps.height:
                     self.encode_cqt(nx, ny, log2size - 1, depth + 1)
             return
-        self.encode_cu(x, y, log2size, depth)
+        if self.slice_type == 1:
+            self.encode_cu_inter(x, y, log2size, depth)
+        else:
+            self.encode_cu(x, y, log2size, depth)
 
     # ------------------------------------------------------------------
     def _intra_pred(self, comp, x, y, n, mode):
@@ -190,11 +474,12 @@ class IntraEncoder:
                                                          bd, strong)
         return refimpl.predict_intra(top, left, n, mode, comp, bd, sps)
 
-    def encode_cu(self, x, y, log2size, depth):
+    def encode_cu(self, x, y, log2size, depth, _from_inter=False):
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, self.bank
         size = 1 << log2size
         pic.set_rect(pic.depth, x, y, size, size, depth)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
+        pic.set_rect(pic.skip, x, y, size, size, 0)
 
         # --- luma mode decision (SAD over all 35 modes) ---
         orig = self.orig[0][y:y + size, x:x + size]

@@ -70,3 +70,38 @@ def test_intra_encoder_hm_verifies():
     os.unlink(bs)
     assert r.returncode == 0
     assert "(OK)" in r.stdout and "***ERROR***" not in r.stdout
+
+
+@pytest.mark.parametrize("w,h,qp", [(96, 80, 32), (160, 128, 28)])
+def test_lowdelayP_encoder_roundtrip(w, h, qp):
+    """IDR + P pictures: our decoder matches the encoder recon bit-exactly."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(w, h, 4)
+    enc = IntraEncoder(EncoderConfig(w, h, qp=qp, gop="lowdelayP"))
+    stream = enc.encode_stream(frames)
+    outs = Decoder().decode_annexb(stream)
+    assert len(outs) == 4
+    # inter compression must actually engage: P frames smaller than the IDR
+    from libhm_tpu.hostdec import nal as N
+    sizes = [len(e) for e in N.split_annexb(stream) if (e[0] >> 1) & 0x3F < 32]
+    assert len(sizes) == 4 and max(sizes[1:]) < sizes[0]
+
+
+def test_lowdelayP_encoder_hm_conformance():
+    """HM's reference decoder verifies our P stream's picture hashes (OK)."""
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if not os.path.exists(exe):
+        pytest.skip("reference decoder binary not built")
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    frames = synth_frames(160, 96, 4)
+    enc = IntraEncoder(EncoderConfig(160, 96, qp=30, gop="lowdelayP"))
+    stream = enc.encode_stream(frames)
+    import tempfile
+    bit = tempfile.mktemp(suffix=".bin")
+    open(bit, "wb").write(stream)
+    r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                       capture_output=True, text=True)
+    os.unlink(bit)
+    assert r.returncode == 0
+    assert r.stdout.count("(OK)") == 4 and "ERR" not in r.stdout
