@@ -68,7 +68,7 @@ class EncoderConfig:
         self.max_dec_pic_buffering = 2
         self.num_reorder_pics = 0
         self.sao = 0
-        self.deblock = False
+        self.deblock = True
         self.tmvp = 0
         self.strong_intra_smoothing = 0
         self.num_ref_l0 = 1
@@ -179,6 +179,11 @@ class IntraEncoder:
             self.enc.encode_terminate(1 if addr == last else 0)
         # the CABAC flush's final bit doubles as the rbsp stop bit; pad zeros
         w.align_zero()
+        if cfg.deblock:
+            # in-loop deblocking on the encoder recon (same validated filter
+            # the decoder runs), so references and hashes match the decoder
+            from ..hostdec.loopfilter_np import deblock_picture
+            deblock_picture(self.recon, self.pic, sps, pps)
         W, H = sps.width, sps.height
         crop = []
         for c in range(3):
@@ -285,6 +290,7 @@ class IntraEncoder:
         from ..hostdec.picture import MODE_INTER, SIZE_2Nx2N
         size = 1 << log2size
         pic.set_rect(pic.depth, x, y, size, size, depth)
+        self._mark_edges(x, y, size)
         orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
         lam = max(1, 1 << ((cfg.qp - 12) // 6))
 
@@ -350,6 +356,7 @@ class IntraEncoder:
             resids.append(lev)
             cbfs.append(1 if lev.any() else 0)
         any_cbf = cbfs[0] or cbfs[1] or cbfs[2]
+        pic.set_rect(pic.cbf_y, x, y, size, size, cbfs[0])
 
         is_skip = use_merge and not any_cbf
         enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 1 if is_skip else 0)
@@ -474,12 +481,23 @@ class IntraEncoder:
                                                          bd, strong)
         return refimpl.predict_intra(top, left, n, mode, comp, bd, sps)
 
+    def _mark_edges(self, x, y, size):
+        from ..hostdec.slicedec import (EDGE_CU_LEFT, EDGE_CU_TOP,
+                                        EDGE_PU_LEFT, EDGE_PU_TOP,
+                                        EDGE_TU_LEFT, EDGE_TU_TOP)
+        ef = self.pic.edge_flags
+        ef[y >> 2:(y + size) >> 2, x >> 2] |= \
+            EDGE_CU_LEFT | EDGE_PU_LEFT | EDGE_TU_LEFT
+        ef[y >> 2, x >> 2:(x + size) >> 2] |= \
+            EDGE_CU_TOP | EDGE_PU_TOP | EDGE_TU_TOP
+
     def encode_cu(self, x, y, log2size, depth, _from_inter=False):
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, self.bank
         size = 1 << log2size
         pic.set_rect(pic.depth, x, y, size, size, depth)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
         pic.set_rect(pic.skip, x, y, size, size, 0)
+        self._mark_edges(x, y, size)
 
         # --- luma mode decision (SAD over all 35 modes) ---
         orig = self.orig[0][y:y + size, x:x + size]

@@ -27,6 +27,7 @@ def nal_unit(nal_type: int, rbsp: bytes, temporal_id: int = 0) -> bytes:
 
 
 def write_ptl(w: BitWriter, profile_idc=1):
+    # profile_idc: 1 = Main, 2 = Main10
     w.put_bits(0, 2)            # profile_space
     w.put(0)                    # tier
     w.put_bits(profile_idc, 5)
@@ -41,6 +42,10 @@ def write_ptl(w: BitWriter, profile_idc=1):
     w.put_bits(120, 8)          # level 4.0
 
 
+def _profile_idc(cfg):
+    return 2 if cfg.bit_depth > 8 else 1
+
+
 def write_vps(cfg) -> bytes:
     w = BitWriter()
     w.put_bits(0, 4)    # vps id
@@ -49,7 +54,7 @@ def write_vps(cfg) -> bytes:
     w.put_bits(0, 3)    # max_sub_layers_minus1
     w.put(1)            # temporal_id_nesting
     w.put_bits(0xFFFF, 16)
-    write_ptl(w)
+    write_ptl(w, _profile_idc(cfg))
     w.put(0)            # sub_layer_ordering_info_present
     w.ue(cfg.max_dec_pic_buffering - 1)
     w.ue(cfg.num_reorder_pics)
@@ -67,7 +72,7 @@ def write_sps(cfg) -> bytes:
     w.put_bits(0, 4)    # vps id
     w.put_bits(0, 3)    # max_sub_layers_minus1
     w.put(1)            # temporal_id_nesting
-    write_ptl(w)
+    write_ptl(w, _profile_idc(cfg))
     w.ue(0)             # sps id
     w.ue(cfg.chroma_format_idc)
     w.ue(cfg.width)

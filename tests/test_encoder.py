@@ -105,3 +105,25 @@ def test_lowdelayP_encoder_hm_conformance():
     os.unlink(bit)
     assert r.returncode == 0
     assert r.stdout.count("(OK)") == 4 and "ERR" not in r.stdout
+
+
+def test_main10_encoder_roundtrip():
+    """Main10 (10-bit) encode: our decoder + HM both verify the hashes."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames8 = synth_frames(96, 80, 3)
+    frames = [tuple(p.astype(np.int32) << 2 for p in f) for f in frames8]
+    enc = IntraEncoder(EncoderConfig(96, 80, qp=30, bit_depth=10,
+                                     gop="lowdelayP"))
+    stream = enc.encode_stream(frames)
+    outs = Decoder().decode_annexb(stream)
+    assert len(outs) == 3 and outs[0][0].dtype == np.uint16
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if os.path.exists(exe):
+        import tempfile
+        bit = tempfile.mktemp(suffix=".bin")
+        open(bit, "wb").write(stream)
+        r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        os.unlink(bit)
+        assert r.stdout.count("(OK)") == 3
