@@ -285,6 +285,29 @@ class Decoder:
         if self.recon == "native":
             assert self.parse == "native", "recon='native' needs parse='native'"
             planes = None
+        elif self.recon == "tpu" and (
+                sps.scaling_list_enabled or sps.chroma_format_idc == 2 or
+                any(getattr(pu, "wp", None) is not None
+                    for pu in pic.inter_list)):
+            # features not yet lowered to the TPU kernels (dequant scaling
+            # lists, 4:2:2 chroma sub-TUs, weighted prediction): use the
+            # bit-exact numpy backend for this picture
+            recon = PictureRecon(sps, pic, sd._zmap, sd.tile_map)
+            recon.constrained_intra = bool(pps.constrained_intra_pred)
+            from .motion import motion_compensate_np_vec
+            if pic.inter_list:
+                planes = recon.reconstruct(None, motion_compensate_np_vec)
+            else:
+                planes = recon.reconstruct()
+            from .loopfilter_np import (deblock_picture, sao_picture,
+                                        _restore_unfiltered)
+            if pps.transquant_bypass_enabled or \
+                    (sps.pcm_enabled and sps.pcm_loop_filter_disabled):
+                pic.prefilter_planes = [p.copy() for p in planes]
+            deblock_picture(planes, pic, sps, pps)
+            if sps.sao_enabled:
+                sao_picture(planes, pic, sps, pps)
+            _restore_unfiltered(planes, None, pic, sps)
         elif self.recon == "tpu":
             from ..recon_tpu import (TpuPictureRecon, deblock_picture_tpu,
                                      sao_picture_tpu)
