@@ -312,6 +312,47 @@ struct ReconCtx {
       lastRow--;
     }
     static thread_local int32_t t1[32 * 32];
+    if (maxDyn <= 15) {
+      // int32 fast path: |coeff| <= 2^15, |tap| <= 90, <=32 terms -> acc
+      // fits int32 (< 2^27.5).  k-outer loops keep the inner j loop
+      // contiguous so the compiler vectorizes the multiply-accumulate.
+      static thread_local int32_t acc[32 * 32];
+      memset(acc, 0, sizeof(int32_t) * size_t(h) * w);
+      for (int k = 0; k <= lastRow; k++) {
+        const int32_t* bk = buf + size_t(k) * w;
+        const int32_t* tyk = ty + size_t(k) * h;
+        for (int i = 0; i < h; i++) {
+          int32_t c = tyk[i];
+          if (!c) continue;
+          int32_t* ai = acc + size_t(i) * w;
+          for (int j = 0; j < w; j++) ai[j] += c * bk[j];
+        }
+      }
+      int rnd1 = 1 << (shift1 - 1);
+      for (int n = 0; n < h * w; n++) {
+        int v = (acc[n] + rnd1) >> shift1;
+        t1[n] = v < I16MIN ? I16MIN : (v > I16MAX ? I16MAX : v);
+      }
+      int rnd2 = 1 << (shift2 - 1);
+      static thread_local int32_t arow[32];
+      for (int i = 0; i < h; i++) {
+        memset(arow, 0, sizeof(int32_t) * w);
+        const int32_t* ti = t1 + size_t(i) * w;
+        for (int k = 0; k < w; k++) {
+          int32_t c = ti[k];
+          if (!c) continue;
+          const int32_t* txk = tx + size_t(k) * w;
+          for (int j = 0; j < w; j++) arow[j] += c * txk[j];
+        }
+        int32_t* bi = buf + size_t(i) * w;
+        for (int j = 0; j < w; j++) {
+          int v = (arow[j] + rnd2) >> shift2;
+          bi[j] = v < I16MIN ? I16MIN : (v > I16MAX ? I16MAX : v);
+        }
+      }
+      return;
+    }
+    // extended-precision path (maxDyn > 15): int64 accumulation
     for (int i = 0; i < h; i++)
       for (int j = 0; j < w; j++) {
         int64_t acc = 0;
@@ -426,6 +467,19 @@ struct ReconCtx {
                    int x, int y, int w, int h, int mvx, int mvy,
                    int fbx, int fby, int taps, bool isLuma, int bd,
                    bool isLast, int32_t* dst, int dstStride) {
+    if (taps == 8)
+      interpBlockT<8>(ref, refW, refH, stride, x, y, w, h, mvx, mvy, fbx,
+                      fby, isLuma, bd, isLast, dst, dstStride);
+    else
+      interpBlockT<4>(ref, refW, refH, stride, x, y, w, h, mvx, mvy, fbx,
+                      fby, isLuma, bd, isLast, dst, dstStride);
+  }
+
+  template <int taps>
+  void interpBlockT(const int32_t* ref, int refW, int refH, int64_t stride,
+                    int x, int y, int w, int h, int mvx, int mvy,
+                    int fbx, int fby, bool isLuma, int bd,
+                    bool isLast, int32_t* dst, int dstStride) {
     int fx = mvx & ((1 << fbx) - 1);
     int fy = mvy & ((1 << fby) - 1);
     int ix = x + (mvx >> fbx);
@@ -462,21 +516,21 @@ struct ReconCtx {
         if (interior) {
           const int32_t* row = ref + int64_t(iy + j) * stride + ix - half;
           for (int i = 0; i < w; i++) {
-            int64_t acc = 0;
+            int32_t acc = 0;
             for (int k = 0; k < taps; k++)
-              acc += int64_t(fh[k]) * row[i + k];
-            int64_t v = (acc + offset) >> shift;
+              acc += fh[k] * row[i + k];
+            int v = (acc + offset) >> shift;
             dst[int64_t(j) * dstStride + i] =
-                isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+                isLast ? clip3(0, maxv, v) : int32_t(v);
           }
         } else {
           for (int i = 0; i < w; i++) {
-            int64_t acc = 0;
+            int32_t acc = 0;
             for (int k = 0; k < taps; k++)
-              acc += int64_t(fh[k]) * S(iy + j, ix + i + k - half);
-            int64_t v = (acc + offset) >> shift;
+              acc += fh[k] * S(iy + j, ix + i + k - half);
+            int v = (acc + offset) >> shift;
             dst[int64_t(j) * dstStride + i] =
-                isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+                isLast ? clip3(0, maxv, v) : int32_t(v);
           }
         }
       }
@@ -490,21 +544,21 @@ struct ReconCtx {
         if (interior) {
           const int32_t* col = ref + int64_t(iy + j - half) * stride + ix;
           for (int i = 0; i < w; i++) {
-            int64_t acc = 0;
+            int32_t acc = 0;
             for (int k = 0; k < taps; k++)
-              acc += int64_t(fv[k]) * col[int64_t(k) * stride + i];
-            int64_t v = (acc + offset) >> shift;
+              acc += fv[k] * col[int64_t(k) * stride + i];
+            int v = (acc + offset) >> shift;
             dst[int64_t(j) * dstStride + i] =
-                isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+                isLast ? clip3(0, maxv, v) : int32_t(v);
           }
         } else {
           for (int i = 0; i < w; i++) {
-            int64_t acc = 0;
+            int32_t acc = 0;
             for (int k = 0; k < taps; k++)
-              acc += int64_t(fv[k]) * S(iy + j + k - half, ix + i);
-            int64_t v = (acc + offset) >> shift;
+              acc += fv[k] * S(iy + j + k - half, ix + i);
+            int v = (acc + offset) >> shift;
             dst[int64_t(j) * dstStride + i] =
-                isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+                isLast ? clip3(0, maxv, v) : int32_t(v);
           }
         }
       }
@@ -512,37 +566,37 @@ struct ReconCtx {
     }
     // two stages: H first (is_first, not last), then V
     int sh1 = 6 - hr;
-    int64_t off1 = -(int64_t(kIfOffs) << sh1);
+    int32_t off1 = -(kIfOffs << sh1);
     static thread_local std::vector<int32_t> tmp((64 + 8) * 64);
     for (int j = 0; j < h + taps - 1; j++) {
       if (interior) {
         const int32_t* row = ref + int64_t(iy + j - half) * stride + ix - half;
         for (int i = 0; i < w; i++) {
-          int64_t acc = 0;
+          int32_t acc = 0;
           for (int k = 0; k < taps; k++)
-            acc += int64_t(fh[k]) * row[i + k];
+            acc += fh[k] * row[i + k];
           tmp[size_t(j) * w + i] = int32_t((acc + off1) >> sh1);
         }
       } else {
         for (int i = 0; i < w; i++) {
-          int64_t acc = 0;
+          int32_t acc = 0;
           for (int k = 0; k < taps; k++)
-            acc += int64_t(fh[k]) * S(iy + j - half, ix + i + k - half);
+            acc += fh[k] * S(iy + j - half, ix + i + k - half);
           tmp[size_t(j) * w + i] = int32_t((acc + off1) >> sh1);
         }
       }
     }
-    int sh2; int64_t off2;
-    if (isLast) { sh2 = 6 + hr; off2 = (int64_t(1) << (sh2 - 1)) + (int64_t(kIfOffs) << 6); }
+    int sh2; int32_t off2;
+    if (isLast) { sh2 = 6 + hr; off2 = (1 << (sh2 - 1)) + (kIfOffs << 6); }
     else { sh2 = 6; off2 = 0; }
     for (int j = 0; j < h; j++)
       for (int i = 0; i < w; i++) {
-        int64_t acc = 0;
+        int32_t acc = 0;
         for (int k = 0; k < taps; k++)
-          acc += int64_t(fv[k]) * tmp[size_t(j + k) * w + i];
-        int64_t v = (acc + off2) >> sh2;
+          acc += fv[k] * tmp[size_t(j + k) * w + i];
+        int v = int((acc + off2) >> sh2);
         dst[int64_t(j) * dstStride + i] =
-            isLast ? clip3(0, maxv, int(v)) : int32_t(v);
+            isLast ? clip3(0, maxv, v) : int32_t(v);
       }
   }
 
