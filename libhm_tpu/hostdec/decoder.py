@@ -287,6 +287,7 @@ class Decoder:
             planes = None
         elif self.recon == "tpu" and (
                 sps.scaling_list_enabled or sps.chroma_format_idc == 2 or
+                (sps.chroma_format_idc == 3 and pic.inter_list) or
                 any(getattr(pu, "wp", None) is not None
                     for pu in pic.inter_list)):
             # features not yet lowered to the TPU kernels (dequant scaling

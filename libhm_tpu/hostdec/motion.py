@@ -577,8 +577,12 @@ def motion_compensate_np_vec(recon, ref_pics_unused, residuals):
                     continue
                 mvx = mv[:, l, 0]
                 mvy = mv[:, l, 1]
-                fx = mvx & ((1 << fbx) - 1)
-                fy = mvy & ((1 << fby) - 1)
+                # chroma table is eighth-pel: scale the phase for
+                # non-subsampled axes (TComInterpolationFilter.cpp:346)
+                ts_x = (3 - fbx) if taps == 4 else 0
+                ts_y = (3 - fby) if taps == 4 else 0
+                fx = (mvx & ((1 << fbx) - 1)) << ts_x
+                fy = (mvy & ((1 << fby) - 1)) << ts_y
                 ix = bx + (mvx >> fbx)
                 iy = by + (mvy >> fby)
                 caseB = lm & is_last_blk & (fx != 0) & (fy == 0)

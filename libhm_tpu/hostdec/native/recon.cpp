@@ -401,7 +401,11 @@ struct ReconCtx {
     int maxDyn = sps->extended_precision ? std::max(15, bd + 6) : 15;
     int w = t.w, h = t.h;
     size_t nn = size_t(w) * h;
-    bool rot = sps->transform_skip_rotation && w == 4;
+    // rotation applies only to intra 4x4 blocks (TComTU.cpp:227)
+    size_t rly4 = (size_t(t.y) << (t.comp ? sps->ssy() : 0)) >> 2;
+    size_t rlx4 = (size_t(t.x) << (t.comp ? sps->ssx() : 0)) >> 2;
+    bool tuIntra = pic->pred_mode[rly4 * w4() + rlx4] == 1;
+    bool rot = sps->transform_skip_rotation && w == 4 && tuIntra;
     auto reverseInPlace = [&]() {
       for (size_t i = 0, j = nn - 1; i < j; i++, j--)
         std::swap(out[i], out[j]);
@@ -475,13 +479,19 @@ struct ReconCtx {
                       fby, isLuma, bd, isLast, dst, dstStride);
   }
 
+  static int phaseShift(int taps, int fbits) {
+    // chroma table is eighth-pel: scale for non-subsampled axes
+    // (TComInterpolationFilter.cpp:346 'frac << (1 - cs)')
+    return taps == 4 ? 3 - fbits : 0;
+  }
+
   template <int taps>
   void interpBlockT(const int32_t* ref, int refW, int refH, int64_t stride,
                     int x, int y, int w, int h, int mvx, int mvy,
                     int fbx, int fby, bool isLuma, int bd,
                     bool isLast, int32_t* dst, int dstStride) {
-    int fx = mvx & ((1 << fbx) - 1);
-    int fy = mvy & ((1 << fby) - 1);
+    int fx = (mvx & ((1 << fbx) - 1)) << phaseShift(taps, fbx);
+    int fy = (mvy & ((1 << fby) - 1)) << phaseShift(taps, fby);
     int ix = x + (mvx >> fbx);
     int iy = y + (mvy >> fby);
     int headroom = kIfPrec - bd;

@@ -67,7 +67,14 @@ class PictureRecon:
         sps, pic = self.sps, self.pic
         # 1. residuals for every TU
         sl = self._scaling_lookup()
-        residuals = [refimpl.residual_for_tu(tu, sps, sl) for tu in pic.tu_list]
+
+        def tu_intra(tu):
+            sx = sps.chroma_shift_x() if tu.comp else 0
+            sy = sps.chroma_shift_y() if tu.comp else 0
+            return pic.pred_mode[(tu.y << sy) >> 2, (tu.x << sx) >> 2] == \
+                MODE_INTRA
+        residuals = [refimpl.residual_for_tu(tu, sps, sl, tu_intra(tu))
+                     for tu in pic.tu_list]
         # cross-component prediction (RExt 4:4:4)
         self._apply_cross_component(residuals)
         # 2. inter blocks: MC + residual add (decode-order independent)

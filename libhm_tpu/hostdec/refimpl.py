@@ -91,14 +91,19 @@ def inverse_rdpcm(res, mode):
     return np.clip(out, I16MIN, I16MAX).astype(np.int32)
 
 
-def residual_for_tu(tu, sps, scaling_lists=None):
-    """Full dequant + inverse transform for one TransformUnit."""
+def residual_for_tu(tu, sps, scaling_lists=None, is_intra=True):
+    """Full dequant + inverse transform for one TransformUnit.
+
+    is_intra: residual rotation applies only to intra 4x4 blocks
+    (reference TComTU::isNonTransformedResidualRotated, TComTU.cpp:227).
+    """
     bd = sps.bit_depth_luma if tu.comp == 0 else sps.bit_depth_chroma
     max_dyn = 15 if not sps.extended_precision else max(15, bd + 6)
     log2w = tu.w.bit_length() - 1
+    do_rotate = bool(sps.transform_skip_rotation) and tu.w == 4 and is_intra
     if tu.tq_bypass:
         res = tu.coeffs.copy()
-        if sps.transform_skip_rotation and tu.w == 4:
+        if do_rotate:
             res = res[::-1, ::-1]
         if tu.rdpcm_mode:
             res = inverse_rdpcm(res, tu.rdpcm_mode)
@@ -108,8 +113,7 @@ def residual_for_tu(tu, sps, scaling_lists=None):
         scaling = scaling_lists.get(tu, None)
     deq = dequant(tu.coeffs, tu.qp, log2w, bd, scaling, max_dyn_range=max_dyn)
     if tu.transform_skip:
-        rotate = bool(sps.transform_skip_rotation) and tu.w == 4
-        res = inverse_transform_skip(deq, bd, log2w, max_dyn, rotate)
+        res = inverse_transform_skip(deq, bd, log2w, max_dyn, do_rotate)
         if tu.rdpcm_mode:
             res = inverse_rdpcm(res, tu.rdpcm_mode)
         return res

@@ -129,8 +129,12 @@ class TpuPictureRecon:
                 path = "tskip"
             else:
                 path = "itx"
+            sxr = sps.chroma_shift_x() if tu.comp else 0
+            syr = sps.chroma_shift_y() if tu.comp else 0
+            tu_is_intra = np.asarray(pic.pred_mode)[(tu.y << syr) >> 2,
+                                                    (tu.x << sxr) >> 2] == 1
             rotate = bool(sps.transform_skip_rotation) and tu.w == 4 and \
-                path in ("tskip", "bypass")
+                path in ("tskip", "bypass") and bool(tu_is_intra)
             key = (tu.w, bool(tu.use_dst), path, bd, rotate)
             buckets.setdefault(key, []).append(i)
         max_dyn_l = 15 if not sps.extended_precision else max(15, sps.bit_depth_luma + 6)

@@ -15,7 +15,8 @@ GOLD = json.load(open(os.path.join(ROOT, "testdata", "golden.json")))
 STREAMS = ["wp_lowdelayP_416x240", "dqp_intra_416x240",
            "scaling_intra_416x240", "lossless_intra_416x240",
            "pcm_intra_416x240", "depslices_416x240",
-           "rext422_intra_416x240"]
+           "rext422_intra_416x240", "rext422_lowdelayP_416x240",
+           "rext444_randomaccess_416x240"]
 
 
 def decode_and_hash(name, parse, recon):
