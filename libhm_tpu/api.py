@@ -29,6 +29,7 @@ class Picture:
         self._dp = dp
         self._syntax = pic_syntax
         self.planes = dp.cropped()
+        self.hash_status = getattr(dp, "hash_status", None)
 
     @property
     def poc(self):
@@ -121,11 +122,15 @@ class HmDecoder:
             p.planes = planes
             p._dp = dp
             p._syntax = dp.pic_syntax if dp is not None else None
+            p.hash_status = getattr(dp, "hash_status", None)
             return p
         return None
 
     def set_sei_check(self, enable: bool):
+        # decoded-picture-hash SEI verification (libHMDec_set_SEI_Check);
+        # per-picture status exposed as HmPicture.hash_status
         self._sei_check = enable
+        self._core.check_sei_hash = enable
 
     def set_max_temporal_layer(self, layer: int):
         self._core.max_temporal_layer = layer

@@ -56,9 +56,14 @@ class Decoder:
     .reconstruct(ref_pics, mc_fn) -> planes.
     """
 
-    def __init__(self, recon_backend=None, parse="python", recon="numpy"):
+    def __init__(self, recon_backend=None, parse="python", recon="numpy",
+                 check_sei_hash=False):
         self.parse = parse
         self.recon = recon
+        # decoded-picture-hash SEI verification (reference TDecGop
+        # calcAndPrintHashStatus; libHMDec_set_SEI_Check)
+        self.check_sei_hash = check_sei_hash
+        self._pending_hash = None
         self._native_queue = None
         self.sps_map = {}
         self.pps_map = {}
@@ -95,8 +100,13 @@ class Decoder:
         elif t == N.NAL_PPS:
             pps = parse_pps(nalu.rbsp)
             self.pps_map[pps.pps_id] = pps
-        elif t in (N.NAL_VPS, N.NAL_AUD, N.NAL_PREFIX_SEI, N.NAL_SUFFIX_SEI,
-                   N.NAL_FD):
+        elif t == N.NAL_SUFFIX_SEI:
+            if self.check_sei_hash:
+                from . import sei
+                for ptype, payload in sei.parse_sei_rbsp(nalu.rbsp):
+                    if ptype == sei.SEI_DECODED_PICTURE_HASH and payload:
+                        self._pending_hash = sei.DecodedPictureHash(payload)
+        elif t in (N.NAL_VPS, N.NAL_AUD, N.NAL_PREFIX_SEI, N.NAL_FD):
             pass
         elif t == N.NAL_EOS:
             self._finish_picture()
@@ -258,6 +268,26 @@ class Decoder:
         return None
 
     # ------------------------------------------------------------------
+    def _verify_hash(self, dp):
+        if self._pending_hash is None:
+            return
+        dph, self._pending_hash = self._pending_hash, None
+        sps = dp.sps
+        bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * 2
+        if dp.planes is not None:
+            planes = []
+            for c, p in enumerate(dp.planes):
+                sx = sps.chroma_shift_x() if c else 0
+                sy = sps.chroma_shift_y() if c else 0
+                planes.append(p[:sps.height >> sy, :sps.width >> sx])
+        elif sum(sps.conf_win) == 0:
+            planes = dp.cropped_planes
+        else:
+            return  # native-recon planes are cropped; skip when cropped
+        from . import sei
+        dp.hash_status = "OK" if sei.verify_picture_hash(planes, bds, dph) \
+            else "MISMATCH"
+
     def _finish_picture(self):
         if self.cur is None:
             return
@@ -348,6 +378,9 @@ class Decoder:
         if self.recon == "native":
             dp.cropped_planes = meta["cropped"]
         dp.pic_syntax = pic
+        dp.hash_status = None
+        if self.check_sei_hash:
+            self._verify_hash(dp)
         self.dpb.append(dp)
         self._bump_outputs(sps, nalu.temporal_id)
 

@@ -31,3 +31,38 @@ def test_push_nal_protocol():
     assert hashlib.md5(buf).hexdigest() == GOLD[name]["decoded_yuv_md5"]
     info = dec.get_internal_info(pics[1], api.PU_MV_0)
     assert info and len(info[0]) == 6
+
+
+def test_sei_hash_check():
+    """libHMDec_set_SEI_Check equivalent: per-picture hash verification."""
+    from libhm_tpu import api
+    from libhm_tpu.hostdec import nal as N
+    data = open(os.path.join(ROOT, "testdata", "intra_64x64.bin"), "rb").read()
+    dec = api.new_decoder()
+    dec.set_sei_check(True)
+    pics = []
+    nals = list(N.split_annexb(data))
+    i = 0
+    while i < len(nals):
+        new_pic, check = dec.push_nal_unit(nals[i], i == len(nals) - 1)
+        if check:
+            while True:
+                p = dec.get_picture()
+                if p is None:
+                    break
+                pics.append(p)
+        if not new_pic:
+            i += 1
+    assert pics and all(p.hash_status == "OK" for p in pics)
+
+
+def test_sei_hash_check_detects_corruption():
+    from libhm_tpu.hostdec.decoder import Decoder
+    data = bytearray(open(os.path.join(ROOT, "testdata", "intra_64x64.bin"), "rb").read())
+    data[-40] ^= 0x10
+    dec = Decoder(check_sei_hash=True)
+    try:
+        dec.decode_annexb(bytes(data))
+    except Exception:
+        return  # corrupt streams may also fail parse; that's acceptable
+    assert "MISMATCH" in [r.hash_status for r in dec.output_records]
