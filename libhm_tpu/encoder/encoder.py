@@ -34,11 +34,12 @@ class _RefPic:
 
 
 class _PSliceHeader:
-    """Slice-header view the shared MotionDeriver expects."""
-    def __init__(self, poc, cfg):
+    """Slice-header view the shared MotionDeriver expects (P or GPB-B)."""
+    def __init__(self, poc, cfg, slice_type=1):
         self.poc = poc
-        self.slice_type = 1  # P
-        self.num_ref_idx = [cfg.num_ref_l0, 0]
+        self.slice_type = slice_type  # 1=P 0=B
+        self.num_ref_idx = [cfg.num_ref_l0,
+                            cfg.num_ref_l1 if slice_type == 0 else 0]
         self.temporal_mvp = cfg.tmvp
         self.collocated_from_l0 = 1
         self.collocated_ref_idx = 0
@@ -78,7 +79,7 @@ class EncoderConfig:
         self.cu_size = cu_size
         self.gop = gop
         self.search_range = search_range
-        if gop == "lowdelayP":
+        if gop in ("lowdelayP", "lowdelayB"):
             self.st_rps = [[-1]]
             self.max_dec_pic_buffering = 3
             self.num_reorder_pics = 0
@@ -119,17 +120,19 @@ class IntraEncoder:
         out += nal_unit(33, write_sps(cfg))
         out += nal_unit(34, write_pps(cfg))
         self._prev_ref = None
+        inter_gop = cfg.gop in ("lowdelayP", "lowdelayB")
         for poc, frame in enumerate(frames):
-            if cfg.gop == "lowdelayP" and poc > 0:
-                nal_type, slice_type = 1, 1      # TRAIL_R, P
+            if inter_gop and poc > 0:
+                nal_type = 1                     # TRAIL_R
+                slice_type = 1 if cfg.gop == "lowdelayP" else 0  # P / B
             else:
                 nal_type, slice_type = 19, 2     # IDR_W_RADL, I
-                poc = 0 if cfg.gop != "lowdelayP" else poc
+                poc = poc if inter_gop else 0
             slice_rbsp, recon = self.encode_picture(frame, poc, nal_type,
                                                     slice_type)
             out += nal_unit(nal_type, slice_rbsp)
             out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
-            if cfg.gop == "lowdelayP":
+            if inter_gop:
                 self._prev_ref = _RefPic(poc, [r.copy() for r in self.recon],
                                          self.sps)
         return bytes(out)
@@ -162,12 +165,13 @@ class IntraEncoder:
         w = write_slice_header(cfg, nal_type, poc, slice_type, cfg.qp)
         self.enc = CabacEncoder(w)
         self.bank = make_context_bank(slice_type, cfg.qp, 0)
-        if slice_type == 1:
-            self.sh = _PSliceHeader(poc, cfg)
+        if slice_type in (0, 1):
+            self.sh = _PSliceHeader(poc, cfg, slice_type)
             from ..hostdec.motion import MotionDeriver
+            lists = [[self._prev_ref],
+                     [self._prev_ref] if slice_type == 0 else []]
             self.sd.sh = self.sh
-            self.motion = MotionDeriver(self.sd, self.sh,
-                                        [[self._prev_ref], []])
+            self.motion = MotionDeriver(self.sd, self.sh, lists)
 
         nctu_x = sps.pic_width_ctbs
         nctu_y = sps.pic_height_ctbs
@@ -193,6 +197,33 @@ class IntraEncoder:
         return w.data(), crop
 
     # ------------------------------------------------------------------
+    def _pred_from_cand(self, comp, x, y, w, h, dir_, mvs):
+        """Prediction for a merge candidate (uni L0/L1 or bi; both lists
+        reference the same previous picture in the low-delay GOPs)."""
+        if dir_ != 3:
+            return self._inter_pred(comp, x, y, w, h,
+                                    mvs[0] if dir_ == 1 else mvs[1])
+        from ..hostdec.motion import (_interp, LUMA_FILTER, CHROMA_FILTER,
+                                      IF_INTERNAL_PREC, IF_OFFS)
+        sps = self.sps
+        ssx = sps.chroma_shift_x() if comp else 0
+        ssy = sps.chroma_shift_y() if comp else 0
+        bd = sps.bit_depth_luma if comp == 0 else sps.bit_depth_chroma
+        rp = self._prev_ref
+        plane = rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
+        taps = 8 if comp == 0 else 4
+        ftab = LUMA_FILTER if comp == 0 else CHROMA_FILTER
+        fbx = 2 + (ssx if comp else 0)
+        fby = 2 + (ssy if comp else 0)
+        preds = [
+            _interp(plane, x >> ssx, y >> ssy, w >> ssx, h >> ssy,
+                    int(mvs[l][0]), int(mvs[l][1]), fbx, fby, taps, ftab,
+                    bd, is_last=False) for l in range(2)]
+        shift = IF_INTERNAL_PREC + 1 - bd
+        off = (1 << (shift - 1)) + 2 * IF_OFFS
+        return np.clip((preds[0] + preds[1] + off) >> shift,
+                       0, (1 << bd) - 1)
+
     def _inter_pred(self, comp, x, y, w, h, mv):
         """Uni-L0 MC prediction block (final samples)."""
         from ..hostdec.motion import _interp, LUMA_FILTER, CHROMA_FILTER
@@ -294,18 +325,20 @@ class IntraEncoder:
         orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
         lam = max(1, 1 << ((cfg.qp - 12) // 6))
 
-        # merge candidates
+        # merge candidates (uni or bi; P slices clamp to L0 like the parser)
         best_m = None
         for mi in range(cfg.max_merge_cand):
             cand = self.motion.merge_candidates(x, y, size, size, x, y, size,
                                                 0, SIZE_2Nx2N, mi)
-            dir_ = cand.inter_dir & 1
+            dir_ = cand.inter_dir
+            if self.sh.num_ref_idx[1] == 0:
+                dir_ &= 1
             if not dir_:
                 continue
-            pred = self._inter_pred(0, x, y, size, size, cand.mv[0])
+            pred = self._pred_from_cand(0, x, y, size, size, dir_, cand.mv)
             cost = int(np.abs(pred - orig).sum()) + lam * (mi + 1)
             if best_m is None or cost < best_m[0]:
-                best_m = (cost, mi, cand)
+                best_m = (cost, mi, cand, dir_)
         # AMVP / motion estimation
         amvp = self.motion.amvp_candidates(x, y, size, size, 0, 0)
         mv, me_sad = self._motion_search(x, y, size, amvp[0])
@@ -334,10 +367,10 @@ class IntraEncoder:
 
         use_merge = best_m[0] <= cost_me
         if use_merge:
-            mi, cand = best_m[1], best_m[2]
-            mvs = cand.mv[0]
+            mdir = best_m[3]
+            mmvs = best_m[2].mv
         else:
-            mvs = mv
+            mdir, mmvs = 1, [mv, (0, 0)]
 
         # reconstruct prediction for all components, compute residual levels
         preds, resids, cbfs = [], [], []
@@ -345,7 +378,7 @@ class IntraEncoder:
             ssx = sps.chroma_shift_x() if comp else 0
             n = size >> ssx
             cxp, cyp = x >> ssx, y >> (sps.chroma_shift_y() if comp else 0)
-            pred = self._inter_pred(comp, x, y, size, size, mvs)
+            pred = self._pred_from_cand(comp, x, y, size, size, mdir, mmvs)
             orig_c = self.orig[comp][cyp:cyp + n, cxp:cxp + n].astype(np.int32)
             resi = orig_c - pred
             bd = cfg.bit_depth
@@ -384,7 +417,10 @@ class IntraEncoder:
             self.motion.apply_merge(self.sd, x, y, size, size, best_m[1],
                                     x, y, size, 0)
         else:
-            # P slice, 1 ref: no inter_dir / ref_idx syntax
+            if self.slice_type == 0:
+                # B slice: inter_dir (uni L0), ref_idx implicit (1 ref)
+                enc.encode_bin(bank["inter_dir"], depth, 0)  # not bi
+                enc.encode_bin(bank["inter_dir"], 4, 0)      # L0
             self._write_mvd(mvd)
             enc.encode_bin(bank["mvp_idx"], 0, mvp_idx)
             self.motion.apply_amvp(self.sd, x, y, size, size, 1, [0, -1],
@@ -451,7 +487,7 @@ class IntraEncoder:
                 if nx < sps.width and ny < sps.height:
                     self.encode_cqt(nx, ny, log2size - 1, depth + 1)
             return
-        if self.slice_type == 1:
+        if self.slice_type in (0, 1):
             self.encode_cu_inter(x, y, log2size, depth)
         else:
             self.encode_cu(x, y, log2size, depth)

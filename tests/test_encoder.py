@@ -127,3 +127,23 @@ def test_main10_encoder_roundtrip():
                            capture_output=True, text=True)
         os.unlink(bit)
         assert r.stdout.count("(OK)") == 3
+
+
+def test_lowdelayB_encoder_roundtrip():
+    """GPB B slices: HM verifies hashes and our decoder round-trips."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(160, 96, 4)
+    enc = IntraEncoder(EncoderConfig(160, 96, qp=30, gop="lowdelayB"))
+    stream = enc.encode_stream(frames)
+    outs = Decoder().decode_annexb(stream)
+    assert len(outs) == 4
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if os.path.exists(exe):
+        import tempfile
+        bit = tempfile.mktemp(suffix=".bin")
+        open(bit, "wb").write(stream)
+        r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        os.unlink(bit)
+        assert r.stdout.count("(OK)") == 4
