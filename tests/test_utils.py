@@ -1,0 +1,52 @@
+"""Utility-app tests: bitrate targeting, byte counting, bit-depth convert."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_extract_bitrates_and_guess():
+    from libhm_tpu.apps.bitrate_targeting import (
+        extract_bitrates, guess_lambda_modifiers, parse_meta_log)
+    log = """\
+POC    0 TId: 0 ( I-SLICE, nQP 32 QP 32 ) 100000 bits
+POC    1 TId: 0 ( P-SLICE, nQP 33 QP 33 ) 4000 bits
+POC    2 TId: 0 ( P-SLICE, nQP 34 QP 34 ) 2000 bits
+POC    3 TId: 0 ( P-SLICE, nQP 33 QP 33 ) 6000 bits
+"""
+    rates = extract_bitrates(log)
+    assert rates == [5000.0, 2000.0]  # I-slice excluded, averaged per layer
+    meta = parse_meta_log("-LM0 1.0 -LM1 1.0;5000 2000\n")
+    lms = guess_lambda_modifiers(0.5, [4000.0, 1800.0], meta)
+    assert len(lms) == 2 and all(v > 0 for v in lms)
+    # lowering the target raises lambda... (lower bitrate => larger lambda
+    # modifier direction depends on extrapolation; just check dampening keeps
+    # the guess within a sane band around the previous value)
+    assert all(0.25 < v < 4.0 for v in lms)
+
+
+def test_annexb_bytecount_app(capsys):
+    from libhm_tpu.apps import annexb_bytecount
+    path = os.path.join(ROOT, "testdata", "intra_64x64.bin")
+    assert annexb_bytecount.main([path]) == 0
+    out = capsys.readouterr().out
+    assert "SPS" in out and "PPS" in out
+
+
+def test_convert_bitdepth_roundtrip(tmp_path):
+    from libhm_tpu.apps import convert_bitdepth
+    src = tmp_path / "in.yuv"
+    dst = tmp_path / "out.yuv"
+    back = tmp_path / "back.yuv"
+    data = np.arange(256, dtype=np.uint8)
+    data.tofile(src)
+    assert convert_bitdepth.main(["-i", str(src), "-o", str(dst),
+                                  "--in-depth", "8", "--out-depth", "10"]) == 0
+    up = np.fromfile(dst, np.uint16)
+    assert (up == data.astype(np.uint16) << 2).all()
+    assert convert_bitdepth.main(["-i", str(dst), "-o", str(back),
+                                  "--in-depth", "10", "--out-depth", "8"]) == 0
+    assert (np.fromfile(back, np.uint8) == data).all()
