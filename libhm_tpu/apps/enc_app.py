@@ -22,7 +22,7 @@ def main(argv=None):
     ap.add_argument("-f", "--frames", type=int, required=True)
     ap.add_argument("-q", "--qp", type=int, default=32)
     ap.add_argument("--cu-size", type=int, default=32)
-    ap.add_argument("--gop", choices=["intra", "lowdelayP", "lowdelayB"], default="intra",
+    ap.add_argument("--gop", choices=["intra", "lowdelayP", "lowdelayB", "randomaccess"], default="intra",
                     help="GOP structure: all-intra or IDR + low-delay P")
     ap.add_argument("--search-range", type=int, default=8)
     args = ap.parse_args(argv)

@@ -83,6 +83,10 @@ class EncoderConfig:
             self.st_rps = [[-1]]
             self.max_dec_pic_buffering = 3
             self.num_reorder_pics = 0
+        elif gop == "randomaccess":
+            self.st_rps = []
+            self.max_dec_pic_buffering = 6
+            self.num_reorder_pics = 3
 
 
 def _mk_sps_pps(cfg):
@@ -120,6 +124,25 @@ class IntraEncoder:
         out += nal_unit(33, write_sps(cfg))
         out += nal_unit(34, write_pps(cfg))
         self._prev_ref = None
+        self._dpb = {}
+        if cfg.gop == "randomaccess":
+            for item in self._ra_schedule(len(frames)):
+                poc, nal_type, slice_type, l0, l1, rps = item
+                self._ref_lists_pics = [[self._dpb[p] for p in l0],
+                                        [self._dpb[p] for p in l1]]
+                if l0:
+                    self._prev_ref = self._ref_lists_pics[0][0]
+                slice_rbsp, recon = self.encode_picture(
+                    frames[poc], poc, nal_type, slice_type, rps=rps)
+                out += nal_unit(nal_type, slice_rbsp)
+                out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
+                self._dpb[poc] = _RefPic(poc, [r.copy() for r in self.recon],
+                                         self.sps)
+                if rps is not None:
+                    keep = {poc} | {poc + d for d in rps[0] + rps[1]}
+                    self._dpb = {p: r for p, r in self._dpb.items()
+                                 if p in keep}
+            return bytes(out)
         inter_gop = cfg.gop in ("lowdelayP", "lowdelayB")
         for poc, frame in enumerate(frames):
             if inter_gop and poc > 0:
@@ -138,7 +161,36 @@ class IntraEncoder:
         return bytes(out)
 
     # ------------------------------------------------------------------
-    def encode_picture(self, frame, poc=0, nal_type=19, slice_type=2):
+    def _ra_schedule(self, n):
+        """Hierarchical-B GOP-4 coding schedule.
+
+        Yields (poc, nal_type, slice_type, l0_pocs, l1_pocs, rps) in coding
+        order. Anchors reference the previous anchor (GPB); middle Bs
+        reference nearest past/future. The explicit RPS lists exactly the
+        pictures the decoder must retain (everything else retires,
+        mirroring Rec. 8.3.2).
+        """
+        yield (0, 19, 2, [], [], None)           # IDR
+        b = 0
+        while b + 1 < n:
+            a = min(b + 4, n - 1)
+            if a == b:
+                break
+            # anchor (GPB: both lists = previous anchor)
+            yield (a, 1, 0, [b], [b], ([b - a], []))
+            if a - b >= 2:
+                m = b + (a - b) // 2
+                yield (m, 1, 0, [b], [a], ([b - m], [a - m]))
+                if m - b >= 2:
+                    yield (b + 1, 1, 0, [b], [m],
+                           ([-1], [m - b - 1, a - b - 1]))
+                if a - m >= 2:
+                    yield (m + 1, 1, 0, [m], [a], ([-1], [a - m - 1]))
+            b = a
+
+    # ------------------------------------------------------------------
+    def encode_picture(self, frame, poc=0, nal_type=19, slice_type=2,
+                       rps=None):
         cfg, sps, pps = self.cfg, self.sps, self.pps
         Wp = sps.pic_width_ctbs << sps.log2_ctb
         Hp = sps.pic_height_ctbs << sps.log2_ctb
@@ -162,14 +214,20 @@ class IntraEncoder:
             self.recon.append(np.zeros_like(pl))
 
         self.slice_type = slice_type
-        w = write_slice_header(cfg, nal_type, poc, slice_type, cfg.qp)
+        w = write_slice_header(cfg, nal_type, poc, slice_type, cfg.qp,
+                               rps=rps)
         self.enc = CabacEncoder(w)
         self.bank = make_context_bank(slice_type, cfg.qp, 0)
         if slice_type in (0, 1):
             self.sh = _PSliceHeader(poc, cfg, slice_type)
             from ..hostdec.motion import MotionDeriver
-            lists = [[self._prev_ref],
-                     [self._prev_ref] if slice_type == 0 else []]
+            if getattr(self, "_ref_lists_pics", None) is not None and \
+                    self.cfg.gop == "randomaccess":
+                lists = self._ref_lists_pics
+            else:
+                lists = [[self._prev_ref],
+                         [self._prev_ref] if slice_type == 0 else []]
+            self.ref_pics = lists
             self.sd.sh = self.sh
             self.motion = MotionDeriver(self.sd, self.sh, lists)
 
@@ -197,28 +255,36 @@ class IntraEncoder:
         return w.data(), crop
 
     # ------------------------------------------------------------------
+    def _ref_plane(self, comp, l):
+        sps = self.sps
+        ssx = sps.chroma_shift_x() if comp else 0
+        ssy = sps.chroma_shift_y() if comp else 0
+        rp = self.ref_pics[l][0] if getattr(self, "ref_pics", None) and \
+            self.ref_pics[l] else self._prev_ref
+        return rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
+
     def _pred_from_cand(self, comp, x, y, w, h, dir_, mvs):
-        """Prediction for a merge candidate (uni L0/L1 or bi; both lists
-        reference the same previous picture in the low-delay GOPs)."""
-        if dir_ != 3:
-            return self._inter_pred(comp, x, y, w, h,
-                                    mvs[0] if dir_ == 1 else mvs[1])
+        """Prediction for a merge candidate (uni L0/L1 or bi)."""
         from ..hostdec.motion import (_interp, LUMA_FILTER, CHROMA_FILTER,
                                       IF_INTERNAL_PREC, IF_OFFS)
         sps = self.sps
         ssx = sps.chroma_shift_x() if comp else 0
         ssy = sps.chroma_shift_y() if comp else 0
         bd = sps.bit_depth_luma if comp == 0 else sps.bit_depth_chroma
-        rp = self._prev_ref
-        plane = rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
         taps = 8 if comp == 0 else 4
         ftab = LUMA_FILTER if comp == 0 else CHROMA_FILTER
         fbx = 2 + (ssx if comp else 0)
         fby = 2 + (ssy if comp else 0)
+        if dir_ != 3:
+            l = 0 if dir_ == 1 else 1
+            return _interp(self._ref_plane(comp, l), x >> ssx, y >> ssy,
+                           w >> ssx, h >> ssy, int(mvs[l][0]), int(mvs[l][1]),
+                           fbx, fby, taps, ftab, bd, is_last=True)
         preds = [
-            _interp(plane, x >> ssx, y >> ssy, w >> ssx, h >> ssy,
-                    int(mvs[l][0]), int(mvs[l][1]), fbx, fby, taps, ftab,
-                    bd, is_last=False) for l in range(2)]
+            _interp(self._ref_plane(comp, l), x >> ssx, y >> ssy,
+                    w >> ssx, h >> ssy, int(mvs[l][0]), int(mvs[l][1]),
+                    fbx, fby, taps, ftab, bd, is_last=False)
+            for l in range(2)]
         shift = IF_INTERNAL_PREC + 1 - bd
         off = (1 << (shift - 1)) + 2 * IF_OFFS
         return np.clip((preds[0] + preds[1] + off) >> shift,
@@ -226,26 +292,13 @@ class IntraEncoder:
 
     def _inter_pred(self, comp, x, y, w, h, mv):
         """Uni-L0 MC prediction block (final samples)."""
-        from ..hostdec.motion import _interp, LUMA_FILTER, CHROMA_FILTER
-        sps = self.sps
-        ssx = sps.chroma_shift_x() if comp else 0
-        ssy = sps.chroma_shift_y() if comp else 0
-        bd = sps.bit_depth_luma if comp == 0 else sps.bit_depth_chroma
-        rp = self._prev_ref
-        plane = rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
-        taps = 8 if comp == 0 else 4
-        ftab = LUMA_FILTER if comp == 0 else CHROMA_FILTER
-        fbx = 2 + (ssx if comp else 0)
-        fby = 2 + (ssy if comp else 0)
-        return _interp(plane, x >> ssx, y >> ssy, w >> ssx, h >> ssy,
-                       int(mv[0]), int(mv[1]), fbx, fby, taps, ftab, bd,
-                       is_last=True)
+        return self._pred_from_cand(comp, x, y, w, h, 1, [mv, (0, 0)])
 
     def _motion_search(self, x, y, size, pred_mv):
         """Integer full search around the predictor + quarter-pel refine."""
         sps, cfg = self.sps, self.cfg
         orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
-        plane = self._prev_ref.planes[0][:sps.height, :sps.width]
+        plane = self._ref_plane(0, 0)
         H, W = plane.shape
         R = cfg.search_range
         cx = min(max((pred_mv[0] + 2) >> 2, -R), R)

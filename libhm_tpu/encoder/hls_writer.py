@@ -156,8 +156,13 @@ def write_pps(cfg) -> bytes:
 
 
 def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
-                       rps_idx=0) -> BitWriter:
-    """Returns the writer positioned after the header (byte-aligned)."""
+                       rps_idx=0, rps=None) -> BitWriter:
+    """Returns the writer positioned after the header (byte-aligned).
+
+    rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
+    in the slice header (short_term_ref_pic_set with sps_flag=0); deltas
+    are used_by_curr=1. Otherwise the SPS set rps_idx is referenced.
+    """
     w = BitWriter()
     w.put(1)            # first_slice_segment_in_pic
     if 16 <= nal_type <= 23:
@@ -166,10 +171,28 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
     w.ue(slice_type)    # 0=B 1=P 2=I
     if nal_type not in (19, 20):
         w.put_bits(poc & ((1 << cfg.log2_max_poc_lsb) - 1), cfg.log2_max_poc_lsb)
-        w.put(1)        # short_term_ref_pic_set_sps_flag
-        import math
-        if len(cfg.st_rps) > 1:
-            w.put_bits(rps_idx, max(1, math.ceil(math.log2(len(cfg.st_rps)))))
+        if rps is not None:
+            w.put(0)    # short_term_ref_pic_set_sps_flag: explicit
+            if len(cfg.st_rps) > 0:
+                w.put(0)  # inter_ref_pic_set_prediction_flag
+            negs, poss = rps
+            w.ue(len(negs))
+            w.ue(len(poss))
+            prev = 0
+            for dp in sorted(negs, reverse=True):   # closest first
+                w.ue(prev - dp - 1)
+                prev = dp
+                w.put(1)    # used_by_curr
+            prev = 0
+            for dp in sorted(poss):
+                w.ue(dp - prev - 1)
+                prev = dp
+                w.put(1)
+        else:
+            w.put(1)    # short_term_ref_pic_set_sps_flag
+            import math
+            if len(cfg.st_rps) > 1:
+                w.put_bits(rps_idx, max(1, math.ceil(math.log2(len(cfg.st_rps)))))
         if cfg.tmvp:
             w.put(1)    # slice_temporal_mvp_enabled
     if cfg.sao:

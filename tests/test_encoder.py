@@ -147,3 +147,24 @@ def test_lowdelayB_encoder_roundtrip():
                            capture_output=True, text=True)
         os.unlink(bit)
         assert r.stdout.count("(OK)") == 4
+
+
+def test_randomaccess_encoder_roundtrip():
+    """Hierarchical-B GOP-4: reordered coding, explicit RPS, two ref lists."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(160, 96, 7)
+    enc = IntraEncoder(EncoderConfig(160, 96, qp=30, gop="randomaccess"))
+    stream = enc.encode_stream(frames)
+    outs = Decoder().decode_annexb(stream)
+    assert len(outs) == 7
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if os.path.exists(exe):
+        import tempfile
+        bit = tempfile.mktemp(suffix=".bin")
+        open(bit, "wb").write(stream)
+        r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        os.unlink(bit)
+        assert r.stdout.count("(OK)") == 7
+        assert "( B-SLICE" in r.stdout  # hierarchical Bs actually coded
