@@ -25,15 +25,16 @@ inline int Cabac::bin(uint8_t& state) {
     v = state & 1;
     state = kNextStateMps[state];
   }
-  while (range < 256) {
-    range <<= 1;
-    offset = (offset << 1) | readBit();
+  if (range < 256) {
+    int sh = __builtin_clz(range) - 23;  // doublings to reach >=256
+    range <<= sh;
+    offset = (offset << sh) | take(sh);
   }
   return v;
 }
 
 inline int Cabac::bypass() {
-  offset = (offset << 1) | readBit();
+  offset = (offset << 1) | take(1);
   if (offset >= range) { offset -= range; return 1; }
   return 0;
 }
@@ -41,9 +42,9 @@ inline int Cabac::bypass() {
 inline int Cabac::term() {
   range -= 2;
   if (offset >= range) return 1;
-  while (range < 256) {
+  if (range < 256) {
     range <<= 1;
-    offset = (offset << 1) | readBit();
+    offset = (offset << 1) | take(1);
   }
   return 0;
 }

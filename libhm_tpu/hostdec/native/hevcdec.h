@@ -161,22 +161,49 @@ struct SliceHeader {
 // ---------------------------------------------------------------------------
 // CABAC (spec-form bit-oriented engine, identical to hostdec/cabac.py)
 struct Cabac {
+  // bit feed: 64-bit MSB-first prefetch cache; reads past the end of the
+  // buffer return zero bits (the multi-slice overlap re-parse relies on
+  // well-defined over-reads)
   const uint8_t* data;
-  size_t pos, nbits;
+  size_t nbytes;
   uint32_t range, offset;
+  uint64_t cache = 0;
+  int cnt = 0;        // valid bits at the top of `cache`
+  size_t nextByte = 0;
 
-  void start(const uint8_t* d, size_t nbytes, size_t startBit) {
-    data = d; nbits = nbytes * 8; pos = startBit;
+  inline void refill() {
+    while (cnt <= 56) {
+      uint64_t b = nextByte < nbytes ? data[nextByte] : 0;
+      nextByte++;
+      cache |= b << (56 - cnt);
+      cnt += 8;
+    }
+  }
+  inline uint32_t take(int n) {  // n <= 32
+    if (cnt < n) refill();
+    uint32_t v = uint32_t(cache >> (64 - n));
+    cache <<= n;
+    cnt -= n;
+    return v;
+  }
+  size_t bitPos() const { return nextByte * 8 - size_t(cnt); }
+  void seekBit(size_t bit) {
+    nextByte = bit >> 3;
+    cache = 0;
+    cnt = 0;
+    refill();
+    int skip = int(bit & 7);
+    cache <<= skip;
+    cnt -= skip;
+  }
+  void start(const uint8_t* d, size_t nb, size_t startBit) {
+    data = d; nbytes = nb;
+    seekBit(startBit);
     range = 510;
-    offset = readBits(9);
+    offset = take(9);
   }
-  inline int readBit() {
-    if (pos >= nbits) { pos++; return 0; }
-    int b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
-    pos++;
-    return b;
-  }
-  uint32_t readBits(int n) { uint32_t v = 0; for (int i = 0; i < n; i++) v = (v << 1) | readBit(); return v; }
+  inline int readBit() { return int(take(1)); }
+  uint32_t readBits(int n) { return n ? take(n) : 0; }
   inline int bin(uint8_t& state);
   inline int bypass();
   uint32_t bypassN(int n) { uint32_t v = 0; for (int i = 0; i < n; i++) v = (v << 1) | bypass(); return v; }

@@ -771,7 +771,7 @@ void SliceParser::parsePcm(int x, int y, int log2size) {
   setRect8(pic->pcm, x, y, size, size, 1);
   setRect8(pic->intra_y, x, y, size, size, DC);
   setRect8(pic->intra_c, x, y, size, size, DC);
-  d.pos = (d.pos | 7) + 1;  // skip stop bit, byte-align
+  d.seekBit((d.bitPos() | 7) + 1);  // skip stop bit, byte-align
   int ncomp = sps->chroma_format_idc ? 3 : 1;
   for (int c = 0; c < ncomp; c++) {
     int sx = c ? sps->ssx() : 0, sy = c ? sps->ssy() : 0;
