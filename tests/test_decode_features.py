@@ -17,7 +17,8 @@ STREAMS = ["wp_lowdelayP_416x240", "dqp_intra_416x240",
            "pcm_intra_416x240", "depslices_416x240",
            "rext422_intra_416x240", "rext422_lowdelayP_416x240",
            "rext444_randomaccess_416x240", "mono_intra_416x240",
-           "main12_intra_416x240"]
+           "main12_intra_416x240", "cra_randomaccess_416x240",
+           "cra_start_416x240"]
 
 
 def decode_and_hash(name, parse, recon):
