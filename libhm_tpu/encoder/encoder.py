@@ -24,6 +24,48 @@ from .residual_enc import encode_residual
 from .transforms import forward_transform, quantize
 
 
+class _RecordingCabac:
+    """Captures the CU symbol stream of the decision pass so the final
+    bitstream pass can interleave SAO syntax (the HM compressSlice /
+    encodeSlice two-pass split). Decisions never read CABAC state, so
+    replaying (context-array, index, value) tuples through a fresh engine
+    is exact."""
+
+    def __init__(self):
+        self.ops = []
+        self.marks = []
+
+    def mark(self):
+        self.marks.append(len(self.ops))
+
+    def encode_bin(self, ctx, idx, v):
+        self.ops.append(("b", ctx, idx, v))
+
+    def encode_bypass(self, v):
+        self.ops.append(("p", v))
+
+    def encode_bypass_bins(self, v, n):
+        self.ops.append(("pn", v, n))
+
+    def encode_eg_k(self, v, k):
+        self.ops.append(("eg", v, k))
+
+    def encode_terminate(self, v):
+        pass
+
+    def replay(self, enc, lo, hi):
+        for op in self.ops[lo:hi]:
+            kind = op[0]
+            if kind == "b":
+                enc.encode_bin(op[1], op[2], op[3])
+            elif kind == "p":
+                enc.encode_bypass(op[1])
+            elif kind == "pn":
+                enc.encode_bypass_bins(op[1], op[2])
+            else:
+                enc.encode_eg_k(op[1], op[2])
+
+
 class _RefPic:
     """Reference picture entry for the encoder's one-deep DPB."""
     def __init__(self, poc, planes, sps):
@@ -68,7 +110,7 @@ class EncoderConfig:
         self.log2_max_poc_lsb = 8
         self.max_dec_pic_buffering = 2
         self.num_reorder_pics = 0
-        self.sao = 0
+        self.sao = 1
         self.deblock = True
         self.tmvp = 0
         self.strong_intra_smoothing = 0
@@ -233,19 +275,51 @@ class IntraEncoder:
 
         nctu_x = sps.pic_width_ctbs
         nctu_y = sps.pic_height_ctbs
-        last = nctu_x * nctu_y - 1
-        for addr in range(nctu_x * nctu_y):
-            cx = (addr % nctu_x) << sps.log2_ctb
-            cy = (addr // nctu_x) << sps.log2_ctb
-            self.encode_cqt(cx, cy, sps.log2_ctb, 0)
-            self.enc.encode_terminate(1 if addr == last else 0)
-        # the CABAC flush's final bit doubles as the rbsp stop bit; pad zeros
-        w.align_zero()
-        if cfg.deblock:
-            # in-loop deblocking on the encoder recon (same validated filter
-            # the decoder runs), so references and hashes match the decoder
-            from ..hostdec.loopfilter_np import deblock_picture
-            deblock_picture(self.recon, self.pic, sps, pps)
+        nctu = nctu_x * nctu_y
+        last = nctu - 1
+        if cfg.sao:
+            # pass 1: decide + record the CU symbol stream
+            rec = _RecordingCabac()
+            self.enc = rec
+            for addr in range(nctu):
+                rec.mark()
+                cx = (addr % nctu_x) << sps.log2_ctb
+                cy = (addr // nctu_x) << sps.log2_ctb
+                self.encode_cqt(cx, cy, sps.log2_ctb, 0)
+            rec.mark()
+            if cfg.deblock:
+                from ..hostdec.loopfilter_np import deblock_picture
+                deblock_picture(self.recon, self.pic, sps, pps)
+            self._estimate_sao()
+            from ..hostdec.loopfilter_np import sao_picture
+            sao_picture(self.recon, self.pic, sps, pps)
+            # pass 2: fresh contexts (same arrays: recorded ops reference
+            # them), SAO syntax + replay per CTU
+            fresh = make_context_bank(slice_type, cfg.qp, 0)
+            for k in self.bank:
+                self.bank[k][:] = fresh[k]
+            self.enc = CabacEncoder(w)
+            from .sao_enc import write_sao_ctu
+            enabled = [1, 1, 1] if sps.chroma_format_idc else [1, 0, 0]
+            for addr in range(nctu):
+                write_sao_ctu(self.enc, self.bank, self.pic, addr, nctu_x,
+                              enabled, sps)
+                rec.replay(self.enc, rec.marks[addr], rec.marks[addr + 1])
+                self.enc.encode_terminate(1 if addr == last else 0)
+            w.align_zero()
+        else:
+            for addr in range(nctu):
+                cx = (addr % nctu_x) << sps.log2_ctb
+                cy = (addr // nctu_x) << sps.log2_ctb
+                self.encode_cqt(cx, cy, sps.log2_ctb, 0)
+                self.enc.encode_terminate(1 if addr == last else 0)
+            # the CABAC flush's final bit doubles as the rbsp stop bit
+            w.align_zero()
+            if cfg.deblock:
+                # in-loop deblocking on the encoder recon (same validated
+                # filter the decoder runs)
+                from ..hostdec.loopfilter_np import deblock_picture
+                deblock_picture(self.recon, self.pic, sps, pps)
         W, H = sps.width, sps.height
         crop = []
         for c in range(3):
@@ -293,6 +367,63 @@ class IntraEncoder:
     def _inter_pred(self, comp, x, y, w, h, mv):
         """Uni-L0 MC prediction block (final samples)."""
         return self._pred_from_cand(comp, x, y, w, h, 1, [mv, (0, 0)])
+
+    # ------------------------------------------------------------------
+    def _estimate_sao(self):
+        """Fill pic.sao_* from per-CTU candidate gains (joint chroma type)."""
+        from .sao_enc import sao_candidates
+        sps, cfg, pic = self.sps, self.cfg, self.pic
+        lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        nctu_x = sps.pic_width_ctbs
+        for addr in range(sps.pic_size_ctbs):
+            cx = (addr % nctu_x) << sps.log2_ctb
+            cy = (addr // nctu_x) << sps.log2_ctb
+            cands = []
+            for c in range(3 if sps.chroma_format_idc else 1):
+                ssx = sps.chroma_shift_x() if c else 0
+                ssy = sps.chroma_shift_y() if c else 0
+                bd = cfg.bit_depth
+                W, H = sps.width >> ssx, sps.height >> ssy
+                x0, y0 = cx >> ssx, cy >> ssy
+                x1 = min(x0 + (sps.ctb_size >> ssx), W)
+                y1 = min(y0 + (sps.ctb_size >> ssy), H)
+                cands.append(sao_candidates(
+                    self.orig[c][:H, :W], self.recon[c][:H, :W],
+                    x0, y0, x1, y1, bd, lam))
+            best_t, best_g = None, 0.0
+            for t in ["bo"] + [f"eo{k}" for k in range(4)]:
+                g = cands[0][t][-1]
+                if g > best_g:
+                    best_t, best_g = t, g
+            if best_t is None:
+                pic.sao_type[addr, 0] = -1
+            elif best_t == "bo":
+                pos, ov, _ = cands[0]["bo"]
+                pic.sao_type[addr, 0] = 0
+                pic.sao_band_pos[addr, 0] = pos
+                pic.sao_offsets[addr, 0] = ov
+            else:
+                k = int(best_t[2:])
+                pic.sao_type[addr, 0] = 1 + k
+                pic.sao_offsets[addr, 0] = cands[0][best_t][0]
+            if sps.chroma_format_idc:
+                best_t, best_g = None, 0.0
+                for t in ["bo"] + [f"eo{k}" for k in range(4)]:
+                    g = cands[1][t][-1] + cands[2][t][-1]
+                    if g > best_g:
+                        best_t, best_g = t, g
+                for c in (1, 2):
+                    if best_t is None:
+                        pic.sao_type[addr, c] = -1
+                    elif best_t == "bo":
+                        pos, ov, _ = cands[c]["bo"]
+                        pic.sao_type[addr, c] = 0
+                        pic.sao_band_pos[addr, c] = pos
+                        pic.sao_offsets[addr, c] = ov
+                    else:
+                        k = int(best_t[2:])
+                        pic.sao_type[addr, c] = 1 + k
+                        pic.sao_offsets[addr, c] = cands[c][best_t][0]
 
     def _motion_search(self, x, y, size, pred_mv):
         """Integer full search around the predictor + quarter-pel refine."""

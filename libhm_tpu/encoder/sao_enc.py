@@ -1,0 +1,152 @@
+"""SAO parameter estimation + syntax writing (encoder side).
+
+Rebuild of the reference TEncSampleAdaptiveOffset (getStatistics /
+deriveOffsets / deriveModeNewRDO, TEncSampleAdaptiveOffset.cpp:312-662)
+with a direct SSE-gain decision instead of full RD: per CTU and component,
+evaluate band offset (best 4 consecutive bands) and the four edge-offset
+classes against the deblocked reconstruction, pick the highest
+lambda-penalised distortion gain. The chosen parameters go into the same
+PicSyntax sao_* arrays the decoder fills, so applying them reuses the
+validated loopfilter_np.sao_picture.
+
+Syntax mirrors hostdec.slicedec._parse_sao_ctu exactly.
+"""
+import numpy as np
+
+# offset signs per EO category as stored in pic.sao_offsets:
+# [cat -2, cat -1, cat +1, cat +2] -> [>=0, >=0, <=0, <=0]
+EO_NEIGHBORS = {
+    1: ((0, -1), (0, 1)),
+    2: ((-1, 0), (1, 0)),
+    3: ((-1, -1), (1, 1)),
+    4: ((-1, 1), (1, -1)),
+}
+
+
+def _gain(e, n, off):
+    # SSE reduction when adding `off` to n samples with error sum e
+    return 2 * off * e - off * off * n
+
+
+def _best_offset(e, n, maxq, positive):
+    if n == 0:
+        return 0, 0
+    off = int(round(e / n))
+    off = max(0, min(maxq, off)) if positive else min(0, max(-maxq, off))
+    return off, _gain(e, n, off)
+
+
+def sao_candidates(orig, dbf, x0, y0, x1, y1, bd, lam):
+    """Per-type SAO candidates for one CTU region of one component.
+
+    Returns {"bo": (band_pos, offsets, net_gain),
+             "eo<k>": (offsets, net_gain) for k in 0..3}
+    with SIGNED offsets in the decoder storage layout; net gains are
+    lambda-penalised SSE reductions (positive = better than off).
+    """
+    o = orig[y0:y1, x0:x1].astype(np.int64)
+    d = dbf[y0:y1, x0:x1].astype(np.int64)
+    diff = o - d
+    maxq = (1 << (min(bd, 10) - 5)) - 1
+    out = {}
+
+    # --- band offset
+    bands = (d >> (bd - 5)).astype(np.int64)
+    e = np.zeros(32)
+    n = np.zeros(32)
+    np.add.at(e, bands.ravel(), diff.ravel())
+    np.add.at(n, bands.ravel(), 1)
+    offs = np.clip(np.round(np.divide(e, np.maximum(n, 1))),
+                   -maxq, maxq).astype(np.int64)
+    gains = 2 * offs * e - offs * offs * n
+    best_bo = (0, [0, 0, 0, 0], -1e18)
+    for pos in range(32):
+        idx = [(pos + i) % 32 for i in range(4)]
+        ov = [int(offs[i]) for i in idx]
+        bits = 4 + 5 + sum(abs(v) + 1 for v in ov)
+        g = float(gains[idx].sum()) - lam * bits
+        if g > best_bo[2]:
+            best_bo = (pos, ov, g)
+    out["bo"] = best_bo
+
+    # --- edge offset classes (classification on the deblocked samples)
+    H, W = dbf.shape
+    for t in range(1, 5):
+        (dy1, dx1), (dy2, dx2) = EO_NEIGHBORS[t]
+        yy0 = max(y0, max(0, -min(dy1, dy2)))
+        yy1 = min(y1, H - max(0, max(dy1, dy2)))
+        xx0 = max(x0, max(0, -min(dx1, dx2)))
+        xx1 = min(x1, W - max(0, max(dx1, dx2)))
+        if yy1 <= yy0 or xx1 <= xx0:
+            out[f"eo{t-1}"] = ([0, 0, 0, 0], -1e18)
+            continue
+        v = dbf[yy0:yy1, xx0:xx1].astype(np.int64)
+        n1 = dbf[yy0 + dy1:yy1 + dy1, xx0 + dx1:xx1 + dx1].astype(np.int64)
+        n2 = dbf[yy0 + dy2:yy1 + dy2, xx0 + dx2:xx1 + dx2].astype(np.int64)
+        et = np.sign(v - n1) + np.sign(v - n2)
+        dd = (orig[yy0:yy1, xx0:xx1].astype(np.int64) - v)
+        ov = [0, 0, 0, 0]
+        g = 0.0
+        for ci, (cat, positive) in enumerate(((-2, True), (-1, True),
+                                              (1, False), (2, False))):
+            m = et == cat
+            off, gn = _best_offset(float(dd[m].sum()), int(m.sum()), maxq,
+                                   positive)
+            ov[ci] = off
+            g += gn
+        bits = 4 + 2 + sum(abs(vv) + 1 for vv in ov)
+        out[f"eo{t-1}"] = (ov, g - lam * bits)
+    return out
+
+
+def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps):
+    """Mirror of _parse_sao_ctu for one CTU's chosen parameters."""
+    def params_equal(a, b):
+        return all(
+            pic.sao_type[a, c] == pic.sao_type[b, c] and
+            pic.sao_band_pos[a, c] == pic.sao_band_pos[b, c] and
+            (pic.sao_offsets[a, c] == pic.sao_offsets[b, c]).all()
+            for c in range(3) if enabled[c])
+
+    can_left = addr % wc > 0
+    can_up = addr // wc > 0
+    merge_left = can_left and params_equal(addr, addr - 1)
+    if can_left:
+        enc.encode_bin(bank["sao_merge"], 0, 1 if merge_left else 0)
+    if merge_left:
+        return
+    merge_up = can_up and params_equal(addr, addr - wc)
+    if can_up:
+        enc.encode_bin(bank["sao_merge"], 0, 1 if merge_up else 0)
+    if merge_up:
+        return
+
+    max_q_l = (1 << (min(sps.bit_depth_luma, 10) - 5)) - 1
+    max_q_c = (1 << (min(sps.bit_depth_chroma, 10) - 5)) - 1
+    for c in range(3):
+        if not enabled[c]:
+            continue
+        t = int(pic.sao_type[addr, c])
+        if c <= 1:
+            enc.encode_bin(bank["sao_type"], 0, 0 if t < 0 else 1)
+            if t >= 0:
+                enc.encode_bypass(0 if t == 0 else 1)
+        if t < 0:
+            continue
+        maxq = max_q_l if c == 0 else max_q_c
+        offs = [int(v) for v in pic.sao_offsets[addr, c]]
+        mags = [abs(v) for v in offs]
+        for m in mags:
+            # truncated unary, max maxq
+            for k in range(m):
+                enc.encode_bypass(1)
+            if m < maxq:
+                enc.encode_bypass(0)
+        if t == 0:  # BO: signs then band position
+            for i in range(4):
+                if mags[i]:
+                    enc.encode_bypass(1 if offs[i] < 0 else 0)
+            enc.encode_bypass_bins(int(pic.sao_band_pos[addr, c]), 5)
+        else:       # EO: class for luma / first chroma only
+            if c <= 1:
+                enc.encode_bypass_bins(t - 1, 2)
