@@ -25,6 +25,9 @@ def main(argv=None):
     ap.add_argument("--gop", choices=["intra", "lowdelayP", "lowdelayB", "randomaccess"], default="intra",
                     help="GOP structure: all-intra or IDR + low-delay P")
     ap.add_argument("--search-range", type=int, default=8)
+    ap.add_argument("--rate", type=int, default=None,
+                    help="target bitrate in kbps (R-lambda rate control)")
+    ap.add_argument("-fr", "--frame-rate", type=float, default=30.0)
     args = ap.parse_args(argv)
 
     from ..encoder.encoder import IntraEncoder, EncoderConfig
@@ -40,7 +43,9 @@ def main(argv=None):
     t0 = time.monotonic()
     enc = IntraEncoder(EncoderConfig(w, h, qp=args.qp, cu_size=args.cu_size,
                                      gop=args.gop,
-                                     search_range=args.search_range))
+                                     search_range=args.search_range,
+                                     rate_kbps=args.rate,
+                                     fps=args.frame_rate))
     stream = enc.encode_stream(frames)
     dt = time.monotonic() - t0
     open(args.bitstream, "wb").write(stream)

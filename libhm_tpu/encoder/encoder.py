@@ -24,6 +24,61 @@ from .residual_enc import encode_residual
 from .transforms import forward_transform, quantize
 
 
+class RateControl:
+    """Simplified R-lambda rate control (reference TEncRateCtrl.cpp:629-
+    1119): lambda = alpha * bpp^beta, QP = 4.2005 ln(lambda) + 13.7122,
+    with LMS updates of (alpha, beta) from the achieved bits per picture.
+    Operates at picture granularity (no per-LCU budget this round)."""
+
+    # HM model seeds (TEncRateCtrl ALPHA/BETA, intra variants)
+    def __init__(self, target_kbps, fps, width, height):
+        import math
+        self.math = math
+        self.target_bpp = target_kbps * 1000.0 / fps / (width * height)
+        self.alpha = 3.2003
+        self.beta = -1.367
+        self.alpha_i = 6.7542
+        self.beta_i = -1.7860
+        self.lr_a = 0.25
+        self.lr_b = 0.08
+        self.np = width * height
+        self.debt = 0.0   # virtual buffer: accumulated excess bits
+
+    def pic_qp(self, is_intra=False):
+        m = self.math
+        a, b = (self.alpha_i, self.beta_i) if is_intra else             (self.alpha, self.beta)
+        lam = a * self.target_bpp ** b
+        qp = 4.2005 * m.log(max(lam, 1e-3)) + 13.7122
+        # virtual-buffer feedback: spend down accumulated overshoot
+        target_bits = self.np * self.target_bpp
+        if self.debt > 0:
+            qp += min(8.0, 2.0 * m.log2(1.0 + self.debt / (4 * target_bits)))
+        else:
+            qp -= min(4.0, 2.0 * m.log2(1.0 - self.debt / (8 * target_bits)))
+        self._is_intra = is_intra
+        self._lam_used = max(lam, 1e-3)
+        return min(51, max(0, int(round(qp))))
+
+    def update(self, actual_bits):
+        m = self.math
+        self.debt += actual_bits - self.np * self.target_bpp
+        bpp = max(actual_bits / self.np, 1e-6)
+        if self._is_intra:
+            lam_comp = self.alpha_i * bpp ** self.beta_i
+            delta = m.log(self._lam_used) - m.log(max(lam_comp, 1e-6))
+            self.alpha_i = min(500.0, max(0.05,
+                                          self.alpha_i * m.exp(self.lr_a * delta)))
+            self.beta_i = min(-0.1, max(-3.0,
+                                        self.beta_i + self.lr_b * delta * m.log(bpp)))
+            return
+        lam_comp = self.alpha * bpp ** self.beta
+        delta = m.log(self._lam_used) - m.log(max(lam_comp, 1e-6))
+        self.alpha *= m.exp(self.lr_a * delta)
+        self.alpha = min(500.0, max(0.05, self.alpha))
+        self.beta += self.lr_b * delta * m.log(bpp)
+        self.beta = min(-0.1, max(-3.0, self.beta))
+
+
 class _RecordingCabac:
     """Captures the CU symbol stream of the decision pass so the final
     bitstream pass can interleave SAO syntax (the HM compressSlice /
@@ -95,7 +150,7 @@ class _PSliceHeader:
 
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32,
-                 gop="intra", search_range=8):
+                 gop="intra", search_range=8, rate_kbps=None, fps=30.0):
         self.width = width
         self.height = height
         self.qp = qp
@@ -121,6 +176,8 @@ class EncoderConfig:
         self.cu_size = cu_size
         self.gop = gop
         self.search_range = search_range
+        self.rate_kbps = rate_kbps  # per-picture R-lambda rate control
+        self.fps = fps
         if gop in ("lowdelayP", "lowdelayB"):
             self.st_rps = [[-1]]
             self.max_dec_pic_buffering = 3
@@ -167,6 +224,10 @@ class IntraEncoder:
         out += nal_unit(34, write_pps(cfg))
         self._prev_ref = None
         self._dpb = {}
+        self._rc = None
+        if cfg.rate_kbps:
+            self._rc = RateControl(cfg.rate_kbps, cfg.fps, cfg.width,
+                                   cfg.height)
         if cfg.gop == "randomaccess":
             for item in self._ra_schedule(len(frames)):
                 poc, nal_type, slice_type, l0, l1, rps = item
@@ -174,8 +235,12 @@ class IntraEncoder:
                                         [self._dpb[p] for p in l1]]
                 if l0:
                     self._prev_ref = self._ref_lists_pics[0][0]
+                if self._rc:
+                    self.cur_qp = self._rc.pic_qp(slice_type == 2)
                 slice_rbsp, recon = self.encode_picture(
                     frames[poc], poc, nal_type, slice_type, rps=rps)
+                if self._rc:
+                    self._rc.update(len(slice_rbsp) * 8)
                 out += nal_unit(nal_type, slice_rbsp)
                 out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
                 self._dpb[poc] = _RefPic(poc, [r.copy() for r in self.recon],
@@ -193,8 +258,12 @@ class IntraEncoder:
             else:
                 nal_type, slice_type = 19, 2     # IDR_W_RADL, I
                 poc = poc if inter_gop else 0
+            if self._rc:
+                self.cur_qp = self._rc.pic_qp(slice_type == 2)
             slice_rbsp, recon = self.encode_picture(frame, poc, nal_type,
                                                     slice_type)
+            if self._rc:
+                self._rc.update(len(slice_rbsp) * 8)
             out += nal_unit(nal_type, slice_rbsp)
             out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
             if inter_gop:
@@ -256,10 +325,14 @@ class IntraEncoder:
             self.recon.append(np.zeros_like(pl))
 
         self.slice_type = slice_type
-        w = write_slice_header(cfg, nal_type, poc, slice_type, cfg.qp,
+        qp_pic = getattr(self, "cur_qp", None)
+        if qp_pic is None:
+            qp_pic = cfg.qp
+        self.cur_qp = qp_pic
+        w = write_slice_header(cfg, nal_type, poc, slice_type, qp_pic,
                                rps=rps)
         self.enc = CabacEncoder(w)
-        self.bank = make_context_bank(slice_type, cfg.qp, 0)
+        self.bank = make_context_bank(slice_type, qp_pic, 0)
         if slice_type in (0, 1):
             self.sh = _PSliceHeader(poc, cfg, slice_type)
             from ..hostdec.motion import MotionDeriver
@@ -295,7 +368,7 @@ class IntraEncoder:
             sao_picture(self.recon, self.pic, sps, pps)
             # pass 2: fresh contexts (same arrays: recorded ops reference
             # them), SAO syntax + replay per CTU
-            fresh = make_context_bank(slice_type, cfg.qp, 0)
+            fresh = make_context_bank(slice_type, self.cur_qp, 0)
             for k in self.bank:
                 self.bank[k][:] = fresh[k]
             self.enc = CabacEncoder(w)
@@ -373,7 +446,7 @@ class IntraEncoder:
         """Fill pic.sao_* from per-CTU candidate gains (joint chroma type)."""
         from .sao_enc import sao_candidates
         sps, cfg, pic = self.sps, self.cfg, self.pic
-        lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        lam = 0.85 * 2.0 ** ((self.cur_qp - 12) / 3.0)
         nctu_x = sps.pic_width_ctbs
         for addr in range(sps.pic_size_ctbs):
             cx = (addr % nctu_x) << sps.log2_ctb
@@ -507,7 +580,7 @@ class IntraEncoder:
         pic.set_rect(pic.depth, x, y, size, size, depth)
         self._mark_edges(x, y, size)
         orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
-        lam = max(1, 1 << ((cfg.qp - 12) // 6))
+        lam = max(1, 1 << ((self.cur_qp - 12) // 6))
 
         # merge candidates (uni or bi; P slices clamp to L0 like the parser)
         best_m = None
@@ -590,7 +663,7 @@ class IntraEncoder:
                 ssy = sps.chroma_shift_y() if comp else 0
                 self.recon[comp][y >> ssy:(y >> ssy) + n,
                                  x >> ssx:(x >> ssx) + n] = preds[comp]
-            self.pic.set_rect(pic.qp, x, y, size, size, cfg.qp)
+            self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
             return
 
         enc.encode_bin(bank["pred_mode"], 0, 0)       # inter
@@ -641,7 +714,7 @@ class IntraEncoder:
                 rec_resi = 0
             self.recon[comp][cyp:cyp + n, cxp:cxp + n] = np.clip(
                 preds[comp] + rec_resi, 0, (1 << bd) - 1)
-        self.pic.set_rect(pic.qp, x, y, size, size, cfg.qp)
+        self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
 
     # ------------------------------------------------------------------
     def encode_cqt(self, x, y, log2size, depth):
@@ -799,14 +872,15 @@ class IntraEncoder:
                 elif abs(mode - 10) <= 4:
                     scan = SCAN_VER
             encode_residual(enc, bank, resids[comp], comp, scan)
-        self.pic.set_rect(pic.qp, x, y, size, size, cfg.qp)
+        self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
 
     def _qp_for_comp(self, comp):
         cfg, sps = self.cfg, self.sps
+        qp = self.cur_qp
         if comp == 0:
-            return cfg.qp + 6 * (cfg.bit_depth - 8)
+            return qp + 6 * (cfg.bit_depth - 8)
         off_bd = 6 * (cfg.bit_depth - 8)
-        qpi = max(-off_bd, min(57, cfg.qp))
+        qpi = max(-off_bd, min(57, qp))
         if qpi >= 0:
             qpi = CHROMA_QP_SCALE[sps.chroma_format_idc][qpi]
         return qpi + off_bd

@@ -168,3 +168,19 @@ def test_randomaccess_encoder_roundtrip():
         os.unlink(bit)
         assert r.stdout.count("(OK)") == 7
         assert "( B-SLICE" in r.stdout  # hierarchical Bs actually coded
+
+
+def test_rate_control_converges():
+    """R-lambda rate control reaches the target rate after model adaptation."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec import nal as N
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(160, 96, 13)
+    target = 1200
+    enc = IntraEncoder(EncoderConfig(160, 96, qp=32, gop="lowdelayP",
+                                     rate_kbps=target, fps=30.0))
+    stream = enc.encode_stream(frames)
+    Decoder().decode_annexb(stream)  # must stay decodable
+    sizes = [len(e) for e in N.split_annexb(stream) if (e[0] >> 1) & 0x3F < 32]
+    tail_kbps = sum(sizes[-6:]) * 8 * 30 / 6 / 1000
+    assert 0.6 * target < tail_kbps < 1.6 * target
