@@ -599,15 +599,25 @@ struct ReconCtx {
     int sh2; int32_t off2;
     if (isLast) { sh2 = 6 + hr; off2 = (1 << (sh2 - 1)) + (kIfOffs << 6); }
     else { sh2 = 6; off2 = 0; }
-    for (int j = 0; j < h; j++)
-      for (int i = 0; i < w; i++) {
-        int32_t acc = 0;
-        for (int k = 0; k < taps; k++)
-          acc += fv[k] * tmp[size_t(j + k) * w + i];
-        int v = int((acc + off2) >> sh2);
-        dst[int64_t(j) * dstStride + i] =
-            isLast ? clip3(0, maxv, v) : int32_t(v);
+    static thread_local int32_t vacc[64];
+    for (int j = 0; j < h; j++) {
+      // k-outer: inner i runs contiguous rows of tmp and vectorizes
+      const int32_t* t0 = tmp.data() + size_t(j) * w;
+      for (int i = 0; i < w; i++) vacc[i] = fv[0] * t0[i];
+      for (int k = 1; k < taps; k++) {
+        const int32_t* tk = tmp.data() + size_t(j + k) * w;
+        int32_t c = fv[k];
+        for (int i = 0; i < w; i++) vacc[i] += c * tk[i];
       }
+      if (isLast) {
+        for (int i = 0; i < w; i++)
+          dst[int64_t(j) * dstStride + i] =
+              clip3(0, maxv, (vacc[i] + off2) >> sh2);
+      } else {
+        for (int i = 0; i < w; i++)
+          dst[int64_t(j) * dstStride + i] = (vacc[i] + off2) >> sh2;
+      }
+    }
   }
 
   void interStage() {
