@@ -566,8 +566,112 @@ class IntraEncoder:
             ctx += 1
         return ctx
 
+    def _snapshot_motion(self, x, y, size):
+        pic = self.pic
+        sl = np.s_[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2]
+        return (pic.inter_dir[sl].copy(), pic.mv[sl].copy(),
+                pic.ref_idx[sl].copy(), pic.ref_poc[sl].copy(),
+                pic.ref_is_lt[sl].copy(), len(pic.inter_list))
+
+    def _restore_motion(self, x, y, size, snap):
+        pic = self.pic
+        sl = np.s_[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2]
+        (pic.inter_dir[sl], pic.mv[sl], pic.ref_idx[sl], pic.ref_poc[sl],
+         pic.ref_is_lt[sl]) = (snap[0], snap[1], snap[2], snap[3], snap[4])
+        del pic.inter_list[snap[5]:]
+
+    def _best_pu_motion(self, px, py, w, h, cx, cy, cu_size, pu_idx,
+                        part_size, lam):
+        """Decide one PU: best merge candidate vs ME/AMVP.
+
+        Returns (cost, desc) where desc = ("merge", idx, cand, dir) or
+        ("amvp", mv, mvd, mvp_idx). Does NOT write the motion maps.
+        """
+        from ..hostdec.picture import SIZE_2Nx2N
+        orig = self.orig[0][py:py + h, px:px + w].astype(np.int32)
+        best = None
+        for mi in range(self.cfg.max_merge_cand):
+            cand = self.motion.merge_candidates(px, py, w, h, cx, cy, cu_size,
+                                                pu_idx, part_size, mi)
+            dir_ = cand.inter_dir
+            if self.sh.num_ref_idx[1] == 0:
+                dir_ &= 1
+            if w + h == 12 and dir_ == 3:
+                dir_ = 1
+            if not dir_:
+                continue
+            pred = self._pred_from_cand(0, px, py, w, h, dir_, cand.mv)
+            cost = int(np.abs(pred - orig).sum()) + lam * (mi + 1)
+            if best is None or cost < best[0]:
+                best = (cost, ("merge", mi, cand, dir_))
+        amvp = self.motion.amvp_candidates(px, py, w, h, 0, 0)
+        mv, sad = self._motion_search_rect(px, py, w, h, amvp[0])
+        mvd0 = (mv[0] - amvp[0][0], mv[1] - amvp[0][1])
+        mvd1 = (mv[0] - amvp[1][0], mv[1] - amvp[1][1])
+        mvp_idx, mvd = (0, mvd0) if abs(mvd0[0]) + abs(mvd0[1]) <= \
+            abs(mvd1[0]) + abs(mvd1[1]) else (1, mvd1)
+        cost = sad + lam * (8 + abs(mvd[0]) + abs(mvd[1]))
+        if best is None or cost < best[0]:
+            best = (cost, ("amvp", mv, mvd, mvp_idx))
+        return best
+
+    def _apply_pu(self, desc, px, py, w, h, cx, cy, cu_size, pu_idx,
+                  part_size):
+        from ..hostdec.picture import SIZE_2Nx2N
+        if desc[0] == "merge":
+            self.motion.apply_merge(self.sd, px, py, w, h, desc[1],
+                                    cx, cy, cu_size, pu_idx)
+        else:
+            self.motion.apply_amvp(self.sd, px, py, w, h, 1, [0, -1],
+                                   [desc[2], (0, 0)], [desc[3], 0],
+                                   cx, cy, cu_size, pu_idx, part_size)
+
+    def _write_pu_syntax(self, desc):
+        enc, bank = self.enc, self.bank
+        if desc[0] == "merge":
+            enc.encode_bin(bank["merge_flag"], 0, 1)
+            self._write_merge_idx(desc[1])
+        else:
+            enc.encode_bin(bank["merge_flag"], 0, 0)
+            if self.slice_type == 0:
+                enc.encode_bin(bank["inter_dir"], self._cur_depth, 0)
+                enc.encode_bin(bank["inter_dir"], 4, 0)
+            self._write_mvd(desc[2])
+            enc.encode_bin(bank["mvp_idx"], 0, desc[3])
+
+    def _motion_search_rect(self, px, py, w, h, pred_mv):
+        """Integer full search + quarter-pel refine on a rectangle."""
+        sps, cfg = self.sps, self.cfg
+        orig = self.orig[0][py:py + h, px:px + w].astype(np.int32)
+        plane = self._ref_plane(0, 0)
+        H, W = plane.shape
+        R = cfg.search_range
+        cx = min(max((pred_mv[0] + 2) >> 2, -R), R)
+        cy = min(max((pred_mv[1] + 2) >> 2, -R), R)
+        best, bmv = 1 << 60, (0, 0)
+        for dy in range(cy - R, cy + R + 1):
+            ys0 = np.clip(np.arange(py + dy, py + dy + h), 0, H - 1)
+            for dx in range(cx - R, cx + R + 1):
+                xs0 = np.clip(np.arange(px + dx, px + dx + w), 0, W - 1)
+                cost = int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
+                if cost < best:
+                    best, bmv = cost, (dx << 2, dy << 2)
+        for step in (2, 1):
+            improved = True
+            while improved:
+                improved = False
+                for dmx, dmy in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                    mv = (bmv[0] + dmx, bmv[1] + dmy)
+                    pred = self._pred_from_cand(0, px, py, w, h, 1,
+                                                [mv, (0, 0)])
+                    cost = int(np.abs(pred - orig).sum())
+                    if cost < best:
+                        best, bmv, improved = cost, mv, True
+        return bmv, best
+
     def encode_cu_inter(self, x, y, log2size, depth):
-        """P-slice CU: skip / merge / AMVP / intra decision + syntax.
+        """Inter-slice CU: partition (2Nx2N / 2NxN / Nx2N) + per-PU
+        merge/skip/AMVP + intra fallback, then residual coding.
 
         Mirrors the decode-side syntax exactly (slicedec.parse_cu /
         _parse_pu / _parse_tt_root); motion candidates come from the SAME
@@ -575,74 +679,110 @@ class IntraEncoder:
         """
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
-        from ..hostdec.picture import MODE_INTER, SIZE_2Nx2N
+        from ..hostdec.picture import (MODE_INTER, MODE_INTRA, SIZE_2Nx2N,
+                                       SIZE_2NxN, SIZE_Nx2N)
+        from ..hostdec.slicedec import pu_partitions
         size = 1 << log2size
+        self._cur_depth = depth
         pic.set_rect(pic.depth, x, y, size, size, depth)
         self._mark_edges(x, y, size)
         orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
         lam = max(1, 1 << ((self.cur_qp - 12) // 6))
 
-        # merge candidates (uni or bi; P slices clamp to L0 like the parser)
-        best_m = None
-        for mi in range(cfg.max_merge_cand):
-            cand = self.motion.merge_candidates(x, y, size, size, x, y, size,
-                                                0, SIZE_2Nx2N, mi)
-            dir_ = cand.inter_dir
-            if self.sh.num_ref_idx[1] == 0:
-                dir_ &= 1
-            if not dir_:
-                continue
-            pred = self._pred_from_cand(0, x, y, size, size, dir_, cand.mv)
-            cost = int(np.abs(pred - orig).sum()) + lam * (mi + 1)
-            if best_m is None or cost < best_m[0]:
-                best_m = (cost, mi, cand, dir_)
-        # AMVP / motion estimation
-        amvp = self.motion.amvp_candidates(x, y, size, size, 0, 0)
-        mv, me_sad = self._motion_search(x, y, size, amvp[0])
-        mvd0 = (mv[0] - amvp[0][0], mv[1] - amvp[0][1])
-        mvd1 = (mv[0] - amvp[1][0], mv[1] - amvp[1][1])
-        bits0 = abs(mvd0[0]) + abs(mvd0[1])
-        bits1 = abs(mvd1[0]) + abs(mvd1[1])
-        mvp_idx, mvd = (0, mvd0) if bits0 <= bits1 else (1, mvd1)
-        cost_me = me_sad + lam * (8 + abs(mvd[0]) + abs(mvd[1]))
-        # intra cost
+        # ---- partition trials (PU1 candidates depend on PU0's motion, so
+        # each trial applies motion to the maps and restores afterwards)
+        parts = [SIZE_2Nx2N]
+        if log2size >= 4:
+            parts += [SIZE_2NxN, SIZE_Nx2N]
+        best_part = None
+        pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)
+        pic.set_rect(pic.skip, x, y, size, size, 0)
+        for part in parts:
+            pic.set_rect(pic.part_size, x, y, size, size, part)
+            snap = self._snapshot_motion(x, y, size)
+            descs, total = [], lam * (1 if part == SIZE_2Nx2N else 2)
+            for pu_idx, (dx, dy, w, h) in enumerate(pu_partitions(part, size)):
+                cost, desc = self._best_pu_motion(x + dx, y + dy, w, h,
+                                                  x, y, size, pu_idx, part,
+                                                  lam)
+                total += cost
+                descs.append(desc)
+                self._apply_pu(desc, x + dx, y + dy, w, h, x, y, size,
+                               pu_idx, part)
+            self._restore_motion(x, y, size, snap)
+            if best_part is None or total < best_part[0]:
+                best_part = (total, part, descs)
+
+        # ---- intra fallback
         best_mode, best_icost = 1, 1 << 60
         for mode in range(35):
             ipred = self._intra_pred(0, x, y, size, mode)
             c = int(np.abs(ipred - orig).sum())
             if c < best_icost:
                 best_icost, best_mode = c, mode
-        cost_i = best_icost + lam * 24
-
-        if cost_i < min(best_m[0], cost_me):
-            # intra CU inside P slice: skip=0, pred_mode=1, then intra body
+        if best_icost + lam * 24 < best_part[0]:
+            pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
             enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
             pic.set_rect(pic.skip, x, y, size, size, 0)
             enc.encode_bin(bank["pred_mode"], 0, 1)
             self.encode_cu(x, y, log2size, depth, _from_inter=True)
             return
 
-        use_merge = best_m[0] <= cost_me
-        if use_merge:
-            mdir = best_m[3]
-            mmvs = best_m[2].mv
-        else:
-            mdir, mmvs = 1, [mv, (0, 0)]
+        _, part, descs = best_part
+        pic.set_rect(pic.part_size, x, y, size, size, part)
+        pus = pu_partitions(part, size)
+        # apply the winning motion for real (maps + PU edge flags)
+        for pu_idx, (dx, dy, w, h) in enumerate(pus):
+            self._apply_pu(descs[pu_idx], x + dx, y + dy, w, h, x, y, size,
+                           pu_idx, part)
+            ef = pic.edge_flags
+            from ..hostdec.slicedec import EDGE_PU_LEFT, EDGE_PU_TOP
+            ef[(y + dy) >> 2:(y + dy + h) >> 2, (x + dx) >> 2] |= EDGE_PU_LEFT
+            ef[(y + dy) >> 2, (x + dx) >> 2:(x + dx + w) >> 2] |= EDGE_PU_TOP
 
-        # reconstruct prediction for all components, compute residual levels
-        preds, resids, cbfs = [], [], []
+        # ---- prediction for the whole CU
+        preds = []
+        for comp in range(3):
+            ssx = sps.chroma_shift_x() if comp else 0
+            ssy = sps.chroma_shift_y() if comp else 0
+            buf = np.zeros((size >> ssy, size >> ssx), np.int32)
+            for pu_idx, (dx, dy, w, h) in enumerate(pus):
+                desc = descs[pu_idx]
+                if desc[0] == "merge":
+                    cand, dir_ = desc[2], desc[3]
+                    mvs = cand.mv
+                else:
+                    dir_, mvs = 1, [desc[1], (0, 0)]
+                buf[dy >> ssy:(dy + h) >> ssy, dx >> ssx:(dx + w) >> ssx] = \
+                    self._pred_from_cand(comp, x + dx, y + dy, w, h, dir_,
+                                         mvs)
+            preds.append(buf)
+
+        if part == SIZE_2Nx2N:
+            self._encode_inter_res_2nx2n(x, y, log2size, descs[0], preds)
+        else:
+            self._encode_inter_res_split(x, y, log2size, descs, part, preds)
+
+    # ------------------------------------------------------------------
+    def _encode_inter_res_2nx2n(self, x, y, log2size, desc, preds):
+        """2Nx2N: single TU (the skip path lives here too)."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        from ..hostdec.tables import SCAN_DIAG
+        size = 1 << log2size
+        use_merge = desc[0] == "merge"
+        resids, cbfs = [], []
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
             n = size >> ssx
-            cxp, cyp = x >> ssx, y >> (sps.chroma_shift_y() if comp else 0)
-            pred = self._pred_from_cand(comp, x, y, size, size, mdir, mmvs)
+            cxp = x >> ssx
+            cyp = y >> (sps.chroma_shift_y() if comp else 0)
             orig_c = self.orig[comp][cyp:cyp + n, cxp:cxp + n].astype(np.int32)
-            resi = orig_c - pred
+            resi = orig_c - preds[comp]
             bd = cfg.bit_depth
             coef = forward_transform(resi, False, bd)
             qp = self._qp_for_comp(comp)
             lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
-            preds.append(pred)
             resids.append(lev)
             cbfs.append(1 if lev.any() else 0)
         any_cbf = cbfs[0] or cbfs[1] or cbfs[2]
@@ -650,61 +790,37 @@ class IntraEncoder:
 
         is_skip = use_merge and not any_cbf
         enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 1 if is_skip else 0)
-        pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)
-        pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
         pic.set_rect(pic.skip, x, y, size, size, 1 if is_skip else 0)
         if is_skip:
-            self._write_merge_idx(best_m[1])
-            self.motion.apply_merge(self.sd, x, y, size, size, best_m[1],
-                                    x, y, size, 0)
+            self._write_merge_idx(desc[1])
             for comp in range(3):
                 ssx = sps.chroma_shift_x() if comp else 0
-                n = size >> ssx
                 ssy = sps.chroma_shift_y() if comp else 0
+                n = size >> ssx
                 self.recon[comp][y >> ssy:(y >> ssy) + n,
                                  x >> ssx:(x >> ssx) + n] = preds[comp]
             self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
             return
 
-        enc.encode_bin(bank["pred_mode"], 0, 0)       # inter
-        enc.encode_bin(bank["part_size"], 0, 1)        # 2Nx2N
-        enc.encode_bin(bank["merge_flag"], 0, 1 if use_merge else 0)
-        if use_merge:
-            self._write_merge_idx(best_m[1])
-            self.motion.apply_merge(self.sd, x, y, size, size, best_m[1],
-                                    x, y, size, 0)
-        else:
-            if self.slice_type == 0:
-                # B slice: inter_dir (uni L0), ref_idx implicit (1 ref)
-                enc.encode_bin(bank["inter_dir"], depth, 0)  # not bi
-                enc.encode_bin(bank["inter_dir"], 4, 0)      # L0
-            self._write_mvd(mvd)
-            enc.encode_bin(bank["mvp_idx"], 0, mvp_idx)
-            self.motion.apply_amvp(self.sd, x, y, size, size, 1, [0, -1],
-                                   [mvd, (0, 0)], [mvp_idx, 0],
-                                   x, y, size, 0, SIZE_2Nx2N)
-
+        enc.encode_bin(bank["pred_mode"], 0, 0)
+        enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
+        self._write_pu_syntax(desc)
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
-        # merge 2Nx2N non-skip: rqt_root_cbf inferred 1 (spec 7.3.8.5) --
-        # guaranteed because is_skip would have been taken otherwise
-
         if any_cbf:
             enc.encode_bin(bank["qt_cbf"], 5, cbfs[1])
             enc.encode_bin(bank["qt_cbf"], 5, cbfs[2])
             if cbfs[1] or cbfs[2]:
                 enc.encode_bin(bank["qt_cbf"], 1, cbfs[0])
-            # else luma cbf inferred 1 (must hold: any_cbf and no chroma)
-            from ..hostdec.tables import SCAN_DIAG
             for comp in range(3):
                 if cbfs[comp]:
                     encode_residual(self.enc, bank, resids[comp], comp,
                                     SCAN_DIAG)
-        # reconstruct
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
+            ssy = sps.chroma_shift_y() if comp else 0
             n = size >> ssx
-            cxp, cyp = x >> ssx, y >> (sps.chroma_shift_y() if comp else 0)
+            cxp, cyp = x >> ssx, y >> ssy
             bd = cfg.bit_depth
             if cbfs[comp]:
                 qp = self._qp_for_comp(comp)
@@ -717,6 +833,99 @@ class IntraEncoder:
         self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
 
     # ------------------------------------------------------------------
+    def _encode_inter_res_split(self, x, y, log2size, descs, part, preds):
+        """Non-2Nx2N: forced TU quadtree (max_tr_hierarchy_inter == 0 --
+        the root splits into four leaves, reference xDecodeTransform's
+        interSplitFlag).  Requires CU size >= 16."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        from ..hostdec.tables import SCAN_DIAG
+        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
+        size = 1 << log2size
+        half = size >> 1
+        bd = cfg.bit_depth
+        # per-child levels: [child][comp]
+        child_lev = []
+        child_cbf = []
+        for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
+                                       (half, half))):
+            levs, cbfs = [], []
+            for comp in range(3):
+                ssx = sps.chroma_shift_x() if comp else 0
+                ssy = sps.chroma_shift_y() if comp else 0
+                n = half >> ssx
+                ox = (x + dx) >> ssx
+                oy = (y + dy) >> ssy
+                orig_c = self.orig[comp][oy:oy + n, ox:ox + n].astype(np.int32)
+                pred_c = preds[comp][dy >> ssy:(dy >> ssy) + n,
+                                     dx >> ssx:(dx >> ssx) + n]
+                coef = forward_transform(orig_c - pred_c, False, bd)
+                qp = self._qp_for_comp(comp)
+                lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
+                levs.append(lev)
+                cbfs.append(1 if lev.any() else 0)
+            child_lev.append(levs)
+            child_cbf.append(cbfs)
+        root_cb = 1 if any(c[1] for c in child_cbf) else 0
+        root_cr = 1 if any(c[2] for c in child_cbf) else 0
+        any_cbf = root_cb or root_cr or any(c[0] for c in child_cbf)
+
+        enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
+        pic.set_rect(pic.skip, x, y, size, size, 0)
+        enc.encode_bin(bank["pred_mode"], 0, 0)
+        # part_size bins: 2NxN -> [0,1]; Nx2N -> [0,0] (max_bits 2, AMP off)
+        from ..hostdec.picture import SIZE_2NxN
+        enc.encode_bin(bank["part_size"], 0, 0)
+        enc.encode_bin(bank["part_size"], 1, 1 if part == SIZE_2NxN else 0)
+        for desc in descs:
+            self._write_pu_syntax(desc)
+        # rqt_root_cbf always coded for non-2Nx2N (spec 7.3.8.5)
+        enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
+        if any_cbf:
+            # root (tr_depth 0): chroma cbfs; subdiv inferred
+            enc.encode_bin(bank["qt_cbf"], 5, root_cb)
+            enc.encode_bin(bank["qt_cbf"], 5, root_cr)
+            for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
+                                           (half, half))):
+                cbfs = child_cbf[ci]
+                if root_cb:
+                    enc.encode_bin(bank["qt_cbf"], 6, cbfs[1])
+                if root_cr:
+                    enc.encode_bin(bank["qt_cbf"], 6, cbfs[2])
+                enc.encode_bin(bank["qt_cbf"], 0, cbfs[0])  # tr_depth 1
+                for comp in range(3):
+                    if cbfs[comp] and (comp == 0 or
+                                       (root_cb if comp == 1 else root_cr)):
+                        encode_residual(self.enc, bank, child_lev[ci][comp],
+                                        comp, SCAN_DIAG)
+        # recon + cbf map + TU edge flags per child
+        ef = pic.edge_flags
+        for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
+                                       (half, half))):
+            cx0, cy0 = x + dx, y + dy
+            ef[cy0 >> 2:(cy0 + half) >> 2, cx0 >> 2] |= EDGE_TU_LEFT
+            ef[cy0 >> 2, cx0 >> 2:(cx0 + half) >> 2] |= EDGE_TU_TOP
+            pic.set_rect(pic.cbf_y, cx0, cy0, half, half, child_cbf[ci][0])
+            for comp in range(3):
+                ssx = sps.chroma_shift_x() if comp else 0
+                ssy = sps.chroma_shift_y() if comp else 0
+                n = half >> ssx
+                ox, oy = cx0 >> ssx, cy0 >> ssy
+                cbf_ok = child_cbf[ci][comp] and \
+                    (comp == 0 or (root_cb if comp == 1 else root_cr))
+                pred_c = preds[comp][dy >> ssy:(dy >> ssy) + n,
+                                     dx >> ssx:(dx >> ssx) + n]
+                if cbf_ok:
+                    qp = self._qp_for_comp(comp)
+                    deq = refimpl.dequant(child_lev[ci][comp], qp,
+                                          n.bit_length() - 1, bd)
+                    rec_resi = refimpl.inverse_transform(deq, False, bd)
+                else:
+                    rec_resi = 0
+                self.recon[comp][oy:oy + n, ox:ox + n] = np.clip(
+                    pred_c + rec_resi, 0, (1 << bd) - 1)
+        self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+
     def encode_cqt(self, x, y, log2size, depth):
         sps, pic, enc, bank = self.sps, self.pic, self.enc, self.bank
         size = 1 << log2size
