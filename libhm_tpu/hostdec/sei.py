@@ -106,3 +106,110 @@ def verify_picture_hash(planes, bit_depths, dph: DecodedPictureHash) -> bool:
         if i >= len(dph.digests) or got != dph.digests[i]:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Typed payload decoders (reference SEIread.cpp xParseSEIxxx) for the
+# payloads the reference decoder consumes; others stay available as raw
+# (type, bytes) from parse_sei_rbsp.
+class _Bits:
+    def __init__(self, data):
+        self.d = data
+        self.p = 0
+
+    def u(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((self.d[self.p >> 3] >> (7 - (self.p & 7))) & 1)
+            self.p += 1
+        return v
+
+    def ue(self):
+        z = 0
+        while self.u(1) == 0 and self.p < len(self.d) * 8:
+            z += 1
+        return (1 << z) - 1 + (self.u(z) if z else 0)
+
+    def se(self):
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+
+class RecoveryPoint:
+    def __init__(self, payload):
+        b = _Bits(payload)
+        self.recovery_poc_cnt = b.se()
+        self.exact_match = b.u(1)
+        self.broken_link = b.u(1)
+
+
+class ActiveParameterSets:
+    def __init__(self, payload):
+        b = _Bits(payload)
+        self.active_video_parameter_set_id = b.u(4)
+        self.self_contained_cvs = b.u(1)
+        self.no_parameter_set_update = b.u(1)
+        self.num_sps_ids_minus1 = b.ue()
+        self.active_seq_parameter_set_id = [
+            b.ue() for _ in range(self.num_sps_ids_minus1 + 1)]
+
+
+class UserDataUnregistered:
+    def __init__(self, payload):
+        self.uuid = payload[:16]
+        self.data = payload[16:]
+
+
+class MasteringDisplayColourVolume:
+    def __init__(self, payload):
+        b = _Bits(payload)
+        self.primaries = [(b.u(16), b.u(16)) for _ in range(3)]
+        self.white_point = (b.u(16), b.u(16))
+        self.max_luminance = b.u(32)
+        self.min_luminance = b.u(32)
+
+
+class TimeCode:
+    def __init__(self, payload):
+        b = _Bits(payload)
+        self.num_clock_ts = b.u(2)
+        self.clock_ts = []
+        for _ in range(self.num_clock_ts):
+            ts = {}
+            if b.u(1):  # clock_timestamp_flag
+                ts["units_field_based"] = b.u(1)
+                ts["counting_type"] = b.u(5)
+                full = b.u(1)
+                ts["discontinuity"] = b.u(1)
+                ts["cnt_dropped"] = b.u(1)
+                ts["n_frames"] = b.u(9)
+                if full:
+                    ts["seconds"] = b.u(6)
+                    ts["minutes"] = b.u(6)
+                    ts["hours"] = b.u(5)
+            self.clock_ts.append(ts)
+
+
+_PAYLOAD_CLASSES = {
+    SEI_DECODED_PICTURE_HASH: DecodedPictureHash,
+    SEI_RECOVERY_POINT: RecoveryPoint,
+    SEI_ACTIVE_PARAMETER_SETS: ActiveParameterSets,
+    SEI_USER_DATA_UNREGISTERED: UserDataUnregistered,
+    SEI_MASTERING_DISPLAY: MasteringDisplayColourVolume,
+    SEI_TIME_CODE: TimeCode,
+}
+
+
+def decode_sei_payloads(rbsp: bytes):
+    """Typed SEI decode: [(payload_type, object-or-raw-bytes)]."""
+    out = []
+    for ptype, payload in parse_sei_rbsp(rbsp):
+        cls = _PAYLOAD_CLASSES.get(ptype)
+        if cls is not None and payload:
+            try:
+                out.append((ptype, cls(payload)))
+                continue
+            except (IndexError, KeyError):
+                pass
+        out.append((ptype, payload))
+    return out

@@ -50,3 +50,22 @@ def test_convert_bitdepth_roundtrip(tmp_path):
     assert convert_bitdepth.main(["-i", str(dst), "-o", str(back),
                                   "--in-depth", "10", "--out-depth", "8"]) == 0
     assert (np.fromfile(back, np.uint8) == data).all()
+
+
+def test_sei_typed_decode():
+    from libhm_tpu.hostdec import nal as N, sei
+    data = open(os.path.join(ROOT, "testdata", "intra_64x64.bin"), "rb").read()
+    seen = []
+    for ebsp in N.split_annexb(data):
+        if (ebsp[0] >> 1) & 0x3F in (39, 40):
+            rbsp = N.parse_nal(bytes(ebsp)).rbsp
+            seen += sei.decode_sei_payloads(rbsp)
+    assert any(isinstance(o, sei.DecodedPictureHash) for _, o in seen)
+
+
+def test_coding_statistics():
+    from libhm_tpu.hostdec.stats import collect
+    data = open(os.path.join(ROOT, "testdata", "intra_64x64.bin"), "rb").read()
+    table = collect(data)
+    assert table["__total__"]["bins"] > 1000
+    assert "sig" in table and table["sig"]["bins"] > 0
