@@ -179,8 +179,10 @@ class EncoderConfig:
         self.rate_kbps = rate_kbps  # per-picture R-lambda rate control
         self.fps = fps
         if gop in ("lowdelayP", "lowdelayB"):
-            self.st_rps = [[-1]]
-            self.max_dec_pic_buffering = 3
+            self.st_rps = []          # explicit per-slice RPS
+            self.num_ref_l0 = 2
+            self.num_ref_l1 = 2 if gop == "lowdelayB" else 1
+            self.max_dec_pic_buffering = 4
             self.num_reorder_pics = 0
         elif gop == "randomaccess":
             self.st_rps = []
@@ -251,24 +253,32 @@ class IntraEncoder:
                                  if p in keep}
             return bytes(out)
         inter_gop = cfg.gop in ("lowdelayP", "lowdelayB")
+        refs = []                                # newest first
         for poc, frame in enumerate(frames):
+            rps = None
             if inter_gop and poc > 0:
                 nal_type = 1                     # TRAIL_R
                 slice_type = 1 if cfg.gop == "lowdelayP" else 0  # P / B
+                rps = ([r.poc - poc for r in refs], [])
+                l0 = list(refs)
+                self._ref_lists_pics = [
+                    l0, l0 if slice_type == 0 else []]
+                self._prev_ref = refs[0]
             else:
                 nal_type, slice_type = 19, 2     # IDR_W_RADL, I
                 poc = poc if inter_gop else 0
             if self._rc:
                 self.cur_qp = self._rc.pic_qp(slice_type == 2)
             slice_rbsp, recon = self.encode_picture(frame, poc, nal_type,
-                                                    slice_type)
+                                                    slice_type, rps=rps)
             if self._rc:
                 self._rc.update(len(slice_rbsp) * 8)
             out += nal_unit(nal_type, slice_rbsp)
             out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
             if inter_gop:
-                self._prev_ref = _RefPic(poc, [r.copy() for r in self.recon],
-                                         self.sps)
+                refs.insert(0, _RefPic(poc, [r.copy() for r in self.recon],
+                                       self.sps))
+                del refs[cfg.num_ref_l0:]
         return bytes(out)
 
     # ------------------------------------------------------------------
@@ -336,12 +346,23 @@ class IntraEncoder:
         if slice_type in (0, 1):
             self.sh = _PSliceHeader(poc, cfg, slice_type)
             from ..hostdec.motion import MotionDeriver
-            if getattr(self, "_ref_lists_pics", None) is not None and \
-                    self.cfg.gop == "randomaccess":
+            if getattr(self, "_ref_lists_pics", None) is not None:
                 lists = self._ref_lists_pics
             else:
                 lists = [[self._prev_ref],
                          [self._prev_ref] if slice_type == 0 else []]
+            # the decoder's default list construction repeats entries up to
+            # num_ref_idx_active (def[i % len]); mirror that
+            full = []
+            for l in range(2):
+                n_active = self.sh.num_ref_idx[l]
+                src_list = lists[l]
+                if src_list:
+                    full.append([src_list[i % len(src_list)]
+                                 for i in range(n_active)])
+                else:
+                    full.append([])
+            lists = full
             self.ref_pics = lists
             self.sd.sh = self.sh
             self.motion = MotionDeriver(self.sd, self.sh, lists)
@@ -402,15 +423,17 @@ class IntraEncoder:
         return w.data(), crop
 
     # ------------------------------------------------------------------
-    def _ref_plane(self, comp, l):
+    def _ref_plane(self, comp, l, ref_idx=0):
         sps = self.sps
         ssx = sps.chroma_shift_x() if comp else 0
         ssy = sps.chroma_shift_y() if comp else 0
-        rp = self.ref_pics[l][0] if getattr(self, "ref_pics", None) and \
-            self.ref_pics[l] else self._prev_ref
+        if getattr(self, "ref_pics", None) and self.ref_pics[l]:
+            rp = self.ref_pics[l][min(ref_idx, len(self.ref_pics[l]) - 1)]
+        else:
+            rp = self._prev_ref
         return rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
 
-    def _pred_from_cand(self, comp, x, y, w, h, dir_, mvs):
+    def _pred_from_cand(self, comp, x, y, w, h, dir_, mvs, ref_idx=(0, 0)):
         """Prediction for a merge candidate (uni L0/L1 or bi)."""
         from ..hostdec.motion import (_interp, LUMA_FILTER, CHROMA_FILTER,
                                       IF_INTERNAL_PREC, IF_OFFS)
@@ -424,11 +447,13 @@ class IntraEncoder:
         fby = 2 + (ssy if comp else 0)
         if dir_ != 3:
             l = 0 if dir_ == 1 else 1
-            return _interp(self._ref_plane(comp, l), x >> ssx, y >> ssy,
+            return _interp(self._ref_plane(comp, l, max(0, ref_idx[l])),
+                           x >> ssx, y >> ssy,
                            w >> ssx, h >> ssy, int(mvs[l][0]), int(mvs[l][1]),
                            fbx, fby, taps, ftab, bd, is_last=True)
         preds = [
-            _interp(self._ref_plane(comp, l), x >> ssx, y >> ssy,
+            _interp(self._ref_plane(comp, l, max(0, ref_idx[l])),
+                    x >> ssx, y >> ssy,
                     w >> ssx, h >> ssy, int(mvs[l][0]), int(mvs[l][1]),
                     fbx, fby, taps, ftab, bd, is_last=False)
             for l in range(2)]
@@ -600,7 +625,8 @@ class IntraEncoder:
                 dir_ = 1
             if not dir_:
                 continue
-            pred = self._pred_from_cand(0, px, py, w, h, dir_, cand.mv)
+            pred = self._pred_from_cand(0, px, py, w, h, dir_, cand.mv,
+                                        cand.ref_idx)
             cost = int(np.abs(pred - orig).sum()) + lam * (mi + 1)
             if best is None or cost < best[0]:
                 best = (cost, ("merge", mi, cand, dir_))
@@ -636,6 +662,8 @@ class IntraEncoder:
             if self.slice_type == 0:
                 enc.encode_bin(bank["inter_dir"], self._cur_depth, 0)
                 enc.encode_bin(bank["inter_dir"], 4, 0)
+            if self.sh.num_ref_idx[0] > 1:
+                enc.encode_bin(bank["ref_idx"], 0, 0)  # AMVP uses ref 0
             self._write_mvd(desc[2])
             enc.encode_bin(bank["mvp_idx"], 0, desc[3])
 
@@ -750,12 +778,12 @@ class IntraEncoder:
                 desc = descs[pu_idx]
                 if desc[0] == "merge":
                     cand, dir_ = desc[2], desc[3]
-                    mvs = cand.mv
+                    mvs, ridx = cand.mv, cand.ref_idx
                 else:
-                    dir_, mvs = 1, [desc[1], (0, 0)]
+                    dir_, mvs, ridx = 1, [desc[1], (0, 0)], (0, 0)
                 buf[dy >> ssy:(dy + h) >> ssy, dx >> ssx:(dx + w) >> ssx] = \
                     self._pred_from_cand(comp, x + dx, y + dy, w, h, dir_,
-                                         mvs)
+                                         mvs, ridx)
             preds.append(buf)
 
         if part == SIZE_2Nx2N:
