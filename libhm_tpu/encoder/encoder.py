@@ -122,11 +122,12 @@ class _RecordingCabac:
 
 
 class _RefPic:
-    """Reference picture entry for the encoder's one-deep DPB."""
-    def __init__(self, poc, planes, sps):
+    """Reference picture entry in the encoder DPB."""
+    def __init__(self, poc, planes, sps, pic_syntax=None):
         self.poc = poc
         self.planes = planes
         self.sps = sps
+        self.pic_syntax = pic_syntax   # maps for TMVP derivation
         self.is_long_term = False
 
 
@@ -179,12 +180,14 @@ class EncoderConfig:
         self.rate_kbps = rate_kbps  # per-picture R-lambda rate control
         self.fps = fps
         if gop in ("lowdelayP", "lowdelayB"):
+            self.tmvp = 1
             self.st_rps = []          # explicit per-slice RPS
             self.num_ref_l0 = 2
             self.num_ref_l1 = 2 if gop == "lowdelayB" else 1
             self.max_dec_pic_buffering = 4
             self.num_reorder_pics = 0
         elif gop == "randomaccess":
+            self.tmvp = 1
             self.st_rps = []
             self.max_dec_pic_buffering = 6
             self.num_reorder_pics = 3
@@ -246,7 +249,7 @@ class IntraEncoder:
                 out += nal_unit(nal_type, slice_rbsp)
                 out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
                 self._dpb[poc] = _RefPic(poc, [r.copy() for r in self.recon],
-                                         self.sps)
+                                         self.sps, self.pic)
                 if rps is not None:
                     keep = {poc} | {poc + d for d in rps[0] + rps[1]}
                     self._dpb = {p: r for p, r in self._dpb.items()
@@ -277,7 +280,7 @@ class IntraEncoder:
             out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
             if inter_gop:
                 refs.insert(0, _RefPic(poc, [r.copy() for r in self.recon],
-                                       self.sps))
+                                       self.sps, self.pic))
                 del refs[cfg.num_ref_l0:]
         return bytes(out)
 

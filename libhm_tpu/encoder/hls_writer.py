@@ -203,7 +203,10 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         if slice_type == 0:
             w.put(0)    # mvd_l1_zero
         if cfg.tmvp:
-            w.ue(0)     # collocated_ref_idx (from_l0 default 1 for P)
+            if slice_type == 0:
+                w.put(1)            # collocated_from_l0_flag
+            if cfg.num_ref_l0 > 1:  # collocated_ref_idx (from_l0 path)
+                w.ue(0)
         w.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
     w.se(slice_qp - cfg.qp)
     # deblocking control (none: pps says disabled/enabled w/o override)
