@@ -256,7 +256,7 @@ struct ReconCtx {
       v = v < lo ? lo : (v > hi ? hi : v);
       int64_t dq = int64_t(mat[i]) * scale;
       int64_t q = right > 0 ? (v * dq + (int64_t(1) << (right - 1))) >> right
-                            : (v * dq) << (-right);
+                            : (v * dq) * (int64_t(1) << (-right));
       out[i] = int32_t(q < tmin ? tmin : (q > tmax ? tmax : q));
     }
   }
@@ -284,7 +284,7 @@ struct ReconCtx {
       int64_t v = c[i];
       v = v < lo ? lo : (v > hi ? hi : v);
       int64_t q = right > 0 ? (v * scale + (int64_t(1) << (right - 1))) >> right
-                            : (v * scale) << (-right);
+                            : (v * scale) * (int64_t(1) << (-right));
       out[i] = int32_t(q < tmin ? tmin : (q > tmax ? tmax : q));
     }
   }
@@ -425,7 +425,7 @@ struct ReconCtx {
         int64_t x = out[i];
         int64_t y = tshift >= 0
             ? (x + (tshift == 0 ? 0 : (int64_t(1) << (tshift - 1)))) >> tshift
-            : x << (-tshift);
+            : x * (int64_t(1) << (-tshift));
         out[i] = int32_t(y < I16MIN ? I16MIN : (y > I16MAX ? I16MAX : y));
       }
       rdpcm(out, w, h, t.rdpcm);
@@ -1192,7 +1192,7 @@ struct ReconCtx {
                            : pps->sao_offset_scale_chroma;
         int offs[4];
         for (int i = 0; i < 4; i++)
-          offs[i] = pic->sao_offsets[(size_t(addr) * 3 + c) * 4 + i] << scale;
+          offs[i] = pic->sao_offsets[(size_t(addr) * 3 + c) * 4 + i] * (1 << scale);
         const int32_t* src = srcs[c].data();
         int32_t* dst = pic->plane[c].data();
         int64_t stride = planeW(c);
