@@ -16,24 +16,48 @@ def main(argv=None):
     ap.add_argument("-b", "--bitstream", required=True)
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--parse", choices=["python", "native"], default="native")
-    ap.add_argument("--recon", choices=["numpy", "tpu"], default="numpy")
+    ap.add_argument("--recon", choices=["numpy", "tpu", "native"],
+                    default="native")
     ap.add_argument("-t", "--max-temporal-layer", type=int, default=-1)
+    ap.add_argument("-d", "--output-bit-depth", type=int, default=0,
+                    help="0 = native bit depth")
+    ap.add_argument("--sei-check", action="store_true",
+                    help="verify decoded-picture-hash SEIs")
     args = ap.parse_args(argv)
 
+    import numpy as np
     from ..hostdec.decoder import Decoder
     data = open(args.bitstream, "rb").read()
     t0 = time.monotonic()
-    dec = Decoder(parse=args.parse, recon=args.recon)
+    dec = Decoder(parse=args.parse, recon=args.recon,
+                  check_sei_hash=args.sei_check)
     outs = dec.decode_annexb(data)
     dt = time.monotonic() - t0
     for i, rec in enumerate(dec.output_records):
-        print(f"POC {rec.poc:4d} TId: {rec.temporal_id}")
+        status = ""
+        if args.sei_check and rec.hash_status:
+            status = f" [{rec.hash_status}]"
+        print(f"POC {rec.poc:4d} TId: {rec.temporal_id}{status}")
     print(f"decoded {len(outs)} pictures in {dt:.3f}s ({len(outs)/dt:.2f} fps)")
     if args.output:
         with open(args.output, "wb") as f:
-            for pic in outs:
-                for plane in pic:
-                    plane.tofile(f)
+            for pic, rec in zip(outs, dec.output_records):
+                for c, plane in enumerate(pic):
+                    if args.output_bit_depth:
+                        src_bd = rec.sps.bit_depth_luma if c == 0 \
+                            else rec.sps.bit_depth_chroma
+                        shift = args.output_bit_depth - src_bd
+                        p = plane.astype(np.int32)
+                        if shift >= 0:
+                            p = p << shift
+                        else:
+                            p = (p + (1 << (-shift - 1))) >> (-shift)
+                        dt_out = np.uint8 if args.output_bit_depth <= 8 \
+                            else np.uint16
+                        np.clip(p, 0, (1 << args.output_bit_depth) - 1) \
+                            .astype(dt_out).tofile(f)
+                    else:
+                        plane.tofile(f)
     return 0
 
 
