@@ -151,12 +151,13 @@ class _PSliceHeader:
 
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32,
-                 gop="intra", search_range=8, rate_kbps=None, fps=30.0):
+                 gop="intra", search_range=8, rate_kbps=None, fps=30.0,
+                 chroma_format_idc=1):
         self.width = width
         self.height = height
         self.qp = qp
         self.bit_depth = bit_depth
-        self.chroma_format_idc = 1
+        self.chroma_format_idc = chroma_format_idc
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2

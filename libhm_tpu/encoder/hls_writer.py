@@ -26,8 +26,8 @@ def nal_unit(nal_type: int, rbsp: bytes, temporal_id: int = 0) -> bytes:
     return b"\x00\x00\x00\x01" + add_emulation_prevention(hdr + rbsp)
 
 
-def write_ptl(w: BitWriter, profile_idc=1):
-    # profile_idc: 1 = Main, 2 = Main10
+def write_ptl(w: BitWriter, profile_idc=1, cfg=None):
+    # profile_idc: 1 = Main, 2 = Main10, 4 = RExt
     w.put_bits(0, 2)            # profile_space
     w.put(0)                    # tier
     w.put_bits(profile_idc, 5)
@@ -37,12 +37,30 @@ def write_ptl(w: BitWriter, profile_idc=1):
     w.put(0)                    # interlaced
     w.put(1)                    # non_packed
     w.put(1)                    # frame_only
-    w.put_bits(0, 32)
-    w.put_bits(0, 12)           # 44 reserved bits
+    if profile_idc == 4 and cfg is not None:
+        # RExt constraint flags (Rec. A.3.5): max bit depth / chroma format
+        bd = cfg.bit_depth
+        fmt = cfg.chroma_format_idc
+        w.put(1 if bd <= 12 else 0)   # max_12bit
+        w.put(1 if bd <= 10 else 0)   # max_10bit
+        w.put(1 if bd <= 8 else 0)    # max_8bit
+        w.put(1 if fmt <= 2 else 0)   # max_422chroma
+        w.put(1 if fmt <= 1 else 0)   # max_420chroma
+        w.put(1 if fmt == 0 else 0)   # max_monochrome
+        w.put(0)                      # intra only
+        w.put(0)                      # one_picture_only
+        w.put(0)                      # lower_bit_rate
+        w.put_bits(0, 32)
+        w.put_bits(0, 3)              # remaining reserved (44 - 9 - 32)
+    else:
+        w.put_bits(0, 32)
+        w.put_bits(0, 12)             # 44 reserved bits
     w.put_bits(120, 8)          # level 4.0
 
 
 def _profile_idc(cfg):
+    if cfg.chroma_format_idc != 1:
+        return 4  # Format-range extensions
     return 2 if cfg.bit_depth > 8 else 1
 
 
@@ -54,7 +72,7 @@ def write_vps(cfg) -> bytes:
     w.put_bits(0, 3)    # max_sub_layers_minus1
     w.put(1)            # temporal_id_nesting
     w.put_bits(0xFFFF, 16)
-    write_ptl(w, _profile_idc(cfg))
+    write_ptl(w, _profile_idc(cfg), cfg)
     w.put(0)            # sub_layer_ordering_info_present
     w.ue(cfg.max_dec_pic_buffering - 1)
     w.ue(cfg.num_reorder_pics)
@@ -72,9 +90,11 @@ def write_sps(cfg) -> bytes:
     w.put_bits(0, 4)    # vps id
     w.put_bits(0, 3)    # max_sub_layers_minus1
     w.put(1)            # temporal_id_nesting
-    write_ptl(w, _profile_idc(cfg))
+    write_ptl(w, _profile_idc(cfg), cfg)
     w.ue(0)             # sps id
     w.ue(cfg.chroma_format_idc)
+    if cfg.chroma_format_idc == 3:
+        w.put(0)        # separate_colour_plane_flag
     w.ue(cfg.width)
     w.ue(cfg.height)
     w.put(0)            # conformance_window

@@ -424,9 +424,16 @@ def _fetch_block(plane, x0, y0, w, h):
 
 def _interp(plane, x, y, w, h, mvx, mvy, frac_bits_x, frac_bits_y, taps,
             filt_table, bd, is_last):
-    """Separable MC interpolation for one block/component."""
-    fx = mvx & ((1 << frac_bits_x) - 1)
-    fy = mvy & ((1 << frac_bits_y) - 1)
+    """Separable MC interpolation for one block/component.
+
+    The chroma filter table is eighth-pel; for 4:4:4 and the vertical axis
+    of 4:2:2 the fractional phase indexes it scaled by 2 (reference
+    TComInterpolationFilter.cpp:346 'frac << (1 - cs)').
+    """
+    ts_x = (3 - frac_bits_x) if taps == 4 else 0
+    ts_y = (3 - frac_bits_y) if taps == 4 else 0
+    fx = (mvx & ((1 << frac_bits_x) - 1)) << ts_x
+    fy = (mvy & ((1 << frac_bits_y) - 1)) << ts_y
     ix = x + (mvx >> frac_bits_x)
     iy = y + (mvy >> frac_bits_y)
     headroom = IF_INTERNAL_PREC - bd

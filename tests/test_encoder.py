@@ -184,3 +184,37 @@ def test_rate_control_converges():
     sizes = [len(e) for e in N.split_annexb(stream) if (e[0] >> 1) & 0x3F < 32]
     tail_kbps = sum(sizes[-6:]) * 8 * 30 / 6 / 1000
     assert 0.6 * target < tail_kbps < 1.6 * target
+
+
+def test_444_encoder_roundtrip():
+    """4:4:4 (RExt) encode: our decoder round-trips and HM verifies hashes.
+
+    Exercises the RExt PTL writer (profile_idc 4 + constraint flags,
+    TComSlice.h profile table), separate_colour_plane_flag signalling, and
+    the eighth-pel chroma MC phase scaling in the encoder prediction path
+    (TComInterpolationFilter.cpp:346).
+    """
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    rng = np.random.RandomState(7)
+    w, h, n = 64, 48, 3
+    base = rng.randint(0, 256, (3, h, w)).astype(np.int32)
+    frames = [tuple(np.clip(np.roll(base[c], i * 3, axis=1) +
+                            rng.randint(-2, 3, (h, w)), 0, 255).astype(np.uint8)
+                    for c in range(3)) for i in range(n)]
+    for gop in ("intra", "lowdelayP", "randomaccess"):
+        enc = IntraEncoder(EncoderConfig(w, h, qp=30, gop=gop,
+                                         chroma_format_idc=3))
+        stream = enc.encode_stream(frames)
+        outs = Decoder().decode_annexb(stream)
+        assert len(outs) == n
+        assert outs[0][1].shape == (h, w)  # full-res chroma
+        exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+        if os.path.exists(exe):
+            import tempfile
+            bit = tempfile.mktemp(suffix=".bin")
+            open(bit, "wb").write(stream)
+            r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                               capture_output=True, text=True)
+            os.unlink(bit)
+            assert r.stdout.count("(OK)") == n, (gop, r.stdout[-800:])
