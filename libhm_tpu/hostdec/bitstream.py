@@ -12,21 +12,23 @@ def strip_emulation_prevention(data: bytes) -> bytes:
     """EBSP -> RBSP: remove emulation_prevention_three_byte (00 00 03).
 
     Mirrors behavior of reference source/Lib/TLibDecoder/NALread.cpp:55.
+    The reference's sequential zero-counter is equivalent to a local test:
+    a 0x03 is removed iff it is preceded by a zero-run of length exactly 2
+    (the counter enters every zero-run at 0 because both nonzero bytes and
+    removed 0x03s reset it), so this vectorizes.
     """
-    out = bytearray()
-    zeros = 0
-    i = 0
     n = len(data)
-    while i < n:
-        b = data[i]
-        if zeros == 2 and b == 0x03:
-            zeros = 0
-            i += 1
-            continue
-        zeros = zeros + 1 if b == 0 else 0
-        out.append(b)
-        i += 1
-    return bytes(out)
+    if n < 3:
+        return bytes(data)
+    import numpy as np
+    d = np.frombuffer(data, np.uint8)
+    cand = (d[2:] == 3) & (d[1:-1] == 0) & (d[:-2] == 0)
+    if not cand.any():
+        return bytes(data)
+    rm = np.zeros(n, bool)
+    rm[2:] = cand
+    rm[3:] &= d[:-3] != 0  # zero-run longer than 2 -> counter != 2 -> keep
+    return d[~rm].tobytes()
 
 
 class BitReader:

@@ -471,12 +471,21 @@ struct ReconCtx {
                    int x, int y, int w, int h, int mvx, int mvy,
                    int fbx, int fby, int taps, bool isLuma, int bd,
                    bool isLast, int32_t* dst, int dstStride) {
-    if (taps == 8)
-      interpBlockT<8>(ref, refW, refH, stride, x, y, w, h, mvx, mvy, fbx,
-                      fby, isLuma, bd, isLast, dst, dstStride);
-    else
-      interpBlockT<4>(ref, refW, refH, stride, x, y, w, h, mvx, mvy, fbx,
-                      fby, isLuma, bd, isLast, dst, dstStride);
+    if (taps == 8) {
+      if (isLast)
+        interpBlockT<8, true>(ref, refW, refH, stride, x, y, w, h, mvx, mvy,
+                              fbx, fby, isLuma, bd, dst, dstStride);
+      else
+        interpBlockT<8, false>(ref, refW, refH, stride, x, y, w, h, mvx, mvy,
+                               fbx, fby, isLuma, bd, dst, dstStride);
+    } else {
+      if (isLast)
+        interpBlockT<4, true>(ref, refW, refH, stride, x, y, w, h, mvx, mvy,
+                              fbx, fby, isLuma, bd, dst, dstStride);
+      else
+        interpBlockT<4, false>(ref, refW, refH, stride, x, y, w, h, mvx, mvy,
+                               fbx, fby, isLuma, bd, dst, dstStride);
+    }
   }
 
   static int phaseShift(int taps, int fbits) {
@@ -485,11 +494,11 @@ struct ReconCtx {
     return taps == 4 ? 3 - fbits : 0;
   }
 
-  template <int taps>
+  template <int taps, bool isLast>
   void interpBlockT(const int32_t* ref, int refW, int refH, int64_t stride,
                     int x, int y, int w, int h, int mvx, int mvy,
                     int fbx, int fby, bool isLuma, int bd,
-                    bool isLast, int32_t* dst, int dstStride) {
+                    int32_t* dst, int dstStride) {
     int fx = (mvx & ((1 << fbx) - 1)) << phaseShift(taps, fbx);
     int fy = (mvy & ((1 << fby) - 1)) << phaseShift(taps, fby);
     int ix = x + (mvx >> fbx);
@@ -655,12 +664,13 @@ struct ReconCtx {
         if (bi && !useWp) {
           int shift = kIfPrec + 1 - bd;
           int off = (1 << (shift - 1)) + 2 * kIfOffs;
-          for (int j = 0; j < h; j++)
+          for (int j = 0; j < h; j++) {
+            const int32_t* a = p0.data() + size_t(j) * w;
+            const int32_t* b = p1.data() + size_t(j) * w;
+            int32_t* o = out + j * ostride;
             for (int i = 0; i < w; i++)
-              out[j * ostride + i] = clip3(
-                  0, maxv,
-                  int((int64_t(p0[size_t(j) * w + i]) + p1[size_t(j) * w + i] +
-                       off) >> shift));
+              o[i] = clip3(0, maxv, (a[i] + b[i] + off) >> shift);
+          }
         } else if (!useWp) {
           const int32_t* p = have[0] ? p0.data() : p1.data();
           for (int j = 0; j < h; j++)
@@ -712,12 +722,12 @@ struct ReconCtx {
       int32_t* pl = pic->plane[t.comp].data();
       int64_t stride = planeW(t.comp);
       const int32_t* r = &resPool[t.coeff_off];
-      for (int j = 0; j < t.h; j++)
-        for (int k = 0; k < t.w; k++) {
-          int64_t v = pl[(int64_t(t.y) + j) * stride + t.x + k] +
-                      r[size_t(j) * t.w + k];  // flat pool, TU-local raster
-          pl[(int64_t(t.y) + j) * stride + t.x + k] = clip3(0, maxv, int(v));
-        }
+      for (int j = 0; j < t.h; j++) {
+        int32_t* row = pl + (int64_t(t.y) + j) * stride + t.x;
+        const int32_t* rr = r + size_t(j) * t.w;  // flat pool, TU-local raster
+        for (int k = 0; k < t.w; k++)
+          row[k] = clip3(0, maxv, row[k] + rr[k]);
+      }
     }
   }
 
