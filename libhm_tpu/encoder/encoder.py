@@ -803,22 +803,29 @@ class IntraEncoder:
         from ..hostdec.tables import SCAN_DIAG
         size = 1 << log2size
         use_merge = desc[0] == "merge"
-        resids, cbfs = [], []
+        is422 = sps.chroma_format_idc == 2
+        resids, cbfs = [], []   # per comp: lists over square sub-TUs
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
+            ssy = sps.chroma_shift_y() if comp else 0
             n = size >> ssx
-            cxp = x >> ssx
-            cyp = y >> (sps.chroma_shift_y() if comp else 0)
-            orig_c = self.orig[comp][cyp:cyp + n, cxp:cxp + n].astype(np.int32)
-            resi = orig_c - preds[comp]
+            n_sub = 2 if (comp and is422) else 1
+            cxp, cyp = x >> ssx, y >> ssy
             bd = cfg.bit_depth
-            coef = forward_transform(resi, False, bd)
-            qp = self._qp_for_comp(comp)
-            lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
-            resids.append(lev)
-            cbfs.append(1 if lev.any() else 0)
-        any_cbf = cbfs[0] or cbfs[1] or cbfs[2]
-        pic.set_rect(pic.cbf_y, x, y, size, size, cbfs[0])
+            levs, cbf_subs = [], []
+            for s in range(n_sub):
+                orig_c = self.orig[comp][cyp + s * n:cyp + (s + 1) * n,
+                                         cxp:cxp + n].astype(np.int32)
+                resi = orig_c - preds[comp][s * n:(s + 1) * n]
+                coef = forward_transform(resi, False, bd)
+                qp = self._qp_for_comp(comp)
+                lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
+                levs.append(lev)
+                cbf_subs.append(1 if lev.any() else 0)
+            resids.append(levs)
+            cbfs.append(cbf_subs)
+        any_cbf = any(any(c) for c in cbfs)
+        pic.set_rect(pic.cbf_y, x, y, size, size, cbfs[0][0])
 
         is_skip = use_merge and not any_cbf
         enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 1 if is_skip else 0)
@@ -828,9 +835,9 @@ class IntraEncoder:
             for comp in range(3):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
-                n = size >> ssx
-                self.recon[comp][y >> ssy:(y >> ssy) + n,
-                                 x >> ssx:(x >> ssx) + n] = preds[comp]
+                nx, ny = size >> ssx, size >> ssy
+                self.recon[comp][y >> ssy:(y >> ssy) + ny,
+                                 x >> ssx:(x >> ssx) + nx] = preds[comp]
             self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
             return
 
@@ -840,28 +847,33 @@ class IntraEncoder:
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
         if any_cbf:
-            enc.encode_bin(bank["qt_cbf"], 5, cbfs[1])
-            enc.encode_bin(bank["qt_cbf"], 5, cbfs[2])
-            if cbfs[1] or cbfs[2]:
-                enc.encode_bin(bank["qt_cbf"], 1, cbfs[0])
+            for v in cbfs[1]:
+                enc.encode_bin(bank["qt_cbf"], 5, v)
+            for v in cbfs[2]:
+                enc.encode_bin(bank["qt_cbf"], 5, v)
+            if any(cbfs[1]) or any(cbfs[2]):
+                enc.encode_bin(bank["qt_cbf"], 1, cbfs[0][0])
             for comp in range(3):
-                if cbfs[comp]:
-                    encode_residual(self.enc, bank, resids[comp], comp,
-                                    SCAN_DIAG)
+                for s, lev in enumerate(resids[comp]):
+                    if cbfs[comp][s]:
+                        encode_residual(self.enc, bank, lev, comp, SCAN_DIAG)
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
             n = size >> ssx
             cxp, cyp = x >> ssx, y >> ssy
             bd = cfg.bit_depth
-            if cbfs[comp]:
-                qp = self._qp_for_comp(comp)
-                deq = refimpl.dequant(resids[comp], qp, n.bit_length() - 1, bd)
-                rec_resi = refimpl.inverse_transform(deq, False, bd)
-            else:
-                rec_resi = 0
-            self.recon[comp][cyp:cyp + n, cxp:cxp + n] = np.clip(
-                preds[comp] + rec_resi, 0, (1 << bd) - 1)
+            for s, lev in enumerate(resids[comp]):
+                if cbfs[comp][s]:
+                    qp = self._qp_for_comp(comp)
+                    deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
+                    rec_resi = refimpl.inverse_transform(deq, False, bd)
+                else:
+                    rec_resi = 0
+                self.recon[comp][cyp + s * n:cyp + (s + 1) * n,
+                                 cxp:cxp + n] = np.clip(
+                    preds[comp][s * n:(s + 1) * n] + rec_resi,
+                    0, (1 << bd) - 1)
         self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
 
     # ------------------------------------------------------------------
@@ -876,7 +888,9 @@ class IntraEncoder:
         size = 1 << log2size
         half = size >> 1
         bd = cfg.bit_depth
-        # per-child levels: [child][comp]
+        is422 = sps.chroma_format_idc == 2
+        # per-child levels: [child][comp][sub] (4:2:2 chroma TUs split into
+        # two square sub-TUs stacked vertically)
         child_lev = []
         child_cbf = []
         for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
@@ -886,21 +900,28 @@ class IntraEncoder:
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
                 n = half >> ssx
+                n_sub = 2 if (comp and is422) else 1
                 ox = (x + dx) >> ssx
                 oy = (y + dy) >> ssy
-                orig_c = self.orig[comp][oy:oy + n, ox:ox + n].astype(np.int32)
-                pred_c = preds[comp][dy >> ssy:(dy >> ssy) + n,
-                                     dx >> ssx:(dx >> ssx) + n]
-                coef = forward_transform(orig_c - pred_c, False, bd)
-                qp = self._qp_for_comp(comp)
-                lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
-                levs.append(lev)
-                cbfs.append(1 if lev.any() else 0)
+                sub_lev, sub_cbf = [], []
+                for s in range(n_sub):
+                    orig_c = self.orig[comp][oy + s * n:oy + (s + 1) * n,
+                                             ox:ox + n].astype(np.int32)
+                    pred_c = preds[comp][
+                        (dy >> ssy) + s * n:(dy >> ssy) + (s + 1) * n,
+                        dx >> ssx:(dx >> ssx) + n]
+                    coef = forward_transform(orig_c - pred_c, False, bd)
+                    qp = self._qp_for_comp(comp)
+                    lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
+                    sub_lev.append(lev)
+                    sub_cbf.append(1 if lev.any() else 0)
+                levs.append(sub_lev)
+                cbfs.append(sub_cbf)
             child_lev.append(levs)
             child_cbf.append(cbfs)
-        root_cb = 1 if any(c[1] for c in child_cbf) else 0
-        root_cr = 1 if any(c[2] for c in child_cbf) else 0
-        any_cbf = root_cb or root_cr or any(c[0] for c in child_cbf)
+        root_cb = 1 if any(any(c[1]) for c in child_cbf) else 0
+        root_cr = 1 if any(any(c[2]) for c in child_cbf) else 0
+        any_cbf = root_cb or root_cr or any(c[0][0] for c in child_cbf)
 
         enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
         pic.set_rect(pic.skip, x, y, size, size, 0)
@@ -914,22 +935,28 @@ class IntraEncoder:
         # rqt_root_cbf always coded for non-2Nx2N (spec 7.3.8.5)
         enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
         if any_cbf:
-            # root (tr_depth 0): chroma cbfs; subdiv inferred
+            # root (tr_depth 0): chroma cbfs; subdiv inferred.  The root
+            # chroma block can still quad-split, so 4:2:2 codes ONE combined
+            # bin here and two sub-TU bins at the leaves (_parse_cbf_chroma)
             enc.encode_bin(bank["qt_cbf"], 5, root_cb)
             enc.encode_bin(bank["qt_cbf"], 5, root_cr)
             for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
                                            (half, half))):
                 cbfs = child_cbf[ci]
                 if root_cb:
-                    enc.encode_bin(bank["qt_cbf"], 6, cbfs[1])
+                    for v in cbfs[1]:
+                        enc.encode_bin(bank["qt_cbf"], 6, v)
                 if root_cr:
-                    enc.encode_bin(bank["qt_cbf"], 6, cbfs[2])
-                enc.encode_bin(bank["qt_cbf"], 0, cbfs[0])  # tr_depth 1
+                    for v in cbfs[2]:
+                        enc.encode_bin(bank["qt_cbf"], 6, v)
+                enc.encode_bin(bank["qt_cbf"], 0, cbfs[0][0])  # tr_depth 1
                 for comp in range(3):
-                    if cbfs[comp] and (comp == 0 or
-                                       (root_cb if comp == 1 else root_cr)):
-                        encode_residual(self.enc, bank, child_lev[ci][comp],
-                                        comp, SCAN_DIAG)
+                    if comp and not (root_cb if comp == 1 else root_cr):
+                        continue
+                    for s, lev in enumerate(child_lev[ci][comp]):
+                        if cbfs[comp][s]:
+                            encode_residual(self.enc, bank, lev, comp,
+                                            SCAN_DIAG)
         # recon + cbf map + TU edge flags per child
         ef = pic.edge_flags
         for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
@@ -937,25 +964,27 @@ class IntraEncoder:
             cx0, cy0 = x + dx, y + dy
             ef[cy0 >> 2:(cy0 + half) >> 2, cx0 >> 2] |= EDGE_TU_LEFT
             ef[cy0 >> 2, cx0 >> 2:(cx0 + half) >> 2] |= EDGE_TU_TOP
-            pic.set_rect(pic.cbf_y, cx0, cy0, half, half, child_cbf[ci][0])
+            pic.set_rect(pic.cbf_y, cx0, cy0, half, half, child_cbf[ci][0][0])
             for comp in range(3):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
                 n = half >> ssx
                 ox, oy = cx0 >> ssx, cy0 >> ssy
-                cbf_ok = child_cbf[ci][comp] and \
-                    (comp == 0 or (root_cb if comp == 1 else root_cr))
-                pred_c = preds[comp][dy >> ssy:(dy >> ssy) + n,
-                                     dx >> ssx:(dx >> ssx) + n]
-                if cbf_ok:
-                    qp = self._qp_for_comp(comp)
-                    deq = refimpl.dequant(child_lev[ci][comp], qp,
-                                          n.bit_length() - 1, bd)
-                    rec_resi = refimpl.inverse_transform(deq, False, bd)
-                else:
-                    rec_resi = 0
-                self.recon[comp][oy:oy + n, ox:ox + n] = np.clip(
-                    pred_c + rec_resi, 0, (1 << bd) - 1)
+                for s, lev in enumerate(child_lev[ci][comp]):
+                    cbf_ok = child_cbf[ci][comp][s] and \
+                        (comp == 0 or (root_cb if comp == 1 else root_cr))
+                    pred_c = preds[comp][
+                        (dy >> ssy) + s * n:(dy >> ssy) + (s + 1) * n,
+                        dx >> ssx:(dx >> ssx) + n]
+                    if cbf_ok:
+                        qp = self._qp_for_comp(comp)
+                        deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
+                        rec_resi = refimpl.inverse_transform(deq, False, bd)
+                    else:
+                        rec_resi = 0
+                    self.recon[comp][oy + s * n:oy + (s + 1) * n,
+                                     ox:ox + n] = np.clip(
+                        pred_c + rec_resi, 0, (1 << bd) - 1)
         self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
 
     def encode_cqt(self, x, y, log2size, depth):
@@ -1068,51 +1097,74 @@ class IntraEncoder:
         pic.set_rect(pic.intra_c, x, y, size, size, mode)
 
         # --- transform + recon per component ---
-        # TU log2: luma TU == CU (within maxTB); chroma scaled
-        resids = []
-        cbfs = []
+        # TU log2: luma TU == CU (within maxTB); chroma scaled.  4:2:2
+        # chroma TUs are two square sub-TUs stacked vertically, predicted
+        # sequentially (the lower one from the upper one's recon) with the
+        # DM angle remapped (reference TComTU sections + TComPrediction's
+        # g_chroma422IntraAngleMappingTable)
+        from ..hostdec.slicedec import CHROMA422_ANGLE_MAP
+        is422 = sps.chroma_format_idc == 2
+        resids = []   # per comp: list of sub-TU level arrays
+        cbfs = []     # per comp: list of sub-TU cbfs
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
             n = size >> ssx
-            cx, cy = x >> ssx, y >> ssy
+            n_sub = 2 if (comp and is422) else 1
+            cx = x >> ssx
             cmode = mode
+            if comp and is422:
+                cmode = CHROMA422_ANGLE_MAP[mode]
             bd = cfg.bit_depth
-            pred = self._intra_pred(comp, cx, cy, n, cmode)
-            orig_c = self.orig[comp][cy:cy + n, cx:cx + n]
-            resi = (orig_c - pred).astype(np.int32)
-            use_dst = comp == 0 and n == 4
-            coef = forward_transform(resi, use_dst, bd)
-            qp = self._qp_for_comp(comp)
-            lev = quantize(coef, qp, n.bit_length() - 1, bd, True)
-            cbf = 1 if lev.any() else 0
-            if cbf:
-                deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
-                rec_resi = refimpl.inverse_transform(deq, use_dst, bd)
-            else:
-                rec_resi = np.zeros_like(resi)
-            self.recon[comp][cy:cy + n, cx:cx + n] = np.clip(
-                pred + rec_resi, 0, (1 << bd) - 1)
-            resids.append(lev)
-            cbfs.append(cbf)
+            levs, cbf_subs = [], []
+            for s in range(n_sub):
+                cy = (y >> ssy) + s * n
+                pred = self._intra_pred(comp, cx, cy, n, cmode)
+                orig_c = self.orig[comp][cy:cy + n, cx:cx + n]
+                resi = (orig_c - pred).astype(np.int32)
+                use_dst = comp == 0 and n == 4
+                coef = forward_transform(resi, use_dst, bd)
+                qp = self._qp_for_comp(comp)
+                lev = quantize(coef, qp, n.bit_length() - 1, bd, True)
+                cbf = 1 if lev.any() else 0
+                if cbf:
+                    deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
+                    rec_resi = refimpl.inverse_transform(deq, use_dst, bd)
+                else:
+                    rec_resi = np.zeros_like(resi)
+                self.recon[comp][cy:cy + n, cx:cx + n] = np.clip(
+                    pred + rec_resi, 0, (1 << bd) - 1)
+                levs.append(lev)
+                cbf_subs.append(cbf)
+            resids.append(levs)
+            cbfs.append(cbf_subs)
 
         # --- TT syntax: no subdiv flag at this profile; cbfs then residuals
-        enc.encode_bin(bank["qt_cbf"], 5 + 0, cbfs[1])
-        enc.encode_bin(bank["qt_cbf"], 5 + 0, cbfs[2])
-        enc.encode_bin(bank["qt_cbf"], 1, cbfs[0])
+        # (4:2:2 codes both sub-TU cbfs at the lowest level, mirroring
+        # _parse_cbf_chroma)
+        for v in cbfs[1]:
+            enc.encode_bin(bank["qt_cbf"], 5 + 0, v)
+        for v in cbfs[2]:
+            enc.encode_bin(bank["qt_cbf"], 5 + 0, v)
+        enc.encode_bin(bank["qt_cbf"], 1, cbfs[0][0])
         from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
         for comp in range(3):
-            if not cbfs[comp]:
-                continue
-            n = resids[comp].shape[0]
-            max_wh = 8 >> (sps.chroma_shift_x() if comp else 0)
-            scan = SCAN_DIAG
-            if n <= max_wh:
-                if abs(mode - 26) <= 4:
-                    scan = SCAN_HOR
-                elif abs(mode - 10) <= 4:
-                    scan = SCAN_VER
-            encode_residual(enc, bank, resids[comp], comp, scan)
+            ssx = sps.chroma_shift_x() if comp else 0
+            ssy = sps.chroma_shift_y() if comp else 0
+            smode = mode
+            if comp and is422:
+                smode = CHROMA422_ANGLE_MAP[mode]
+            for s, lev in enumerate(resids[comp]):
+                if not cbfs[comp][s]:
+                    continue
+                n = lev.shape[0]
+                scan = SCAN_DIAG
+                if n <= (8 >> ssx) and n <= (8 >> ssy):
+                    if abs(smode - 26) <= 4:
+                        scan = SCAN_HOR
+                    elif abs(smode - 10) <= 4:
+                        scan = SCAN_VER
+                encode_residual(enc, bank, lev, comp, scan)
         self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
 
     def _qp_for_comp(self, comp):

@@ -186,29 +186,38 @@ def test_rate_control_converges():
     assert 0.6 * target < tail_kbps < 1.6 * target
 
 
-def test_444_encoder_roundtrip():
-    """4:4:4 (RExt) encode: our decoder round-trips and HM verifies hashes.
+@pytest.mark.parametrize("idc", [2, 3])
+def test_rext_chroma_encoder_roundtrip(idc):
+    """4:2:2 / 4:4:4 (RExt) encode: decoder round-trip + HM hash verify.
 
     Exercises the RExt PTL writer (profile_idc 4 + constraint flags,
-    TComSlice.h profile table), separate_colour_plane_flag signalling, and
+    TComSlice.h profile table), separate_colour_plane_flag signalling,
     the eighth-pel chroma MC phase scaling in the encoder prediction path
-    (TComInterpolationFilter.cpp:346).
+    (TComInterpolationFilter.cpp:346), and for 4:2:2 the two-square-sub-TU
+    chroma transform structure with per-sub cbf bins and DM angle remap.
     """
     from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
     from libhm_tpu.hostdec.decoder import Decoder
     rng = np.random.RandomState(7)
     w, h, n = 64, 48, 3
-    base = rng.randint(0, 256, (3, h, w)).astype(np.int32)
-    frames = [tuple(np.clip(np.roll(base[c], i * 3, axis=1) +
-                            rng.randint(-2, 3, (h, w)), 0, 255).astype(np.uint8)
-                    for c in range(3)) for i in range(n)]
+    cw = w >> (1 if idc == 2 else 0)
+    baseY = rng.randint(0, 256, (h, w)).astype(np.int32)
+    baseC = rng.randint(0, 256, (2, h, cw)).astype(np.int32)
+    frames = []
+    for i in range(n):
+        y = np.clip(np.roll(baseY, i * 3, axis=1) +
+                    rng.randint(-2, 3, (h, w)), 0, 255).astype(np.uint8)
+        cs = [np.clip(np.roll(baseC[c], i, axis=1) +
+                      rng.randint(-2, 3, (h, cw)), 0, 255).astype(np.uint8)
+              for c in range(2)]
+        frames.append((y, cs[0], cs[1]))
     for gop in ("intra", "lowdelayP", "randomaccess"):
         enc = IntraEncoder(EncoderConfig(w, h, qp=30, gop=gop,
-                                         chroma_format_idc=3))
+                                         chroma_format_idc=idc))
         stream = enc.encode_stream(frames)
         outs = Decoder().decode_annexb(stream)
         assert len(outs) == n
-        assert outs[0][1].shape == (h, w)  # full-res chroma
+        assert outs[0][1].shape == (h, cw)
         exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
         if os.path.exists(exe):
             import tempfile
