@@ -152,7 +152,7 @@ class _PSliceHeader:
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32,
                  gop="intra", search_range=8, rate_kbps=None, fps=30.0,
-                 chroma_format_idc=1):
+                 chroma_format_idc=1, weighted_pred=False, rdoq=True):
         self.width = width
         self.height = height
         self.qp = qp
@@ -180,6 +180,8 @@ class EncoderConfig:
         self.search_range = search_range
         self.rate_kbps = rate_kbps  # per-picture R-lambda rate control
         self.fps = fps
+        self.weighted_pred = weighted_pred  # P-slice WP analysis
+        self.rdoq = rdoq  # rate-distortion optimized quantization
         if gop in ("lowdelayP", "lowdelayB"):
             self.tmvp = 1
             self.st_rps = []          # explicit per-slice RPS
@@ -343,10 +345,9 @@ class IntraEncoder:
         if qp_pic is None:
             qp_pic = cfg.qp
         self.cur_qp = qp_pic
-        w = write_slice_header(cfg, nal_type, poc, slice_type, qp_pic,
-                               rps=rps)
-        self.enc = CabacEncoder(w)
-        self.bank = make_context_bank(slice_type, qp_pic, 0)
+        # SSE lambda in the 8-bit domain (reference TEncSlice lambda model)
+        self.rd_lambda = (0.45 if slice_type == 2 else 0.57) *             2.0 ** ((qp_pic - 12) / 3.0)
+        self.cur_wp = None
         if slice_type in (0, 1):
             self.sh = _PSliceHeader(poc, cfg, slice_type)
             from ..hostdec.motion import MotionDeriver
@@ -370,6 +371,31 @@ class IntraEncoder:
             self.ref_pics = lists
             self.sd.sh = self.sh
             self.motion = MotionDeriver(self.sd, self.sh, lists)
+            if cfg.weighted_pred and slice_type == 1 and lists[0]:
+                from .wp_analysis import analyse_picture
+                crops = []
+                for c in range(3 if sps.chroma_format_idc else 1):
+                    sx = sps.chroma_shift_x() if c else 0
+                    sy = sps.chroma_shift_y() if c else 0
+                    crops.append(self.orig[c][:sps.height >> sy,
+                                              :sps.width >> sx])
+
+                class _CropRef:
+                    pass
+                rl = []
+                for r in lists[0]:
+                    cr = _CropRef()
+                    cr.planes = [r.planes[c][:sps.height >>
+                                             (sps.chroma_shift_y() if c else 0),
+                                             :sps.width >>
+                                             (sps.chroma_shift_x() if c else 0)]
+                                 for c in range(len(crops))]
+                    rl.append(cr)
+                self.cur_wp = analyse_picture(crops, rl, cfg.bit_depth)
+        w = write_slice_header(cfg, nal_type, poc, slice_type, qp_pic,
+                               rps=rps, wp=self.cur_wp)
+        self.enc = CabacEncoder(w)
+        self.bank = make_context_bank(slice_type, qp_pic, 0)
 
         nctu_x = sps.pic_width_ctbs
         nctu_y = sps.pic_height_ctbs
@@ -451,10 +477,29 @@ class IntraEncoder:
         fby = 2 + (ssy if comp else 0)
         if dir_ != 3:
             l = 0 if dir_ == 1 else 1
-            return _interp(self._ref_plane(comp, l, max(0, ref_idx[l])),
+            ri = max(0, ref_idx[l])
+            wp = None
+            if l == 0 and getattr(self, "cur_wp", None):
+                wp = self.cur_wp[min(ri, len(self.cur_wp) - 1)]
+            if wp is None:
+                return _interp(self._ref_plane(comp, l, ri),
+                               x >> ssx, y >> ssy,
+                               w >> ssx, h >> ssy,
+                               int(mvs[l][0]), int(mvs[l][1]),
+                               fbx, fby, taps, ftab, bd, is_last=True)
+            # weighted uni-prediction on IF-precision samples, matching the
+            # decoder's _weighted_uni (reference TComWeightPrediction
+            # addWeightUni)
+            pred = _interp(self._ref_plane(comp, l, ri),
                            x >> ssx, y >> ssy,
-                           w >> ssx, h >> ssy, int(mvs[l][0]), int(mvs[l][1]),
-                           fbx, fby, taps, ftab, bd, is_last=True)
+                           w >> ssx, h >> ssy,
+                           int(mvs[l][0]), int(mvs[l][1]),
+                           fbx, fby, taps, ftab, bd, is_last=False)
+            wgt, off = wp["w"][comp], wp["o"][comp] * (1 << (bd - 8))
+            shift = wp["denom"] + max(2, IF_INTERNAL_PREC - bd)
+            rnd = (1 << (shift - 1)) if shift > 0 else 0
+            return np.clip(((wgt * (pred + IF_OFFS) + rnd) >> shift) + off,
+                           0, (1 << bd) - 1)
         preds = [
             _interp(self._ref_plane(comp, l, max(0, ref_idx[l])),
                     x >> ssx, y >> ssy,
@@ -819,7 +864,8 @@ class IntraEncoder:
                 resi = orig_c - preds[comp][s * n:(s + 1) * n]
                 coef = forward_transform(resi, False, bd)
                 qp = self._qp_for_comp(comp)
-                lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
+                lev = self._quant(coef, qp, n.bit_length() - 1, False, comp,
+                                  SCAN_DIAG)
                 levs.append(lev)
                 cbf_subs.append(1 if lev.any() else 0)
             resids.append(levs)
@@ -912,7 +958,8 @@ class IntraEncoder:
                         dx >> ssx:(dx >> ssx) + n]
                     coef = forward_transform(orig_c - pred_c, False, bd)
                     qp = self._qp_for_comp(comp)
-                    lev = quantize(coef, qp, n.bit_length() - 1, bd, False)
+                    lev = self._quant(coef, qp, n.bit_length() - 1, False,
+                                      comp, SCAN_DIAG)
                     sub_lev.append(lev)
                     sub_cbf.append(1 if lev.any() else 0)
                 levs.append(sub_lev)
@@ -1117,6 +1164,14 @@ class IntraEncoder:
                 cmode = CHROMA422_ANGLE_MAP[mode]
             bd = cfg.bit_depth
             levs, cbf_subs = [], []
+            from ..hostdec.tables import SCAN_DIAG as _SD, SCAN_HOR as _SH, \
+                SCAN_VER as _SV
+            tu_scan = _SD
+            if n <= (8 >> ssx) and n <= (8 >> ssy):
+                if abs(cmode - 26) <= 4:
+                    tu_scan = _SH
+                elif abs(cmode - 10) <= 4:
+                    tu_scan = _SV
             for s in range(n_sub):
                 cy = (y >> ssy) + s * n
                 pred = self._intra_pred(comp, cx, cy, n, cmode)
@@ -1125,7 +1180,8 @@ class IntraEncoder:
                 use_dst = comp == 0 and n == 4
                 coef = forward_transform(resi, use_dst, bd)
                 qp = self._qp_for_comp(comp)
-                lev = quantize(coef, qp, n.bit_length() - 1, bd, True)
+                lev = self._quant(coef, qp, n.bit_length() - 1, True, comp,
+                                  tu_scan)
                 cbf = 1 if lev.any() else 0
                 if cbf:
                     deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
@@ -1166,6 +1222,15 @@ class IntraEncoder:
                         scan = SCAN_VER
                 encode_residual(enc, bank, lev, comp, scan)
         self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+
+    def _quant(self, coef, qp, log2n, is_intra, comp, scan_type):
+        """Quantize one TU: RDOQ when enabled, else plain xQuant."""
+        bd = self.cfg.bit_depth
+        if self.cfg.rdoq:
+            from .rdoq import rdoq
+            return rdoq(coef, qp, log2n, bd, comp, scan_type, self.bank,
+                        self.rd_lambda)
+        return quantize(coef, qp, log2n, bd, is_intra)
 
     def _qp_for_comp(self, comp):
         cfg, sps = self.cfg, self.sps

@@ -154,7 +154,7 @@ def write_pps(cfg) -> bytes:
     w.se(0)             # cb_qp_offset
     w.se(0)             # cr_qp_offset
     w.put(0)            # slice_chroma_qp_offsets_present
-    w.put(0)            # weighted_pred
+    w.put(1 if getattr(cfg, "weighted_pred", False) else 0)
     w.put(0)            # weighted_bipred
     w.put(0)            # transquant_bypass
     w.put(0)            # tiles
@@ -175,13 +175,42 @@ def write_pps(cfg) -> bytes:
     return w.data()
 
 
+def _write_pred_weight_table(w, cfg, wp):
+    """pred_weight_table() for a P slice (Rec. 7.3.6.3; reference
+    TEncCAVLC xCodePredWeightTable).  wp: per-active-ref entry, None or
+    {'w': [wY,wCb,wCr], 'o': [oY,oCb,oCr], 'denom': d}.  Chroma offsets
+    are coded as deltas from the weight-derived predictor."""
+    denom = next(e["denom"] for e in wp if e) if any(wp) else 6
+    has_chroma = cfg.chroma_format_idc != 0
+    w.ue(denom)                      # luma_log2_weight_denom
+    if has_chroma:
+        w.se(0)                      # delta_chroma_log2_weight_denom
+    for e in wp:
+        w.put(1 if e else 0)         # luma_weight_l0_flag
+    if has_chroma:
+        for e in wp:
+            w.put(1 if e else 0)     # chroma_weight_l0_flag
+    rng = 128                        # high_precision_offsets off
+    for e in wp:
+        if not e:
+            continue
+        w.se(e["w"][0] - (1 << denom))
+        w.se(e["o"][0])
+        if has_chroma:
+            for j in (1, 2):
+                w.se(e["w"][j] - (1 << denom))
+                pred = rng - ((rng * e["w"][j]) >> denom)
+                w.se(e["o"][j] - pred)
+
+
 def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
-                       rps_idx=0, rps=None) -> BitWriter:
+                       rps_idx=0, rps=None, wp=None) -> BitWriter:
     """Returns the writer positioned after the header (byte-aligned).
 
     rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
     in the slice header (short_term_ref_pic_set with sps_flag=0); deltas
     are used_by_curr=1. Otherwise the SPS set rps_idx is referenced.
+    wp: optional pred_weight_table entries (P slices with weighted_pred).
     """
     w = BitWriter()
     w.put(1)            # first_slice_segment_in_pic
@@ -227,6 +256,8 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
                 w.put(1)            # collocated_from_l0_flag
             if cfg.num_ref_l0 > 1:  # collocated_ref_idx (from_l0 path)
                 w.ue(0)
+        if getattr(cfg, "weighted_pred", False) and slice_type == 1:
+            _write_pred_weight_table(w, cfg, wp or [None] * cfg.num_ref_l0)
         w.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
     w.se(slice_qp - cfg.qp)
     # deblocking control (none: pps says disabled/enabled w/o override)

@@ -227,3 +227,88 @@ def test_rext_chroma_encoder_roundtrip(idc):
                                capture_output=True, text=True)
             os.unlink(bit)
             assert r.stdout.count("(OK)") == n, (gop, r.stdout[-800:])
+
+
+def test_weighted_pred_encoder():
+    """WP analysis on a fade: conformant stream, WP engages, bits drop.
+
+    Mirrors the reference's WeightPredAnalysis.cpp flow: AC/DC weight
+    estimation, SAD-based selection, pred_weight_table signalling, and
+    weighted uni-prediction in the P-picture reconstruction.
+    """
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    rng = np.random.RandomState(3)
+    w, h, n = 96, 80, 4
+    base = [rng.randint(0, 200, (h, w)).astype(np.int32),
+            rng.randint(0, 200, (h // 2, w // 2)).astype(np.int32),
+            rng.randint(0, 200, (h // 2, w // 2)).astype(np.int32)]
+    frames = []
+    for i in range(n):
+        gain = 1.0 - 0.18 * i
+        frames.append(tuple(
+            np.clip(base[c] * gain + rng.randint(-2, 3, base[c].shape),
+                    0, 255).astype(np.uint8) for c in range(3)))
+    stream = IntraEncoder(EncoderConfig(w, h, qp=30, gop="lowdelayP",
+                                        weighted_pred=True)
+                          ).encode_stream(frames)
+    outs = Decoder().decode_annexb(stream)
+    assert len(outs) == n
+    # WP must actually engage on the fade
+    import libhm_tpu.hostdec.decoder as DM
+
+    class Probe(DM.Decoder):
+        def __init__(self):
+            super().__init__()
+            self.wp_flags = []
+
+        def _decode_slice_nal(self, nalu):
+            super()._decode_slice_nal(nalu)
+            sh = self.cur[0]
+            if sh.wp_luma is not None:
+                self.wp_flags.append([e and e[0] for e in sh.wp_luma[0]])
+    pr = Probe()
+    pr.decode_annexb(stream)
+    assert any(any(f) for f in pr.wp_flags)
+    # and it must pay for itself
+    plain = IntraEncoder(EncoderConfig(w, h, qp=30, gop="lowdelayP")
+                         ).encode_stream(frames)
+    assert len(stream) < len(plain)
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if os.path.exists(exe):
+        import tempfile
+        bit = tempfile.mktemp(suffix=".bin")
+        open(bit, "wb").write(stream)
+        r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        os.unlink(bit)
+        assert r.stdout.count("(OK)") == n
+
+
+def test_rdoq_improves_rd_cost():
+    """RDOQ (TComTrQuant xRateDistOptQuant rebuild): streams stay
+    conformant and the Lagrangian cost D + lambda*R improves."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(96, 80, 3)
+    qp = 32
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    costs = {}
+    for rd in (False, True):
+        stream = IntraEncoder(EncoderConfig(96, 80, qp=qp, gop="lowdelayP",
+                                            rdoq=rd)).encode_stream(frames)
+        outs = Decoder().decode_annexb(stream)
+        sse = sum(float(((outs[i][0].astype(np.int64) -
+                          frames[i][0].astype(np.int64)) ** 2).sum())
+                  for i in range(3))
+        costs[rd] = sse + lam * len(stream) * 8
+        exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+        if os.path.exists(exe):
+            import tempfile
+            bit = tempfile.mktemp(suffix=".bin")
+            open(bit, "wb").write(stream)
+            r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                               capture_output=True, text=True)
+            os.unlink(bit)
+            assert r.stdout.count("(OK)") == 3
+    assert costs[True] < costs[False]
