@@ -1109,12 +1109,20 @@ class IntraEncoder:
         pic.set_rect(pic.skip, x, y, size, size, 0)
         self._mark_edges(x, y, size)
 
-        # --- luma mode decision (SAD over all 35 modes) ---
+        # --- luma mode decision: SATD + lambda*modebits (reference
+        # TEncSearch estIntraPredQT's Hadamard preselection) ---
+        from .rd_cost import satd
         orig = self.orig[0][y:y + size, x:x + size]
-        best_mode, best_cost = 1, 1 << 60
+        preds_mpm = self.sd._intra_mpm(x, y)
+        lam_pred = self.rd_lambda ** 0.5
+        best_mode, best_cost = 1, float("inf")
         for mode in range(35):
             pred = self._intra_pred(0, x, y, size, mode)
-            cost = int(np.abs(pred - orig).sum())
+            if mode in preds_mpm:
+                bits = 2 if preds_mpm.index(mode) == 0 else 3
+            else:
+                bits = 6
+            cost = satd(pred, orig) + lam_pred * bits
             if cost < best_cost:
                 best_cost, best_mode = cost, mode
         mode = best_mode
