@@ -152,7 +152,8 @@ class _PSliceHeader:
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32,
                  gop="intra", search_range=8, rate_kbps=None, fps=30.0,
-                 chroma_format_idc=1, weighted_pred=False, rdoq=True):
+                 chroma_format_idc=1, weighted_pred=False, rdoq=True,
+                 rdo_cu=True):
         self.width = width
         self.height = height
         self.qp = qp
@@ -182,6 +183,7 @@ class EncoderConfig:
         self.fps = fps
         self.weighted_pred = weighted_pred  # P-slice WP analysis
         self.rdoq = rdoq  # rate-distortion optimized quantization
+        self.rdo_cu = rdo_cu  # RDO quadtree depth + NxN intra decisions
         if gop in ("lowdelayP", "lowdelayB"):
             self.tmvp = 1
             self.st_rps = []          # explicit per-slice RPS
@@ -1042,7 +1044,8 @@ class IntraEncoder:
                           min(log2size,
                               (self.cfg.cu_size).bit_length() - 1))
         want_split = log2size > target_log2
-        if inside and log2size > sps.log2_min_cb:
+
+        def split_ctx():
             ctx = 0
             if self.sd.available(x - 1, y, x, y, False) and \
                     pic.depth[y >> 2, (x - 1) >> 2] > depth:
@@ -1050,7 +1053,53 @@ class IntraEncoder:
             if self.sd.available(x, y - 1, x, y, False) and \
                     pic.depth[(y - 1) >> 2, x >> 2] > depth:
                 ctx += 1
-            enc.encode_bin(bank["split_cu"], ctx, 1 if want_split else 0)
+            return ctx
+
+        def encode_leaf():
+            if self.slice_type in (0, 1):
+                self.encode_cu_inter(x, y, log2size, depth)
+            else:
+                self.encode_cu(x, y, log2size, depth)
+
+        def encode_split():
+            h2 = size >> 1
+            for (dx, dy) in ((0, 0), (h2, 0), (0, h2), (h2, h2)):
+                nx, ny = x + dx, y + dy
+                if nx < sps.width and ny < sps.height:
+                    self.encode_cqt(nx, ny, log2size - 1, depth + 1)
+
+        # RDO quadtree (reference TEncCu::xCompressCU): trial-encode the
+        # leaf and the split, keep the cheaper Lagrangian
+        if inside and not want_split and log2size > sps.log2_min_cb and \
+                self.cfg.rdo_cu and isinstance(self.enc, _RecordingCabac):
+            st = self._save_cu_state(x, y, size)
+            enc.encode_bin(bank["split_cu"], split_ctx(), 0)
+            encode_leaf()
+            cost_leaf = self._cu_rd_cost(x, y, size, st[3])
+            leaf_state = self._save_cu_state(x, y, size)
+            leaf_ops = self.enc.ops[st[3]:]
+            leaf_products = pic.inter_list[st[4]:]
+            self._restore_cu_state(x, y, size, st)
+            enc.encode_bin(bank["split_cu"], split_ctx(), 1)
+            encode_split()
+            cost_split = self._cu_rd_cost(x, y, size, st[3])
+            if cost_leaf <= cost_split:
+                # reinstate the recorded leaf trial instead of re-encoding
+                self._restore_cu_state(x, y, size, st)
+                self.enc.ops.extend(leaf_ops)
+                pic.inter_list.extend(leaf_products)
+                sl, maps, recs = leaf_state[0], leaf_state[1], leaf_state[2]
+                for m, v in maps.items():
+                    getattr(pic, m)[sl] = v
+                for c in range(len(recs)):
+                    ssx = sps.chroma_shift_x() if c else 0
+                    ssy = sps.chroma_shift_y() if c else 0
+                    self.recon[c][y >> ssy:(y + size) >> ssy,
+                                  x >> ssx:(x + size) >> ssx] = recs[c]
+            return
+        if inside and log2size > sps.log2_min_cb:
+            enc.encode_bin(bank["split_cu"], split_ctx(),
+                           1 if want_split else 0)
             split = want_split
         else:
             split = log2size > sps.log2_min_cb  # forced at boundary
@@ -1102,12 +1151,182 @@ class IntraEncoder:
             EDGE_CU_TOP | EDGE_PU_TOP | EDGE_TU_TOP
 
     def encode_cu(self, x, y, log2size, depth, _from_inter=False):
-        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, self.bank
+        sps, pic = self.sps, self.pic
         size = 1 << log2size
         pic.set_rect(pic.depth, x, y, size, size, depth)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
         pic.set_rect(pic.skip, x, y, size, size, 0)
         self._mark_edges(x, y, size)
+        # NxN trial at the minimum CB size (reference TEncCu checks
+        # SIZE_NxN only at the final depth); 4:4:4 NxN (per-PU chroma)
+        # not implemented yet
+        if log2size == sps.log2_min_cb and self.cfg.rdo_cu and \
+                sps.chroma_format_idc != 3 and \
+                isinstance(self.enc, _RecordingCabac):
+            st = self._save_cu_state(x, y, size)
+            self._encode_cu_intra_2nx2n(x, y, log2size)
+            cost_2n = self._cu_rd_cost(x, y, size, st[3])
+            self._restore_cu_state(x, y, size, st)
+            self._encode_cu_intra_nxn(x, y, log2size)
+            cost_nn = self._cu_rd_cost(x, y, size, st[3])
+            if cost_2n <= cost_nn:
+                self._restore_cu_state(x, y, size, st)
+                self._encode_cu_intra_2nx2n(x, y, log2size)
+            return
+        self._encode_cu_intra_2nx2n(x, y, log2size)
+
+    def _encode_cu_intra_nxn(self, x, y, log2size):
+        """Intra NxN at the minimum CB: four luma PUs with their own modes,
+        sequentially reconstructed (each predicts from the previous PU's
+        recon), DM chroma from PU0, forced 4-leaf transform tree
+        (reference TEncSearch xRecurIntraCodingLumaQT with IntraSplit)."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        size = 1 << log2size
+        half = size >> 1
+        from ..hostdec.picture import SIZE_NxN
+        from ..hostdec.slicedec import (CHROMA422_ANGLE_MAP, EDGE_TU_LEFT,
+                                        EDGE_TU_TOP)
+        from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
+        from .rd_cost import satd
+        bd = cfg.bit_depth
+        is422 = sps.chroma_format_idc == 2
+        lam_pred = self.rd_lambda ** 0.5
+        pu_pos = [(x, y), (x + half, y), (x, y + half), (x + half, y + half)]
+        pic.set_rect(pic.part_size, x, y, size, size, SIZE_NxN)
+        enc.encode_bin(bank["part_size"], 0, 0)   # NxN
+
+        def pick_scan(n, mode, sx, sy):
+            if n <= (8 >> sx) and n <= (8 >> sy):
+                if abs(mode - 26) <= 4:
+                    return SCAN_HOR
+                if abs(mode - 10) <= 4:
+                    return SCAN_VER
+            return SCAN_DIAG
+
+        modes, mpms, lum = [], [], []
+        for (px, py) in pu_pos:
+            orig = self.orig[0][py:py + half, px:px + half]
+            preds_mpm = self.sd._intra_mpm(px, py)
+            best_mode, best_cost = 1, float("inf")
+            for mode in range(35):
+                pred = self._intra_pred(0, px, py, half, mode)
+                if mode in preds_mpm:
+                    bits = 2 if preds_mpm.index(mode) == 0 else 3
+                else:
+                    bits = 6
+                c = satd(pred, orig) + lam_pred * bits
+                if c < best_cost:
+                    best_cost, best_mode = c, mode
+            mode = best_mode
+            pic.set_rect(pic.intra_y, px, py, half, half, mode)
+            # reconstruct this PU now: the next PU predicts from it
+            pred = self._intra_pred(0, px, py, half, mode)
+            resi = (orig - pred).astype(np.int32)
+            use_dst = half == 4
+            coef = forward_transform(resi, use_dst, bd)
+            qp = self._qp_for_comp(0)
+            scan = pick_scan(half, mode, 0, 0)
+            lev = self._quant(coef, qp, half.bit_length() - 1, True, 0, scan)
+            cbf = 1 if lev.any() else 0
+            if cbf:
+                deq = refimpl.dequant(lev, qp, half.bit_length() - 1, bd)
+                rec = refimpl.inverse_transform(deq, use_dst, bd)
+            else:
+                rec = np.zeros_like(resi)
+            self.recon[0][py:py + half, px:px + half] = np.clip(
+                pred + rec, 0, (1 << bd) - 1)
+            pic.set_rect(pic.cbf_y, px, py, half, half, cbf)
+            ef = pic.edge_flags
+            ef[py >> 2:(py + half) >> 2, px >> 2] |= EDGE_TU_LEFT
+            ef[py >> 2, px >> 2:(px + half) >> 2] |= EDGE_TU_TOP
+            modes.append(mode)
+            mpms.append(preds_mpm)
+            lum.append((lev, cbf, scan))
+
+        # intra pred info: all four MPM flags, then the four payloads,
+        # then one chroma direction (DM) — Rec. 7.3.8.5 order
+        for j in range(4):
+            enc.encode_bin(bank["intra_luma_mpm"], 0,
+                           1 if modes[j] in mpms[j] else 0)
+        for j in range(4):
+            mode, preds = modes[j], mpms[j]
+            if mode in preds:
+                idx = preds.index(mode)
+                if idx == 0:
+                    enc.encode_bypass(0)
+                else:
+                    enc.encode_bypass(1)
+                    enc.encode_bypass(idx - 1)
+            else:
+                rem = mode
+                for pm in sorted(preds, reverse=True):
+                    if rem > pm:
+                        rem -= 1
+                enc.encode_bypass_bins(rem, 5)
+        has_chroma = sps.chroma_format_idc != 0
+        if has_chroma:
+            enc.encode_bin(bank["intra_chroma_mode"], 0, 0)  # DM (PU0 mode)
+            pic.set_rect(pic.intra_c, x, y, size, size, modes[0])
+
+        # chroma transform + recon (single TU at the 8x8 parent; 4:2:2
+        # splits into two square sub-TUs with the DM angle remapped)
+        c_levs = {1: [], 2: []}
+        c_cbfs = {1: [], 2: []}
+        c_scan = SCAN_DIAG
+        if has_chroma:
+            ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+            n = size >> ssx
+            n_sub = 2 if is422 else 1
+            cmode = CHROMA422_ANGLE_MAP[modes[0]] if is422 else modes[0]
+            c_scan = pick_scan(n, cmode, ssx, ssy)
+            cx, cy0 = x >> ssx, y >> ssy
+            for comp in (1, 2):
+                for s in range(n_sub):
+                    cy = cy0 + s * n
+                    pred = self._intra_pred(comp, cx, cy, n, cmode)
+                    orig_c = self.orig[comp][cy:cy + n, cx:cx + n]
+                    resi = (orig_c - pred).astype(np.int32)
+                    coef = forward_transform(resi, False, bd)
+                    qp = self._qp_for_comp(comp)
+                    lev = self._quant(coef, qp, n.bit_length() - 1, True,
+                                      comp, c_scan)
+                    cbf = 1 if lev.any() else 0
+                    if cbf:
+                        deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
+                        rec = refimpl.inverse_transform(deq, False, bd)
+                    else:
+                        rec = np.zeros_like(resi)
+                    self.recon[comp][cy:cy + n, cx:cx + n] = np.clip(
+                        pred + rec, 0, (1 << bd) - 1)
+                    c_levs[comp].append(lev)
+                    c_cbfs[comp].append(cbf)
+
+        # transform tree: root chroma cbfs (one bin each for 4:2:0; two for
+        # 4:2:2 since the chroma block cannot quad-split), then per leaf:
+        # cbf_luma (tr_depth 1 -> ctx 0) + luma residual; the 4th leaf
+        # carries the chroma residuals (_emit_tu chroma_last)
+        if has_chroma:
+            for comp in (1, 2):
+                for v in c_cbfs[comp]:
+                    enc.encode_bin(bank["qt_cbf"], 5 + 0, v)
+        for j in range(4):
+            lev, cbf, scan = lum[j]
+            enc.encode_bin(bank["qt_cbf"], 0, cbf)
+            if cbf:
+                encode_residual(enc, bank, lev, 0, scan)
+            if j == 3 and has_chroma:
+                for comp in (1, 2):
+                    for s, clev in enumerate(c_levs[comp]):
+                        if c_cbfs[comp][s]:
+                            encode_residual(enc, bank, clev, comp, c_scan)
+        self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+
+    def _encode_cu_intra_2nx2n(self, x, y, log2size):
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, self.bank
+        size = 1 << log2size
+        from ..hostdec.picture import SIZE_2Nx2N
+        pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
 
         # --- luma mode decision: SATD + lambda*modebits (reference
         # TEncSearch estIntraPredQT's Hadamard preselection) ---
@@ -1230,6 +1449,72 @@ class IntraEncoder:
                         scan = SCAN_VER
                 encode_residual(enc, bank, lev, comp, scan)
         self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+
+    _CU_MAPS = ("depth", "pred_mode", "part_size", "skip", "intra_y",
+                "intra_c", "chroma_dm", "qp", "cbf_y", "edge_flags",
+                "inter_dir", "mv", "ref_idx", "ref_poc", "ref_is_lt")
+
+    def _save_cu_state(self, x, y, size):
+        """Snapshot everything a trial encode of one CU can touch."""
+        pic, sps = self.pic, self.sps
+        sl = np.s_[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2]
+        maps = {m: getattr(pic, m)[sl].copy() for m in self._CU_MAPS
+                if getattr(pic, m, None) is not None}
+        recs = []
+        for c in range(3 if sps.chroma_format_idc else 1):
+            ssx = sps.chroma_shift_x() if c else 0
+            ssy = sps.chroma_shift_y() if c else 0
+            recs.append(self.recon[c][y >> ssy:(y + size) >> ssy,
+                                      x >> ssx:(x + size) >> ssx].copy())
+        nops = len(self.enc.ops)
+        return (sl, maps, recs, nops, len(pic.inter_list))
+
+    def _restore_cu_state(self, x, y, size, st):
+        pic, sps = self.pic, self.sps
+        sl, maps, recs, nops, ninter = st
+        for m, v in maps.items():
+            getattr(pic, m)[sl] = v
+        for c in range(len(recs)):
+            ssx = sps.chroma_shift_x() if c else 0
+            ssy = sps.chroma_shift_y() if c else 0
+            self.recon[c][y >> ssy:(y + size) >> ssy,
+                          x >> ssx:(x + size) >> ssx] = recs[c]
+        del self.enc.ops[nops:]
+        del pic.inter_list[ninter:]
+
+    def _est_ops_bits(self, lo):
+        """Estimated bits of recorded CABAC ops [lo:] using the live
+        context probabilities (reference RD uses the same fractional-bit
+        model)."""
+        from .rdoq import _bits, FRAC
+        tot = 0.0
+        for op in self.enc.ops[lo:]:
+            k = op[0]
+            if k == "b":
+                tot += _bits(op[1], op[2], op[3])
+            elif k == "p":
+                tot += FRAC
+            elif k == "pn":
+                tot += op[2] * FRAC
+            else:
+                tot += (2 * ((int(op[1]) >> op[2]) + 1).bit_length() - 1 +
+                        op[2]) * FRAC
+        return tot / FRAC
+
+    def _cu_rd_cost(self, x, y, size, ops_lo):
+        """SSE (8-bit domain) + lambda * estimated bits for one CU."""
+        sps, cfg = self.sps, self.cfg
+        norm = 1 << (2 * (cfg.bit_depth - 8))
+        sse = 0.0
+        for c in range(3 if sps.chroma_format_idc else 1):
+            ssx = sps.chroma_shift_x() if c else 0
+            ssy = sps.chroma_shift_y() if c else 0
+            o = self.orig[c][y >> ssy:(y + size) >> ssy,
+                             x >> ssx:(x + size) >> ssx].astype(np.int64)
+            r = self.recon[c][y >> ssy:(y + size) >> ssy,
+                              x >> ssx:(x + size) >> ssx].astype(np.int64)
+            sse += float(((o - r) ** 2).sum()) / norm
+        return sse + self.rd_lambda * self._est_ops_bits(ops_lo)
 
     def _quant(self, coef, qp, log2n, is_intra, comp, scan_type):
         """Quantize one TU: RDOQ when enabled, else plain xQuant."""

@@ -312,3 +312,37 @@ def test_rdoq_improves_rd_cost():
             os.unlink(bit)
             assert r.stdout.count("(OK)") == 3
     assert costs[True] < costs[False]
+
+
+def test_rdo_cu_quadtree_and_nxn():
+    """RDO CU depth + NxN intra (TEncCu xCompressCU rebuild): the encoder
+    picks variable CU depths and NxN partitions, improves D + lambda*R,
+    and HM still verifies the hashes."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(96, 80, 2)
+    qp = 32
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    costs = {}
+    for rdo in (False, True):
+        stream = IntraEncoder(EncoderConfig(96, 80, qp=qp, rdo_cu=rdo)
+                              ).encode_stream(frames)
+        d = Decoder()
+        outs = d.decode_annexb(stream)
+        sse = sum(float(((outs[i][0].astype(np.int64) -
+                          frames[i][0].astype(np.int64)) ** 2).sum())
+                  for i in range(2))
+        costs[rdo] = sse + lam * len(stream) * 8
+        if rdo:
+            ps = d.dpb[-1].pic_syntax
+            assert len(set(ps.depth.ravel().tolist())) > 1  # depths adapt
+        exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+        if os.path.exists(exe):
+            import tempfile
+            bit = tempfile.mktemp(suffix=".bin")
+            open(bit, "wb").write(stream)
+            r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                               capture_output=True, text=True)
+            os.unlink(bit)
+            assert r.stdout.count("(OK)") == 2
+    assert costs[True] < costs[False]
