@@ -51,6 +51,20 @@ def main(argv=None):
     open(args.bitstream, "wb").write(stream)
     print(f"encoded {args.frames} frames -> {len(stream)} bytes "
           f"in {dt:.2f}s ({8*len(stream)*30/args.frames/1000:.1f} kbps @30fps)")
+    # per-slice-type PSNR / bitrate summary (reference TEncAnalyze)
+    from ..encoder.analyze import Analyze
+    an = Analyze(fps=args.frame_rate)
+    for slice_type, bits, poc, recon in enc.stats:
+        an.add_picture(slice_type, bits, frames[poc], recon, enc.cfg.bit_depth)
+    print(an.summary())
+    if args.recon:
+        with open(args.recon, "wb") as f:
+            order = sorted(enc.stats, key=lambda s: s[2])
+            for _, _, _, recon in order:
+                for plane in recon:
+                    f.write(plane.astype(
+                        np.uint8 if enc.cfg.bit_depth <= 8 else "<u2"
+                    ).tobytes())
     return 0
 
 

@@ -232,6 +232,7 @@ class IntraEncoder:
         out += nal_unit(32, write_vps(cfg))
         out += nal_unit(33, write_sps(cfg))
         out += nal_unit(34, write_pps(cfg))
+        self.stats = []   # (slice_type, bits, poc, recon) for Analyze
         self._prev_ref = None
         self._dpb = {}
         self._rc = None
@@ -251,6 +252,8 @@ class IntraEncoder:
                     frames[poc], poc, nal_type, slice_type, rps=rps)
                 if self._rc:
                     self._rc.update(len(slice_rbsp) * 8)
+                self.stats.append((slice_type, len(slice_rbsp) * 8, poc,
+                                   recon))
                 out += nal_unit(nal_type, slice_rbsp)
                 out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
                 self._dpb[poc] = _RefPic(poc, [r.copy() for r in self.recon],
@@ -281,6 +284,7 @@ class IntraEncoder:
                                                     slice_type, rps=rps)
             if self._rc:
                 self._rc.update(len(slice_rbsp) * 8)
+            self.stats.append((slice_type, len(slice_rbsp) * 8, poc, recon))
             out += nal_unit(nal_type, slice_rbsp)
             out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
             if inter_gop:

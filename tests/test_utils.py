@@ -69,3 +69,27 @@ def test_coding_statistics():
     table = collect(data)
     assert table["__total__"]["bins"] > 1000
     assert "sig" in table and table["sig"]["bins"] > 0
+
+
+def test_enc_app_summary_and_recon(tmp_path):
+    """enc_app prints the TEncAnalyze-style summary and writes a recon YUV
+    that matches the decoder output bit-exactly."""
+    import numpy as np
+    import tools.gen_golden as gg
+    src = str(tmp_path / "in.yuv")
+    gg.synth_yuv(src, 96, 80, 2)
+    from libhm_tpu.apps import enc_app
+    bit = str(tmp_path / "out.bin")
+    rec = str(tmp_path / "rec.yuv")
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = enc_app.main(["-i", src, "-b", bit, "-o", rec,
+                           "-wdt", "96", "-hgt", "80", "-f", "2", "-q", "32"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "SUMMARY" in out and "Y-PSNR" in out
+    from libhm_tpu.hostdec.decoder import Decoder
+    outs = Decoder().decode_annexb(open(bit, "rb").read())
+    dec = b"".join(p.astype(np.uint8).tobytes() for pic in outs for p in pic)
+    assert open(rec, "rb").read() == dec
