@@ -153,7 +153,7 @@ class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32,
                  gop="intra", search_range=8, rate_kbps=None, fps=30.0,
                  chroma_format_idc=1, weighted_pred=False, rdoq=True,
-                 rdo_cu=True):
+                 rdo_cu=True, sign_hiding=True):
         self.width = width
         self.height = height
         self.qp = qp
@@ -184,6 +184,7 @@ class EncoderConfig:
         self.weighted_pred = weighted_pred  # P-slice WP analysis
         self.rdoq = rdoq  # rate-distortion optimized quantization
         self.rdo_cu = rdo_cu  # RDO quadtree depth + NxN intra decisions
+        self.sign_hiding = sign_hiding  # sign-data-hiding (SBH)
         if gop in ("lowdelayP", "lowdelayB"):
             self.tmvp = 1
             self.st_rps = []          # explicit per-slice RPS
@@ -908,7 +909,8 @@ class IntraEncoder:
             for comp in range(3):
                 for s, lev in enumerate(resids[comp]):
                     if cbfs[comp][s]:
-                        encode_residual(self.enc, bank, lev, comp, SCAN_DIAG)
+                        encode_residual(self.enc, bank, lev, comp, SCAN_DIAG,
+                                        self.cfg.sign_hiding)
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
@@ -1008,8 +1010,8 @@ class IntraEncoder:
                         continue
                     for s, lev in enumerate(child_lev[ci][comp]):
                         if cbfs[comp][s]:
-                            encode_residual(self.enc, bank, lev, comp,
-                                            SCAN_DIAG)
+                            encode_residual(self.enc, bank, lev, comp, SCAN_DIAG,
+                                            self.cfg.sign_hiding)
         # recon + cbf map + TU edge flags per child
         ef = pic.edge_flags
         for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
@@ -1318,12 +1320,14 @@ class IntraEncoder:
             lev, cbf, scan = lum[j]
             enc.encode_bin(bank["qt_cbf"], 0, cbf)
             if cbf:
-                encode_residual(enc, bank, lev, 0, scan)
+                encode_residual(enc, bank, lev, 0, scan,
+                                self.cfg.sign_hiding)
             if j == 3 and has_chroma:
                 for comp in (1, 2):
                     for s, clev in enumerate(c_levs[comp]):
                         if c_cbfs[comp][s]:
-                            encode_residual(enc, bank, clev, comp, c_scan)
+                            encode_residual(enc, bank, clev, comp, c_scan,
+                                            self.cfg.sign_hiding)
         self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
 
     def _encode_cu_intra_2nx2n(self, x, y, log2size):
@@ -1451,7 +1455,8 @@ class IntraEncoder:
                         scan = SCAN_HOR
                     elif abs(smode - 10) <= 4:
                         scan = SCAN_VER
-                encode_residual(enc, bank, lev, comp, scan)
+                encode_residual(enc, bank, lev, comp, scan,
+                                self.cfg.sign_hiding)
         self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
 
     _CU_MAPS = ("depth", "pred_mode", "part_size", "skip", "intra_y",
@@ -1521,13 +1526,19 @@ class IntraEncoder:
         return sse + self.rd_lambda * self._est_ops_bits(ops_lo)
 
     def _quant(self, coef, qp, log2n, is_intra, comp, scan_type):
-        """Quantize one TU: RDOQ when enabled, else plain xQuant."""
+        """Quantize one TU: RDOQ when enabled, else plain xQuant; then the
+        sign-data-hiding parity fix-up when SDH is on."""
         bd = self.cfg.bit_depth
         if self.cfg.rdoq:
             from .rdoq import rdoq
-            return rdoq(coef, qp, log2n, bd, comp, scan_type, self.bank,
-                        self.rd_lambda)
-        return quantize(coef, qp, log2n, bd, is_intra)
+            lev = rdoq(coef, qp, log2n, bd, comp, scan_type, self.bank,
+                       self.rd_lambda)
+        else:
+            lev = quantize(coef, qp, log2n, bd, is_intra)
+        if self.cfg.sign_hiding and lev.any():
+            from .residual_enc import apply_sign_hiding
+            lev = apply_sign_hiding(lev, coef, qp, log2n, bd, scan_type)
+        return lev
 
     def _qp_for_comp(self, comp):
         cfg, sps = self.cfg, self.sps

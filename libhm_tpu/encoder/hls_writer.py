@@ -143,7 +143,7 @@ def write_pps(cfg) -> bytes:
     w.put(0)            # dependent_slice_segments
     w.put(0)            # output_flag_present
     w.put_bits(0, 3)    # extra slice header bits
-    w.put(0)            # sign_data_hiding
+    w.put(1 if getattr(cfg, "sign_hiding", False) else 0)  # sign_data_hiding
     w.put(0)            # cabac_init_present
     w.ue(cfg.num_ref_l0 - 1)
     w.ue(cfg.num_ref_l1 - 1)

@@ -63,10 +63,74 @@ def encode_coef_remain(enc, v, rice):
         enc.encode_bypass_bins(suffix, L + rice)
 
 
-def encode_residual(enc, bank, coeffs, comp, scan_type):
-    """Encode one residual block (no SDH/TS; matches the v1 encoder profile).
+SBH_THRESHOLD = 4
 
-    coeffs: [h, w] int32 with at least one nonzero.
+
+def apply_sign_hiding(lev, coef, qp, log2n, bit_depth, scan_type,
+                      max_dyn_range=15):
+    """Parity fix-up for sign-data-hiding (reference signBitHidingHDQ):
+    for every 4x4 coefficient group whose nonzero spread is >= 4, the
+    decoder derives the sign of the lowest-scan-position coefficient from
+    the parity of the absolute sum — adjust one level by +-1 when the
+    parity disagrees, choosing the cheapest adjustment in levelDouble
+    units.  Modifies lev in place and returns it."""
+    h, w = lev.shape
+    flat = lev.ravel()
+    cflat = coef.ravel()
+    scan = grouped_scan(w, h, scan_type)
+    per, rem = qp // 6, qp % 6
+    from ..hostdec.tables import QUANT_SCALES
+    qbits = 14 + per + (max_dyn_range - bit_depth - log2n)
+    scale = int(QUANT_SCALES[rem])
+    for sub in range(len(scan) // 16):
+        idxs = scan[sub * 16:(sub + 1) * 16]
+        levels = flat[idxs]
+        nzp = np.nonzero(levels)[0]
+        if len(nzp) == 0:
+            continue
+        first, last = int(nzp[0]), int(nzp[-1])
+        if last - first < SBH_THRESHOLD:
+            continue
+        abs_sum = int(np.abs(levels).sum())
+        want_neg = flat[idxs[first]] < 0
+        if (abs_sum & 1) == (1 if want_neg else 0):
+            continue
+        # choose the cheapest +-1 adjustment that flips the parity
+        best = None
+        for j in range(16):
+            blk = int(idxs[j])
+            l = int(flat[blk])
+            if l == 0:
+                continue
+            ld = abs(int(cflat[blk])) * scale
+            for d in (1, -1):
+                na = abs(l) + d
+                if na <= 0:
+                    # zeroing an endpoint would change the spread; zeroing
+                    # the hidden coefficient is never allowed
+                    if j in (first, last):
+                        continue
+                    if na < 0:
+                        continue
+                err_now = abs(ld - (abs(l) << qbits))
+                err_new = abs(ld - (na << qbits))
+                cost = err_new - err_now
+                if best is None or cost < best[0]:
+                    best = (cost, blk, d)
+        if best is None:
+            continue
+        _, blk, d = best
+        flat[blk] += d if flat[blk] > 0 else -d
+    return lev
+
+
+def encode_residual(enc, bank, coeffs, comp, scan_type, sign_hiding=False):
+    """Encode one residual block (no TS; matches the encoder profile).
+
+    coeffs: [h, w] int32 with at least one nonzero.  With sign_hiding the
+    sign of each group's lowest-scan coefficient is omitted when the
+    nonzero spread is >= 4 (caller must have parity-fixed the levels via
+    apply_sign_hiding).
     """
     h, w = coeffs.shape
     log2w = w.bit_length() - 1
@@ -185,8 +249,14 @@ def encode_residual(enc, bank, coeffs, comp, scan_type):
         if c1 == 0 and first_c2 != -1:
             b = 1 if abs_vals[first_c2] > 2 else 0
             enc.encode_bin(gt2_arr, ctx_set, b)
-        # signs (no hiding)
-        for p in pos_list:
+        # signs (the lowest-scan one is hidden when the spread allows)
+        hide = False
+        if sign_hiding and num_nz:
+            rel = [sp for sp in range(sub_pos, min(sub_pos + 16, len(scan)))
+                   if flat[int(scan[sp])]]
+            hide = (rel[-1] - rel[0]) >= SBH_THRESHOLD
+        sign_list = pos_list[:-1] if hide else pos_list
+        for p in sign_list:
             enc.encode_bypass(1 if flat[p] < 0 else 0)
         # remaining levels
         first_coeff2 = 1

@@ -346,3 +346,28 @@ def test_rdo_cu_quadtree_and_nxn():
             os.unlink(bit)
             assert r.stdout.count("(OK)") == 2
     assert costs[True] < costs[False]
+
+
+def test_sign_data_hiding():
+    """SDH (signBitHidingHDQ rebuild): parity fix-up + hidden signs save
+    bits at unchanged conformance."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(96, 80, 2)
+    sizes = {}
+    for sdh in (False, True):
+        stream = IntraEncoder(EncoderConfig(96, 80, qp=30,
+                                            sign_hiding=sdh)
+                              ).encode_stream(frames)
+        assert len(Decoder().decode_annexb(stream)) == 2
+        sizes[sdh] = len(stream)
+        exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+        if os.path.exists(exe):
+            import tempfile
+            bit = tempfile.mktemp(suffix=".bin")
+            open(bit, "wb").write(stream)
+            r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                               capture_output=True, text=True)
+            os.unlink(bit)
+            assert r.stdout.count("(OK)") == 2
+    assert sizes[True] < sizes[False]
