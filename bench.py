@@ -25,7 +25,7 @@ STREAM = os.path.join(ROOT, "testdata", "randomaccess_main10_1080p.bin")
 GOLDEN = os.path.join(ROOT, "testdata", "golden.json")
 NAME = "randomaccess_main10_1080p"
 NFRAMES = 17
-RUNS = 3
+RUNS = 5
 
 
 def bench_ours():
