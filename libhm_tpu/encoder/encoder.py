@@ -153,7 +153,7 @@ class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32,
                  gop="intra", search_range=8, rate_kbps=None, fps=30.0,
                  chroma_format_idc=1, weighted_pred=False, rdoq=True,
-                 rdo_cu=True, sign_hiding=True):
+                 rdo_cu=True, sign_hiding=True, adaptive_qp=False):
         self.width = width
         self.height = height
         self.qp = qp
@@ -185,6 +185,7 @@ class EncoderConfig:
         self.rdoq = rdoq  # rate-distortion optimized quantization
         self.rdo_cu = rdo_cu  # RDO quadtree depth + NxN intra decisions
         self.sign_hiding = sign_hiding  # sign-data-hiding (SBH)
+        self.adaptive_qp = adaptive_qp  # TM5 preanalysis + cu_qp_delta
         if gop in ("lowdelayP", "lowdelayB"):
             self.tmvp = 1
             self.st_rps = []          # explicit per-slice RPS
@@ -408,12 +409,33 @@ class IntraEncoder:
         nctu_y = sps.pic_height_ctbs
         nctu = nctu_x * nctu_y
         last = nctu - 1
+        qp_base = self.cur_qp
+        self._qp_map = None
+        self._last_qp_enc = qp_base
+        self._qp_pred_enc = qp_base
+        self._dqp_coded = True
+        self._cu_delta_enc = 0
+        if cfg.adaptive_qp:
+            from .preanalyze import qp_offsets
+            offs = qp_offsets(self.orig[0], 1 << sps.log2_ctb,
+                              sps.width, sps.height)
+            self._qp_map = [max(0, min(51, qp_base + o)) for o in offs]
+
+        def ctu_qg_start(addr):
+            # quantization-group reset (diff_cu_qp_delta_depth == 0: one
+            # group per CTU; predictor degenerates to the previous CU QP)
+            if cfg.adaptive_qp:
+                self.cur_qp = self._qp_map[addr]
+                self._qp_pred_enc = self._last_qp_enc
+                self._dqp_coded = False
+                self._cu_delta_enc = 0
         if cfg.sao:
             # pass 1: decide + record the CU symbol stream
             rec = _RecordingCabac()
             self.enc = rec
             for addr in range(nctu):
                 rec.mark()
+                ctu_qg_start(addr)
                 cx = (addr % nctu_x) << sps.log2_ctb
                 cy = (addr // nctu_x) << sps.log2_ctb
                 self.encode_cqt(cx, cy, sps.log2_ctb, 0)
@@ -426,7 +448,7 @@ class IntraEncoder:
             sao_picture(self.recon, self.pic, sps, pps)
             # pass 2: fresh contexts (same arrays: recorded ops reference
             # them), SAO syntax + replay per CTU
-            fresh = make_context_bank(slice_type, self.cur_qp, 0)
+            fresh = make_context_bank(slice_type, qp_base, 0)
             for k in self.bank:
                 self.bank[k][:] = fresh[k]
             self.enc = CabacEncoder(w)
@@ -440,6 +462,7 @@ class IntraEncoder:
             w.align_zero()
         else:
             for addr in range(nctu):
+                ctu_qg_start(addr)
                 cx = (addr % nctu_x) << sps.log2_ctb
                 cy = (addr // nctu_x) << sps.log2_ctb
                 self.encode_cqt(cx, cy, sps.log2_ctb, 0)
@@ -451,6 +474,7 @@ class IntraEncoder:
                 # filter the decoder runs)
                 from ..hostdec.loopfilter_np import deblock_picture
                 deblock_picture(self.recon, self.pic, sps, pps)
+        self.cur_qp = qp_base   # per-CTU AQ mutations must not leak out
         W, H = sps.width, sps.height
         crop = []
         for c in range(3):
@@ -891,7 +915,7 @@ class IntraEncoder:
                 nx, ny = size >> ssx, size >> ssy
                 self.recon[comp][y >> ssy:(y >> ssy) + ny,
                                  x >> ssx:(x >> ssx) + nx] = preds[comp]
-            self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+            self._finish_cu_qp(x, y, size)
             return
 
         enc.encode_bin(bank["pred_mode"], 0, 0)
@@ -906,6 +930,7 @@ class IntraEncoder:
                 enc.encode_bin(bank["qt_cbf"], 5, v)
             if any(cbfs[1]) or any(cbfs[2]):
                 enc.encode_bin(bank["qt_cbf"], 1, cbfs[0][0])
+            self._maybe_write_dqp(True)
             for comp in range(3):
                 for s, lev in enumerate(resids[comp]):
                     if cbfs[comp][s]:
@@ -928,7 +953,7 @@ class IntraEncoder:
                                  cxp:cxp + n] = np.clip(
                     preds[comp][s * n:(s + 1) * n] + rec_resi,
                     0, (1 << bd) - 1)
-        self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+        self._finish_cu_qp(x, y, size)
 
     # ------------------------------------------------------------------
     def _encode_inter_res_split(self, x, y, log2size, descs, part, preds):
@@ -1005,6 +1030,9 @@ class IntraEncoder:
                     for v in cbfs[2]:
                         enc.encode_bin(bank["qt_cbf"], 6, v)
                 enc.encode_bin(bank["qt_cbf"], 0, cbfs[0][0])  # tr_depth 1
+                self._maybe_write_dqp(
+                    cbfs[0][0] or (root_cb and any(cbfs[1])) or
+                    (root_cr and any(cbfs[2])))
                 for comp in range(3):
                     if comp and not (root_cb if comp == 1 else root_cr):
                         continue
@@ -1040,7 +1068,7 @@ class IntraEncoder:
                     self.recon[comp][oy + s * n:oy + (s + 1) * n,
                                      ox:ox + n] = np.clip(
                         pred_c + rec_resi, 0, (1 << bd) - 1)
-        self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+        self._finish_cu_qp(x, y, size)
 
     def encode_cqt(self, x, y, log2size, depth):
         sps, pic, enc, bank = self.sps, self.pic, self.enc, self.bank
@@ -1094,6 +1122,8 @@ class IntraEncoder:
                 self._restore_cu_state(x, y, size, st)
                 self.enc.ops.extend(leaf_ops)
                 pic.inter_list.extend(leaf_products)
+                (self._last_qp_enc, self._qp_pred_enc, self._dqp_coded,
+                 self._cu_delta_enc) = leaf_state[5]
                 sl, maps, recs = leaf_state[0], leaf_state[1], leaf_state[2]
                 for m, v in maps.items():
                     getattr(pic, m)[sl] = v
@@ -1319,6 +1349,7 @@ class IntraEncoder:
         for j in range(4):
             lev, cbf, scan = lum[j]
             enc.encode_bin(bank["qt_cbf"], 0, cbf)
+            self._maybe_write_dqp(cbf or any(c_cbfs[1]) or any(c_cbfs[2]))
             if cbf:
                 encode_residual(enc, bank, lev, 0, scan,
                                 self.cfg.sign_hiding)
@@ -1328,7 +1359,7 @@ class IntraEncoder:
                         if c_cbfs[comp][s]:
                             encode_residual(enc, bank, clev, comp, c_scan,
                                             self.cfg.sign_hiding)
-        self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+        self._finish_cu_qp(x, y, size)
 
     def _encode_cu_intra_2nx2n(self, x, y, log2size):
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, self.bank
@@ -1438,6 +1469,7 @@ class IntraEncoder:
         for v in cbfs[2]:
             enc.encode_bin(bank["qt_cbf"], 5 + 0, v)
         enc.encode_bin(bank["qt_cbf"], 1, cbfs[0][0])
+        self._maybe_write_dqp(cbfs[0][0] or any(cbfs[1]) or any(cbfs[2]))
         from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
@@ -1457,7 +1489,7 @@ class IntraEncoder:
                         scan = SCAN_VER
                 encode_residual(enc, bank, lev, comp, scan,
                                 self.cfg.sign_hiding)
-        self.pic.set_rect(pic.qp, x, y, size, size, self.cur_qp)
+        self._finish_cu_qp(x, y, size)
 
     _CU_MAPS = ("depth", "pred_mode", "part_size", "skip", "intra_y",
                 "intra_c", "chroma_dm", "qp", "cbf_y", "edge_flags",
@@ -1476,11 +1508,17 @@ class IntraEncoder:
             recs.append(self.recon[c][y >> ssy:(y + size) >> ssy,
                                       x >> ssx:(x + size) >> ssx].copy())
         nops = len(self.enc.ops)
-        return (sl, maps, recs, nops, len(pic.inter_list))
+        dqp = (getattr(self, "_last_qp_enc", 0),
+               getattr(self, "_qp_pred_enc", 0),
+               getattr(self, "_dqp_coded", True),
+               getattr(self, "_cu_delta_enc", 0))
+        return (sl, maps, recs, nops, len(pic.inter_list), dqp)
 
     def _restore_cu_state(self, x, y, size, st):
         pic, sps = self.pic, self.sps
-        sl, maps, recs, nops, ninter = st
+        sl, maps, recs, nops, ninter, dqp = st
+        (self._last_qp_enc, self._qp_pred_enc, self._dqp_coded,
+         self._cu_delta_enc) = dqp
         for m, v in maps.items():
             getattr(pic, m)[sl] = v
         for c in range(len(recs)):
@@ -1539,6 +1577,40 @@ class IntraEncoder:
             from .residual_enc import apply_sign_hiding
             lev = apply_sign_hiding(lev, coef, qp, log2n, bd, scan_type)
         return lev
+
+    def _maybe_write_dqp(self, any_cbf):
+        """cu_qp_delta_abs/sign at the first coded leaf of the quantization
+        group (mirror of the decoder's _parse_cu_qp_delta call site)."""
+        if not self.cfg.adaptive_qp or self._dqp_coded or not any_cbf:
+            return
+        enc, bank = self.enc, self.bank
+        v = self.cur_qp - self._qp_pred_enc
+        m = abs(v)
+        enc.encode_bin(bank["dqp"], 0, 1 if m else 0)
+        if m:
+            k = 1
+            while k < 5 and k < m:
+                enc.encode_bin(bank["dqp"], 1, 1)
+                k += 1
+            if m < 5:
+                enc.encode_bin(bank["dqp"], 1, 0)
+            else:
+                enc.encode_eg_k(m - 5, 0)
+            enc.encode_bypass(1 if v < 0 else 0)
+        self._cu_delta_enc = v
+        self._dqp_coded = True
+
+    def _finish_cu_qp(self, x, y, size):
+        """CU-final QP map entry + predictor state (decoder _finish_cu)."""
+        if self.cfg.adaptive_qp:
+            if self._cu_delta_enc:
+                qp = (self._qp_pred_enc + self._cu_delta_enc + 52) % 52
+            else:
+                qp = self._qp_pred_enc
+        else:
+            qp = self.cur_qp
+        self.pic.set_rect(self.pic.qp, x, y, size, size, qp)
+        self._last_qp_enc = qp
 
     def _qp_for_comp(self, comp):
         cfg, sps = self.cfg, self.sps

@@ -150,7 +150,11 @@ def write_pps(cfg) -> bytes:
     w.se(cfg.qp - 26)   # init_qp_minus26
     w.put(0)            # constrained_intra_pred
     w.put(0)            # transform_skip
-    w.put(0)            # cu_qp_delta
+    if getattr(cfg, "adaptive_qp", False):
+        w.put(1)        # cu_qp_delta_enabled
+        w.ue(0)         # diff_cu_qp_delta_depth (QG = CTU)
+    else:
+        w.put(0)        # cu_qp_delta
     w.se(0)             # cb_qp_offset
     w.se(0)             # cr_qp_offset
     w.put(0)            # slice_chroma_qp_offsets_present

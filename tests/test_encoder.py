@@ -371,3 +371,28 @@ def test_sign_data_hiding():
             os.unlink(bit)
             assert r.stdout.count("(OK)") == 2
     assert sizes[True] < sizes[False]
+
+
+def test_adaptive_qp_preanalyzer():
+    """TM5 preanalysis + cu_qp_delta: per-CTU QPs vary in the decoded
+    syntax and HM verifies the hashes."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(160, 128, 2)
+    stream = IntraEncoder(EncoderConfig(160, 128, qp=32, gop="lowdelayP",
+                                        adaptive_qp=True)
+                          ).encode_stream(frames)
+    d = Decoder()
+    outs = d.decode_annexb(stream)
+    assert len(outs) == 2
+    qps = set(d.dpb[-1].pic_syntax.qp.ravel().tolist()) - {0}
+    assert len(qps) > 1  # the preanalyzer actually modulates QP
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if os.path.exists(exe):
+        import tempfile
+        bit = tempfile.mktemp(suffix=".bin")
+        open(bit, "wb").write(stream)
+        r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        os.unlink(bit)
+        assert r.stdout.count("(OK)") == 2
