@@ -153,7 +153,8 @@ class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, cu_size=32,
                  gop="intra", search_range=8, rate_kbps=None, fps=30.0,
                  chroma_format_idc=1, weighted_pred=False, rdoq=True,
-                 rdo_cu=True, sign_hiding=True, adaptive_qp=False):
+                 rdo_cu=True, sign_hiding=True, adaptive_qp=False,
+                 amp=True):
         self.width = width
         self.height = height
         self.qp = qp
@@ -186,6 +187,7 @@ class EncoderConfig:
         self.rdo_cu = rdo_cu  # RDO quadtree depth + NxN intra decisions
         self.sign_hiding = sign_hiding  # sign-data-hiding (SBH)
         self.adaptive_qp = adaptive_qp  # TM5 preanalysis + cu_qp_delta
+        self.amp = amp  # asymmetric motion partitions
         if gop in ("lowdelayP", "lowdelayB"):
             self.tmvp = 1
             self.st_rps = []          # explicit per-slice RPS
@@ -212,6 +214,7 @@ def _mk_sps_pps(cfg):
     sps.max_tr_hierarchy_intra = cfg.max_tr_hierarchy_intra
     sps.max_tr_hierarchy_inter = cfg.max_tr_hierarchy_inter
     sps.strong_intra_smoothing = cfg.strong_intra_smoothing
+    sps.amp_enabled = 1 if getattr(cfg, "amp", False) else 0
     sps.sao_enabled = cfg.sao
     pps = hls.PPS()
     pps.init_qp = cfg.qp
@@ -802,6 +805,10 @@ class IntraEncoder:
         parts = [SIZE_2Nx2N]
         if log2size >= 4:
             parts += [SIZE_2NxN, SIZE_Nx2N]
+            if cfg.amp and log2size > sps.log2_min_cb:
+                from ..hostdec.picture import (SIZE_2NxnU, SIZE_2NxnD,
+                                               SIZE_nLx2N, SIZE_nRx2N)
+                parts += [SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N, SIZE_nRx2N]
         best_part = None
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)
         pic.set_rect(pic.skip, x, y, size, size, 0)
@@ -956,6 +963,34 @@ class IntraEncoder:
         self._finish_cu_qp(x, y, size)
 
     # ------------------------------------------------------------------
+    def _write_inter_part_size(self, part, log2size):
+        """part_mode bins for an inter CU (mirror of the decoder's
+        _parse_inter_part_size incl. the AMP refinement bins)."""
+        from ..hostdec.picture import (SIZE_2Nx2N, SIZE_2NxN, SIZE_Nx2N,
+                                       SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N,
+                                       SIZE_nRx2N)
+        enc, bank, sps = self.enc, self.bank, self.sps
+        at_min = log2size == sps.log2_min_cb
+        base = part
+        amp_bin = None
+        if part in (SIZE_2NxnU, SIZE_2NxnD):
+            base = SIZE_2NxN
+            amp_bin = (0, 0 if part == SIZE_2NxnU else 1)
+        elif part in (SIZE_nLx2N, SIZE_nRx2N):
+            base = SIZE_Nx2N
+            amp_bin = (0, 0 if part == SIZE_nLx2N else 1)
+        max_bits = 3 if (at_min and (1 << log2size) != 8) else 2
+        for i in range(min(base, max_bits)):
+            enc.encode_bin(bank["part_size"], i, 0)
+        if base < max_bits:
+            enc.encode_bin(bank["part_size"], base, 1)
+        if sps.amp_enabled and not at_min and base in (SIZE_2NxN, SIZE_Nx2N):
+            if amp_bin is None:
+                enc.encode_bin(bank["part_size"], 3, 1)
+            else:
+                enc.encode_bin(bank["part_size"], 3, 0)
+                enc.encode_bypass(amp_bin[1])
+
     def _encode_inter_res_split(self, x, y, log2size, descs, part, preds):
         """Non-2Nx2N: forced TU quadtree (max_tr_hierarchy_inter == 0 --
         the root splits into four leaves, reference xDecodeTransform's
@@ -1006,10 +1041,7 @@ class IntraEncoder:
         enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
         pic.set_rect(pic.skip, x, y, size, size, 0)
         enc.encode_bin(bank["pred_mode"], 0, 0)
-        # part_size bins: 2NxN -> [0,1]; Nx2N -> [0,0] (max_bits 2, AMP off)
-        from ..hostdec.picture import SIZE_2NxN
-        enc.encode_bin(bank["part_size"], 0, 0)
-        enc.encode_bin(bank["part_size"], 1, 1 if part == SIZE_2NxN else 0)
+        self._write_inter_part_size(part, log2size)
         for desc in descs:
             self._write_pu_syntax(desc)
         # rqt_root_cbf always coded for non-2Nx2N (spec 7.3.8.5)

@@ -112,7 +112,7 @@ def write_sps(cfg) -> bytes:
     w.ue(cfg.max_tr_hierarchy_inter)
     w.ue(cfg.max_tr_hierarchy_intra)
     w.put(0)            # scaling_list_enabled
-    w.put(0)            # amp_enabled
+    w.put(1 if getattr(cfg, "amp", False) else 0)  # amp_enabled
     w.put(1 if cfg.sao else 0)
     w.put(0)            # pcm_enabled
     w.ue(len(cfg.st_rps))   # num_short_term_ref_pic_sets

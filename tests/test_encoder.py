@@ -396,3 +396,27 @@ def test_adaptive_qp_preanalyzer():
                            capture_output=True, text=True)
         os.unlink(bit)
         assert r.stdout.count("(OK)") == 2
+
+
+def test_amp_partitions():
+    """Asymmetric motion partitions: AMP modes appear in the decoded
+    syntax and HM verifies hashes."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(160, 128, 3)
+    stream = IntraEncoder(EncoderConfig(160, 128, qp=32, gop="lowdelayP",
+                                        amp=True)).encode_stream(frames)
+    d = Decoder()
+    outs = d.decode_annexb(stream)
+    assert len(outs) == 3
+    parts = set(d.dpb[-1].pic_syntax.part_size.ravel().tolist())
+    assert parts & {4, 5, 6, 7}  # an AMP mode was chosen somewhere
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if os.path.exists(exe):
+        import tempfile
+        bit = tempfile.mktemp(suffix=".bin")
+        open(bit, "wb").write(stream)
+        r = subprocess.run([exe, "-b", bit, "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        os.unlink(bit)
+        assert r.stdout.count("(OK)") == 3
