@@ -72,7 +72,10 @@ class HmDecoder:
     """Stateful NAL-push decoder preserving the libHMDec protocol."""
 
     def __init__(self, parse="python", recon="numpy"):
-        self._core = _CoreDecoder(parse="python", recon=recon)
+        if recon == "native" and parse != "native":
+            # native recon consumes the native parser's picture tensors
+            parse = "native"
+        self._core = _CoreDecoder(parse=parse, recon=recon)
         self._out_queue = []
         self._out_pos = 0
         self._pending_syntax = {}

@@ -65,6 +65,10 @@ class Decoder:
         self.check_sei_hash = check_sei_hash
         self._pending_hash = None
         self._native_queue = None
+        self._native_pos = 0
+        self._native_stream = None      # incremental NAL-push native parser
+        self._native_whole = False      # whole-stream pre-parse mode
+        self.max_temporal_layer = -1    # -1 = decode all sub-layers
         self.sps_map = {}
         self.pps_map = {}
         self.dpb = []
@@ -87,6 +91,7 @@ class Decoder:
             self._native_queue = list(native_bridge.parse_stream(
                 data, recon=(self.recon == "native")))
             self._native_pos = 0
+            self._native_whole = True
         for ebsp in N.split_annexb(data):
             self.decode_nal(N.parse_nal(ebsp))
         self.flush()
@@ -94,6 +99,18 @@ class Decoder:
 
     def decode_nal(self, nalu):
         t = nalu.nal_type
+        if 0 <= self.max_temporal_layer < nalu.temporal_id and N.is_vcl(t):
+            return  # temporal sub-layer dropped (libHMDec_set_max_temporal_layer)
+        if self.parse == "native" and not self._native_whole and nalu.ebsp:
+            # incremental NAL-push mode (libHMDec protocol): mirror every NAL
+            # into the native parser; completed native pictures queue up in
+            # lock-step with the Python HLS/DPB layer
+            if self._native_stream is None:
+                from . import native_bridge
+                self._native_stream = native_bridge.NativeStream(
+                    recon=(self.recon == "native"))
+                self._native_queue = []
+            self._native_queue.extend(self._native_stream.feed(nalu.ebsp))
         if t == N.NAL_SPS:
             sps = parse_sps(nalu.rbsp)
             self.sps_map[sps.sps_id] = sps
@@ -296,6 +313,11 @@ class Decoder:
         sps = self.sps_map[self.pps_map[sh.pps_id].sps_id]
 
         if self.parse == "native":
+            if self._native_pos >= len(self._native_queue) and \
+                    self._native_stream is not None:
+                # Python side decided to finish before the native parser saw
+                # the next picture's first slice (API bump / EOF): flush it
+                self._native_queue.extend(self._native_stream.flush())
             meta, npic = self._native_queue[self._native_pos]
             self._native_pos += 1
             assert meta["poc"] == sh.poc, (meta["poc"], sh.poc)

@@ -70,6 +70,7 @@ class NalUnit:
     layer_id: int
     temporal_id: int       # nuh_temporal_id_plus1 - 1
     rbsp: bytes            # emulation-prevention stripped payload (after 2-byte header)
+    ebsp: bytes = b""      # raw NAL bytes incl. 2-byte header (for native feed)
 
 
 def parse_nal(ebsp: bytes) -> NalUnit:
@@ -81,7 +82,7 @@ def parse_nal(ebsp: bytes) -> NalUnit:
     layer_id = ((b0 & 1) << 5) | (b1 >> 3)
     temporal_id = (b1 & 7) - 1
     rbsp = strip_emulation_prevention(ebsp[2:])
-    return NalUnit(nal_type, layer_id, temporal_id, rbsp)
+    return NalUnit(nal_type, layer_id, temporal_id, rbsp, bytes(ebsp))
 
 
 def split_annexb(data: bytes):

@@ -377,6 +377,21 @@ int hevcdec_decode(void* h, const uint8_t* data, size_t n) {
   return int(d->doneOrder.size());
 }
 
+// Incremental NAL-push interface (libHMDec push/bump protocol + API layer):
+// feed one EBSP NAL (no start code, with 2-byte header), no implicit flush.
+int hevcdec_feed(void* h, const uint8_t* ebsp, size_t n) {
+  auto* d = static_cast<hevc::Decoder*>(h);
+  d->decodeNal(ebsp, n);
+  return int(d->doneOrder.size());
+}
+
+// Finish the currently open picture (end of stream / forced bump).
+int hevcdec_flush(void* h) {
+  auto* d = static_cast<hevc::Decoder*>(h);
+  d->finishPicture();
+  return int(d->doneOrder.size());
+}
+
 // per-picture accessors (idx = decode order)
 static hevc::Picture* P(void* h, int idx) {
   return static_cast<hevc::Decoder*>(h)->doneOrder[idx];

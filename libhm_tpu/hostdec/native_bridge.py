@@ -30,6 +30,8 @@ def _load():
     lib = C.CDLL(so)
     lib.hevcdec_create.restype = C.c_void_p
     lib.hevcdec_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_size_t]
+    lib.hevcdec_feed.argtypes = [C.c_void_p, C.c_char_p, C.c_size_t]
+    lib.hevcdec_flush.argtypes = [C.c_void_p]
     lib.hevcdec_plane_size.restype = C.c_int
     lib.hevcdec_plane_size.argtypes = [C.c_void_p, C.c_int, C.c_int]
     _LIB = lib
@@ -51,13 +53,158 @@ def _get(lib, fn, h, idx, shape, dtype):
 class NativeParsedPicture:
     """PicSyntax-compatible view over the native parser output."""
 
+def _materialize(lib, h, i, recon):
+    """Materialize decoded picture i from the native handle as (meta, pic)."""
+    info = np.zeros(16, I32)
+    lib.hevcdec_pic_info(C.c_void_p(h), C.c_int(i),
+                         info.ctypes.data_as(C.c_void_p))
+    (poc, nal_type, tid, output_flag, sps_id, pps_id, w4, h4, nctu,
+     ntu, ncoef, nintra, ninter, npcm, npcm_samp, _) = [int(v) for v in info]
+    sinfo = np.zeros(32, I32)
+    lib.hevcdec_sps_info(C.c_void_p(h), C.c_int(i),
+                         sinfo.ctypes.data_as(C.c_void_p))
+    pic = PicSyntax.__new__(PicSyntax)
+    pic.w4, pic.h4 = w4, h4
+    if recon:
+        # full decode happens in C++; skip materialising the parse
+        # products (maps / TU / PU lists) on the Python side
+        pic.tu_list, pic.intra_list = [], []
+        pic.inter_list, pic.pcm_list = [], []
+        pic.slice_headers = []
+        meta = dict(poc=poc, nal_type=nal_type, temporal_id=tid,
+                    output_flag=output_flag, sps=sinfo)
+        outs = []
+        for comp in range(3 if int(sinfo[2]) else 1):
+            oi = np.zeros(3, I32)
+            lib.hevcdec_output_info(C.c_void_p(h), C.c_int(i),
+                                    C.c_int(comp),
+                                    oi.ctypes.data_as(C.c_void_p))
+            ow, oh, bps = int(oi[0]), int(oi[1]), int(oi[2])
+            a = np.empty((oh, ow), np.uint8 if bps == 1 else np.uint16)
+            lib.hevcdec_get_output(C.c_void_p(h), C.c_int(i),
+                                   C.c_int(comp),
+                                   a.ctypes.data_as(C.c_void_p))
+            outs.append(a)
+        meta["cropped"] = outs
+        return meta, pic
+    g = lambda fn, shape, dt: _get(lib, fn, h, i, shape, dt)
+    pic.depth = g("hevcdec_get_depth", (h4, w4), I8)
+    pic.pred_mode = g("hevcdec_get_pred_mode", (h4, w4), I8)
+    pic.part_size = g("hevcdec_get_part_size", (h4, w4), I8)
+    pic.skip = g("hevcdec_get_skip", (h4, w4), I8)
+    pic.pcm = g("hevcdec_get_pcm", (h4, w4), I8)
+    pic.tq_bypass = g("hevcdec_get_tq_bypass", (h4, w4), I8)
+    pic.intra_y = g("hevcdec_get_intra_y", (h4, w4), I8)
+    pic.intra_c = g("hevcdec_get_intra_c", (h4, w4), I8)
+    pic.chroma_dm = g("hevcdec_get_chroma_dm", (h4, w4), I8)
+    pic.qp = g("hevcdec_get_qp", (h4, w4), I8)
+    pic.cbf_y = g("hevcdec_get_cbf_y", (h4, w4), I8)
+    pic.inter_dir = g("hevcdec_get_inter_dir", (h4, w4), I8)
+    pic.ref_idx = g("hevcdec_get_ref_idx", (h4, w4, 2), I8)
+    pic.ref_is_lt = g("hevcdec_get_ref_is_lt", (h4, w4, 2), I8)
+    pic.mv = g("hevcdec_get_mv", (h4, w4, 2, 2), I32)
+    pic.ref_poc = g("hevcdec_get_ref_poc", (h4, w4, 2), I32)
+    pic.slice_idx = g("hevcdec_get_slice_idx", (h4, w4), I32)
+    pic.edge_flags = g("hevcdec_get_edge_flags", (h4, w4), U8)
+    pic.deblock_disable = g("hevcdec_get_deblock_disable", (h4, w4), I8)
+    pic.beta_offset = g("hevcdec_get_beta_offset", (h4, w4), I8)
+    pic.tc_offset = g("hevcdec_get_tc_offset", (h4, w4), I8)
+    pic.loopfilter_across_slice = g("hevcdec_get_lf_across", (h4, w4), I8)
+    pic.sao_type = g("hevcdec_get_sao_type", (nctu, 3), I8)
+    pic.sao_band_pos = g("hevcdec_get_sao_band", (nctu, 3), I8)
+    pic.sao_offsets = g("hevcdec_get_sao_offsets", (nctu, 3, 4), I32)
+
+    tu_meta = g("hevcdec_get_tu_meta", (max(ntu, 1), 12), I32)
+    coeffs = g("hevcdec_get_coeffs", (max(ncoef, 1),), I32)
+    pic.tu_list = []
+    for t in range(ntu):
+        (comp, x, y, w, hh, qp, use_dst, ts, byp, rdpcm, alpha,
+         off) = [int(v) for v in tu_meta[t]]
+        blk = coeffs[off:off + w * hh].reshape(hh, w)
+        pic.tu_list.append(TransformUnit(
+            comp, x, y, w, hh, blk, qp, bool(use_dst), ts, byp,
+            rdpcm, alpha))
+    im = g("hevcdec_get_intra_meta", (max(nintra, 1), 7), I32)
+    pic.intra_list = [IntraBlock(int(r[0]), int(r[1]), int(r[2]),
+                                 int(r[3]), int(r[4]), int(r[5]), 0,
+                                 int(r[6])) for r in im[:nintra]]
+    pu_sz = 28  # sizeof(PuMeta)/4
+    pm = g("hevcdec_get_inter_meta", (max(ninter, 1), pu_sz), I32)
+    pic.inter_list = []
+    for r in pm[:ninter]:
+        pu = InterPU(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                     int(r[4]),
+                     [(int(r[5]), int(r[6])), (int(r[7]), int(r[8]))],
+                     [int(r[9]), int(r[10])],
+                     [int(r[11]), int(r[12])])
+        if int(r[13]):  # has_wp
+            # layout: denom_l, denom_c, w[2][3], o[2][3]
+            ww = [[int(r[16 + l * 3 + c]) for c in range(3)] for l in range(2)]
+            oo = [[int(r[22 + l * 3 + c]) for c in range(3)] for l in range(2)]
+            pu.wp = {"denom_l": int(r[14]), "denom_c": int(r[15]),
+                     "w": ww, "o": oo}
+        pic.inter_list.append(pu)
+    pcm_meta = g("hevcdec_get_pcm_meta", (max(npcm, 1), 7), I32)
+    pcm_samples = g("hevcdec_get_pcm_samples", (max(npcm_samp, 1),), I32)
+    pic.pcm_list = []
+    for r in pcm_meta[:npcm]:
+        comp, x, y, w, hh, bits, off = [int(v) for v in r]
+        pic.pcm_list.append((comp, x, y, w, hh,
+                             pcm_samples[off:off + w * hh].reshape(hh, w),
+                             bits))
+    pic.slice_headers = []
+    meta = dict(poc=poc, nal_type=nal_type, temporal_id=tid,
+                output_flag=output_flag, sps=sinfo)
+    return meta, pic
+
+class NativeStream:
+    """Incremental NAL-push native parser (libHMDec protocol backend).
+
+    feed() one EBSP NAL at a time (2-byte header, no start code); completed
+    pictures come back as (meta, PicSyntax) as soon as the parser sees the
+    next picture's first slice.  flush() finalizes the open picture.
+    """
+
+    def __init__(self, recon: bool = False):
+        self.lib = _load()
+        self.h = self.lib.hevcdec_create()
+        self.recon = recon
+        if recon:
+            self.lib.hevcdec_enable_recon(C.c_void_p(self.h), 1)
+        self._count = 0
+
+    def feed(self, ebsp: bytes):
+        n = self.lib.hevcdec_feed(C.c_void_p(self.h), ebsp, len(ebsp))
+        return self._drain(n)
+
+    def flush(self):
+        n = self.lib.hevcdec_flush(C.c_void_p(self.h))
+        return self._drain(n)
+
+    def _drain(self, n):
+        out = [_materialize(self.lib, self.h, i, self.recon)
+               for i in range(self._count, n)]
+        self._count = n
+        return out
+
+    def close(self):
+        if self.h is not None:
+            self.lib.hevcdec_destroy(C.c_void_p(self.h))
+            self.h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
 
 def parse_stream(data: bytes, recon: bool = False):
     """Parse an Annex-B stream natively; returns list of (info, PicSyntax).
 
     With recon=True the native library also reconstructs every picture
-    (residuals + intra + MC + deblock + SAO in C++); the padded int32
-    planes are attached as meta["planes"].
+    (residuals + intra + MC + deblock + SAO in C++); the cropped output
+    planes are attached as meta["cropped"].
     """
     lib = _load()
     h = lib.hevcdec_create()
@@ -65,110 +212,6 @@ def parse_stream(data: bytes, recon: bool = False):
         if recon:
             lib.hevcdec_enable_recon(C.c_void_p(h), 1)
         npic = lib.hevcdec_decode(h, data, len(data))
-        out = []
-        for i in range(npic):
-            info = np.zeros(16, I32)
-            lib.hevcdec_pic_info(C.c_void_p(h), C.c_int(i),
-                                 info.ctypes.data_as(C.c_void_p))
-            (poc, nal_type, tid, output_flag, sps_id, pps_id, w4, h4, nctu,
-             ntu, ncoef, nintra, ninter, npcm, npcm_samp, _) = [int(v) for v in info]
-            sinfo = np.zeros(32, I32)
-            lib.hevcdec_sps_info(C.c_void_p(h), C.c_int(i),
-                                 sinfo.ctypes.data_as(C.c_void_p))
-            pic = PicSyntax.__new__(PicSyntax)
-            pic.w4, pic.h4 = w4, h4
-            if recon:
-                # full decode happens in C++; skip materialising the parse
-                # products (maps / TU / PU lists) on the Python side
-                pic.tu_list, pic.intra_list = [], []
-                pic.inter_list, pic.pcm_list = [], []
-                pic.slice_headers = []
-                meta = dict(poc=poc, nal_type=nal_type, temporal_id=tid,
-                            output_flag=output_flag, sps=sinfo)
-                outs = []
-                for comp in range(3 if int(sinfo[2]) else 1):
-                    oi = np.zeros(3, I32)
-                    lib.hevcdec_output_info(C.c_void_p(h), C.c_int(i),
-                                            C.c_int(comp),
-                                            oi.ctypes.data_as(C.c_void_p))
-                    ow, oh, bps = int(oi[0]), int(oi[1]), int(oi[2])
-                    a = np.empty((oh, ow), np.uint8 if bps == 1 else np.uint16)
-                    lib.hevcdec_get_output(C.c_void_p(h), C.c_int(i),
-                                           C.c_int(comp),
-                                           a.ctypes.data_as(C.c_void_p))
-                    outs.append(a)
-                meta["cropped"] = outs
-                out.append((meta, pic))
-                continue
-            g = lambda fn, shape, dt: _get(lib, fn, h, i, shape, dt)
-            pic.depth = g("hevcdec_get_depth", (h4, w4), I8)
-            pic.pred_mode = g("hevcdec_get_pred_mode", (h4, w4), I8)
-            pic.part_size = g("hevcdec_get_part_size", (h4, w4), I8)
-            pic.skip = g("hevcdec_get_skip", (h4, w4), I8)
-            pic.pcm = g("hevcdec_get_pcm", (h4, w4), I8)
-            pic.tq_bypass = g("hevcdec_get_tq_bypass", (h4, w4), I8)
-            pic.intra_y = g("hevcdec_get_intra_y", (h4, w4), I8)
-            pic.intra_c = g("hevcdec_get_intra_c", (h4, w4), I8)
-            pic.chroma_dm = g("hevcdec_get_chroma_dm", (h4, w4), I8)
-            pic.qp = g("hevcdec_get_qp", (h4, w4), I8)
-            pic.cbf_y = g("hevcdec_get_cbf_y", (h4, w4), I8)
-            pic.inter_dir = g("hevcdec_get_inter_dir", (h4, w4), I8)
-            pic.ref_idx = g("hevcdec_get_ref_idx", (h4, w4, 2), I8)
-            pic.ref_is_lt = g("hevcdec_get_ref_is_lt", (h4, w4, 2), I8)
-            pic.mv = g("hevcdec_get_mv", (h4, w4, 2, 2), I32)
-            pic.ref_poc = g("hevcdec_get_ref_poc", (h4, w4, 2), I32)
-            pic.slice_idx = g("hevcdec_get_slice_idx", (h4, w4), I32)
-            pic.edge_flags = g("hevcdec_get_edge_flags", (h4, w4), U8)
-            pic.deblock_disable = g("hevcdec_get_deblock_disable", (h4, w4), I8)
-            pic.beta_offset = g("hevcdec_get_beta_offset", (h4, w4), I8)
-            pic.tc_offset = g("hevcdec_get_tc_offset", (h4, w4), I8)
-            pic.loopfilter_across_slice = g("hevcdec_get_lf_across", (h4, w4), I8)
-            pic.sao_type = g("hevcdec_get_sao_type", (nctu, 3), I8)
-            pic.sao_band_pos = g("hevcdec_get_sao_band", (nctu, 3), I8)
-            pic.sao_offsets = g("hevcdec_get_sao_offsets", (nctu, 3, 4), I32)
-
-            tu_meta = g("hevcdec_get_tu_meta", (max(ntu, 1), 12), I32)
-            coeffs = g("hevcdec_get_coeffs", (max(ncoef, 1),), I32)
-            pic.tu_list = []
-            for t in range(ntu):
-                (comp, x, y, w, hh, qp, use_dst, ts, byp, rdpcm, alpha,
-                 off) = [int(v) for v in tu_meta[t]]
-                blk = coeffs[off:off + w * hh].reshape(hh, w)
-                pic.tu_list.append(TransformUnit(
-                    comp, x, y, w, hh, blk, qp, bool(use_dst), ts, byp,
-                    rdpcm, alpha))
-            im = g("hevcdec_get_intra_meta", (max(nintra, 1), 7), I32)
-            pic.intra_list = [IntraBlock(int(r[0]), int(r[1]), int(r[2]),
-                                         int(r[3]), int(r[4]), int(r[5]), 0,
-                                         int(r[6])) for r in im[:nintra]]
-            pu_sz = 28  # sizeof(PuMeta)/4
-            pm = g("hevcdec_get_inter_meta", (max(ninter, 1), pu_sz), I32)
-            pic.inter_list = []
-            for r in pm[:ninter]:
-                pu = InterPU(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
-                             int(r[4]),
-                             [(int(r[5]), int(r[6])), (int(r[7]), int(r[8]))],
-                             [int(r[9]), int(r[10])],
-                             [int(r[11]), int(r[12])])
-                if int(r[13]):  # has_wp
-                    # layout: denom_l, denom_c, w[2][3], o[2][3]
-                    ww = [[int(r[16 + l * 3 + c]) for c in range(3)] for l in range(2)]
-                    oo = [[int(r[22 + l * 3 + c]) for c in range(3)] for l in range(2)]
-                    pu.wp = {"denom_l": int(r[14]), "denom_c": int(r[15]),
-                             "w": ww, "o": oo}
-                pic.inter_list.append(pu)
-            pcm_meta = g("hevcdec_get_pcm_meta", (max(npcm, 1), 7), I32)
-            pcm_samples = g("hevcdec_get_pcm_samples", (max(npcm_samp, 1),), I32)
-            pic.pcm_list = []
-            for r in pcm_meta[:npcm]:
-                comp, x, y, w, hh, bits, off = [int(v) for v in r]
-                pic.pcm_list.append((comp, x, y, w, hh,
-                                     pcm_samples[off:off + w * hh].reshape(hh, w),
-                                     bits))
-            pic.slice_headers = []
-            meta = dict(poc=poc, nal_type=nal_type, temporal_id=tid,
-                        output_flag=output_flag, sps=sinfo)
-            out.append((meta, pic))
-        return out
+        return [_materialize(lib, h, i, recon) for i in range(npic)]
     finally:
         lib.hevcdec_destroy(C.c_void_p(h))

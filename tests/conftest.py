@@ -1,6 +1,22 @@
 import os
-# force CPU with a virtual 8-device mesh for sharding tests
-# (JAX_PLATFORM_NAME is the variable the installed axon plugin respects)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+# Force CPU with a virtual 8-device mesh for the test suite (sharding tests
+# need 8 devices; everything else is faster on CPU-JAX than the tunneled TPU).
+# NOTE: the outer environment pre-sets JAX_PLATFORMS=axon, so these must be
+# hard overrides, not setdefault (round-1 bug: setdefault left the suite on
+# the single real TPU and no mesh test could ever have passed).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+_flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
+
+# sitecustomize.py (axon) imports jax at interpreter startup, which snapshots
+# JAX_PLATFORMS into jax.config before this file runs — update the live
+# config too (the backend itself is still uninitialized here, so XLA_FLAGS
+# above is picked up when the CPU client is created).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+

@@ -66,3 +66,30 @@ def test_sei_hash_check_detects_corruption():
     except Exception:
         return  # corrupt streams may also fail parse; that's acceptable
     assert "MISMATCH" in [r.hash_status for r in dec.output_records]
+
+
+def test_parse_recon_backend_args():
+    """parse=/recon= must be honored (round-1 bug: parse was hardcoded)."""
+    from libhm_tpu import api
+    from libhm_tpu.hostdec import nal as N
+    name = "lowdelayP_416x240"
+    data = open(os.path.join(ROOT, "testdata", GOLD[name]["bitstream"]), "rb").read()
+    for parse, recon in (("native", "numpy"), ("python", "native"),
+                         ("native", "native")):
+        dec = api.new_decoder(parse=parse, recon=recon)
+        pics = []
+        nals = list(N.split_annexb(data))
+        i = 0
+        while i < len(nals):
+            new_pic, check = dec.push_nal_unit(nals[i], i == len(nals) - 1)
+            if check:
+                while True:
+                    p = dec.get_picture()
+                    if p is None:
+                        break
+                    pics.append(p)
+            if not new_pic:
+                i += 1
+        buf = b"".join(pl.tobytes() for p in pics for pl in p.planes)
+        assert hashlib.md5(buf).hexdigest() == GOLD[name]["decoded_yuv_md5"], \
+            (parse, recon)
