@@ -494,17 +494,17 @@ void hevcdec_get_output(void* h, int idx, int comp, uint8_t* dst) {
   int bd = comp ? s.bit_depth_chroma : s.bit_depth_luma;
   int lg = s.log2_ctb;
   int64_t stride = (int64_t(s.picWCtbs()) << lg) >> sx;
-  const int32_t* src = p->plane[comp].data();
+  const hevc::Pel* src = p->plane[comp].data();
   if (bd <= 8) {
     for (int y = 0; y < hh; y++) {
-      const int32_t* r = src + (int64_t(y0) + y) * stride + x0;
+      const hevc::Pel* r = src + (int64_t(y0) + y) * stride + x0;
       uint8_t* o = dst + int64_t(y) * w;
       for (int x = 0; x < w; x++) o[x] = uint8_t(r[x]);
     }
   } else {
     uint16_t* o16 = reinterpret_cast<uint16_t*>(dst);
     for (int y = 0; y < hh; y++) {
-      const int32_t* r = src + (int64_t(y0) + y) * stride + x0;
+      const hevc::Pel* r = src + (int64_t(y0) + y) * stride + x0;
       uint16_t* o = o16 + int64_t(y) * w;
       for (int x = 0; x < w; x++) o[x] = uint16_t(r[x]);
     }
@@ -513,7 +513,8 @@ void hevcdec_get_output(void* h, int idx, int comp, uint8_t* dst) {
 
 void hevcdec_get_plane(void* h, int idx, int comp, int32_t* dst) {
   hevc::Picture* p = P(h, idx);
-  memcpy(dst, p->plane[comp].data(), p->plane[comp].size() * 4);
+  for (size_t i = 0; i < p->plane[comp].size(); i++)
+    dst[i] = p->plane[comp][i];
 }
 int hevcdec_plane_size(void* h, int idx, int comp) {
   return int(P(h, idx)->plane[comp].size());

@@ -18,6 +18,12 @@
 
 namespace hevc {
 
+// Sample type: int16 like the reference's Pel (bit depths <= 14; the 16-bit
+// RExt profiles would need the Int build the reference gates behind
+// RExt__HIGH_BIT_DEPTH_SUPPORT, TypeDef.h:260).  Half the memory traffic and
+// twice the SIMD lanes of the round-1 int32 planes.
+using Pel = int16_t;
+
 // ---------------------------------------------------------------------------
 struct BitReader {
   const uint8_t* data = nullptr;
@@ -259,7 +265,7 @@ struct Picture {
   std::vector<int32_t> pcm_samples;
   // reconstructed planes (filled by recon.cpp when recon is enabled),
   // padded to CTU multiples like the reference picture buffers
-  std::vector<int32_t> plane[3];
+  std::vector<Pel> plane[3];
   // long-term flag for this picture while in DPB (decoder-side)
   bool is_long_term = false;
   bool is_reference = true;

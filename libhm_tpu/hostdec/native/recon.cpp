@@ -118,6 +118,7 @@ static inline int clip3(int lo, int hi, int v) {
   return v < lo ? lo : (v > hi ? hi : v);
 }
 
+
 // ---------------------------------------------------------------------------
 struct ReconCtx {
   const SPS* sps;
@@ -128,7 +129,8 @@ struct ReconCtx {
   int ncomp, Wp, Hp, log2Ctb, ctb, wCtbs, hCtbs;
   std::vector<int64_t> zmap;     // [h4*w4]
   std::vector<int32_t> tileMap;  // [nctu]
-  std::vector<int32_t> resPool;  // residuals, same layout/offsets as coeffs
+  std::vector<int16_t> resPool;  // residuals, same layout/offsets as coeffs
+                                 // (every residual path clips to int16)
   // dequant scaling matrices [sizeId][matrixId] upsampled to full size
   bool useScaling = false;
   std::vector<int32_t> scalMat[4][6];
@@ -437,8 +439,14 @@ struct ReconCtx {
   void buildResiduals() {
     buildScalingMatrices();
     resPool.resize(pic->coeffs.size());
-    for (size_t i = 0; i < pic->tu_list.size(); i++)
-      residualForTu(pic->tu_list[i], &resPool[pic->tu_list[i].coeff_off]);
+    static thread_local int32_t scratch[32 * 32];
+    for (size_t i = 0; i < pic->tu_list.size(); i++) {
+      const TuMeta& t = pic->tu_list[i];
+      residualForTu(t, scratch);
+      int16_t* dst = &resPool[t.coeff_off];
+      size_t nn = size_t(t.w) * t.h;
+      for (size_t k = 0; k < nn; k++) dst[k] = int16_t(scratch[k]);
+    }
     // cross-component prediction (RExt 4:4:4)
     if (sps->chroma_format_idc == 3) {
       std::map<std::tuple<int, int, int>, size_t> lumaRes;
@@ -451,12 +459,12 @@ struct ReconCtx {
         if (t.comp && t.alpha) {
           auto it = lumaRes.find({t.x, t.y, t.w});
           if (it == lumaRes.end()) continue;
-          const int32_t* lr = &resPool[pic->tu_list[it->second].coeff_off];
-          int32_t* r = &resPool[t.coeff_off];
+          const int16_t* lr = &resPool[pic->tu_list[it->second].coeff_off];
+          int16_t* r = &resPool[t.coeff_off];
           size_t nn = size_t(t.w) * t.h;
           for (size_t k = 0; k < nn; k++) {
             int64_t v = r[k] + ((int64_t(t.alpha) * lr[k]) >> 3);
-            r[k] = int32_t(v < I16MIN ? I16MIN : (v > I16MAX ? I16MAX : v));
+            r[k] = int16_t(v < I16MIN ? I16MIN : (v > I16MAX ? I16MAX : v));
           }
         }
       }
@@ -467,10 +475,10 @@ struct ReconCtx {
   // inter prediction
   // -------------------------------------------------------------------------
   // one block, one list: writes IF-precision (not-last) or final samples
-  void interpBlock(const int32_t* ref, int refW, int refH, int64_t stride,
+  void interpBlock(const Pel* ref, int refW, int refH, int64_t stride,
                    int x, int y, int w, int h, int mvx, int mvy,
                    int fbx, int fby, int taps, bool isLuma, int bd,
-                   bool isLast, int32_t* dst, int dstStride) {
+                   bool isLast, int16_t* dst, int dstStride) {
     if (taps == 8) {
       if (isLast)
         interpBlockT<8, true>(ref, refW, refH, stride, x, y, w, h, mvx, mvy,
@@ -495,10 +503,10 @@ struct ReconCtx {
   }
 
   template <int taps, bool isLast>
-  void interpBlockT(const int32_t* ref, int refW, int refH, int64_t stride,
+  void interpBlockT(const Pel* ref, int refW, int refH, int64_t stride,
                     int x, int y, int w, int h, int mvx, int mvy,
                     int fbx, int fby, bool isLuma, int bd,
-                    int32_t* dst, int dstStride) {
+                    int16_t* dst, int dstStride) {
     int fx = (mvx & ((1 << fbx) - 1)) << phaseShift(taps, fbx);
     int fy = (mvy & ((1 << fby) - 1)) << phaseShift(taps, fby);
     int ix = x + (mvx >> fbx);
@@ -521,7 +529,7 @@ struct ReconCtx {
         for (int i = 0; i < w; i++) {
           int v = S(iy + j, ix + i);
           dst[int64_t(j) * dstStride + i] =
-              isLast ? v : (v << headroom) - kIfOffs;
+              int16_t(isLast ? v : (v << headroom) - kIfOffs);
         }
       return;
     }
@@ -531,16 +539,19 @@ struct ReconCtx {
       int shift = 6, offset;
       if (isLast) { offset = 1 << (shift - 1); }
       else { shift -= hr; offset = -(kIfOffs << shift); }
+      static thread_local int32_t hacc[64];
       for (int j = 0; j < h; j++) {
         if (interior) {
-          const int32_t* row = ref + int64_t(iy + j) * stride + ix - half;
+          const Pel* row = ref + int64_t(iy + j) * stride + ix - half;
           for (int i = 0; i < w; i++) {
-            int32_t acc = 0;
-            for (int k = 0; k < taps; k++)
-              acc += fh[k] * row[i + k];
-            int v = (acc + offset) >> shift;
+            int32_t s = 0;
+            for (int k = 0; k < taps; k++) s += fh[k] * row[i + k];
+            hacc[i] = s;
+          }
+          for (int i = 0; i < w; i++) {
+            int v = (hacc[i] + offset) >> shift;
             dst[int64_t(j) * dstStride + i] =
-                isLast ? clip3(0, maxv, v) : int32_t(v);
+                int16_t(isLast ? clip3(0, maxv, v) : v);
           }
         } else {
           for (int i = 0; i < w; i++) {
@@ -549,7 +560,7 @@ struct ReconCtx {
               acc += fh[k] * S(iy + j, ix + i + k - half);
             int v = (acc + offset) >> shift;
             dst[int64_t(j) * dstStride + i] =
-                isLast ? clip3(0, maxv, v) : int32_t(v);
+                int16_t(isLast ? clip3(0, maxv, v) : v);
           }
         }
       }
@@ -559,16 +570,19 @@ struct ReconCtx {
       int shift = 6, offset;
       if (isLast) { offset = 1 << (shift - 1); }
       else { shift -= hr; offset = -(kIfOffs << shift); }
+      static thread_local int32_t vacc0[64];
       for (int j = 0; j < h; j++) {
         if (interior) {
-          const int32_t* col = ref + int64_t(iy + j - half) * stride + ix;
+          const Pel* col = ref + int64_t(iy + j - half) * stride + ix;
           for (int i = 0; i < w; i++) {
-            int32_t acc = 0;
-            for (int k = 0; k < taps; k++)
-              acc += fv[k] * col[int64_t(k) * stride + i];
-            int v = (acc + offset) >> shift;
+            int32_t s = 0;
+            for (int k = 0; k < taps; k++) s += fv[k] * col[k * stride + i];
+            vacc0[i] = s;
+          }
+          for (int i = 0; i < w; i++) {
+            int v = (vacc0[i] + offset) >> shift;
             dst[int64_t(j) * dstStride + i] =
-                isLast ? clip3(0, maxv, v) : int32_t(v);
+                int16_t(isLast ? clip3(0, maxv, v) : v);
           }
         } else {
           for (int i = 0; i < w; i++) {
@@ -577,31 +591,35 @@ struct ReconCtx {
               acc += fv[k] * S(iy + j + k - half, ix + i);
             int v = (acc + offset) >> shift;
             dst[int64_t(j) * dstStride + i] =
-                isLast ? clip3(0, maxv, v) : int32_t(v);
+                int16_t(isLast ? clip3(0, maxv, v) : v);
           }
         }
       }
       return;
     }
-    // two stages: H first (is_first, not last), then V
+    // two stages: H first (is_first, not last), then V.  Intermediates fit
+    // int16 (14-bit IF precision minus IF_OFFS, like the reference's Short
+    // buffers).
     int sh1 = 6 - hr;
     int32_t off1 = -(kIfOffs << sh1);
-    static thread_local std::vector<int32_t> tmp((64 + 8) * 64);
+    static thread_local std::vector<int16_t> tmp((64 + 8) * 64);
+    static thread_local int32_t hacc2[64];
     for (int j = 0; j < h + taps - 1; j++) {
       if (interior) {
-        const int32_t* row = ref + int64_t(iy + j - half) * stride + ix - half;
+        const Pel* row = ref + int64_t(iy + j - half) * stride + ix - half;
         for (int i = 0; i < w; i++) {
-          int32_t acc = 0;
-          for (int k = 0; k < taps; k++)
-            acc += fh[k] * row[i + k];
-          tmp[size_t(j) * w + i] = int32_t((acc + off1) >> sh1);
+          int32_t s = 0;
+          for (int k = 0; k < taps; k++) s += fh[k] * row[i + k];
+          hacc2[i] = s;
         }
+        for (int i = 0; i < w; i++)
+          tmp[size_t(j) * w + i] = int16_t((hacc2[i] + off1) >> sh1);
       } else {
         for (int i = 0; i < w; i++) {
           int32_t acc = 0;
           for (int k = 0; k < taps; k++)
             acc += fh[k] * S(iy + j - half, ix + i + k - half);
-          tmp[size_t(j) * w + i] = int32_t((acc + off1) >> sh1);
+          tmp[size_t(j) * w + i] = int16_t((acc + off1) >> sh1);
         }
       }
     }
@@ -610,28 +628,39 @@ struct ReconCtx {
     else { sh2 = 6; off2 = 0; }
     static thread_local int32_t vacc[64];
     for (int j = 0; j < h; j++) {
-      // k-outer: inner i runs contiguous rows of tmp and vectorizes
-      const int32_t* t0 = tmp.data() + size_t(j) * w;
+      const int16_t* t0 = tmp.data() + size_t(j) * w;
       for (int i = 0; i < w; i++) vacc[i] = fv[0] * t0[i];
       for (int k = 1; k < taps; k++) {
-        const int32_t* tk = tmp.data() + size_t(j + k) * w;
+        const int16_t* tk = tmp.data() + size_t(j + k) * w;
         int32_t c = fv[k];
         for (int i = 0; i < w; i++) vacc[i] += c * tk[i];
       }
       if (isLast) {
         for (int i = 0; i < w; i++)
           dst[int64_t(j) * dstStride + i] =
-              clip3(0, maxv, (vacc[i] + off2) >> sh2);
+              int16_t(clip3(0, maxv, (vacc[i] + off2) >> sh2));
       } else {
         for (int i = 0; i < w; i++)
-          dst[int64_t(j) * dstStride + i] = (vacc[i] + off2) >> sh2;
+          dst[int64_t(j) * dstStride + i] = int16_t((vacc[i] + off2) >> sh2);
       }
     }
   }
 
   void interStage() {
     if (pic->inter_list.empty()) return;
-    static thread_local std::vector<int32_t> p0(64 * 64), p1(64 * 64);
+    static thread_local std::vector<int16_t> p0(64 * 64), p1(64 * 64);
+    // flat poc -> picture lookup (avoids the std::function DPB scan per PU)
+    std::array<Picture*, 64> refCache{};
+    std::array<int, 64> refCachePoc;
+    refCachePoc.fill(INT32_MIN);
+    auto lookupRef = [&](int poc) -> Picture* {
+      unsigned slot = unsigned(poc) & 63;
+      if (refCachePoc[slot] != poc) {
+        refCache[slot] = findRef(poc);
+        refCachePoc[slot] = poc;
+      }
+      return refCache[slot];
+    };
     for (const PuMeta& pu : pic->inter_list) {
       bool bi = pu.dir == 3;
       bool useWp = pu.has_wp != 0;
@@ -647,34 +676,34 @@ struct ReconCtx {
         int fby = c ? 2 + sy : 2;
         bool isLast = !bi && !useWp;
         int refW = compW(c), refH = compH(c);
-        int32_t* preds[2] = {p0.data(), p1.data()};
+        int16_t* preds[2] = {p0.data(), p1.data()};
         bool have[2] = {false, false};
         for (int l = 0; l < 2; l++) {
           if (!(pu.dir & (1 << l))) continue;
-          Picture* rp = findRef(pu.ref_poc[l]);
+          Picture* rp = lookupRef(pu.ref_poc[l]);
           if (!rp) continue;
-          const int32_t* ref = rp->plane[c].data();
+          const Pel* ref = rp->plane[c].data();
           interpBlock(ref, refW, refH, planeW(c), x, y, w, h,
                       pu.mv[l][0], pu.mv[l][1], fbx, fby, taps, c == 0, bd,
                       isLast, preds[l], w);
           have[l] = true;
         }
-        int32_t* out = &pic->plane[c][int64_t(y) * planeW(c) + x];
+        Pel* out = &pic->plane[c][int64_t(y) * planeW(c) + x];
         int64_t ostride = planeW(c);
         if (bi && !useWp) {
           int shift = kIfPrec + 1 - bd;
           int off = (1 << (shift - 1)) + 2 * kIfOffs;
           for (int j = 0; j < h; j++) {
-            const int32_t* a = p0.data() + size_t(j) * w;
-            const int32_t* b = p1.data() + size_t(j) * w;
-            int32_t* o = out + j * ostride;
+            const int16_t* a = p0.data() + size_t(j) * w;
+            const int16_t* b = p1.data() + size_t(j) * w;
+            Pel* o = out + j * ostride;
             for (int i = 0; i < w; i++)
-              o[i] = clip3(0, maxv, (a[i] + b[i] + off) >> shift);
+              o[i] = Pel(clip3(0, maxv, (a[i] + b[i] + off) >> shift));
           }
         } else if (!useWp) {
-          const int32_t* p = have[0] ? p0.data() : p1.data();
+          const int16_t* p = have[0] ? p0.data() : p1.data();
           for (int j = 0; j < h; j++)
-            memcpy(out + j * ostride, p + size_t(j) * w, size_t(w) * 4);
+            memcpy(out + j * ostride, p + size_t(j) * w, size_t(w) * 2);
         } else {
           int denom = c == 0 ? pu.wp_denom_l : pu.wp_denom_c;
           int scale = 1 << (bd - 8);
@@ -694,7 +723,7 @@ struct ReconCtx {
               }
           } else {
             int l = have[0] ? 0 : 1;
-            const int32_t* p = preds[l];
+            const int16_t* p = preds[l];
             int wl = pu.wp_w[l][c];
             int64_t ol = int64_t(pu.wp_o[l][c]) * scale;
             int shift = denom + std::max(2, kIfPrec - bd);
@@ -719,14 +748,14 @@ struct ReconCtx {
       if (pm[size_t(ly4) * w4() + lx4] != 0) continue;  // MODE_INTER == 0
       int bd = bitDepth(t.comp);
       int maxv = (1 << bd) - 1;
-      int32_t* pl = pic->plane[t.comp].data();
+      Pel* pl = pic->plane[t.comp].data();
       int64_t stride = planeW(t.comp);
-      const int32_t* r = &resPool[t.coeff_off];
+      const int16_t* r = &resPool[t.coeff_off];
       for (int j = 0; j < t.h; j++) {
-        int32_t* row = pl + (int64_t(t.y) + j) * stride + t.x;
-        const int32_t* rr = r + size_t(j) * t.w;  // flat pool, TU-local raster
+        Pel* row = pl + (int64_t(t.y) + j) * stride + t.x;
+        const int16_t* rr = r + size_t(j) * t.w;  // flat pool, TU-local raster
         for (int k = 0; k < t.w; k++)
-          row[k] = clip3(0, maxv, row[k] + rr[k]);
+          row[k] = Pel(clip3(0, maxv, row[k] + rr[k]));
       }
     }
   }
@@ -756,7 +785,7 @@ struct ReconCtx {
     int mode = blk.mode;
     if (c && sps->chroma_format_idc == 2) mode = kC422Map[mode];
     int n = blk.w;
-    int32_t* plane = pic->plane[c].data();
+    Pel* plane = pic->plane[c].data();
     int64_t stride = planeW(c);
     // availability context
     int lx = blk.x << sx, ly = blk.y << sy;
@@ -921,14 +950,15 @@ struct ReconCtx {
       }
     }
     // add residual + clip + store
-    const int32_t* res = nullptr;
+    const int16_t* res = nullptr;
     if (blk.tu_index >= 0)
       res = &resPool[pic->tu_list[blk.tu_index].coeff_off];
     for (int j = 0; j < blk.h; j++)
       for (int i = 0; i < blk.w; i++) {
         int v = pred[size_t(j) * n + i];
         if (res) v += res[size_t(j) * blk.w + i];
-        plane[int64_t(blk.y + j) * stride + blk.x + i] = clip3(0, maxv, v);
+        plane[int64_t(blk.y + j) * stride + blk.x + i] =
+            Pel(clip3(0, maxv, v));
       }
   }
 
@@ -999,11 +1029,11 @@ struct ReconCtx {
     return (far(pmv[0], qmv[1]) || far(pmv[1], qmv[0])) ? 1 : 0;
   }
 
-  void filterLumaSeg(int32_t* luma, int64_t stride, bool vertical, int row,
+  void filterLumaSeg(Pel* luma, int64_t stride, bool vertical, int row,
                      int col, int tc, int beta, bool noP, bool noQ, int maxv) {
     // access helper: vertical edges filter along rows; horizontal are the
     // transpose (row<->col)
-    auto S = [&](int r, int cix) -> int32_t& {
+    auto S = [&](int r, int cix) -> Pel& {
       return vertical ? luma[int64_t(row + r) * stride + col + cix]
                       : luma[int64_t(col + cix) * stride + row + r];
     };
@@ -1131,7 +1161,7 @@ struct ReconCtx {
               int tcc = kTcTbl[idxTc] << (sps->bit_depth_chroma - 8);
               if (!tcc) continue;
               int maxvC = (1 << sps->bit_depth_chroma) - 1;
-              int32_t* plane = pic->plane[c].data();
+              Pel* plane = pic->plane[c].data();
               int64_t stride = planeW(c);
               int cy, cx, nlines;
               if (vertical) {
@@ -1141,7 +1171,7 @@ struct ReconCtx {
                 cy = (x4v << 2) >> sx; cx = (y4v << 2) >> sy;
                 nlines = 4 >> sx;
               }
-              auto SC = [&](int r, int cix) -> int32_t& {
+              auto SC = [&](int r, int cix) -> Pel& {
                 return vertical ? plane[int64_t(cy + r) * stride + cx + cix]
                                 : plane[int64_t(cx + cix) * stride + cy + r];
               };
@@ -1182,7 +1212,7 @@ struct ReconCtx {
     static const int eoDy2[5] = {0, 0, 1, 1, 1};
     static const int eoDx2[5] = {0, 1, 0, 1, -1};
     // copy of deblocked planes as SAO source
-    std::vector<int32_t> srcs[3];
+    std::vector<Pel> srcs[3];
     for (int c = 0; c < ncomp; c++) srcs[c] = pic->plane[c];
     for (int addr = 0; addr < wCtbs * hCtbs; addr++) {
       int cx0 = (addr % wCtbs) << log2Ctb;
@@ -1203,8 +1233,8 @@ struct ReconCtx {
         int offs[4];
         for (int i = 0; i < 4; i++)
           offs[i] = pic->sao_offsets[(size_t(addr) * 3 + c) * 4 + i] * (1 << scale);
-        const int32_t* src = srcs[c].data();
-        int32_t* dst = pic->plane[c].data();
+        const Pel* src = srcs[c].data();
+        Pel* dst = pic->plane[c].data();
         int64_t stride = planeW(c);
         if (t == 0) {  // band
           int bandShift = bd - 5;
@@ -1237,15 +1267,15 @@ struct ReconCtx {
           }
           if (fast) {
             for (int yy = y0; yy < y1; yy++) {
-              const int32_t* sr = src + yy * stride;
-              const int32_t* n1r = src + (yy + dy1) * stride + dx1;
-              const int32_t* n2r = src + (yy + dy2) * stride + dx2;
-              int32_t* dr = dst + yy * stride;
+              const Pel* sr = src + yy * stride;
+              const Pel* n1r = src + (yy + dy1) * stride + dx1;
+              const Pel* n2r = src + (yy + dy2) * stride + dx2;
+              Pel* dr = dst + yy * stride;
               for (int xx = x0; xx < x1; xx++) {
                 int v = sr[xx];
                 int s1 = (v > n1r[xx]) - (v < n1r[xx]);
                 int s2 = (v > n2r[xx]) - (v < n2r[xx]);
-                dr[xx] = clip3(0, maxv, v + lut[s1 + s2 + 2]);
+                dr[xx] = Pel(clip3(0, maxv, v + lut[s1 + s2 + 2]));
               }
             }
           } else {
@@ -1272,7 +1302,7 @@ struct ReconCtx {
   }
 
   // -------------------------------------------------------------------------
-  void restoreUnfiltered(const std::vector<int32_t> pre[3]) {
+  void restoreUnfiltered(const std::vector<Pel> pre[3]) {
     bool pcmRestore = sps->pcm_enabled && sps->pcm_loop_filter_disabled;
     if (!pps->transquant_bypass_enabled && !pcmRestore) return;
     for (int y4v = 0; y4v < pic->h4; y4v++)
@@ -1326,7 +1356,7 @@ struct ReconCtx {
     // in-loop filters with PCM / lossless restoration
     bool needPre = pps->transquant_bypass_enabled ||
                    (sps->pcm_enabled && sps->pcm_loop_filter_disabled);
-    std::vector<int32_t> pre[3];
+    std::vector<Pel> pre[3];
     if (needPre)
       for (int c = 0; c < ncomp; c++) pre[c] = pic->plane[c];
     if (!pps->deblocking_disabled || true) {
