@@ -23,6 +23,9 @@ def main(argv=None):
                     help="0 = native bit depth")
     ap.add_argument("--sei-check", action="store_true",
                     help="verify decoded-picture-hash SEIs")
+    ap.add_argument("--print-sei", action="store_true",
+                    help="dump decoded SEI messages (TAppDecTop's "
+                         "outputDecodedSEIMessagesFilename equivalent)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -38,6 +41,20 @@ def main(argv=None):
         if args.sei_check and rec.hash_status:
             status = f" [{rec.hash_status}]"
         print(f"POC {rec.poc:4d} TId: {rec.temporal_id}{status}")
+    if args.print_sei:
+        from ..hostdec import sei as S
+        for is_suffix, ptype, obj in dec.sei_log:
+            kind = "Suffix" if is_suffix else "Prefix"
+            name = S.SEI_NAMES.get(ptype, f"type {ptype}")
+            print(f"{kind} SEI: {name}")
+            if not isinstance(obj, (bytes, bytearray)):
+                for k, v in sorted(vars(obj).items()):
+                    if isinstance(v, (bytes, bytearray)):
+                        v = v.hex()
+                    elif isinstance(v, list) and v and \
+                            isinstance(v[0], (bytes, bytearray)):
+                        v = [x.hex() for x in v]
+                    print(f"  {k}: {v}")
     print(f"decoded {len(outs)} pictures in {dt:.3f}s ({len(outs)/dt:.2f} fps)")
     if args.output:
         with open(args.output, "wb") as f:

@@ -9,7 +9,8 @@ libHMDecoder.cpp:255-339) which implements Rec. H.265 Annex C.5.2.2.
 import numpy as np
 
 from . import nal as N
-from .params import parse_sps, parse_pps, parse_slice_header, I_SLICE
+from .params import parse_sps, parse_pps, parse_vps, parse_slice_header, \
+    I_SLICE
 from .picture import PicSyntax
 from .slicedec import SliceDecoder
 from .recon_np import PictureRecon
@@ -71,6 +72,9 @@ class Decoder:
         self.max_temporal_layer = -1    # -1 = decode all sub-layers
         self.sps_map = {}
         self.pps_map = {}
+        self.vps_map = {}
+        self._pending_prefix_sei = []   # prefix SEI for the next picture
+        self.sei_log = []               # (is_suffix, type, payload) stream log
         self.dpb = []
         self.outputs = []               # cropped pictures in output order
         self.output_records = []        # DecodedPicture per output
@@ -117,19 +121,41 @@ class Decoder:
         elif t == N.NAL_PPS:
             pps = parse_pps(nalu.rbsp)
             self.pps_map[pps.pps_id] = pps
+        elif t == N.NAL_VPS:
+            vps = parse_vps(nalu.rbsp)
+            self.vps_map[vps.vps_id] = vps
         elif t == N.NAL_SUFFIX_SEI:
-            if self.check_sei_hash:
-                from . import sei
-                for ptype, payload in sei.parse_sei_rbsp(nalu.rbsp):
-                    if ptype == sei.SEI_DECODED_PICTURE_HASH and payload:
-                        self._pending_hash = sei.DecodedPictureHash(payload)
-        elif t in (N.NAL_VPS, N.NAL_AUD, N.NAL_PREFIX_SEI, N.NAL_FD):
+            from . import sei
+            for ptype, payload in sei.parse_sei_rbsp(nalu.rbsp):
+                if ptype == sei.SEI_DECODED_PICTURE_HASH and payload and \
+                        self.check_sei_hash:
+                    self._pending_hash = sei.DecodedPictureHash(payload)
+            self.sei_log.extend(
+                (1, t2, p) for t2, p in sei.decode_sei_payloads(
+                    nalu.rbsp, self._any_sps()))
+        elif t == N.NAL_PREFIX_SEI:
+            # typed decode of prefix SEI; payloads attach to the NEXT
+            # picture (reference TDecTop keeps m_SEIs per access unit)
+            from . import sei
+            payloads = sei.decode_sei_payloads(nalu.rbsp, self._any_sps())
+            self._pending_prefix_sei.extend(payloads)
+            self.sei_log.extend((0, t2, p) for t2, p in payloads)
+        elif t in (N.NAL_AUD, N.NAL_FD):
             pass
         elif t == N.NAL_EOS:
             self._finish_picture()
             self.new_sequence = True
         elif N.is_vcl(t):
             self._decode_slice_nal(nalu)
+
+    def _any_sps(self):
+        """Best-effort active SPS for HRD-dependent SEI field lengths."""
+        if self.cur is not None:
+            sh = self.cur[0]
+            return self.sps_map[self.pps_map[sh.pps_id].sps_id]
+        for sps in reversed(list(self.sps_map.values())):
+            return sps
+        return None
 
     # ------------------------------------------------------------------
     def _decode_slice_nal(self, nalu):
@@ -206,6 +232,10 @@ class Decoder:
             self.cur = (sh, pic, sd, nalu)
             self.new_sequence = False
             self.slice_count = 0
+            # prefix SEI received since the previous picture belongs to
+            # this access unit
+            self._cur_sei = self._pending_prefix_sei
+            self._pending_prefix_sei = []
         sh_first = self.cur[0]
         pic, sd = self.cur[1], self.cur[2]
         if self.parse == "native":
@@ -337,14 +367,10 @@ class Decoder:
         if self.recon == "native":
             assert self.parse == "native", "recon='native' needs parse='native'"
             planes = None
-        elif self.recon == "tpu" and (
-                sps.scaling_list_enabled or sps.chroma_format_idc == 2 or
-                (sps.chroma_format_idc == 3 and pic.inter_list) or
-                any(getattr(pu, "wp", None) is not None
-                    for pu in pic.inter_list)):
-            # features not yet lowered to the TPU kernels (dequant scaling
-            # lists, 4:2:2 chroma sub-TUs, weighted prediction): use the
-            # bit-exact numpy backend for this picture
+        elif self.recon == "tpu" and sps.scaling_list_enabled and \
+                sps.extended_precision:
+            # scaling lists + extended precision would need int64 dequant
+            # on device; this corner uses the bit-exact numpy backend
             recon = PictureRecon(sps, pic, sd._zmap, sd.tile_map)
             recon.constrained_intra = bool(pps.constrained_intra_pred)
             from .motion import motion_compensate_np_vec
@@ -397,6 +423,8 @@ class Decoder:
 
         dp = DecodedPicture(sh.poc, planes, sps, nalu.temporal_id,
                             sh.pic_output_flag)
+        dp.sei = getattr(self, "_cur_sei", [])
+        self._cur_sei = []
         if self.recon == "native":
             dp.cropped_planes = meta["cropped"]
         dp.pic_syntax = pic

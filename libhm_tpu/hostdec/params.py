@@ -146,66 +146,207 @@ def parse_scaling_list_data(r: BitReader):
     return out
 
 
+@dataclass
+class HRD:
+    """hrd_parameters() (Rec. E.2.2; reference TComHRD, TComSlice.h:181)."""
+    nal_hrd: int = 0
+    vcl_hrd: int = 0
+    sub_pic: int = 0
+    tick_divisor_minus2: int = 0
+    du_cpb_removal_delay_length: int = 24   # length_minus1 + 1
+    sub_pic_cpb_params_in_pic_timing: int = 0
+    dpb_output_delay_du_length: int = 24
+    bit_rate_scale: int = 0
+    cpb_size_scale: int = 0
+    cpb_size_du_scale: int = 0
+    initial_cpb_removal_delay_length: int = 24
+    au_cpb_removal_delay_length: int = 24
+    dpb_output_delay_length: int = 24
+    # per sub-layer: (fixed_rate, elemental_duration_tc, low_delay, cpb_cnt,
+    #   nal_cpb [(bitrate, size, cbr)], vcl_cpb [...])
+    sub_layers: list = field(default_factory=list)
+
+
+@dataclass
+class VUI:
+    """vui_parameters() (Rec. E.2.1; reference TComVUI, TComSlice.h:542)."""
+    aspect_ratio_idc: int = 0
+    sar_width: int = 0
+    sar_height: int = 0
+    overscan_appropriate: int = -1
+    video_format: int = 5
+    video_full_range: int = 0
+    colour_primaries: int = 2
+    transfer_characteristics: int = 2
+    matrix_coeffs: int = 2
+    chroma_loc_top: int = 0
+    chroma_loc_bottom: int = 0
+    neutral_chroma_indication: int = 0
+    field_seq: int = 0
+    frame_field_info_present: int = 0
+    default_display_window: tuple = (0, 0, 0, 0)
+    timing_info_present: int = 0
+    num_units_in_tick: int = 0
+    time_scale: int = 0
+    poc_proportional_to_timing: int = 0
+    num_ticks_poc_diff_one: int = 0
+    hrd: HRD = None
+    bitstream_restriction: int = 0
+    tiles_fixed_structure: int = 0
+    mv_over_pic_boundaries: int = 1
+    restricted_ref_pic_lists: int = 0
+    min_spatial_segmentation_idc: int = 0
+    max_bytes_per_pic_denom: int = 2
+    max_bits_per_min_cu_denom: int = 1
+    log2_max_mv_length_h: int = 15
+    log2_max_mv_length_v: int = 15
+
+
 def _parse_vui(r: BitReader, sps):
+    v = VUI()
+    sps.vui = v
     if r.flag():  # aspect_ratio_info_present
-        idc = r.u(8)
-        if idc == 255:
-            r.u(16); r.u(16)
+        v.aspect_ratio_idc = r.u(8)
+        if v.aspect_ratio_idc == 255:
+            v.sar_width = r.u(16)
+            v.sar_height = r.u(16)
     if r.flag():  # overscan_info_present
-        r.flag()
+        v.overscan_appropriate = r.flag()
     if r.flag():  # video_signal_type_present
-        r.u(3); r.flag()
+        v.video_format = r.u(3)
+        v.video_full_range = r.flag()
         if r.flag():  # colour_description_present
-            r.u(8); r.u(8); r.u(8)
+            v.colour_primaries = r.u(8)
+            v.transfer_characteristics = r.u(8)
+            v.matrix_coeffs = r.u(8)
     if r.flag():  # chroma_loc_info_present
-        r.ue(); r.ue()
-    r.flag()  # neutral_chroma_indication
-    r.flag()  # field_seq
-    r.flag()  # frame_field_info_present
+        v.chroma_loc_top = r.ue()
+        v.chroma_loc_bottom = r.ue()
+    v.neutral_chroma_indication = r.flag()
+    v.field_seq = r.flag()
+    v.frame_field_info_present = r.flag()
     if r.flag():  # default_display_window
-        r.ue(); r.ue(); r.ue(); r.ue()
-    if r.flag():  # vui_timing_info_present
-        r.u(32); r.u(32)
-        if r.flag():  # poc_proportional_to_timing
-            r.ue()
+        v.default_display_window = (r.ue(), r.ue(), r.ue(), r.ue())
+    v.timing_info_present = r.flag()
+    if v.timing_info_present:
+        v.num_units_in_tick = r.u(32)
+        v.time_scale = r.u(32)
+        v.poc_proportional_to_timing = r.flag()
+        if v.poc_proportional_to_timing:
+            v.num_ticks_poc_diff_one = r.ue() + 1
         if r.flag():  # hrd_parameters_present
-            _parse_hrd(r, True, sps.max_sub_layers_minus1)
-    if r.flag():  # bitstream_restriction
-        r.flag(); r.flag(); r.flag()
-        r.ue(); r.ue(); r.ue(); r.ue(); r.ue()
+            v.hrd = _parse_hrd(r, True, sps.max_sub_layers_minus1)
+    v.bitstream_restriction = r.flag()
+    if v.bitstream_restriction:
+        v.tiles_fixed_structure = r.flag()
+        v.mv_over_pic_boundaries = r.flag()
+        v.restricted_ref_pic_lists = r.flag()
+        v.min_spatial_segmentation_idc = r.ue()
+        v.max_bytes_per_pic_denom = r.ue()
+        v.max_bits_per_min_cu_denom = r.ue()
+        v.log2_max_mv_length_h = r.ue()
+        v.log2_max_mv_length_v = r.ue()
 
 
 def _parse_hrd(r: BitReader, common_inf: bool, max_sub_layers_minus1: int):
-    nal_hrd = vcl_hrd = 0
-    sub_pic = 0
+    h = HRD()
     if common_inf:
-        nal_hrd = r.flag()
-        vcl_hrd = r.flag()
-        if nal_hrd or vcl_hrd:
-            sub_pic = r.flag()
-            if sub_pic:
-                r.u(8); r.u(5); r.flag(); r.u(5)
-            r.u(4); r.u(4)
-            if sub_pic:
-                r.u(4)
-            r.u(5); r.u(5); r.u(5)
+        h.nal_hrd = r.flag()
+        h.vcl_hrd = r.flag()
+        if h.nal_hrd or h.vcl_hrd:
+            h.sub_pic = r.flag()
+            if h.sub_pic:
+                h.tick_divisor_minus2 = r.u(8)
+                h.du_cpb_removal_delay_length = r.u(5) + 1
+                h.sub_pic_cpb_params_in_pic_timing = r.flag()
+                h.dpb_output_delay_du_length = r.u(5) + 1
+            h.bit_rate_scale = r.u(4)
+            h.cpb_size_scale = r.u(4)
+            if h.sub_pic:
+                h.cpb_size_du_scale = r.u(4)
+            h.initial_cpb_removal_delay_length = r.u(5) + 1
+            h.au_cpb_removal_delay_length = r.u(5) + 1
+            h.dpb_output_delay_length = r.u(5) + 1
     for _ in range(max_sub_layers_minus1 + 1):
         fixed_rate = r.flag()
         if not fixed_rate:
             fixed_rate = r.flag()
         low_delay = 0
+        duration = 0
         if fixed_rate:
-            r.ue()
+            duration = r.ue() + 1
         else:
             low_delay = r.flag()
         cpb_cnt = 1 if low_delay else r.ue() + 1
-        for hrd_on in (nal_hrd, vcl_hrd):
+        cpbs = [[], []]
+        for li, hrd_on in enumerate((h.nal_hrd, h.vcl_hrd)):
             if hrd_on:
                 for _ in range(cpb_cnt):
-                    r.ue(); r.ue()
-                    if sub_pic:
+                    br, sz = r.ue(), r.ue()
+                    if h.sub_pic:
                         r.ue(); r.ue()
-                    r.flag()
+                    cbr = r.flag()
+                    cpbs[li].append((br, sz, cbr))
+        h.sub_layers.append((fixed_rate, duration, low_delay, cpb_cnt,
+                             cpbs[0], cpbs[1]))
+    return h
+
+
+@dataclass
+class VPS:
+    """Video parameter set (Rec. 7.3.2.1; reference TComVPS,
+    TComSlice.h:427, parsed by TDecCAVLC::parseVPS TDecCAVLC.cpp:804)."""
+    vps_id: int = 0
+    max_layers_minus1: int = 0
+    max_sub_layers_minus1: int = 0
+    temporal_id_nesting: int = 0
+    max_dec_pic_buffering: list = field(default_factory=lambda: [0] * 7)
+    num_reorder_pics: list = field(default_factory=lambda: [0] * 7)
+    max_latency_increase: list = field(default_factory=lambda: [0] * 7)
+    max_layer_id: int = 0
+    num_layer_sets_minus1: int = 0
+    timing_info_present: int = 0
+    num_units_in_tick: int = 0
+    time_scale: int = 0
+    poc_proportional_to_timing: int = 0
+    num_ticks_poc_diff_one: int = 0
+    hrd_list: list = field(default_factory=list)  # (layer_set_idx, HRD)
+
+
+def parse_vps(rbsp: bytes) -> VPS:
+    r = BitReader(rbsp)
+    v = VPS()
+    v.vps_id = r.u(4)
+    r.u(2)   # vps_reserved_three_2bits
+    v.max_layers_minus1 = r.u(6)
+    v.max_sub_layers_minus1 = r.u(3)
+    v.temporal_id_nesting = r.flag()
+    r.u(16)  # vps_reserved_0xffff_16bits
+    _parse_ptl(r, v.max_sub_layers_minus1)
+    sub_layer_ordering = r.flag()
+    lo = 0 if sub_layer_ordering else v.max_sub_layers_minus1
+    for i in range(lo, v.max_sub_layers_minus1 + 1):
+        v.max_dec_pic_buffering[i] = r.ue() + 1
+        v.num_reorder_pics[i] = r.ue()
+        v.max_latency_increase[i] = r.ue()
+    v.max_layer_id = r.u(6)
+    v.num_layer_sets_minus1 = r.ue()
+    for _ in range(v.num_layer_sets_minus1):
+        for _ in range(v.max_layer_id + 1):
+            r.flag()  # layer_id_included_flag
+    v.timing_info_present = r.flag()
+    if v.timing_info_present:
+        v.num_units_in_tick = r.u(32)
+        v.time_scale = r.u(32)
+        v.poc_proportional_to_timing = r.flag()
+        if v.poc_proportional_to_timing:
+            v.num_ticks_poc_diff_one = r.ue() + 1
+        for i in range(r.ue()):  # vps_num_hrd_parameters
+            idx = r.ue()
+            common = 1 if i == 0 else r.flag()
+            v.hrd_list.append((idx, _parse_hrd(r, bool(common),
+                                               v.max_sub_layers_minus1)))
+    return v
 
 
 @dataclass
@@ -255,6 +396,7 @@ class SPS:
     high_precision_offsets: int = 0
     persistent_rice_adaptation: int = 0
     cabac_bypass_alignment: int = 0
+    vui: object = None               # VUI when vui_parameters_present
 
     # ---- derived geometry ----
     @property

@@ -33,15 +33,14 @@ CHROMA_FILTER = jnp.asarray([
     [-2, 10, 58, -2]], jnp.int32)
 
 
-def _gather_windows(refs, ref_sel, y0, x0, win, W, H):
-    """refs: [R, Hp, Wp]; per block gather [N, win, win] with edge clamp."""
-    oy = jnp.arange(win)
-    ys = jnp.clip(y0[:, None] + oy[None, :], 0, H - 1)     # [N, win]
-    xs = jnp.clip(x0[:, None] + oy[None, :], 0, W - 1)     # [N, win]
+def _gather_windows(refs, ref_sel, y0, x0, winh, winw, W, H):
+    """refs: [R, Hp, Wp]; per block gather [N, winh, winw] with edge clamp."""
+    ys = jnp.clip(y0[:, None] + jnp.arange(winh)[None, :], 0, H - 1)
+    xs = jnp.clip(x0[:, None] + jnp.arange(winw)[None, :], 0, W - 1)
     # two-stage gather: rows then cols
-    rows = refs[ref_sel[:, None], ys, :]                   # [N, win, Wp]
+    rows = refs[ref_sel[:, None], ys, :]                    # [N, winh, Wp]
     out = jnp.take_along_axis(
-        rows, xs[:, None, :].repeat(win, axis=1), axis=2)  # [N, win, win]
+        rows, xs[:, None, :].repeat(winh, axis=1), axis=2)  # [N, winh, winw]
     return out
 
 
@@ -81,33 +80,41 @@ def _filter_v(src, coefs, taps, outh, bd, is_first, is_last):
 
 
 def mc_blocks(refs, ref_sel, bx, by, mvx, mvy, blk, taps, frac_bits_x,
-              frac_bits_y, bd, is_last, W, H):
-    """Predict one list for N blocks of size blk x blk.
+              frac_bits_y, bd, is_last, W, H, blkh=None):
+    """Predict one list for N blocks of size (blkh or blk) x blk.
 
     refs: [R, Hp, Wp] int32 stacked reference planes (component)
     ref_sel: [N] int32 index into refs
     bx, by: [N] block top-left in the component plane
     mvx, mvy: [N] int32 MVs (quarter/eighth-pel per component)
-    Returns [N, blk, blk] int32 (clipped samples if is_last, else 14-bit).
+    blkh: block height when non-square (4:2:2 chroma co-blocks are 2x4)
+    Returns [N, blkh, blk] int32 (clipped samples if is_last, else 14-bit).
     """
+    if blkh is None:
+        blkh = blk
     ftab = LUMA_FILTER if taps == 8 else CHROMA_FILTER
     half = taps // 2 - 1
     fx = mvx & ((1 << frac_bits_x) - 1)
     fy = mvy & ((1 << frac_bits_y) - 1)
+    if taps == 4:
+        # chroma table is eighth-pel: scale phases on non-subsampled axes
+        # (reference TComInterpolationFilter.cpp:346 'frac << (1 - cs)')
+        fx = fx << (3 - frac_bits_x)
+        fy = fy << (3 - frac_bits_y)
     ix = bx + (mvx >> frac_bits_x)
     iy = by + (mvy >> frac_bits_y)
-    win = blk + taps - 1
-    src = _gather_windows(refs, ref_sel, iy - half, ix - half, win, W, H)
+    src = _gather_windows(refs, ref_sel, iy - half, ix - half,
+                          blkh + taps - 1, blk + taps - 1, W, H)
     cfx = ftab[fx]                                         # [N, taps]
     cfy = ftab[fy]
     headroom = max(2, IF_PREC - bd)
 
     # full filter pipeline (computed for all; select by frac case)
-    h1 = _filter_h(src, cfx, taps, blk, bd, True, False)   # [N, win, blk]
-    hv = _filter_v(h1, cfy, taps, blk, bd, False, is_last)  # frac both
-    h_only = _filter_h(src[:, half:half + blk, :], cfx, taps, blk, bd, True, is_last)
-    v_only = _filter_v(src[:, :, half:half + blk], cfy, taps, blk, bd, True, is_last)
-    copy = src[:, half:half + blk, half:half + blk]
+    h1 = _filter_h(src, cfx, taps, blk, bd, True, False)   # [N, winh, blk]
+    hv = _filter_v(h1, cfy, taps, blkh, bd, False, is_last)  # frac both
+    h_only = _filter_h(src[:, half:half + blkh, :], cfx, taps, blk, bd, True, is_last)
+    v_only = _filter_v(src[:, :, half:half + blk], cfy, taps, blkh, bd, True, is_last)
+    copy = src[:, half:half + blkh, half:half + blk]
     if is_last:
         copy_out = copy
     else:
@@ -130,7 +137,7 @@ def weighted_uni(p, w, o, log2d, bd):
     """p: [N, blk, blk] 14-bit; w/o: [N] (o already bit-depth scaled)."""
     shift = log2d + max(2, IF_PREC - bd)
     rnd = jnp.where(shift > 0, 1 << jnp.maximum(shift - 1, 0), 0)
-    val = ((w[:, None, None] * (p + IF_OFFS) + rnd[:, None, None]) >> shift) \
+    val = ((w[:, None, None] * (p + IF_OFFS) + rnd) >> shift) \
         + o[:, None, None]
     return jnp.clip(val, 0, (1 << bd) - 1)
 

@@ -17,7 +17,9 @@ EO_NB = jnp.asarray([[0, -1, 0, 1],
 
 
 def sao_component(plane, valid_mask, ctu_type, ctu_band, ctu_offsets,
-                  log2_ctb_c, bit_depth, offset_scale, W, H):
+                  log2_ctb_c, bit_depth, offset_scale, W, H,
+                  log2_ctb_cy=None, slice_map=None, lf_map=None,
+                  tile_map=None, lf_across_tiles=True):
     """Apply SAO to one component plane.
 
     plane: [Hp, Wp] int32 (deblocked)
@@ -26,11 +28,14 @@ def sao_component(plane, valid_mask, ctu_type, ctu_band, ctu_offsets,
     ctu_type: [hc, wc] int32 (-1 off, 0 BO, 1..4 EO)
     ctu_band: [hc, wc] int32
     ctu_offsets: [hc, wc, 4] int32
-    log2_ctb_c: CTB size log2 in this component's units
+    log2_ctb_c: CTB width log2 in this component's units; log2_ctb_cy the
+      height log2 when different (4:2:2 chroma CTBs are 32x64)
     Returns new plane.
     """
+    if log2_ctb_cy is None:
+        log2_ctb_cy = log2_ctb_c
     Hp, Wp = plane.shape
-    yy = jnp.arange(Hp) >> log2_ctb_c
+    yy = jnp.arange(Hp) >> log2_ctb_cy
     xx = jnp.arange(Wp) >> log2_ctb_c
     ptype = ctu_type[yy[:, None], xx[None, :]]
     pband = ctu_band[yy[:, None], xx[None, :]]
@@ -61,7 +66,20 @@ def sao_component(plane, valid_mask, ctu_type, ctu_band, ctu_offsets,
     n2yc, n2xc = jnp.clip(n2y, 0, Hp - 1), jnp.clip(n2x, 0, Wp - 1)
     v1 = src[n1yc, n1xc]
     v2 = src[n2yc, n2xc]
-    ok = inb & valid_mask[n1yc, n1xc] & valid_mask[n2yc, n2xc]
+    if slice_map is not None:
+        # pairwise slice/tile crossing rules (Rec. 8.7.3; reference
+        # TComSampleAdaptiveOffset::offsetBlock availability masks):
+        # neighbour usable iff same slice OR loop-filter-across on both
+        # sides, AND same tile OR loop_filter_across_tiles.
+        def pair_ok(nyc, nxc):
+            ok = (slice_map == slice_map[nyc, nxc]) | \
+                 (lf_map & lf_map[nyc, nxc])
+            if not lf_across_tiles:
+                ok &= tile_map == tile_map[nyc, nxc]
+            return ok
+        ok = inb & pair_ok(n1yc, n1xc) & pair_ok(n2yc, n2xc)
+    else:
+        ok = inb & valid_mask[n1yc, n1xc] & valid_mask[n2yc, n2xc]
     sgn = jnp.sign(src - v1) + jnp.sign(src - v2)        # -2..2
     cat = jnp.clip(sgn + 2, 0, 4)
     # offsets index: cat 0->o0, 1->o1, 2->none, 3->o2, 4->o3

@@ -78,6 +78,35 @@ def dequant_batch(coeffs, qp, bit_depth, log2_size, max_dyn_range=15):
     return jnp.clip(q, tmin, tmax).astype(jnp.int32)
 
 
+def dequant_batch_scaling(coeffs, qp, mat, bit_depth, log2_size,
+                          max_dyn_range=15):
+    """Dequant with per-TU scaling matrices (Rec. 8.6.3 w/ m[x][y]).
+
+    coeffs: [N, n, n] int32; qp: [N]; mat: [N, n, n] int32 scaling factors.
+    int32-exact only for max_dyn_range == 15 (the non-extended-precision
+    profiles); callers gate extended precision to the host path.
+    """
+    per = qp // 6
+    rem = qp % 6
+    scale = jnp.asarray(INV_QUANT_SCALES)[rem].astype(jnp.int32)
+    tshift = max_dyn_range - bit_depth - log2_size
+    right = 6 - (tshift + per) + 4   # + log2(SCALING_LIST_NEUTRAL == 16)
+    tmin, tmax = -(1 << max_dyn_range), (1 << max_dyn_range) - 1
+    target_bits = jnp.minimum(max_dyn_range + 1, 32 + right - 15)
+    lo = -(jnp.int32(1) << (target_bits - 1))
+    hi = (jnp.int32(1) << (target_bits - 1)) - 1
+    c = jnp.clip(coeffs, lo[:, None, None], hi[:, None, None])
+    dq = mat * scale[:, None, None]                     # <= 255*72, 15 bits
+    r = right[:, None, None]
+    rp = jnp.maximum(r, 0)
+    rn = jnp.maximum(-r, 0)
+    add = jnp.where(r > 0, jnp.int32(1) << jnp.maximum(rp - 1, 0), 0)
+    q_right = (c * dq + add) >> rp
+    q_left = (c * dq) << rn
+    q = jnp.where(r > 0, q_right, q_left)
+    return jnp.clip(q, tmin, tmax).astype(jnp.int32)
+
+
 # matrices kept as host numpy (closed over as constants inside jit)
 _T_CACHE = {}
 for _n in (4, 8, 16, 32):

@@ -47,16 +47,21 @@ def _device_plane(dp, c, H, W):
 
 
 @functools.lru_cache(maxsize=None)
-def _residual_fn(n, use_dst, path, bd, max_dyn, rotate):
+def _residual_fn(n, use_dst, path, bd, max_dyn, rotate, scaling=False):
     @jax.jit
-    def fn(coeffs, qp, rdpcm):
+    def fn(coeffs, qp, rdpcm, mat):
         if path == "bypass":
             res = coeffs
             if rotate:
                 res = res[:, ::-1, ::-1]
             res = jnp.clip(res, -32768, 32767)
         else:
-            deq = TK.dequant_batch(coeffs, qp, bd, n.bit_length() - 1, max_dyn)
+            if scaling:
+                deq = TK.dequant_batch_scaling(coeffs, qp, mat, bd,
+                                               n.bit_length() - 1, max_dyn)
+            else:
+                deq = TK.dequant_batch(coeffs, qp, bd, n.bit_length() - 1,
+                                       max_dyn)
             if path == "tskip":
                 res = TK.inverse_transform_skip_batch(deq, bd, n.bit_length() - 1,
                                                       max_dyn, rotate)
@@ -67,13 +72,15 @@ def _residual_fn(n, use_dst, path, bd, max_dyn, rotate):
 
 
 @functools.lru_cache(maxsize=None)
-def _mc_fn(blk, taps, fbx, fby, bd, epilogue):
+def _mc_fn(blkx, blky, taps, fbx, fby, bd, epilogue):
     @jax.jit
     def fn(refs0, refs1, sel0, sel1, bx, by, mv, dirm, wpw, wpo, denom, W, H):
         p0 = IK.mc_blocks(refs0, sel0, bx, by, mv[:, 0, 0], mv[:, 0, 1],
-                          blk, taps, fbx, fby, bd, is_last=False, W=W, H=H)
+                          blkx, taps, fbx, fby, bd, is_last=False, W=W, H=H,
+                          blkh=blky)
         p1 = IK.mc_blocks(refs1, sel1, bx, by, mv[:, 1, 0], mv[:, 1, 1],
-                          blk, taps, fbx, fby, bd, is_last=False, W=W, H=H)
+                          blkx, taps, fbx, fby, bd, is_last=False, W=W, H=H,
+                          blkh=blky)
         headroom = max(2, IK.IF_PREC - bd)
         if epilogue == "wp":
             uni0 = IK.weighted_uni(p0, wpw[:, 0], wpo[:, 0], denom, bd)
@@ -120,6 +127,14 @@ class TpuPictureRecon:
         """Dequant+ITX all TUs into per-component residual planes (device)."""
         sps, pic = self.sps, self.pic
         res_planes = [np.zeros_like(p) for p in self.planes]
+        scal_mats = None
+        if sps.scaling_list_enabled:
+            from .hostdec.tables import build_scaling_matrices
+            data = getattr(pic.pps, "scaling_list_data", None)
+            if data is None:
+                data = sps.scaling_list_data
+            scal_mats = build_scaling_matrices(data)
+        pred_mode_map = np.asarray(pic.pred_mode)
         buckets = {}
         for i, tu in enumerate(pic.tu_list):
             bd = sps.bit_depth_luma if tu.comp == 0 else sps.bit_depth_chroma
@@ -135,24 +150,36 @@ class TpuPictureRecon:
                                                     (tu.x << sxr) >> 2] == 1
             rotate = bool(sps.transform_skip_rotation) and tu.w == 4 and \
                 path in ("tskip", "bypass") and bool(tu_is_intra)
-            key = (tu.w, bool(tu.use_dst), path, bd, rotate)
+            # transform-skip > 4x4 uses flat scaling (TComTrQuant)
+            scal = scal_mats is not None and path != "bypass" and \
+                not (tu.transform_skip and tu.w > 4)
+            key = (tu.w, bool(tu.use_dst), path, bd, rotate, scal)
             buckets.setdefault(key, []).append(i)
-        max_dyn_l = 15 if not sps.extended_precision else max(15, sps.bit_depth_luma + 6)
-        for (n, use_dst, path, bd, rotate), idxs in buckets.items():
+        for (n, use_dst, path, bd, rotate, scal), idxs in buckets.items():
             max_dyn = 15 if not sps.extended_precision else max(15, bd + 6)
             N = len(idxs)
             P = _pad_pow2(N)
             coeffs = np.zeros((P, n, n), np.int32)
             qp = np.zeros(P, np.int32)
             rdpcm = np.zeros(P, np.int32)
+            mat = np.ones((P, n, n), np.int32) * 16 if scal else \
+                np.zeros((1, 1, 1), np.int32)
             for k, i in enumerate(idxs):
                 tu = pic.tu_list[i]
                 coeffs[k] = tu.coeffs
                 qp[k] = tu.qp
                 rdpcm[k] = tu.rdpcm_mode
-            fn = _residual_fn(n, use_dst, path, bd, max_dyn, rotate)
+                if scal:
+                    sxr = sps.chroma_shift_x() if tu.comp else 0
+                    syr = sps.chroma_shift_y() if tu.comp else 0
+                    intra = pred_mode_map[(tu.y << syr) >> 2,
+                                          (tu.x << sxr) >> 2] == MODE_INTRA
+                    size_id = tu.w.bit_length() - 3
+                    mat[k] = scal_mats[(size_id,
+                                        (0 if intra else 3) + tu.comp)]
+            fn = _residual_fn(n, use_dst, path, bd, max_dyn, rotate, scal)
             out = np.asarray(fn(jnp.asarray(coeffs), jnp.asarray(qp),
-                                jnp.asarray(rdpcm)))
+                                jnp.asarray(rdpcm), jnp.asarray(mat)))
             for k, i in enumerate(idxs):
                 tu = pic.tu_list[i]
                 res_planes[tu.comp][tu.y:tu.y + tu.h, tu.x:tu.x + tu.w] = out[k]
@@ -213,11 +240,7 @@ class TpuPictureRecon:
             sy = sps.chroma_shift_y() if c else 0
             bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
             W, H = self.comp_dims(c)
-            blk = 4 >> max(sx, sy) if c else 4
-            blkx, blky = 4 >> sx, 4 >> sy
-            # for 4:2:2 blocks are 2x4; kernel assumes square — use the
-            # smaller dim and do multiple calls if needed (422 later)
-            assert blkx == blky, "4:2:2 inter lands with the RExt-inter milestone"
+            blkx, blky = 4 >> sx, 4 >> sy   # 4:2:2 chroma co-blocks are 2x4
             taps = 8 if c == 0 else 4
             fbx = 2 + (sx if c else 0)
             fby = 2 + (sy if c else 0)
@@ -245,7 +268,7 @@ class TpuPictureRecon:
                 out = np.full((P,) + a.shape[1:], fill, a.dtype)
                 out[:N] = a
                 return out
-            fn = _mc_fn(blkx, taps, fbx, fby, bd, epi)
+            fn = _mc_fn(blkx, blky, taps, fbx, fby, bd, epi)
             out = np.asarray(fn(jnp.asarray(refs), jnp.asarray(refs),
                                 jnp.asarray(pad(sel[:, 0])), jnp.asarray(pad(sel[:, 1])),
                                 jnp.asarray(pad(bx)), jnp.asarray(pad(by)),
@@ -274,24 +297,12 @@ class TpuPictureRecon:
         for (c, x, y, w, h, samples, bits) in pic.pcm_list:
             bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
             self.planes[c][y:y + h, x:x + w] = samples << (bd - bits)
-        # intra blocks in decode order (host oracle; device wavefront next)
-        from .hostdec.recon_np import PictureRecon
-        residuals = [None] * len(pic.tu_list)
-        helper = PictureRecon.__new__(PictureRecon)
-        helper.sps = sps
-        helper.pic = pic
-        helper.zmap = self.zmap
-        helper.tile_map = self.tile_map
-        helper.ncomp = self.ncomp
-        helper.Wp, helper.Hp = self.Wp, self.Hp
-        helper.planes = self.planes
-        helper.constrained_intra = self.constrained_intra
-        for blk in pic.intra_list:
-            if blk.tu_index >= 0 and residuals[blk.tu_index] is None:
-                tu = pic.tu_list[blk.tu_index]
-                residuals[blk.tu_index] = res_planes[tu.comp][
-                    tu.y:tu.y + tu.h, tu.x:tu.x + tu.w]
-            helper._recon_intra_block(blk, residuals)
+        # intra blocks: device wavefront (lax.scan over dependency levels)
+        from .parallel.intra_wavefront import intra_reconstruct_tpu
+        for c in range(self.ncomp):
+            intra_reconstruct_tpu(sps, pic, self.zmap, self.tile_map, c,
+                                  self.planes[c], res_planes,
+                                  self.constrained_intra)
         return self.planes
 
 
@@ -408,9 +419,17 @@ def _deblock_pass_tpu(planes, pic, sps, pps, bs, qp_l, boff, toff, no_p,
 
 
 @functools.lru_cache(maxsize=None)
-def _sao_fn(log2c, bd, scale, W, H):
+def _sao_fn(log2cx, log2cy, bd, scale, W, H):
     return jax.jit(lambda pl, vm, t, b, o: SK.sao_component(
-        pl, vm, t, b, o, log2c, bd, scale, W, H))
+        pl, vm, t, b, o, log2cx, bd, scale, W, H, log2_ctb_cy=log2cy))
+
+
+@functools.lru_cache(maxsize=None)
+def _sao_fn_multi(log2cx, log2cy, bd, scale, W, H, across_tiles):
+    return jax.jit(lambda pl, t, b, o, sm, lf, tm: SK.sao_component(
+        pl, None, t, b, o, log2cx, bd, scale, W, H, log2_ctb_cy=log2cy,
+        slice_map=sm, lf_map=lf, tile_map=tm,
+        lf_across_tiles=across_tiles))
 
 
 def sao_picture_tpu(planes, pic, sps, pps, tile_map):
@@ -427,20 +446,37 @@ def sao_picture_tpu(planes, pic, sps, pps, tile_map):
         sy = sps.chroma_shift_y() if c else 0
         bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
         W, H = sps.width >> sx, sps.height >> sy
-        log2c = sps.log2_ctb - sx  # CTB size in component units (x==y for 420/444)
+        log2cx = sps.log2_ctb - sx  # CTB size in component units per axis
+        log2cy = sps.log2_ctb - sy
         scale = pps.sao_offset_scale_luma if c == 0 else pps.sao_offset_scale_chroma
         t = sao_type[:, c].reshape(hc, wc).astype(np.int32)
         b = sao_band[:, c].reshape(hc, wc).astype(np.int32)
         o = sao_off[:, :, :][:, c].reshape(hc, wc, 4).astype(np.int32)
         plane = planes[c]
-        vm = np.ones_like(plane, bool)
         if multi:
-            # per-sample loop-filter flags (conservative exact pairwise check
-            # falls back to the numpy oracle)
-            from .hostdec.loopfilter_np import sao_picture as sao_np
-            sao_np(planes, pic, sps, pps)
-            return
-        out = np.asarray(_sao_fn(log2c, bd, scale, W, H)(
-            jnp.asarray(plane), jnp.asarray(vm), jnp.asarray(t),
-            jnp.asarray(b), jnp.asarray(o)))
+            # exact pairwise slice/tile crossing rules, per-sample maps
+            Hp, Wp = plane.shape
+            ys = (np.arange(Hp) << sy) >> 2
+            xs = (np.arange(Wp) << sx) >> 2
+            s4 = np.asarray(pic.slice_idx)
+            sm = s4[np.minimum(ys, s4.shape[0] - 1)[:, None],
+                    np.minimum(xs, s4.shape[1] - 1)[None, :]].astype(np.int32)
+            l4 = np.asarray(pic.loopfilter_across_slice)
+            lf = l4[np.minimum(ys, l4.shape[0] - 1)[:, None],
+                    np.minimum(xs, l4.shape[1] - 1)[None, :]].astype(bool)
+            tmap = np.asarray(tile_map).reshape(hc, wc)
+            tyc = np.minimum((np.arange(Hp) << sy) >> sps.log2_ctb, hc - 1)
+            txc = np.minimum((np.arange(Wp) << sx) >> sps.log2_ctb, wc - 1)
+            tm = tmap[tyc[:, None], txc[None, :]].astype(np.int32)
+            fn = _sao_fn_multi(log2cx, log2cy, bd, scale, W, H,
+                               bool(pps.loop_filter_across_tiles))
+            out = np.asarray(fn(jnp.asarray(plane), jnp.asarray(t),
+                                jnp.asarray(b), jnp.asarray(o),
+                                jnp.asarray(sm), jnp.asarray(lf),
+                                jnp.asarray(tm)))
+        else:
+            vm = np.ones_like(plane, bool)
+            out = np.asarray(_sao_fn(log2cx, log2cy, bd, scale, W, H)(
+                jnp.asarray(plane), jnp.asarray(vm), jnp.asarray(t),
+                jnp.asarray(b), jnp.asarray(o)))
         planes[c][:, :] = out
