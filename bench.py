@@ -52,15 +52,19 @@ def bench_ours(recon="native", runs=RUNS):
 
 
 def bench_parse_only(runs=RUNS):
-    """Host CABAC parse throughput (no reconstruction)."""
-    from libhm_tpu.hostdec import native_bridge
+    """Host CABAC parse throughput (C++ only, no tensor materialization)."""
+    import ctypes as C
+    from libhm_tpu.hostdec.native_bridge import _load
+    lib = _load()
     data = open(STREAM, "rb").read()
     best = 0.0
     for _ in range(runs):
         t0 = time.monotonic()
-        pics = native_bridge.parse_stream(data, recon=False)
+        h = lib.hevcdec_create()
+        n = lib.hevcdec_decode(h, data, len(data))
+        lib.hevcdec_destroy(C.c_void_p(h))
         dt = time.monotonic() - t0
-        assert len(pics) == NFRAMES
+        assert n == NFRAMES
         best = max(best, NFRAMES / dt)
     return best
 
