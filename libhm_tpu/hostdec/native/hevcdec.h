@@ -231,6 +231,7 @@ struct TuMeta {  // one residual block
 struct IntraMeta { int32_t comp, x, y, w, h, mode, tu_index; };
 struct PuMeta {
   int32_t x, y, w, h, dir;
+  int32_t merge, merge_idx;  // merge_flag / merge_idx (internals API)
   int32_t mv[2][2];
   int32_t ref_idx[2];
   int32_t ref_poc[2];
@@ -246,6 +247,7 @@ struct Picture {
   // 4x4 maps [h4*w4]
   std::vector<int8_t> depth, pred_mode, part_size, skip, pcm, tq_bypass;
   std::vector<int8_t> intra_y, intra_c, chroma_dm, qp, cbf_y, inter_dir;
+  std::vector<int8_t> root_cbf;   // inter CU rqt_root_cbf (internals API)
   std::vector<int8_t> ref_idx;     // [h4*w4*2]
   std::vector<int8_t> ref_is_lt;   // [h4*w4*2]
   std::vector<int32_t> mv;         // [h4*w4*2*2]
@@ -280,6 +282,7 @@ struct Picture {
     skip.assign(n, 0); pcm.assign(n, 0); tq_bypass.assign(n, 0);
     intra_y.assign(n, 1); intra_c.assign(n, 1); chroma_dm.assign(n, 0);
     qp.assign(n, 0); cbf_y.assign(n, 0); inter_dir.assign(n, 0);
+    root_cbf.assign(n, 0);
     ref_idx.assign(n * 2, -1); ref_is_lt.assign(n * 2, 0);
     mv.assign(n * 4, 0); ref_poc.assign(n * 2, 0);
     slice_idx.assign(n, -1);

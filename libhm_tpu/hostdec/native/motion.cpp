@@ -247,7 +247,7 @@ void SliceParser::applyMerge(int x, int y, int w, int h, int mergeIdx, int cx,
     c.ref_idx[1] = -1;
     c.mv[1][0] = c.mv[1][1] = 0;
   }
-  writePu(x, y, w, h, dir, c.mv, c.ref_idx);
+  writePu(x, y, w, h, dir, c.mv, c.ref_idx, 1, mergeIdx);
 }
 
 void SliceParser::applyAmvp(int x, int y, int w, int h, int interDir,
@@ -262,11 +262,12 @@ void SliceParser::applyAmvp(int x, int y, int w, int h, int interDir,
       mvs[l][1] = cands[mvpIdx[l]][1] + mvd[l][1];
     }
   }
-  writePu(x, y, w, h, interDir, mvs, refIdx);
+  writePu(x, y, w, h, interDir, mvs, refIdx, 0, -1);
 }
 
 void SliceParser::writePu(int x, int y, int w, int h, int dir,
-                          const int mvs[2][2], const int refIdx[2]) {
+                          const int mvs[2][2], const int refIdx[2],
+                          int merge, int mergeIdx) {
   for (int yy = y >> 2; yy < (y + h) >> 2; yy++)
     for (int xx = x >> 2; xx < (x + w) >> 2; xx++) {
       size_t i = size_t(yy) * w4() + xx;
@@ -286,6 +287,7 @@ void SliceParser::writePu(int x, int y, int w, int h, int dir,
   PuMeta pu;
   memset(&pu, 0, sizeof(pu));
   pu.x = x; pu.y = y; pu.w = w; pu.h = h; pu.dir = dir;
+  pu.merge = merge; pu.merge_idx = mergeIdx;
   for (int l = 0; l < 2; l++) {
     pu.mv[l][0] = mvs[l][0]; pu.mv[l][1] = mvs[l][1];
     pu.ref_idx[l] = refIdx[l];

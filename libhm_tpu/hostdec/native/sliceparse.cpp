@@ -257,7 +257,7 @@ struct SliceParser {
   void applyAmvp(int x, int y, int w, int h, int interDir, const int refIdx[2],
                  const int mvd[2][2], const int mvpIdx[2]);
   void writePu(int x, int y, int w, int h, int dir, const int mvs[2][2],
-               const int refIdx[2]);
+               const int refIdx[2], int merge, int mergeIdx);
 };
 
 // ===========================================================================
@@ -791,6 +791,8 @@ void SliceParser::parseTtRoot(int x, int y, int log2size, int partSize,
                               int predMode, bool merge2Nx2N) {
   if (predMode == MODE_INTER) {
     int rootCbf = merge2Nx2N ? 1 : d.bin(bank.st[CTX_QT_ROOT_CBF]);
+    setRect8(pic->root_cbf, x, y, 1 << log2size, 1 << log2size,
+             int8_t(rootCbf));
     if (!rootCbf) return;
   }
   int maxTrDepth = 1 + (predMode == MODE_INTRA ? sps->max_tr_hierarchy_intra

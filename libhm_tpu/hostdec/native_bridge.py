@@ -128,20 +128,22 @@ def _materialize(lib, h, i, recon):
     pic.intra_list = [IntraBlock(int(r[0]), int(r[1]), int(r[2]),
                                  int(r[3]), int(r[4]), int(r[5]), 0,
                                  int(r[6])) for r in im[:nintra]]
-    pu_sz = 28  # sizeof(PuMeta)/4
+    pu_sz = 30  # sizeof(PuMeta)/4 (x,y,w,h,dir,merge,merge_idx,mv,ref,...)
     pm = g("hevcdec_get_inter_meta", (max(ninter, 1), pu_sz), I32)
     pic.inter_list = []
     for r in pm[:ninter]:
         pu = InterPU(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
                      int(r[4]),
-                     [(int(r[5]), int(r[6])), (int(r[7]), int(r[8]))],
-                     [int(r[9]), int(r[10])],
-                     [int(r[11]), int(r[12])])
-        if int(r[13]):  # has_wp
+                     [(int(r[7]), int(r[8])), (int(r[9]), int(r[10]))],
+                     [int(r[11]), int(r[12])],
+                     [int(r[13]), int(r[14])])
+        pu.merge = int(r[5])
+        pu.merge_idx = int(r[6])
+        if int(r[15]):  # has_wp
             # layout: denom_l, denom_c, w[2][3], o[2][3]
-            ww = [[int(r[16 + l * 3 + c]) for c in range(3)] for l in range(2)]
-            oo = [[int(r[22 + l * 3 + c]) for c in range(3)] for l in range(2)]
-            pu.wp = {"denom_l": int(r[14]), "denom_c": int(r[15]),
+            ww = [[int(r[18 + l * 3 + c]) for c in range(3)] for l in range(2)]
+            oo = [[int(r[24 + l * 3 + c]) for c in range(3)] for l in range(2)]
+            pu.wp = {"denom_l": int(r[16]), "denom_c": int(r[17]),
                      "w": ww, "o": oo}
         pic.inter_list.append(pu)
     pcm_meta = g("hevcdec_get_pcm_meta", (max(npcm, 1), 7), I32)
