@@ -1,8 +1,12 @@
-"""Encoder application (TAppEncoder equivalent, v1 tool profile).
+"""Encoder application (TAppEncoder equivalent).
 
-Mirrors the reference app's core CLI (reference: source/App/TAppEncoder/
-TAppEncCfg.cpp): -i input YUV, -b bitstream, -wdt/-hgt, -f frames, -q QP.
+Mirrors the reference app's CLI + config-file system (reference:
+source/App/TAppEncoder/TAppEncCfg.cpp, TAppCommon/program_options_lite):
+`-c cfg` files stack (later wins), `Key=value` arguments override, and the
+short options (-i/-b/-wdt/-hgt/-f/-q/-fr) override everything.
 
+    python -m libhm_tpu.apps.enc_app -c encoder_randomaccess_main.cfg \
+        -c per-sequence/BQSquare.cfg -i in.yuv -b out.bin -f 17
     python -m libhm_tpu.apps.enc_app -i in.yuv -b out.bin -wdt 416 -hgt 240 -f 3
 """
 import argparse
@@ -13,57 +17,115 @@ import numpy as np
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description="libhm_tpu HEVC encoder (all-intra / low-delay P)")
-    ap.add_argument("-i", "--input", required=True)
-    ap.add_argument("-b", "--bitstream", required=True)
+    ap = argparse.ArgumentParser(
+        description="libhm_tpu HEVC encoder",
+        epilog="Trailing Key=value arguments override cfg-file options.")
+    ap.add_argument("-c", "--config", action="append", default=[],
+                    help="HM-style cfg file (repeatable; later wins)")
+    ap.add_argument("-i", "--input", default=None)
+    ap.add_argument("-b", "--bitstream", default=None)
     ap.add_argument("-o", "--recon", default=None)
-    ap.add_argument("-wdt", type=int, required=True)
-    ap.add_argument("-hgt", type=int, required=True)
-    ap.add_argument("-f", "--frames", type=int, required=True)
-    ap.add_argument("-q", "--qp", type=int, default=32)
-    ap.add_argument("--cu-size", type=int, default=32)
-    ap.add_argument("--gop", choices=["intra", "lowdelayP", "lowdelayB", "randomaccess"], default="intra",
-                    help="GOP structure: all-intra or IDR + low-delay P")
-    ap.add_argument("--search-range", type=int, default=8)
+    ap.add_argument("-wdt", type=int, default=None)
+    ap.add_argument("-hgt", type=int, default=None)
+    ap.add_argument("-f", "--frames", type=int, default=None)
+    ap.add_argument("-q", "--qp", type=int, default=None)
+    ap.add_argument("--cu-size", type=int, default=None)
+    ap.add_argument("--gop", choices=["intra", "lowdelayP", "lowdelayB",
+                                      "randomaccess"], default=None,
+                    help="built-in GOP structure (cfg files use the "
+                         "FrameN GOP table instead)")
+    ap.add_argument("--search-range", type=int, default=None)
     ap.add_argument("--rate", type=int, default=None,
                     help="target bitrate in kbps (R-lambda rate control)")
-    ap.add_argument("-fr", "--frame-rate", type=float, default=30.0)
-    args = ap.parse_args(argv)
+    ap.add_argument("-fr", "--frame-rate", type=float, default=None)
+    args, extra = ap.parse_known_args(argv)
 
     from ..encoder.encoder import IntraEncoder, EncoderConfig
-    w, h = args.wdt, args.hgt
-    raw = np.fromfile(args.input, np.uint8)
-    fsz = w * h * 3 // 2
+    if args.config:
+        from ..encoder.options import parse_cfg_files, HmConfig
+        opts = parse_cfg_files(args.config,
+                               [e for e in extra if "=" in e])
+        hm = HmConfig(opts)
+        cfg = hm.to_encoder_config()
+        if args.qp is not None:
+            cfg.qp = args.qp
+        if args.wdt:
+            cfg.width = args.wdt
+        if args.hgt:
+            cfg.height = args.hgt
+        if args.frame_rate:
+            cfg.fps = args.frame_rate
+        if args.search_range:
+            cfg.search_range = args.search_range
+        if args.rate:
+            cfg.rate_kbps = args.rate
+        input_file = args.input or hm.get("input_file")
+        bitstream_file = args.bitstream or hm.get("bitstream_file")
+        recon_file = args.recon or hm.get("recon_file")
+        nframes = args.frames if args.frames is not None \
+            else hm.get("frames", 0)
+        input_bd = hm.get("input_bit_depth", cfg.bit_depth)
+    else:
+        for req, name in ((args.input, "-i"), (args.bitstream, "-b"),
+                          (args.wdt, "-wdt"), (args.hgt, "-hgt"),
+                          (args.frames, "-f")):
+            if req is None:
+                ap.error(f"{name} is required without -c")
+        cfg = EncoderConfig(args.wdt, args.hgt,
+                            qp=args.qp if args.qp is not None else 32,
+                            cu_size=args.cu_size or 32,
+                            gop=args.gop or "intra",
+                            search_range=args.search_range or 8,
+                            rate_kbps=args.rate,
+                            fps=args.frame_rate or 30.0)
+        input_file, bitstream_file = args.input, args.bitstream
+        recon_file = args.recon
+        nframes = args.frames
+        input_bd = cfg.bit_depth
+    if not cfg.width or not cfg.height:
+        ap.error("source dimensions unknown (use -wdt/-hgt or cfg "
+                 "SourceWidth/SourceHeight)")
+    if not nframes:
+        ap.error("frame count unknown (use -f or cfg FramesToBeEncoded)")
+
+    w, h = cfg.width, cfg.height
+    ssx = 1 if cfg.chroma_format_idc in (1, 2) else 0
+    ssy = 1 if cfg.chroma_format_idc == 1 else 0
+    cw, ch = w >> ssx, h >> ssy
+    dt_in = np.uint8 if input_bd <= 8 else np.dtype("<u2")
+    raw = np.fromfile(input_file, dt_in)
+    fsz = w * h + 2 * cw * ch
     frames = []
-    for f in range(args.frames):
-        fr = raw[f * fsz:(f + 1) * fsz]
+    for f in range(nframes):
+        fr = raw[f * fsz:(f + 1) * fsz].astype(
+            np.uint8 if cfg.bit_depth <= 8 else np.uint16)
+        if input_bd != cfg.bit_depth:
+            shift = cfg.bit_depth - input_bd
+            fr = (fr.astype(np.int32) << shift).astype(
+                np.uint8 if cfg.bit_depth <= 8 else np.uint16)
         frames.append((fr[:w * h].reshape(h, w),
-                       fr[w * h:w * h + w * h // 4].reshape(h // 2, w // 2),
-                       fr[w * h + w * h // 4:].reshape(h // 2, w // 2)))
+                       fr[w * h:w * h + cw * ch].reshape(ch, cw),
+                       fr[w * h + cw * ch:].reshape(ch, cw)))
     t0 = time.monotonic()
-    enc = IntraEncoder(EncoderConfig(w, h, qp=args.qp, cu_size=args.cu_size,
-                                     gop=args.gop,
-                                     search_range=args.search_range,
-                                     rate_kbps=args.rate,
-                                     fps=args.frame_rate))
+    enc = IntraEncoder(cfg)
     stream = enc.encode_stream(frames)
     dt = time.monotonic() - t0
-    open(args.bitstream, "wb").write(stream)
-    print(f"encoded {args.frames} frames -> {len(stream)} bytes "
-          f"in {dt:.2f}s ({8*len(stream)*30/args.frames/1000:.1f} kbps @30fps)")
+    open(bitstream_file, "wb").write(stream)
+    print(f"encoded {nframes} frames -> {len(stream)} bytes "
+          f"in {dt:.2f}s ({8*len(stream)*cfg.fps/nframes/1000:.1f} kbps)")
     # per-slice-type PSNR / bitrate summary (reference TEncAnalyze)
     from ..encoder.analyze import Analyze
-    an = Analyze(fps=args.frame_rate)
+    an = Analyze(fps=cfg.fps)
     for slice_type, bits, poc, recon in enc.stats:
-        an.add_picture(slice_type, bits, frames[poc], recon, enc.cfg.bit_depth)
+        an.add_picture(slice_type, bits, frames[poc], recon, cfg.bit_depth)
     print(an.summary())
-    if args.recon:
-        with open(args.recon, "wb") as f:
+    if recon_file:
+        with open(recon_file, "wb") as f:
             order = sorted(enc.stats, key=lambda s: s[2])
             for _, _, _, recon in order:
                 for plane in recon:
                     f.write(plane.astype(
-                        np.uint8 if enc.cfg.bit_depth <= 8 else "<u2"
+                        np.uint8 if cfg.bit_depth <= 8 else "<u2"
                     ).tobytes())
     return 0
 

@@ -244,23 +244,29 @@ class IntraEncoder:
         if cfg.rate_kbps:
             self._rc = RateControl(cfg.rate_kbps, cfg.fps, cfg.width,
                                    cfg.height)
-        if cfg.gop == "randomaccess":
-            for item in self._ra_schedule(len(frames)):
-                poc, nal_type, slice_type, l0, l1, rps = item
+        if cfg.gop in ("randomaccess", "table"):
+            schedule = self._table_schedule(len(frames)) \
+                if cfg.gop == "table" else self._ra_schedule(len(frames))
+            for item in schedule:
+                poc, nal_type, slice_type, l0, l1, rps = item[:6]
+                pic_qp = item[6] if len(item) > 6 else None
+                tid = item[7] if len(item) > 7 else 0
                 self._ref_lists_pics = [[self._dpb[p] for p in l0],
                                         [self._dpb[p] for p in l1]]
                 if l0:
                     self._prev_ref = self._ref_lists_pics[0][0]
                 if self._rc:
                     self.cur_qp = self._rc.pic_qp(slice_type == 2)
+                elif pic_qp is not None:
+                    self.cur_qp = pic_qp
                 slice_rbsp, recon = self.encode_picture(
                     frames[poc], poc, nal_type, slice_type, rps=rps)
                 if self._rc:
                     self._rc.update(len(slice_rbsp) * 8)
                 self.stats.append((slice_type, len(slice_rbsp) * 8, poc,
                                    recon))
-                out += nal_unit(nal_type, slice_rbsp)
-                out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
+                out += nal_unit(nal_type, slice_rbsp, tid)
+                out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth), tid)
                 self._dpb[poc] = _RefPic(poc, [r.copy() for r in self.recon],
                                          self.sps, self.pic)
                 if rps is not None:
@@ -325,6 +331,80 @@ class IntraEncoder:
                 if a - m >= 2:
                     yield (m + 1, 1, 0, [m], [a], ([-1], [a - m - 1]))
             b = a
+
+    # ------------------------------------------------------------------
+    def _table_schedule(self, n):
+        """GOP-table coding schedule from cfg.gop_entries (the cfg-file
+        FrameN DSL; reference TEncGOP::compressGOP ordering + TEncTop
+        selectReferencePictureSet availability rules).
+
+        Yields (poc, nal_type, slice_type, l0, l1, rps, qp, temporal_id) in
+        coding order.  IntraPeriod inserts CRA (DecodingRefreshType 1) or
+        IDR-like refreshes; pictures coded after a CRA with smaller POC are
+        RASL; trailing pictures never reference across the last IRAP.
+        """
+        cfg = self.cfg
+        entries = cfg.gop_entries
+        gop_size = cfg.gop_size or len(entries)
+        ip = cfg.intra_period
+        refresh = cfg.refresh_type
+        coded = set()
+        yield (0, 19, 2, [], [], None, cfg.qp, 0)   # IDR_W_RADL
+        coded.add(0)
+        last_irap = 0
+        base = 0
+        while base + 1 < n:
+            for e in entries:
+                poc = base + e.poc
+                if poc >= n or poc in coded:
+                    continue
+                coded.add(poc)
+                is_irap = ip > 0 and refresh > 0 and poc % ip == 0
+                if is_irap:
+                    # CRA (open GOP).  Its slice header still signals the
+                    # GOP entry's RPS so the pictures the following RASL
+                    # leading pictures reference survive in the DPB
+                    # (reference TEncTop::selectReferencePictureSet).
+                    # DecodingRefreshType 2 (IDR + POC reset) is not
+                    # plumbed; it degrades to CRA which is also a valid
+                    # random access point.
+                    last_irap = poc
+                    refs = [poc + d for d in e.ref_pics]
+                    past = sorted((r for r in refs if 0 <= r < poc
+                                   and r in coded), reverse=True)
+                    rps = (sorted(r - poc for r in past), [])
+                    yield (poc, 21, 2, [], [], rps,
+                           cfg.qp + e.qp_offset, 0)
+                    continue
+                # reference availability: in the DPB AND not across the
+                # last IRAP for trailing pictures (leading pictures may
+                # reference across -- they become RASL)
+                leading = poc < last_irap
+                def ok(rp):
+                    if rp < 0 or rp not in coded:
+                        return False
+                    if not leading and poc > last_irap and rp < last_irap:
+                        return False
+                    return True
+                refs = [poc + d for d in e.ref_pics]
+                past = sorted((r for r in refs if r < poc and ok(r)),
+                              reverse=True)
+                fut = sorted(r for r in refs if r > poc and ok(r))
+                # the decoder builds default lists from the RPS (closest-
+                # past-first for L0, future-first for L1) and repeats to
+                # num_ref_idx_active; pass the full default order so both
+                # sides agree on every refidx
+                l0 = past + fut
+                l1 = fut + past
+                if not l0:
+                    continue  # unencodable slot (start of sequence)
+                stype = {"I": 2, "P": 1, "B": 0}[e.slice_type]
+                rps = (sorted(set(r - poc for r in past + fut if r < poc)),
+                       sorted(set(r - poc for r in past + fut if r > poc)))
+                nal = 8 if leading else 1   # RASL_R / TRAIL_R
+                yield (poc, nal, stype, l0, l1 if stype == 0 else [],
+                       rps, cfg.qp + e.qp_offset, e.temporal_id)
+            base += gop_size
 
     # ------------------------------------------------------------------
     def encode_picture(self, frame, poc=0, nal_type=19, slice_type=2,
@@ -607,34 +687,87 @@ class IntraEncoder:
                         pic.sao_offsets[addr, c] = cands[c][best_t][0]
 
     def _motion_search(self, x, y, size, pred_mv):
-        """Integer full search around the predictor + quarter-pel refine."""
-        sps, cfg = self.sps, self.cfg
-        orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
-        plane = self._ref_plane(0, 0)
+        return self._motion_search_rect(x, y, size, size, pred_mv,
+                                        square=True)
+
+    # TZ search (reference TEncSearch xPatternSearchFast / xTZSearch,
+    # TEncSearch.cpp:337-678, 4170): start from the predictor and zero,
+    # expanding 8-point diamond, raster fallback when the best point is
+    # far, then star refinement around each new best until convergence.
+    _TZ_DIAMOND = ((0, -1), (0, 1), (-1, 0), (1, 0),
+                   (-1, -1), (1, -1), (-1, 1), (1, 1))
+
+    def _tz_integer(self, orig, plane, px, py, w, h, pred_int, R):
         H, W = plane.shape
-        R = cfg.search_range
-        cx = min(max((pred_mv[0] + 2) >> 2, -R), R)
-        cy = min(max((pred_mv[1] + 2) >> 2, -R), R)
-        best, bmv = 1 << 60, (0, 0)
-        for dy in range(cy - R, cy + R + 1):
-            ys0 = np.clip(np.arange(y + dy, y + dy + size), 0, H - 1)
-            for dx in range(cx - R, cx + R + 1):
-                xs0 = np.clip(np.arange(x + dx, x + dx + size), 0, W - 1)
-                cost = int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
-                if cost < best:
-                    best, bmv = cost, (dx << 2, dy << 2)
-        # half then quarter refinement
+        cache = {}
+
+        def sad(d):
+            if d in cache:
+                return cache[d]
+            dx, dy = d
+            ys0 = np.clip(np.arange(py + dy, py + dy + h), 0, H - 1)
+            xs0 = np.clip(np.arange(px + dx, px + dx + w), 0, W - 1)
+            c = int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
+            cache[d] = c
+            return c
+
+        def clampmv(v):
+            return (min(max(v[0], -R), R), min(max(v[1], -R), R))
+
+        best_mv = (0, 0)
+        best = sad(best_mv)
+        for cand in (clampmv(pred_int),):
+            c = sad(cand)
+            if c < best:
+                best, best_mv = c, cand
+
+        def diamond(center, dist):
+            nonlocal best, best_mv, best_dist
+            for ox, oy in self._TZ_DIAMOND:
+                mv = (center[0] + ox * dist, center[1] + oy * dist)
+                if abs(mv[0]) > R or abs(mv[1]) > R:
+                    continue
+                c = sad(mv)
+                if c < best:
+                    best, best_mv, best_dist = c, mv, dist
+
+        # first search: expanding diamond around the start point
+        start = best_mv
+        best_dist = 0
+        d = 1
+        while d <= R:
+            diamond(start, d)
+            d <<= 1
+        # raster when the best match is far from the start (iRaster == 5)
+        if best_dist > 5:
+            for dy in range(-R, R + 1, 5):
+                for dx in range(-R, R + 1, 5):
+                    c = sad((dx, dy))
+                    if c < best:
+                        best, best_mv, best_dist = c, (dx, dy), 5
+        # star refinement: re-center until a full round finds nothing
+        while best_dist:
+            center = best_mv
+            best_dist = 0
+            d = 1
+            while d <= R:
+                diamond(center, d)
+                d <<= 1
+        return best_mv, best
+
+    def _frac_refine(self, best_mv, best, px, py, w, h, orig):
+        """Two-stage half- then quarter-pel refinement over the 8
+        neighbours of the running best (reference xPatternSearchFracDIF,
+        TEncSearch.cpp:4563)."""
         for step in (2, 1):
-            improved = True
-            while improved:
-                improved = False
-                for dmx, dmy in ((-step, 0), (step, 0), (0, -step), (0, step)):
-                    mv = (bmv[0] + dmx, bmv[1] + dmy)
-                    pred = self._inter_pred(0, x, y, size, size, mv)
-                    cost = int(np.abs(pred - orig).sum())
-                    if cost < best:
-                        best, bmv, improved = cost, mv, True
-        return bmv, best
+            center = best_mv
+            for ox, oy in self._TZ_DIAMOND:
+                mv = (center[0] + ox * step, center[1] + oy * step)
+                pred = self._pred_from_cand(0, px, py, w, h, 1, [mv, (0, 0)])
+                cost = int(np.abs(pred - orig).sum())
+                if cost < best:
+                    best, best_mv = cost, mv
+        return best_mv, best
 
     def _write_merge_idx(self, idx):
         enc, bank = self.enc, self.bank
@@ -750,35 +883,34 @@ class IntraEncoder:
             self._write_mvd(desc[2])
             enc.encode_bin(bank["mvp_idx"], 0, desc[3])
 
-    def _motion_search_rect(self, px, py, w, h, pred_mv):
-        """Integer full search + quarter-pel refine on a rectangle."""
-        sps, cfg = self.sps, self.cfg
+    def _motion_search_rect(self, px, py, w, h, pred_mv, square=False):
+        """TZ integer search + two-stage fractional refine.
+
+        square=True comes from the 2Nx2N path (historical interface; the
+        algorithm is the same).  FastSearch=0 (full search) falls back to
+        an exhaustive scan like reference xPatternSearch.
+        """
+        cfg = self.cfg
         orig = self.orig[0][py:py + h, px:px + w].astype(np.int32)
         plane = self._ref_plane(0, 0)
         H, W = plane.shape
         R = cfg.search_range
-        cx = min(max((pred_mv[0] + 2) >> 2, -R), R)
-        cy = min(max((pred_mv[1] + 2) >> 2, -R), R)
-        best, bmv = 1 << 60, (0, 0)
-        for dy in range(cy - R, cy + R + 1):
-            ys0 = np.clip(np.arange(py + dy, py + dy + h), 0, H - 1)
-            for dx in range(cx - R, cx + R + 1):
-                xs0 = np.clip(np.arange(px + dx, px + dx + w), 0, W - 1)
-                cost = int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
-                if cost < best:
-                    best, bmv = cost, (dx << 2, dy << 2)
-        for step in (2, 1):
-            improved = True
-            while improved:
-                improved = False
-                for dmx, dmy in ((-step, 0), (step, 0), (0, -step), (0, step)):
-                    mv = (bmv[0] + dmx, bmv[1] + dmy)
-                    pred = self._pred_from_cand(0, px, py, w, h, 1,
-                                                [mv, (0, 0)])
-                    cost = int(np.abs(pred - orig).sum())
-                    if cost < best:
-                        best, bmv, improved = cost, mv, True
-        return bmv, best
+        pred_int = ((pred_mv[0] + 2) >> 2, (pred_mv[1] + 2) >> 2)
+        if getattr(cfg, "fast_search", 1):
+            imv, best = self._tz_integer(orig, plane, px, py, w, h,
+                                         pred_int, R)
+        else:
+            # full search (reference xPatternSearch, TEncSearch.cpp:4109)
+            best, imv = 1 << 60, (0, 0)
+            for dy in range(-R, R + 1):
+                ys0 = np.clip(np.arange(py + dy, py + dy + h), 0, H - 1)
+                for dx in range(-R, R + 1):
+                    xs0 = np.clip(np.arange(px + dx, px + dx + w), 0, W - 1)
+                    c = int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
+                    if c < best:
+                        best, imv = c, (dx, dy)
+        bmv = (imv[0] << 2, imv[1] << 2)
+        return self._frac_refine(bmv, best, px, py, w, h, orig)
 
     def encode_cu_inter(self, x, y, log2size, depth):
         """Inter-slice CU: partition (2Nx2N / 2NxN / Nx2N) + per-PU

@@ -1,0 +1,211 @@
+"""HM-compatible configuration system.
+
+Replaces the reference's df::program_options_lite + TAppEncCfg option
+registry (reference: source/Lib/TAppCommon/program_options_lite.h:46-150,
+source/App/TAppEncoder/TAppEncCfg.cpp): `Key : value  # comment` config
+files, `-c file.cfg` stacking with later-wins override, the `FrameN:`
+GOP-table mini-DSL, and CLI `--Key=value` overrides — so the standard
+`cfg/encoder_*.cfg` ladder drives this encoder directly.
+"""
+from dataclasses import dataclass, field
+
+
+@dataclass
+class GOPEntry:
+    """One FrameN line (reference TEncCfg.h GOPEntry)."""
+    slice_type: str = "B"      # 'I' | 'P' | 'B'
+    poc: int = 0
+    qp_offset: int = 0
+    qp_factor: float = 1.0
+    tc_offset_div2: int = 0
+    beta_offset_div2: int = 0
+    temporal_id: int = 0
+    num_ref_pics_active: int = 0
+    num_ref_pics: int = 0
+    ref_pics: list = field(default_factory=list)   # delta POCs
+    inter_rps_pred: int = 0
+    delta_rps: int = 0
+    # (the #ref_idcs / reference-idcs inter-RPS coding hints are accepted
+    # but unused: this encoder always writes explicit slice-header RPSs)
+
+
+def parse_gop_entry(text: str) -> GOPEntry:
+    t = text.split()
+    e = GOPEntry()
+    e.slice_type = t[0]
+    e.poc = int(t[1])
+    e.qp_offset = int(t[2])
+    e.qp_factor = float(t[3])
+    e.tc_offset_div2 = int(t[4])
+    e.beta_offset_div2 = int(t[5])
+    e.temporal_id = int(t[6])
+    e.num_ref_pics_active = int(t[7])
+    e.num_ref_pics = int(t[8])
+    e.ref_pics = [int(v) for v in t[9:9 + e.num_ref_pics]]
+    rest = t[9 + e.num_ref_pics:]
+    if rest:
+        e.inter_rps_pred = int(rest[0])
+        if e.inter_rps_pred and len(rest) > 1:
+            e.delta_rps = int(rest[1])
+    return e
+
+
+def parse_cfg_text(text: str, into=None):
+    """Parse one cfg file's text into {key: string_value} (later wins)."""
+    opts = into if into is not None else {}
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        opts[key.strip()] = val.strip()
+    return opts
+
+
+def parse_cfg_files(paths, overrides=()):
+    """Stack config files then `Key=value` CLI overrides (later wins)."""
+    opts = {}
+    for p in paths:
+        parse_cfg_text(open(p).read(), opts)
+    for ov in overrides:
+        if "=" in ov:
+            k, v = ov.split("=", 1)
+            opts[k.strip().lstrip("-")] = v.strip()
+    return opts
+
+
+# ---------------------------------------------------------------------------
+_BOOL_KEYS = {
+    "SAO": "sao", "RDOQ": "rdoq", "SignHideFlag": "sign_hiding",
+    "AMP": "amp", "TransformSkip": "transform_skip",
+    "TransquantBypassEnableFlag": "transquant_bypass",
+    "CUTransquantBypassFlagForce": "lossless",
+    "HadamardME": "hadamard_me",
+    "WeightedPredP": "weighted_pred", "WeightedPredB": "weighted_bipred",
+    "TemporalMvp": "tmvp", "TMVPMode": "tmvp",
+    "StrongIntraSmoothing": "strong_intra_smoothing",
+    "ScalingList": "scaling_list",
+    "PCMEnabledFlag": "pcm_enabled",
+    "SAOLcuBoundary": None, "UseAdaptiveQP": "adaptive_qp",
+    "WaveFrontSynchro": "wpp", "ECU": None, "CFM": None, "ESD": None,
+    "FEN": None, "FDM": None, "AdaptiveQP": "adaptive_qp",
+    "CabacInitFlag": "cabac_init",
+}
+
+_INT_KEYS = {
+    "SourceWidth": "width", "SourceHeight": "height", "QP": "qp",
+    "InternalBitDepth": "bit_depth", "InputBitDepth": "input_bit_depth",
+    "FrameRate": "fps", "FramesToBeEncoded": "frames",
+    "FrameSkip": "frame_skip",
+    "IntraPeriod": "intra_period", "DecodingRefreshType": "refresh_type",
+    "GOPSize": "gop_size", "MaxCUWidth": "cu_size",
+    "MaxPartitionDepth": "max_part_depth",
+    "QuadtreeTULog2MaxSize": "log2_max_tb",
+    "QuadtreeTULog2MinSize": "log2_min_tb",
+    "QuadtreeTUMaxDepthInter": "tu_depth_inter",
+    "QuadtreeTUMaxDepthIntra": "tu_depth_intra",
+    "SearchRange": "search_range", "FastSearch": "fast_search",
+    "BipredSearchRange": "bipred_search_range",
+    "MaxNumMergeCand": "max_merge_cand",
+    "TargetBitrate": "rate_bps", "RateControl": "rate_control",
+    "SliceMode": "slice_mode", "SliceArgument": "slice_argument",
+    "NumTileColumnsMinus1": "tile_cols_minus1",
+    "NumTileRowsMinus1": "tile_rows_minus1",
+    "LoopFilterDisable": "deblock_disable",
+    "LoopFilterBetaOffset_div2": "beta_offset_div2",
+    "LoopFilterTcOffset_div2": "tc_offset_div2",
+    "MaxBytesPerPicDenom": None, "MaxBitsPerMinCuDenom": None,
+    "CbQpOffset": "cb_qp_offset", "CrQpOffset": "cr_qp_offset",
+}
+
+_STR_KEYS = {
+    "InputFile": "input_file", "BitstreamFile": "bitstream_file",
+    "ReconFile": "recon_file", "Profile": "profile",
+}
+
+
+class HmConfig:
+    """Decoded view of an HM cfg option dict (subset the encoder honours;
+    unknown keys are collected in .ignored for transparency)."""
+
+    def __init__(self, opts):
+        self.opts = opts
+        self.ignored = []
+        self.gop_entries = []
+        vals = {}
+        for key, sval in opts.items():
+            if key.startswith("Frame") and key[5:].isdigit():
+                idx = int(key[5:])
+                while len(self.gop_entries) < idx:
+                    self.gop_entries.append(None)
+                self.gop_entries[idx - 1] = parse_gop_entry(sval)
+            elif key in _INT_KEYS:
+                if _INT_KEYS[key]:
+                    vals[_INT_KEYS[key]] = int(float(sval))
+            elif key in _BOOL_KEYS:
+                if _BOOL_KEYS[key]:
+                    vals[_BOOL_KEYS[key]] = bool(int(sval))
+            elif key in _STR_KEYS:
+                vals[_STR_KEYS[key]] = sval
+            else:
+                self.ignored.append(key)
+        self.v = vals
+
+    def get(self, name, default=None):
+        return self.v.get(name, default)
+
+    def to_encoder_config(self):
+        """Build an EncoderConfig + GOP table for the encoder."""
+        from .encoder import EncoderConfig
+        v = self.v
+        bit_depth = v.get("bit_depth", 8)
+        profile = v.get("profile", "main")
+        chroma = 1
+        if "422" in profile:
+            chroma = 2
+        elif "444" in profile:
+            chroma = 3
+        # CTU sizes above 32 need transform-tree splits below the CU
+        # (QuadtreeTULog2MaxSize is 5); the RDO tree currently codes
+        # TU == CU for 2Nx2N, so clamp -- streams stay conformant, the
+        # partitioning is just one level finer than HM's default
+        cu = min(v.get("cu_size", 64), 32)
+        cfg = EncoderConfig(
+            v.get("width", 0), v.get("height", 0), qp=v.get("qp", 32),
+            bit_depth=bit_depth, cu_size=cu,
+            gop="table", search_range=v.get("search_range", 64),
+            fps=float(v.get("fps", 30)), chroma_format_idc=chroma,
+            weighted_pred=v.get("weighted_pred", False),
+            rdoq=v.get("rdoq", True), sign_hiding=v.get("sign_hiding", True),
+            adaptive_qp=v.get("adaptive_qp", False), amp=v.get("amp", True))
+        cfg.gop_entries = [e for e in self.gop_entries if e is not None]
+        cfg.gop_size = v.get("gop_size", 1)
+        cfg.intra_period = v.get("intra_period", -1)
+        cfg.refresh_type = v.get("refresh_type", 0)
+        cfg.sao = 1 if v.get("sao", True) else 0
+        cfg.deblock = not v.get("deblock_disable", 0)
+        cfg.log2_max_tb = v.get("log2_max_tb", 5)
+        cfg.log2_min_tb = v.get("log2_min_tb", 2)
+        cfg.fast_search = v.get("fast_search", 1)
+        cfg.hadamard_me = v.get("hadamard_me", True)
+        cfg.strong_intra_smoothing = 1 if v.get("strong_intra_smoothing",
+                                                False) else 0
+        cfg.transform_skip = v.get("transform_skip", False)
+        cfg.cb_qp_offset = v.get("cb_qp_offset", 0)
+        cfg.cr_qp_offset = v.get("cr_qp_offset", 0)
+        if v.get("rate_control"):
+            cfg.rate_kbps = v.get("rate_bps", 0) // 1000
+        if cfg.gop_entries:
+            cfg.tmvp = 1
+            cfg.max_dec_pic_buffering = 8
+            maxpoc = max(e.poc for e in cfg.gop_entries)
+            reorder = sum(1 for e in cfg.gop_entries if e.poc != maxpoc)
+            cfg.num_reorder_pics = min(reorder, 7)
+            cfg.num_ref_l0 = max(e.num_ref_pics_active
+                                 for e in cfg.gop_entries)
+            cfg.num_ref_l1 = cfg.num_ref_l0
+        else:
+            cfg.gop = "intra"
+        return cfg

@@ -1,0 +1,82 @@
+"""HM cfg-file system: parse the full reference cfg ladder and drive an
+encode from a profile cfg, verified by our own decoder's hash check.
+(reference: TAppCommon/program_options_lite + TAppEncCfg.cpp)
+"""
+import glob
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from libhm_tpu.encoder.options import (parse_cfg_files, parse_gop_entry,
+                                       HmConfig)
+
+REF_CFG = "/root/reference/cfg"
+ALL_CFGS = sorted(glob.glob(os.path.join(REF_CFG, "encoder_*.cfg")))
+
+
+@pytest.mark.skipif(not ALL_CFGS, reason="reference cfgs not mounted")
+@pytest.mark.parametrize("path", ALL_CFGS, ids=[os.path.basename(p)
+                                                for p in ALL_CFGS])
+def test_reference_cfg_parses(path):
+    opts = parse_cfg_files([path])
+    hm = HmConfig(opts)
+    cfg = hm.to_encoder_config()
+    gop_size = hm.get("gop_size", 1)
+    assert len(cfg.gop_entries) == (0 if gop_size == 1 else gop_size)
+    if "randomaccess" in path:
+        assert cfg.intra_period > 0 and cfg.refresh_type == 1
+        assert cfg.gop_entries[0].poc == 8
+        assert cfg.gop_entries[0].ref_pics[0] == -8
+    if "lowdelay" in path:
+        assert cfg.intra_period == -1
+        assert all(e.poc == i + 1 for i, e in enumerate(cfg.gop_entries))
+
+
+def test_gop_entry_dsl():
+    e = parse_gop_entry(
+        "B    4   2   0.3536  0  0  0  2  3  -4 -6 4   1  4  5  1 1 0 0 1")
+    assert e.slice_type == "B" and e.poc == 4 and e.qp_offset == 2
+    assert e.num_ref_pics_active == 2 and e.num_ref_pics == 3
+    assert e.ref_pics == [-4, -6, 4]
+    assert e.inter_rps_pred == 1 and e.delta_rps == 4
+
+
+def test_cfg_override_order(tmp_path):
+    a = tmp_path / "a.cfg"
+    a.write_text("QP : 30\nSourceWidth: 416  # comment\n")
+    b = tmp_path / "b.cfg"
+    b.write_text("QP : 35\n")
+    opts = parse_cfg_files([str(a), str(b)], ["QP=37"])
+    assert opts["QP"] == "37"
+    assert opts["SourceWidth"] == "416"
+
+
+def _tiny_yuv(tmp_path, w=64, h=64, n=5):
+    ys, xs = np.mgrid[0:h, 0:w]
+    buf = b""
+    for t in range(n):
+        buf += ((xs + ys + 5 * t) % 256).astype(np.uint8).tobytes()
+        buf += ((xs[::2, ::2] + t) % 256).astype(np.uint8).tobytes()
+        buf += ((ys[::2, ::2] + t) % 256).astype(np.uint8).tobytes()
+    p = tmp_path / "in.yuv"
+    p.write_bytes(buf)
+    return str(p)
+
+
+def test_cfg_driven_encode_decodes(tmp_path):
+    """encoder_lowdelay_main.cfg drives a 5-frame encode; our decoder
+    verifies every picture's hash SEI."""
+    from libhm_tpu.apps.enc_app import main as enc_main
+    from libhm_tpu.hostdec.decoder import Decoder
+    yuv = _tiny_yuv(tmp_path)
+    out = str(tmp_path / "out.bin")
+    rc = enc_main(["-c", os.path.join(REF_CFG, "encoder_lowdelay_main.cfg"),
+                   "-i", yuv, "-b", out, "-wdt", "64", "-hgt", "64",
+                   "-f", "5", "-q", "32"])
+    assert rc == 0
+    dec = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    outs = dec.decode_annexb(open(out, "rb").read())
+    assert len(outs) == 5
+    assert all(r.hash_status == "OK" for r in dec.output_records)
