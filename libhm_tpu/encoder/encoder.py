@@ -188,6 +188,10 @@ class EncoderConfig:
         self.sign_hiding = sign_hiding  # sign-data-hiding (SBH)
         self.adaptive_qp = adaptive_qp  # TM5 preanalysis + cu_qp_delta
         self.amp = amp  # asymmetric motion partitions
+        self.wpp = False          # entropy_coding_sync (one substream/row)
+        self.tile_cols = 1        # uniform tile grid
+        self.tile_rows = 1
+        self.slice_ctus = 0       # SliceMode=1: CTUs per slice (0 = one)
         if gop in ("lowdelayP", "lowdelayB"):
             self.tmvp = 1
             self.st_rps = []          # explicit per-slice RPS
@@ -219,6 +223,16 @@ def _mk_sps_pps(cfg):
     pps = hls.PPS()
     pps.init_qp = cfg.qp
     pps.deblocking_disabled = 0 if cfg.deblock else 1
+    # parallel tools (mirrored into the written PPS by hls_writer)
+    pps.entropy_coding_sync = 1 if getattr(cfg, "wpp", False) else 0
+    tc = getattr(cfg, "tile_cols", 1)
+    tr = getattr(cfg, "tile_rows", 1)
+    if tc > 1 or tr > 1:
+        pps.tiles_enabled = 1
+        pps.num_tile_cols = tc
+        pps.num_tile_rows = tr
+        pps.uniform_spacing = 1
+        pps.loop_filter_across_tiles = 1
     return sps, pps
 
 
@@ -259,13 +273,14 @@ class IntraEncoder:
                     self.cur_qp = self._rc.pic_qp(slice_type == 2)
                 elif pic_qp is not None:
                     self.cur_qp = pic_qp
-                slice_rbsp, recon = self.encode_picture(
+                slices, recon = self.encode_picture(
                     frames[poc], poc, nal_type, slice_type, rps=rps)
+                nbits = sum(len(s) for s in slices) * 8
                 if self._rc:
-                    self._rc.update(len(slice_rbsp) * 8)
-                self.stats.append((slice_type, len(slice_rbsp) * 8, poc,
-                                   recon))
-                out += nal_unit(nal_type, slice_rbsp, tid)
+                    self._rc.update(nbits)
+                self.stats.append((slice_type, nbits, poc, recon))
+                for slice_rbsp in slices:
+                    out += nal_unit(nal_type, slice_rbsp, tid)
                 out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth), tid)
                 self._dpb[poc] = _RefPic(poc, [r.copy() for r in self.recon],
                                          self.sps, self.pic)
@@ -291,12 +306,14 @@ class IntraEncoder:
                 poc = poc if inter_gop else 0
             if self._rc:
                 self.cur_qp = self._rc.pic_qp(slice_type == 2)
-            slice_rbsp, recon = self.encode_picture(frame, poc, nal_type,
-                                                    slice_type, rps=rps)
+            slices, recon = self.encode_picture(frame, poc, nal_type,
+                                                slice_type, rps=rps)
+            nbits = sum(len(s) for s in slices) * 8
             if self._rc:
-                self._rc.update(len(slice_rbsp) * 8)
-            self.stats.append((slice_type, len(slice_rbsp) * 8, poc, recon))
-            out += nal_unit(nal_type, slice_rbsp)
+                self._rc.update(nbits)
+            self.stats.append((slice_type, nbits, poc, recon))
+            for slice_rbsp in slices:
+                out += nal_unit(nal_type, slice_rbsp)
             out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
             if inter_gop:
                 refs.insert(0, _RefPic(poc, [r.copy() for r in self.recon],
@@ -414,7 +431,15 @@ class IntraEncoder:
         Hp = sps.pic_height_ctbs << sps.log2_ctb
         self.pic = PicSyntax(sps, pps)
         self.sd = SliceDecoder(sps, pps, self.pic)
-        self.pic.slice_idx[:, :] = 0
+        # CTU decode order (tile scan when tiles are on) + slice partition
+        scan = self.sd.ctu_scan_order()
+        slice_ctus = getattr(cfg, "slice_ctus", 0) or len(scan)
+        slice_starts = list(range(0, len(scan), slice_ctus))
+        wc = sps.pic_width_ctbs
+        m4 = sps.ctb_size >> 2
+        for pos, addr in enumerate(scan):
+            cx4, cy4 = (addr % wc) * m4, (addr // wc) * m4
+            self.pic.slice_idx[cy4:cy4 + m4, cx4:cx4 + m4] = pos // slice_ctus
         self.recon = []
         self.orig = []
         for c in range(3):
@@ -512,12 +537,19 @@ class IntraEncoder:
                 self._qp_pred_enc = self._last_qp_enc
                 self._dqp_coded = False
                 self._cu_delta_enc = 0
-        if cfg.sao:
-            # pass 1: decide + record the CU symbol stream
+        multi = cfg.sao or getattr(cfg, "wpp", False) or \
+            getattr(cfg, "tile_cols", 1) > 1 or \
+            getattr(cfg, "tile_rows", 1) > 1 or len(slice_starts) > 1
+        if multi:
+            # pass 1: decide + record the CU symbol stream in decode order
             rec = _RecordingCabac()
             self.enc = rec
-            for addr in range(nctu):
+            for pos, addr in enumerate(scan):
                 rec.mark()
+                if pos in slice_starts:
+                    # QP predictor resets at slice starts (decoder inits
+                    # last_qp to the slice QP)
+                    self._last_qp_enc = qp_base
                 ctu_qg_start(addr)
                 cx = (addr % nctu_x) << sps.log2_ctb
                 cy = (addr // nctu_x) << sps.log2_ctb
@@ -526,23 +558,12 @@ class IntraEncoder:
             if cfg.deblock:
                 from ..hostdec.loopfilter_np import deblock_picture
                 deblock_picture(self.recon, self.pic, sps, pps)
-            self._estimate_sao()
-            from ..hostdec.loopfilter_np import sao_picture
-            sao_picture(self.recon, self.pic, sps, pps)
-            # pass 2: fresh contexts (same arrays: recorded ops reference
-            # them), SAO syntax + replay per CTU
-            fresh = make_context_bank(slice_type, qp_base, 0)
-            for k in self.bank:
-                self.bank[k][:] = fresh[k]
-            self.enc = CabacEncoder(w)
-            from .sao_enc import write_sao_ctu
-            enabled = [1, 1, 1] if sps.chroma_format_idc else [1, 0, 0]
-            for addr in range(nctu):
-                write_sao_ctu(self.enc, self.bank, self.pic, addr, nctu_x,
-                              enabled, sps)
-                rec.replay(self.enc, rec.marks[addr], rec.marks[addr + 1])
-                self.enc.encode_terminate(1 if addr == last else 0)
-            w.align_zero()
+            if cfg.sao:
+                self._estimate_sao()
+                from ..hostdec.loopfilter_np import sao_picture
+                sao_picture(self.recon, self.pic, sps, pps)
+            payloads = self._emit_slices(rec, scan, slice_starts, nal_type,
+                                         poc, slice_type, qp_base, rps)
         else:
             for addr in range(nctu):
                 ctu_qg_start(addr)
@@ -557,6 +578,7 @@ class IntraEncoder:
                 # filter the decoder runs)
                 from ..hostdec.loopfilter_np import deblock_picture
                 deblock_picture(self.recon, self.pic, sps, pps)
+            payloads = [w.data()]
         self.cur_qp = qp_base   # per-CTU AQ mutations must not leak out
         W, H = sps.width, sps.height
         crop = []
@@ -564,7 +586,122 @@ class IntraEncoder:
             sx = sps.chroma_shift_x() if c else 0
             sy = sps.chroma_shift_y() if c else 0
             crop.append(self.recon[c][:H >> sy, :W >> sx])
-        return w.data(), crop
+        return payloads, crop
+
+    # ------------------------------------------------------------------
+    def _emit_slices(self, rec, scan, slice_starts, nal_type, poc,
+                     slice_type, qp_pic, rps):
+        """Pass 2: replay the recorded CU symbols into per-slice NAL
+        payloads with WPP / tile substreams + entry points (reference
+        TEncSlice::encodeSlice TEncSlice.cpp:1011, WPP context propagation
+        :738-844, TEncGOP xAttachSliceDataToNalUnit)."""
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        from .sao_enc import write_sao_ctu
+        wc = sps.pic_width_ctbs
+        wpp = bool(getattr(cfg, "wpp", False))
+        sd = self.sd
+        enabled = [1, 1, 1] if sps.chroma_format_idc else [1, 0, 0]
+        pos_of = {a: i for i, a in enumerate(scan)}
+        payloads = []
+        bank = self.bank   # the recorded ops reference these arrays:
+        # every reset/restore below must write IN PLACE
+
+        def bank_reset():
+            fresh = make_context_bank(slice_type, qp_pic, 0)
+            for k in bank:
+                bank[k][:] = fresh[k]
+
+        def bank_restore(saved):
+            for k in bank:
+                bank[k][:] = saved[k]
+
+        for si, start in enumerate(slice_starts):
+            end = slice_starts[si + 1] if si + 1 < len(slice_starts) \
+                else len(scan)
+            bank_reset()
+            subs = []
+            bw = BitWriter()
+            enc = CabacEncoder(bw)
+            wpp_saved = None
+            for pos in range(start, end):
+                addr = scan[pos]
+                col = addr % wc
+                tile = sd.tile_map[addr]
+                cx = col << sps.log2_ctb
+                cy = (addr // wc) << sps.log2_ctb
+                if pos > start:
+                    prev_tile = sd.tile_map[scan[pos - 1]]
+                    new_tile = tile != prev_tile
+                    new_row = wpp and not new_tile and \
+                        col == sd._tile_first_col(addr)
+                    if new_tile or new_row:
+                        # previous CTU ended with end_of_subset_one_bit +
+                        # CABAC flush; byte-align and open a new substream
+                        bw.align_zero()
+                        subs.append(bw.data())
+                        bw = BitWriter()
+                        enc = CabacEncoder(bw)
+                        if new_tile:
+                            bank_reset()
+                        else:
+                            # WPP: sync from the snapshot after the 2nd CTU
+                            # of the row above when the above-right CTU is
+                            # in the same slice and tile (mirrors
+                            # slicedec.decode_slice)
+                            ok = (wpp_saved is not None and cy > 0 and
+                                  col + 1 < wc and
+                                  sd.tile_map[addr - wc + 1] == tile and
+                                  self.pic.slice_idx[(cy - 4) >> 2,
+                                                     (cx + sps.ctb_size) >> 2]
+                                  == si)
+                            if ok:
+                                bank_restore(wpp_saved)
+                            else:
+                                bank_reset()
+                if cfg.sao:
+                    write_sao_ctu(
+                        enc, bank, self.pic, addr, wc, enabled, sps,
+                        avail=lambda other, _t=tile: (
+                            sd.tile_map[other] == _t and
+                            start <= pos_of[other] < end))
+                rec.replay(enc, rec.marks[pos], rec.marks[pos + 1])
+                last_of_slice = pos == end - 1
+                enc.encode_terminate(1 if last_of_slice else 0)
+                if not last_of_slice:
+                    nxt = scan[pos + 1]
+                    boundary = sd.tile_map[nxt] != tile or \
+                        (wpp and (nxt % wc) == sd._tile_first_col(nxt))
+                    if boundary:
+                        enc.encode_terminate(1)  # end_of_subset_one_bit
+                if wpp and col == sd._tile_first_col(addr) + 1:
+                    wpp_saved = {k: v.copy() for k, v in bank.items()}
+            bw.align_zero()
+            subs.append(bw.data())
+            data = b"".join(subs)
+            rbsp_offs = [len(s) for s in subs[:-1]]
+            # header + EBSP-domain entry point offsets (Rec. 7.4.7.1 counts
+            # emulation-prevention bytes; iterate because the header length
+            # feeds back into the escape positions)
+            eps = list(rbsp_offs)
+            for _ in range(4):
+                hdr = write_slice_header(
+                    cfg, nal_type, poc, slice_type, qp_pic, rps=rps,
+                    wp=self.cur_wp, segment_address=scan[start] if start
+                    else 0, entry_points=eps if rbsp_offs else None).data()
+                from .hls_writer import epb_positions
+                epb = epb_positions(hdr + data)
+                new_eps = []
+                a = len(hdr)
+                for span in rbsp_offs:
+                    b = a + span
+                    k = sum(1 for p in epb if a < p <= b)
+                    new_eps.append(span + k)
+                    a = b
+                if new_eps == eps:
+                    break
+                eps = new_eps
+            payloads.append(hdr + data)
+        return payloads
 
     # ------------------------------------------------------------------
     def _ref_plane(self, comp, l, ref_idx=0):
@@ -1327,12 +1464,21 @@ class IntraEncoder:
         H = sps.height >> ssy
         lx_anchor, ly_anchor = x << ssx, y << ssy
         z_cur = sd._zmap[ly_anchor >> 2, lx_anchor >> 2]
+        slice_cur = pic.slice_idx[ly_anchor >> 2, lx_anchor >> 2]
+        log2_ctb, wctbs = sps.log2_ctb, sps.pic_width_ctbs
+        tile_cur = sd.tile_map[(ly_anchor >> log2_ctb) * wctbs +
+                               (lx_anchor >> log2_ctb)]
 
         def avail(cx, cy):
             if cx < 0 or cy < 0 or cx >= W or cy >= H:
                 return False
             lx, ly = cx << ssx, cy << ssy
-            return sd._zmap[ly >> 2, lx >> 2] < z_cur
+            if sd._zmap[ly >> 2, lx >> 2] >= z_cur:
+                return False
+            if pic.slice_idx[ly >> 2, lx >> 2] != slice_cur:
+                return False
+            return sd.tile_map[(ly >> log2_ctb) * wctbs +
+                               (lx >> log2_ctb)] == tile_cur
         top, left = refimpl.fill_reference_samples(plane, avail, x, y, n, bd)
         if refimpl.use_filtered_refs(comp, n, mode, sps):
             strong = bool(sps.strong_intra_smoothing) and comp == 0

@@ -9,6 +9,19 @@ import hashlib
 from .cabac_enc import BitWriter
 
 
+def epb_positions(rbsp: bytes):
+    """RBSP indices p where add_emulation_prevention inserts a 0x03 byte
+    immediately BEFORE rbsp[p] (for EBSP-domain entry point offsets)."""
+    out = []
+    zeros = 0
+    for i, b in enumerate(rbsp):
+        if zeros >= 2 and b <= 3:
+            out.append(i)
+            zeros = 0
+        zeros = zeros + 1 if b == 0 else 0
+    return out
+
+
 def add_emulation_prevention(rbsp: bytes) -> bytes:
     out = bytearray()
     zeros = 0
@@ -161,8 +174,16 @@ def write_pps(cfg) -> bytes:
     w.put(1 if getattr(cfg, "weighted_pred", False) else 0)
     w.put(0)            # weighted_bipred
     w.put(0)            # transquant_bypass
-    w.put(0)            # tiles
-    w.put(0)            # entropy_coding_sync
+    tile_cols = getattr(cfg, "tile_cols", 1)
+    tile_rows = getattr(cfg, "tile_rows", 1)
+    tiles = tile_cols > 1 or tile_rows > 1
+    w.put(1 if tiles else 0)                       # tiles_enabled
+    w.put(1 if getattr(cfg, "wpp", False) else 0)  # entropy_coding_sync
+    if tiles:
+        w.ue(tile_cols - 1)
+        w.ue(tile_rows - 1)
+        w.put(1)        # uniform_spacing
+        w.put(1)        # loop_filter_across_tiles
     w.put(1)            # loop_filter_across_slices
     w.put(1)            # deblocking_filter_control_present
     w.put(0)            # deblocking_override_enabled
@@ -208,19 +229,27 @@ def _write_pred_weight_table(w, cfg, wp):
 
 
 def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
-                       rps_idx=0, rps=None, wp=None) -> BitWriter:
+                       rps_idx=0, rps=None, wp=None, segment_address=0,
+                       entry_points=None) -> BitWriter:
     """Returns the writer positioned after the header (byte-aligned).
 
     rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
     in the slice header (short_term_ref_pic_set with sps_flag=0); deltas
     are used_by_curr=1. Otherwise the SPS set rps_idx is referenced.
     wp: optional pred_weight_table entries (P slices with weighted_pred).
+    segment_address: CTU address of this slice segment (0 = first slice).
+    entry_points: EBSP-domain substream byte lengths (WPP rows / tiles).
     """
     w = BitWriter()
-    w.put(1)            # first_slice_segment_in_pic
+    w.put(1 if segment_address == 0 else 0)  # first_slice_segment_in_pic
     if 16 <= nal_type <= 23:
         w.put(0)        # no_output_of_prior_pics
     w.ue(0)             # pps id
+    if segment_address:
+        ctb = 1 << cfg.log2_ctb
+        nctb = ((cfg.width + ctb - 1) >> cfg.log2_ctb) * \
+               ((cfg.height + ctb - 1) >> cfg.log2_ctb)
+        w.put_bits(segment_address, max(1, (nctb - 1).bit_length()))
     w.ue(slice_type)    # 0=B 1=P 2=I
     if nal_type not in (19, 20):
         w.put_bits(poc & ((1 << cfg.log2_max_poc_lsb) - 1), cfg.log2_max_poc_lsb)
@@ -268,6 +297,16 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
     # loop_filter_across_slices present iff sao or deblock on
     if cfg.sao or cfg.deblock:
         w.put(1)
+    tiles = getattr(cfg, "tile_cols", 1) > 1 or \
+        getattr(cfg, "tile_rows", 1) > 1
+    if tiles or getattr(cfg, "wpp", False):
+        eps = entry_points or []
+        w.ue(len(eps))
+        if eps:
+            olen = max(1, max(e - 1 for e in eps).bit_length())
+            w.ue(olen - 1)
+            for e in eps:
+                w.put_bits(e - 1, olen)
     w.byte_align_one()
     return w
 

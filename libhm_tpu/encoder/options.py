@@ -195,6 +195,11 @@ class HmConfig:
         cfg.transform_skip = v.get("transform_skip", False)
         cfg.cb_qp_offset = v.get("cb_qp_offset", 0)
         cfg.cr_qp_offset = v.get("cr_qp_offset", 0)
+        cfg.wpp = bool(v.get("wpp", False))
+        cfg.tile_cols = v.get("tile_cols_minus1", 0) + 1
+        cfg.tile_rows = v.get("tile_rows_minus1", 0) + 1
+        if v.get("slice_mode", 0) == 1:
+            cfg.slice_ctus = v.get("slice_argument", 0)
         if v.get("rate_control"):
             cfg.rate_kbps = v.get("rate_bps", 0) // 1000
         if cfg.gop_entries:

@@ -99,8 +99,13 @@ def sao_candidates(orig, dbf, x0, y0, x1, y1, bd, lam):
     return out
 
 
-def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps):
-    """Mirror of _parse_sao_ctu for one CTU's chosen parameters."""
+def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps, avail=None):
+    """Mirror of _parse_sao_ctu for one CTU's chosen parameters.
+
+    avail(other_addr): extra availability predicate for the merge
+    neighbours (same slice + tile, mirrored from the decode side); None
+    means everything in-picture is available (single slice/tile).
+    """
     def params_equal(a, b):
         return all(
             pic.sao_type[a, c] == pic.sao_type[b, c] and
@@ -108,8 +113,8 @@ def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps):
             (pic.sao_offsets[a, c] == pic.sao_offsets[b, c]).all()
             for c in range(3) if enabled[c])
 
-    can_left = addr % wc > 0
-    can_up = addr // wc > 0
+    can_left = addr % wc > 0 and (avail is None or avail(addr - 1))
+    can_up = addr // wc > 0 and (avail is None or avail(addr - wc))
     merge_left = can_left and params_equal(addr, addr - 1)
     if can_left:
         enc.encode_bin(bank["sao_merge"], 0, 1 if merge_left else 0)

@@ -31,6 +31,30 @@ def strip_emulation_prevention(data: bytes) -> bytes:
     return d[~rm].tobytes()
 
 
+def strip_emulation_prevention_pos(data: bytes):
+    """EBSP -> (RBSP, epb_positions).
+
+    epb_positions[i] is the RBSP byte index immediately FOLLOWING the i-th
+    removed emulation byte — what the slice-header entry-point adjustment
+    needs (Rec. 7.4.7.1: entry point offsets count EBSP bytes; the
+    reference subtracts located emulation bytes, TDecCAVLC parseSliceHeader).
+    """
+    n = len(data)
+    import numpy as np
+    if n < 3:
+        return bytes(data), []
+    d = np.frombuffer(data, np.uint8)
+    cand = (d[2:] == 3) & (d[1:-1] == 0) & (d[:-2] == 0)
+    if not cand.any():
+        return bytes(data), []
+    rm = np.zeros(n, bool)
+    rm[2:] = cand
+    rm[3:] &= d[:-3] != 0
+    removed = np.nonzero(rm)[0]
+    positions = (removed - np.arange(len(removed))).tolist()
+    return d[~rm].tobytes(), positions
+
+
 class BitReader:
     """MSB-first bit reader over RBSP bytes."""
 

@@ -245,7 +245,11 @@ class Decoder:
             from .motion import MotionDeriver
             sd.motion = MotionDeriver(sd, sh, self._build_ref_lists(sh, sps))
         if not sh.first_slice_in_pic:
-            pic.drop_products_from_ctu(sh.segment_address)
+            scan_pos = None
+            if self.pps_map[sh.pps_id].tiles_enabled:
+                scan_pos = {a: i for i, a in enumerate(sd.ctu_scan_order())}
+            pic.drop_products_from_ctu(sh.segment_address, scan_pos)
+        sh.epb_positions = nalu.epb_positions  # entry-point EBSP adjust
         if sh.dependent:
             # same slice: segments share the slice id for availability
             sd.decode_slice(nalu.rbsp, sh, self.slice_count - 1)

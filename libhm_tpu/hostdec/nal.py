@@ -4,7 +4,7 @@ Rebuild of reference source/Lib/TLibDecoder/AnnexBread.cpp:62-199 (start-code
 scanning) and NALread.cpp:105 (nal_unit_header) as plain Python generators.
 """
 from dataclasses import dataclass
-from .bitstream import strip_emulation_prevention
+from .bitstream import strip_emulation_prevention_pos
 
 # NAL unit types (Rec. H.265 Table 7-1)
 NAL_TRAIL_N = 0
@@ -71,6 +71,7 @@ class NalUnit:
     temporal_id: int       # nuh_temporal_id_plus1 - 1
     rbsp: bytes            # emulation-prevention stripped payload (after 2-byte header)
     ebsp: bytes = b""      # raw NAL bytes incl. 2-byte header (for native feed)
+    epb_positions: tuple = ()  # rbsp indices following removed 00 00 03 bytes
 
 
 def parse_nal(ebsp: bytes) -> NalUnit:
@@ -81,8 +82,9 @@ def parse_nal(ebsp: bytes) -> NalUnit:
     nal_type = (b0 >> 1) & 0x3F
     layer_id = ((b0 & 1) << 5) | (b1 >> 3)
     temporal_id = (b1 & 7) - 1
-    rbsp = strip_emulation_prevention(ebsp[2:])
-    return NalUnit(nal_type, layer_id, temporal_id, rbsp, bytes(ebsp))
+    rbsp, epb = strip_emulation_prevention_pos(ebsp[2:])
+    return NalUnit(nal_type, layer_id, temporal_id, rbsp, bytes(ebsp),
+                   tuple(epb))
 
 
 def split_annexb(data: bytes):

@@ -14,13 +14,18 @@
 namespace hevc {
 
 // ---------------------------------------------------------------------------
-static std::vector<uint8_t> stripEp(const uint8_t* d, size_t n) {
+static std::vector<uint8_t> stripEp(const uint8_t* d, size_t n,
+                                    std::vector<int>* epbPos = nullptr) {
   std::vector<uint8_t> out;
   out.reserve(n);
   int zeros = 0;
   for (size_t i = 0; i < n; i++) {
     uint8_t b = d[i];
-    if (zeros == 2 && b == 3) { zeros = 0; continue; }
+    if (zeros == 2 && b == 3) {
+      zeros = 0;
+      if (epbPos) epbPos->push_back(int(out.size()));
+      continue;
+    }
     zeros = b == 0 ? zeros + 1 : 0;
     out.push_back(b);
   }
@@ -169,7 +174,8 @@ struct Decoder {
     if (n < 2) return;
     int nalType = (ebsp[0] >> 1) & 0x3F;
     int tid = (ebsp[1] & 7) - 1;
-    std::vector<uint8_t> rbsp = stripEp(ebsp + 2, n - 2);
+    std::vector<int> epbPos;
+    std::vector<uint8_t> rbsp = stripEp(ebsp + 2, n - 2, &epbPos);
     if (nalType == 33) {
       SPS s = parseSps(rbsp.data(), rbsp.size());
       spsMap[s.sps_id] = s;
@@ -206,7 +212,9 @@ struct Decoder {
       merged.entry_points = sh.entry_points;
       merged.data_bit_offset = sh.data_bit_offset;
       sh = merged;
+      sh.epb_positions = epbPos;
     } else {
+      sh.epb_positions = epbPos;
       lastIndepSh = sh;
     }
 
@@ -275,7 +283,8 @@ struct Decoder {
         }
       }
     }
-    if (!sh.first_slice_in_pic) dropProductsFromCtu(sps, sh.segment_address);
+    if (!sh.first_slice_in_pic)
+      dropProductsFromCtu(sps, pps, sh.segment_address);
     parser->decodeSlice(rbsp.data(), rbsp.size(), *shp,
                         sh.dependent ? sliceCount - 1 : sliceCount);
     sliceCount++;
@@ -289,14 +298,32 @@ struct Decoder {
   // (plus the per-CTU re-init in decodeSlice); the append-only product lists
   // must discard the earlier pass's overlap entries.  IntraMeta.tu_index is
   // remapped (coeff/sample pools keep orphaned data; offsets stay valid).
-  void dropProductsFromCtu(const SPS& sps, int firstCtu) {
+  void dropProductsFromCtu(const SPS& sps, const PPS& pps, int firstCtu) {
     if (!cur) return;
     int lg = sps.log2_ctb, wc = sps.picWCtbs();
     int ssx = sps.ssx(), ssy = sps.ssy();
+    // compare in DECODE (tile-scan) order: with tiles a later slice's
+    // raster addresses can precede an earlier slice's
+    std::vector<int> scanPos;
+    if (pps.tiles_enabled && parser) {
+      scanPos.assign(size_t(wc) * sps.picHCtbs(), 0);
+      int nctu = wc * sps.picHCtbs();
+      int ntiles = 0;
+      for (int a = 0; a < nctu; a++)
+        ntiles = std::max(ntiles, parser->tileMap[a] + 1);
+      int posCtr = 0;
+      for (int t = 0; t < ntiles; t++)
+        for (int a = 0; a < nctu; a++)
+          if (parser->tileMap[a] == t) scanPos[a] = posCtr++;
+    }
+    auto pos = [&](int addr) {
+      return scanPos.empty() ? addr : scanPos[addr];
+    };
+    int firstPos = pos(firstCtu);
     auto keep = [&](int x, int y, int comp) {
       int lx = comp ? (x << ssx) : x;
       int ly = comp ? (y << ssy) : y;
-      return (ly >> lg) * wc + (lx >> lg) < firstCtu;
+      return pos((ly >> lg) * wc + (lx >> lg)) < firstPos;
     };
     std::vector<int32_t> remap(cur->tu_list.size(), -1);
     std::vector<TuMeta> tus;

@@ -161,6 +161,7 @@ struct SliceHeader {
   int deblocking_disabled = 0, beta_offset_div2 = 0, tc_offset_div2 = 0;
   int loop_filter_across_slices = 0;
   std::vector<int> entry_points;
+  std::vector<int> epb_positions;  // rbsp indices following removed 00 00 03
   size_t data_bit_offset = 0;
 };
 

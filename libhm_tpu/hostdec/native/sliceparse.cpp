@@ -295,9 +295,23 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
   cuQpDelta = 0; qpDeltaCoded = false;
   chromaQpAdj = 0; chromaQpAdjCoded = false;
 
+  // entry points count EBSP bytes (Rec. 7.4.7.1); convert to RBSP spans
+  // via the NAL's emulation-prevention byte positions
   substreams.clear();
   substreams.push_back(hdr.data_bit_offset >> 3);
-  for (int ep : hdr.entry_points) substreams.push_back(substreams.back() + ep);
+  for (int ep : hdr.entry_points) {
+    size_t a = substreams.back();
+    size_t b = a + ep;
+    for (;;) {
+      int k = 0;
+      for (int p : hdr.epb_positions)
+        if (size_t(p) > a && size_t(p) <= b) k++;
+      size_t nb = a + ep - k;
+      if (nb == b) break;
+      b = nb;
+    }
+    substreams.push_back(b);
+  }
   curSubstream = 0;
   d.start(data, len, hdr.data_bit_offset);
 

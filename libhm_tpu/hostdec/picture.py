@@ -55,7 +55,8 @@ class IntraBlock:
 
 class InterPU:
     """One inter prediction unit ready for motion compensation."""
-    __slots__ = ("x", "y", "w", "h", "inter_dir", "mv", "ref_idx", "ref_poc", "wp")
+    __slots__ = ("x", "y", "w", "h", "inter_dir", "mv", "ref_idx",
+                 "ref_poc", "wp", "merge", "merge_idx")
 
     def __init__(self, x, y, w, h, inter_dir, mv, ref_idx, ref_poc):
         self.x = x
@@ -67,6 +68,8 @@ class InterPU:
         self.ref_idx = ref_idx      # [refIdxL0, refIdxL1] (-1 unused)
         self.ref_poc = ref_poc      # DecodedPicture refs (resolved at parse)
         self.wp = None
+        self.merge = 0              # merge_flag / merge_idx (internals API)
+        self.merge_idx = -1
 
 
 class PicSyntax:
@@ -118,7 +121,7 @@ class PicSyntax:
     def set_rect(self, arr, x, y, w, h, val):
         arr[y >> 2:(y + h) >> 2, x >> 2:(x + w) >> 2] = val
 
-    def drop_products_from_ctu(self, first_ctu):
+    def drop_products_from_ctu(self, first_ctu, scan_pos=None):
         """Drop parse products at CTU raster addresses >= first_ctu.
 
         HM's SliceMode=1 encoder entropy-codes every slice's substream from
@@ -135,11 +138,20 @@ class PicSyntax:
         sps = self.sps
         lg, wc = sps.log2_ctb, sps.pic_width_ctbs
         ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+        # comparisons are in DECODE (tile-scan) order: with tiles, a later
+        # slice's raster addresses can precede an earlier slice's
+        if scan_pos is None:
+            def pos(addr):
+                return addr
+        else:
+            def pos(addr):
+                return scan_pos[addr]
+        first_pos = pos(first_ctu)
 
         def keep(x, y, comp):
             lx = x << (ssx if comp else 0)
             ly = y << (ssy if comp else 0)
-            return (ly >> lg) * wc + (lx >> lg) < first_ctu
+            return pos((ly >> lg) * wc + (lx >> lg)) < first_pos
 
         remap = {}
         new_tus = []

@@ -183,11 +183,24 @@ class SliceDecoder:
         self.chroma_qp_adj = 0
         self.is_chroma_qp_adj_coded = False
 
-        # substreams: entry points split the slice data after the header
+        # substreams: entry points split the slice data after the header.
+        # The signalled offsets count EBSP bytes (Rec. 7.4.7.1); convert to
+        # RBSP spans using the NAL's emulation-prevention byte positions
+        # (reference TDecCAVLC parseSliceHeader subtracts located EPBs).
         start_byte = sh.data_bit_offset >> 3
+        epb = sorted(getattr(sh, "epb_positions", ()) or ())
+
+        def advance(a, ebsp_len):
+            b = a + ebsp_len
+            while True:
+                k = sum(1 for p in epb if a < p <= b)
+                nb = a + ebsp_len - k
+                if nb == b:
+                    return b
+                b = nb
         offs = [start_byte]
         for ep in sh.entry_points:
-            offs.append(offs[-1] + ep)
+            offs.append(advance(offs[-1], ep))
         self.substreams = offs
         self.cur_substream = 0
         d = CabacDecoder(rbsp, sh.data_bit_offset)

@@ -43,8 +43,9 @@ def test_intra_encoder_roundtrip(w, h, qp):
     out += nal_unit(33, write_sps(cfg))
     out += nal_unit(34, write_pps(cfg))
     for fr in frames:
-        rbsp, rec = enc.encode_picture(fr)
-        out += nal_unit(19, rbsp)
+        slices, rec = enc.encode_picture(fr)
+        for rbsp in slices:
+            out += nal_unit(19, rbsp)
         out += nal_unit(40, hash_sei_md5(rec, cfg.bit_depth))
         recons.append(rec)
     stream = bytes(out)
