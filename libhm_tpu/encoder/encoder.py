@@ -59,6 +59,31 @@ class RateControl:
         self._lam_used = max(lam, 1e-3)
         return min(51, max(0, int(round(qp))))
 
+    # ---- per-LCU targeting (reference TEncRateCtrl.cpp:761-868, 1119:
+    # per-LCU target bpp from the remaining picture budget, QP clipped to
+    # the picture QP +/- 2 and the previous LCU QP +/- 1) ----
+    lcu_level = True
+
+    def begin_picture(self, pic_qp, nctu):
+        self._pic_qp = pic_qp
+        self._nctu = max(1, nctu)
+        self._pic_target = self.np * self.target_bpp
+        self._prev_ctu_qp = pic_qp
+
+    def ctu_qp(self, ctu_index, bits_so_far):
+        if ctu_index == 0:
+            self._prev_ctu_qp = self._pic_qp
+            return self._pic_qp
+        m = self.math
+        target_so_far = self._pic_target * ctu_index / self._nctu
+        ratio = (bits_so_far + 1.0) / (target_so_far + 1.0)
+        adj = int(round(2.0 * m.log2(max(0.25, min(4.0, ratio)))))
+        qp = self._pic_qp + max(-2, min(2, adj))
+        qp = max(self._prev_ctu_qp - 1, min(self._prev_ctu_qp + 1, qp))
+        qp = max(0, min(51, qp))
+        self._prev_ctu_qp = qp
+        return qp
+
     def update(self, actual_bits):
         m = self.math
         self.debt += actual_bits - self.np * self.target_bpp
@@ -251,6 +276,7 @@ class IntraEncoder:
         out += nal_unit(32, write_vps(cfg))
         out += nal_unit(33, write_sps(cfg))
         out += nal_unit(34, write_pps(cfg))
+        self._pics_since_bp = 0
         self.stats = []   # (slice_type, bits, poc, recon) for Analyze
         self._prev_ref = None
         self._dpb = {}
@@ -279,6 +305,7 @@ class IntraEncoder:
                 if self._rc:
                     self._rc.update(nbits)
                 self.stats.append((slice_type, nbits, poc, recon))
+                out += self._prefix_sei(nal_type, tid)
                 for slice_rbsp in slices:
                     out += nal_unit(nal_type, slice_rbsp, tid)
                 out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth), tid)
@@ -312,6 +339,7 @@ class IntraEncoder:
             if self._rc:
                 self._rc.update(nbits)
             self.stats.append((slice_type, nbits, poc, recon))
+            out += self._prefix_sei(nal_type)
             for slice_rbsp in slices:
                 out += nal_unit(nal_type, slice_rbsp)
             out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
@@ -320,6 +348,38 @@ class IntraEncoder:
                                        self.sps, self.pic))
                 del refs[cfg.num_ref_l0:]
         return bytes(out)
+
+    # ------------------------------------------------------------------
+    def _prefix_sei(self, nal_type, tid=0):
+        """Prefix SEI NALs for one access unit: active parameter sets +
+        buffering period at IRAPs, picture timing per picture (reference
+        TEncGOP HRD/timing SEI emission, SEIwrite.cpp).  Enabled by
+        cfg.hrd_enabled (SPS VUI must carry HRD parameters)."""
+        cfg = self.cfg
+        if not getattr(cfg, "hrd_enabled", False):
+            return b""
+        from . import sei_writer as SW
+        from ..hostdec import sei as S
+        from ..hostdec.params import HRD, VUI
+        hrd = HRD(nal_hrd=1, initial_cpb_removal_delay_length=24,
+                  au_cpb_removal_delay_length=24, dpb_output_delay_length=24,
+                  sub_layers=[(0, 0, 0, 1, [(0, 0, 1)], [])])
+        vui = VUI(timing_info_present=1, frame_field_info_present=1, hrd=hrd)
+        msgs = []
+        irap = 16 <= nal_type <= 21
+        if irap:
+            msgs.append((S.SEI_ACTIVE_PARAMETER_SETS,
+                         SW.active_parameter_sets()))
+            msgs.append((S.SEI_BUFFERING_PERIOD,
+                         SW.buffering_period(hrd, cpb_delay=90000)))
+            if nal_type == 21:
+                msgs.append((S.SEI_RECOVERY_POINT, SW.recovery_point(0)))
+            self._pics_since_bp = 0
+        self._pics_since_bp += 1
+        msgs.append((S.SEI_PIC_TIMING, SW.pic_timing(
+            vui, pic_struct=0, cpb_removal_delay=self._pics_since_bp,
+            dpb_output_delay=cfg.num_reorder_pics + 1)))
+        return nal_unit(39, SW.sei_rbsp(msgs), tid)
 
     # ------------------------------------------------------------------
     def _ra_schedule(self, n):
@@ -523,20 +583,37 @@ class IntraEncoder:
         self._qp_pred_enc = qp_base
         self._dqp_coded = True
         self._cu_delta_enc = 0
+        lcu_rc = self._rc is not None and getattr(self._rc, "lcu_level", False)
+        self._dqp_enabled = bool(cfg.adaptive_qp or lcu_rc)
+        if lcu_rc:
+            self._rc.begin_picture(qp_base, nctu)
         if cfg.adaptive_qp:
             from .preanalyze import qp_offsets
             offs = qp_offsets(self.orig[0], 1 << sps.log2_ctb,
                               sps.width, sps.height)
             self._qp_map = [max(0, min(51, qp_base + o)) for o in offs]
 
+        ctu_counter = [0]
+
         def ctu_qg_start(addr):
             # quantization-group reset (diff_cu_qp_delta_depth == 0: one
             # group per CTU; predictor degenerates to the previous CU QP)
             if cfg.adaptive_qp:
                 self.cur_qp = self._qp_map[addr]
-                self._qp_pred_enc = self._last_qp_enc
-                self._dqp_coded = False
-                self._cu_delta_enc = 0
+            elif lcu_rc:
+                # bits-so-far proxy: real CABAC bytes on the direct path,
+                # recorded symbol count on the two-pass path
+                if isinstance(self.enc, CabacEncoder):
+                    bits = len(self.enc.bw.buf) * 8
+                else:
+                    bits = len(self.enc.ops)
+                self.cur_qp = self._rc.ctu_qp(ctu_counter[0], bits)
+                ctu_counter[0] += 1
+            else:
+                return
+            self._qp_pred_enc = self._last_qp_enc
+            self._dqp_coded = False
+            self._cu_delta_enc = 0
         multi = cfg.sao or getattr(cfg, "wpp", False) or \
             getattr(cfg, "tile_cols", 1) > 1 or \
             getattr(cfg, "tile_rows", 1) > 1 or len(slice_starts) > 1
@@ -1891,7 +1968,8 @@ class IntraEncoder:
     def _maybe_write_dqp(self, any_cbf):
         """cu_qp_delta_abs/sign at the first coded leaf of the quantization
         group (mirror of the decoder's _parse_cu_qp_delta call site)."""
-        if not self.cfg.adaptive_qp or self._dqp_coded or not any_cbf:
+        if not getattr(self, "_dqp_enabled", False) or self._dqp_coded \
+                or not any_cbf:
             return
         enc, bank = self.enc, self.bank
         v = self.cur_qp - self._qp_pred_enc
@@ -1912,7 +1990,7 @@ class IntraEncoder:
 
     def _finish_cu_qp(self, x, y, size):
         """CU-final QP map entry + predictor state (decoder _finish_cu)."""
-        if self.cfg.adaptive_qp:
+        if getattr(self, "_dqp_enabled", False):
             if self._cu_delta_enc:
                 qp = (self._qp_pred_enc + self._cu_delta_enc + 52) % 52
             else:

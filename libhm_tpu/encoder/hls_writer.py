@@ -143,10 +143,60 @@ def write_sps(cfg) -> bytes:
     w.put(0)            # long_term_ref_pics_present
     w.put(1 if cfg.tmvp else 0)
     w.put(1 if cfg.strong_intra_smoothing else 0)
-    w.put(0)            # vui
+    if getattr(cfg, "vui_enabled", False):
+        w.put(1)        # vui_parameters_present
+        _write_vui(w, cfg)
+    else:
+        w.put(0)        # vui
     w.put(0)            # sps_extension
     w.byte_align_one()
     return w.data()
+
+
+def _write_vui(w: BitWriter, cfg):
+    """vui_parameters() with timing info + (optionally) HRD parameters
+    (reference TEncCavlc::codeVUI / codeHrdParameters; Rec. E.2.1-E.2.2).
+    Mirrors hostdec.params._parse_vui."""
+    w.put(0)            # aspect_ratio_info_present
+    w.put(0)            # overscan_info_present
+    w.put(0)            # video_signal_type_present
+    w.put(0)            # chroma_loc_info_present
+    w.put(0)            # neutral_chroma_indication
+    w.put(1 if getattr(cfg, "field_coding", False) else 0)  # field_seq
+    w.put(1)            # frame_field_info_present
+    w.put(0)            # default_display_window
+    w.put(1)            # vui_timing_info_present
+    fps = getattr(cfg, "fps", 30.0)
+    w.put_bits(1000, 32)                      # num_units_in_tick
+    w.put_bits(int(round(fps * 1000)), 32)    # time_scale
+    w.put(0)            # poc_proportional_to_timing
+    hrd = getattr(cfg, "hrd_enabled", False)
+    w.put(1 if hrd else 0)                    # hrd_parameters_present
+    if hrd:
+        _write_hrd(w, cfg)
+    w.put(0)            # bitstream_restriction
+    cfg.vui_written = True
+
+
+def _write_hrd(w: BitWriter, cfg):
+    """hrd_parameters(): NAL HRD, one CPB, 24-bit delay fields."""
+    w.put(1)            # nal_hrd_parameters_present
+    w.put(0)            # vcl_hrd_parameters_present
+    w.put(0)            # sub_pic_hrd_params_present
+    w.put_bits(0, 4)    # bit_rate_scale
+    w.put_bits(0, 4)    # cpb_size_scale
+    w.put_bits(23, 5)   # initial_cpb_removal_delay_length_minus1
+    w.put_bits(23, 5)   # au_cpb_removal_delay_length_minus1
+    w.put_bits(23, 5)   # dpb_output_delay_length_minus1
+    # one sub-layer (max_sub_layers_minus1 == 0)
+    w.put(0)            # fixed_pic_rate_general
+    w.put(0)            # fixed_pic_rate_within_cvs
+    w.put(0)            # low_delay_hrd
+    w.ue(0)             # cpb_cnt_minus1
+    rate = getattr(cfg, "rate_kbps", None) or 1000
+    w.ue(max(0, rate * 1000 // 400 - 1))     # bit_rate_value_minus1
+    w.ue(max(0, rate * 2000 // 1024 - 1))    # cpb_size_value_minus1
+    w.put(1)            # cbr_flag
 
 
 def write_pps(cfg) -> bytes:
@@ -163,8 +213,10 @@ def write_pps(cfg) -> bytes:
     w.se(cfg.qp - 26)   # init_qp_minus26
     w.put(0)            # constrained_intra_pred
     w.put(0)            # transform_skip
-    if getattr(cfg, "adaptive_qp", False):
-        w.put(1)        # cu_qp_delta_enabled
+    if getattr(cfg, "adaptive_qp", False) or \
+            (getattr(cfg, "rate_kbps", None) and
+             getattr(cfg, "rate_ctu_level", True)):
+        w.put(1)        # cu_qp_delta_enabled (AQ / per-LCU rate control)
         w.ue(0)         # diff_cu_qp_delta_depth (QG = CTU)
     else:
         w.put(0)        # cu_qp_delta
