@@ -583,7 +583,8 @@ class IntraEncoder:
         self._qp_pred_enc = qp_base
         self._dqp_coded = True
         self._cu_delta_enc = 0
-        lcu_rc = self._rc is not None and getattr(self._rc, "lcu_level", False)
+        rc = getattr(self, "_rc", None)
+        lcu_rc = rc is not None and getattr(rc, "lcu_level", False)
         self._dqp_enabled = bool(cfg.adaptive_qp or lcu_rc)
         if lcu_rc:
             self._rc.begin_picture(qp_base, nctu)
