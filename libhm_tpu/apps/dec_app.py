@@ -30,6 +30,8 @@ def main(argv=None):
 
     import numpy as np
     from ..hostdec.decoder import Decoder
+    from ..utils.trace import maybe_enable_decoder_trace
+    maybe_enable_decoder_trace()   # HEVC_TRACE=<path> symbol trace
     data = open(args.bitstream, "rb").read()
     t0 = time.monotonic()
     dec = Decoder(parse=args.parse, recon=args.recon,
