@@ -263,6 +263,13 @@ def _mk_sps_pps(cfg):
 
 class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
+        if getattr(cfg, "lossless", False):
+            # CUTransquantBypassFlagForce: every CU bypasses transform/
+            # quant; SDH doesn't apply and in-loop filters are no-ops on
+            # bypass samples (reference lossless configuration)
+            cfg.sign_hiding = False
+            cfg.sao = 0
+            cfg.deblock = False
         self.cfg = cfg
         self.sps, self.pps = _mk_sps_pps(cfg)
         self.slice_type = 2
@@ -348,6 +355,12 @@ class IntraEncoder:
                                        self.sps, self.pic))
                 del refs[cfg.num_ref_l0:]
         return bytes(out)
+
+    def _cabac_init(self):
+        # cabac_init_flag=1 on P/B slices when the tool is enabled (both
+        # context banks are valid; HM picks per-slice, we use the swap)
+        return 1 if getattr(self.cfg, "cabac_init", False) and \
+            self.slice_type != 2 else 0
 
     # ------------------------------------------------------------------
     def _prefix_sei(self, nal_type, tid=0):
@@ -517,6 +530,7 @@ class IntraEncoder:
             self.recon.append(np.zeros_like(pl))
 
         self.slice_type = slice_type
+        self._ts_flags = {}
         qp_pic = getattr(self, "cur_qp", None)
         if qp_pic is None:
             qp_pic = cfg.qp
@@ -571,7 +585,7 @@ class IntraEncoder:
         w = write_slice_header(cfg, nal_type, poc, slice_type, qp_pic,
                                rps=rps, wp=self.cur_wp)
         self.enc = CabacEncoder(w)
-        self.bank = make_context_bank(slice_type, qp_pic, 0)
+        self.bank = make_context_bank(slice_type, qp_pic, self._cabac_init())
 
         nctu_x = sps.pic_width_ctbs
         nctu_y = sps.pic_height_ctbs
@@ -685,7 +699,7 @@ class IntraEncoder:
         # every reset/restore below must write IN PLACE
 
         def bank_reset():
-            fresh = make_context_bank(slice_type, qp_pic, 0)
+            fresh = make_context_bank(slice_type, qp_pic, self._cabac_init())
             for k in bank:
                 bank[k][:] = fresh[k]
 
@@ -1013,6 +1027,13 @@ class IntraEncoder:
                 enc.encode_eg_k(ay - 2, 1)
             enc.encode_bypass(1 if mvd[1] < 0 else 0)
 
+    def _write_bypass_flag(self, x, y, size):
+        """cu_transquant_bypass_flag (first bin of coding_unit(), Rec.
+        7.3.8.5) — always 1 under CUTransquantBypassFlagForce."""
+        if getattr(self.cfg, "lossless", False):
+            self.enc.encode_bin(self.bank["transquant_bypass"], 0, 1)
+            self.pic.set_rect(self.pic.tq_bypass, x, y, size, size, 1)
+
     def _skip_ctx(self, x, y):
         pic, sd = self.pic, self.sd
         ctx = 0
@@ -1184,6 +1205,7 @@ class IntraEncoder:
                 best_icost, best_mode = c, mode
         if best_icost + lam * 24 < best_part[0]:
             pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
+            self._write_bypass_flag(x, y, size)
             enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
             pic.set_rect(pic.skip, x, y, size, size, 0)
             enc.encode_bin(bank["pred_mode"], 0, 1)
@@ -1234,7 +1256,7 @@ class IntraEncoder:
         size = 1 << log2size
         use_merge = desc[0] == "merge"
         is422 = sps.chroma_format_idc == 2
-        resids, cbfs = [], []   # per comp: lists over square sub-TUs
+        resids, rec_resids, cbfs = [], [], []  # per comp, over square sub-TUs
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
@@ -1242,23 +1264,24 @@ class IntraEncoder:
             n_sub = 2 if (comp and is422) else 1
             cxp, cyp = x >> ssx, y >> ssy
             bd = cfg.bit_depth
-            levs, cbf_subs = [], []
+            levs, rec_levs, cbf_subs = [], [], []
             for s in range(n_sub):
                 orig_c = self.orig[comp][cyp + s * n:cyp + (s + 1) * n,
                                          cxp:cxp + n].astype(np.int32)
                 resi = orig_c - preds[comp][s * n:(s + 1) * n]
-                coef = forward_transform(resi, False, bd)
-                qp = self._qp_for_comp(comp)
-                lev = self._quant(coef, qp, n.bit_length() - 1, False, comp,
-                                  SCAN_DIAG)
+                lev, rec_r, cbf = self._tu_fwd(resi, False, comp, SCAN_DIAG,
+                                               False)
                 levs.append(lev)
-                cbf_subs.append(1 if lev.any() else 0)
+                rec_levs.append(rec_r)
+                cbf_subs.append(cbf)
             resids.append(levs)
+            rec_resids.append(rec_levs)
             cbfs.append(cbf_subs)
         any_cbf = any(any(c) for c in cbfs)
         pic.set_rect(pic.cbf_y, x, y, size, size, cbfs[0][0])
 
         is_skip = use_merge and not any_cbf
+        self._write_bypass_flag(x, y, size)
         enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 1 if is_skip else 0)
         pic.set_rect(pic.skip, x, y, size, size, 1 if is_skip else 0)
         if is_skip:
@@ -1289,7 +1312,8 @@ class IntraEncoder:
                 for s, lev in enumerate(resids[comp]):
                     if cbfs[comp][s]:
                         encode_residual(self.enc, bank, lev, comp, SCAN_DIAG,
-                                        self.cfg.sign_hiding)
+                                        self.cfg.sign_hiding,
+                                        ts=self._ts_of(lev))
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
@@ -1297,12 +1321,7 @@ class IntraEncoder:
             cxp, cyp = x >> ssx, y >> ssy
             bd = cfg.bit_depth
             for s, lev in enumerate(resids[comp]):
-                if cbfs[comp][s]:
-                    qp = self._qp_for_comp(comp)
-                    deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
-                    rec_resi = refimpl.inverse_transform(deq, False, bd)
-                else:
-                    rec_resi = 0
+                rec_resi = rec_resids[comp][s] if cbfs[comp][s] else 0
                 self.recon[comp][cyp + s * n:cyp + (s + 1) * n,
                                  cxp:cxp + n] = np.clip(
                     preds[comp][s * n:(s + 1) * n] + rec_resi,
@@ -1353,10 +1372,11 @@ class IntraEncoder:
         # per-child levels: [child][comp][sub] (4:2:2 chroma TUs split into
         # two square sub-TUs stacked vertically)
         child_lev = []
+        child_rec = []
         child_cbf = []
         for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
                                        (half, half))):
-            levs, cbfs = [], []
+            levs, recs, cbfs = [], [], []
             for comp in range(3):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
@@ -1364,27 +1384,30 @@ class IntraEncoder:
                 n_sub = 2 if (comp and is422) else 1
                 ox = (x + dx) >> ssx
                 oy = (y + dy) >> ssy
-                sub_lev, sub_cbf = [], []
+                sub_lev, sub_rec, sub_cbf = [], [], []
                 for s in range(n_sub):
                     orig_c = self.orig[comp][oy + s * n:oy + (s + 1) * n,
                                              ox:ox + n].astype(np.int32)
                     pred_c = preds[comp][
                         (dy >> ssy) + s * n:(dy >> ssy) + (s + 1) * n,
                         dx >> ssx:(dx >> ssx) + n]
-                    coef = forward_transform(orig_c - pred_c, False, bd)
-                    qp = self._qp_for_comp(comp)
-                    lev = self._quant(coef, qp, n.bit_length() - 1, False,
-                                      comp, SCAN_DIAG)
+                    lev, rec_r, cbf = self._tu_fwd(
+                        (orig_c - pred_c).astype(np.int32), False, comp,
+                        SCAN_DIAG, False)
                     sub_lev.append(lev)
-                    sub_cbf.append(1 if lev.any() else 0)
+                    sub_rec.append(rec_r)
+                    sub_cbf.append(cbf)
                 levs.append(sub_lev)
+                recs.append(sub_rec)
                 cbfs.append(sub_cbf)
             child_lev.append(levs)
+            child_rec.append(recs)
             child_cbf.append(cbfs)
         root_cb = 1 if any(any(c[1]) for c in child_cbf) else 0
         root_cr = 1 if any(any(c[2]) for c in child_cbf) else 0
         any_cbf = root_cb or root_cr or any(c[0][0] for c in child_cbf)
 
+        self._write_bypass_flag(x, y, size)
         enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
         pic.set_rect(pic.skip, x, y, size, size, 0)
         enc.encode_bin(bank["pred_mode"], 0, 0)
@@ -1417,8 +1440,9 @@ class IntraEncoder:
                         continue
                     for s, lev in enumerate(child_lev[ci][comp]):
                         if cbfs[comp][s]:
-                            encode_residual(self.enc, bank, lev, comp, SCAN_DIAG,
-                                            self.cfg.sign_hiding)
+                            encode_residual(self.enc, bank, lev, comp,
+                                            SCAN_DIAG, self.cfg.sign_hiding,
+                                            ts=self._ts_of(lev))
         # recon + cbf map + TU edge flags per child
         ef = pic.edge_flags
         for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
@@ -1438,12 +1462,7 @@ class IntraEncoder:
                     pred_c = preds[comp][
                         (dy >> ssy) + s * n:(dy >> ssy) + (s + 1) * n,
                         dx >> ssx:(dx >> ssx) + n]
-                    if cbf_ok:
-                        qp = self._qp_for_comp(comp)
-                        deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
-                        rec_resi = refimpl.inverse_transform(deq, False, bd)
-                    else:
-                        rec_resi = 0
+                    rec_resi = child_rec[ci][comp][s] if cbf_ok else 0
                     self.recon[comp][oy + s * n:oy + (s + 1) * n,
                                      ox:ox + n] = np.clip(
                         pred_c + rec_resi, 0, (1 << bd) - 1)
@@ -1577,6 +1596,8 @@ class IntraEncoder:
     def encode_cu(self, x, y, log2size, depth, _from_inter=False):
         sps, pic = self.sps, self.pic
         size = 1 << log2size
+        if not _from_inter:
+            self._write_bypass_flag(x, y, size)
         pic.set_rect(pic.depth, x, y, size, size, depth)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
         pic.set_rect(pic.skip, x, y, size, size, 0)
@@ -1648,16 +1669,8 @@ class IntraEncoder:
             pred = self._intra_pred(0, px, py, half, mode)
             resi = (orig - pred).astype(np.int32)
             use_dst = half == 4
-            coef = forward_transform(resi, use_dst, bd)
-            qp = self._qp_for_comp(0)
             scan = pick_scan(half, mode, 0, 0)
-            lev = self._quant(coef, qp, half.bit_length() - 1, True, 0, scan)
-            cbf = 1 if lev.any() else 0
-            if cbf:
-                deq = refimpl.dequant(lev, qp, half.bit_length() - 1, bd)
-                rec = refimpl.inverse_transform(deq, use_dst, bd)
-            else:
-                rec = np.zeros_like(resi)
+            lev, rec, cbf = self._tu_fwd(resi, use_dst, 0, scan, True)
             self.recon[0][py:py + half, px:px + half] = np.clip(
                 pred + rec, 0, (1 << bd) - 1)
             pic.set_rect(pic.cbf_y, px, py, half, half, cbf)
@@ -1711,16 +1724,8 @@ class IntraEncoder:
                     pred = self._intra_pred(comp, cx, cy, n, cmode)
                     orig_c = self.orig[comp][cy:cy + n, cx:cx + n]
                     resi = (orig_c - pred).astype(np.int32)
-                    coef = forward_transform(resi, False, bd)
-                    qp = self._qp_for_comp(comp)
-                    lev = self._quant(coef, qp, n.bit_length() - 1, True,
-                                      comp, c_scan)
-                    cbf = 1 if lev.any() else 0
-                    if cbf:
-                        deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
-                        rec = refimpl.inverse_transform(deq, False, bd)
-                    else:
-                        rec = np.zeros_like(resi)
+                    lev, rec, cbf = self._tu_fwd(resi, False, comp, c_scan,
+                                                 True)
                     self.recon[comp][cy:cy + n, cx:cx + n] = np.clip(
                         pred + rec, 0, (1 << bd) - 1)
                     c_levs[comp].append(lev)
@@ -1740,13 +1745,14 @@ class IntraEncoder:
             self._maybe_write_dqp(cbf or any(c_cbfs[1]) or any(c_cbfs[2]))
             if cbf:
                 encode_residual(enc, bank, lev, 0, scan,
-                                self.cfg.sign_hiding)
+                                self.cfg.sign_hiding, ts=self._ts_of(lev))
             if j == 3 and has_chroma:
                 for comp in (1, 2):
                     for s, clev in enumerate(c_levs[comp]):
                         if c_cbfs[comp][s]:
                             encode_residual(enc, bank, clev, comp, c_scan,
-                                            self.cfg.sign_hiding)
+                                            self.cfg.sign_hiding,
+                                            ts=self._ts_of(clev))
         self._finish_cu_qp(x, y, size)
 
     def _encode_cu_intra_2nx2n(self, x, y, log2size):
@@ -1832,16 +1838,8 @@ class IntraEncoder:
                 orig_c = self.orig[comp][cy:cy + n, cx:cx + n]
                 resi = (orig_c - pred).astype(np.int32)
                 use_dst = comp == 0 and n == 4
-                coef = forward_transform(resi, use_dst, bd)
-                qp = self._qp_for_comp(comp)
-                lev = self._quant(coef, qp, n.bit_length() - 1, True, comp,
-                                  tu_scan)
-                cbf = 1 if lev.any() else 0
-                if cbf:
-                    deq = refimpl.dequant(lev, qp, n.bit_length() - 1, bd)
-                    rec_resi = refimpl.inverse_transform(deq, use_dst, bd)
-                else:
-                    rec_resi = np.zeros_like(resi)
+                lev, rec_resi, cbf = self._tu_fwd(resi, use_dst, comp,
+                                                  tu_scan, True)
                 self.recon[comp][cy:cy + n, cx:cx + n] = np.clip(
                     pred + rec_resi, 0, (1 << bd) - 1)
                 levs.append(lev)
@@ -1876,7 +1874,8 @@ class IntraEncoder:
                     elif abs(smode - 10) <= 4:
                         scan = SCAN_VER
                 encode_residual(enc, bank, lev, comp, scan,
-                                self.cfg.sign_hiding)
+                                self.cfg.sign_hiding,
+                                ts=self._ts_of(lev))
         self._finish_cu_qp(x, y, size)
 
     _CU_MAPS = ("depth", "pred_mode", "part_size", "skip", "intra_y",
@@ -1950,6 +1949,61 @@ class IntraEncoder:
                               x >> ssx:(x + size) >> ssx].astype(np.int64)
             sse += float(((o - r) ** 2).sum()) / norm
         return sse + self.rd_lambda * self._est_ops_bits(ops_lo)
+
+    def _tu_fwd(self, resi, use_dst, comp, scan, is_intra):
+        """One TU forward path -> (levels, reconstructed residual, cbf).
+
+        Lossless (cu_transquant_bypass): identity — the coded levels ARE
+        the residual (reference TComTrQuant transformSkip/bypass path).
+        """
+        bd = self.cfg.bit_depth
+        n = resi.shape[1]
+        if getattr(self.cfg, "lossless", False):
+            lev = resi.astype(np.int32)
+            cbf = 1 if lev.any() else 0
+            return lev, (lev if cbf else np.zeros_like(lev)), cbf
+        coef = forward_transform(resi, use_dst, bd)
+        qp = self._qp_for_comp(comp)
+        log2n = n.bit_length() - 1
+        lev = self._quant(coef, qp, log2n, is_intra, comp, scan)
+        cbf = 1 if lev.any() else 0
+        if cbf:
+            deq = refimpl.dequant(lev, qp, log2n, bd)
+            rec = refimpl.inverse_transform(deq, use_dst, bd)
+        else:
+            rec = np.zeros_like(resi)
+        if getattr(self.cfg, "transform_skip", False) and n == 4:
+            # transform-skip trial (reference TEncSearch transformSkip RD):
+            # forward = resi << tshift, same quantiser, pick by residual SSE
+            tshift = 15 - bd - log2n
+            coef_ts = (resi << tshift) if tshift >= 0 else                 (resi >> -tshift)
+            lev_ts = self._quant(coef_ts.astype(np.int32), qp, log2n,
+                                 is_intra, comp, scan)
+            if lev_ts.any():
+                deq = refimpl.dequant(lev_ts, qp, log2n, bd)
+                rec_ts = refimpl.inverse_transform_skip(deq, bd, log2n)
+            else:
+                rec_ts = np.zeros_like(resi)
+            sse_d = int(((resi - rec) ** 2).sum())
+            sse_t = int(((resi - rec_ts) ** 2).sum())
+            ts = 1 if sse_t < sse_d else 0
+            if ts:
+                lev, rec = lev_ts, rec_ts
+                cbf = 1 if lev.any() else 0
+            # keep the array reference: id() reuse after GC would
+            # alias a discarded trial's flag onto a new block
+            self._ts_flags[id(lev)] = (lev, ts)
+        return lev, rec, cbf
+
+    def _ts_of(self, lev):
+        """transform_skip_flag for this coded block, or None when the
+        residual_coding syntax carries no flag (tool off / TU > 4x4)."""
+        if not getattr(self.cfg, "transform_skip", False):
+            return None
+        entry = self._ts_flags.get(id(lev))
+        if entry is None or entry[0] is not lev:
+            return None
+        return entry[1]
 
     def _quant(self, coef, qp, log2n, is_intra, comp, scan_type):
         """Quantize one TU: RDOQ when enabled, else plain xQuant; then the

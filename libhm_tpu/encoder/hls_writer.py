@@ -207,12 +207,12 @@ def write_pps(cfg) -> bytes:
     w.put(0)            # output_flag_present
     w.put_bits(0, 3)    # extra slice header bits
     w.put(1 if getattr(cfg, "sign_hiding", False) else 0)  # sign_data_hiding
-    w.put(0)            # cabac_init_present
+    w.put(1 if getattr(cfg, "cabac_init", False) else 0)  # cabac_init_present
     w.ue(cfg.num_ref_l0 - 1)
     w.ue(cfg.num_ref_l1 - 1)
     w.se(cfg.qp - 26)   # init_qp_minus26
     w.put(0)            # constrained_intra_pred
-    w.put(0)            # transform_skip
+    w.put(1 if getattr(cfg, "transform_skip", False) else 0)  # transform_skip
     if getattr(cfg, "adaptive_qp", False) or \
             (getattr(cfg, "rate_kbps", None) and
              getattr(cfg, "rate_ctu_level", True)):
@@ -225,7 +225,7 @@ def write_pps(cfg) -> bytes:
     w.put(0)            # slice_chroma_qp_offsets_present
     w.put(1 if getattr(cfg, "weighted_pred", False) else 0)
     w.put(0)            # weighted_bipred
-    w.put(0)            # transquant_bypass
+    w.put(1 if getattr(cfg, "lossless", False) else 0)  # transquant_bypass
     tile_cols = getattr(cfg, "tile_cols", 1)
     tile_rows = getattr(cfg, "tile_rows", 1)
     tiles = tile_cols > 1 or tile_rows > 1
@@ -336,6 +336,8 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         w.put(0)        # num_ref_idx_active_override
         if slice_type == 0:
             w.put(0)    # mvd_l1_zero
+        if getattr(cfg, "cabac_init", False):
+            w.put(1)    # cabac_init_flag (swapped P/B init tables)
         if cfg.tmvp:
             if slice_type == 0:
                 w.put(1)            # collocated_from_l0_flag

@@ -124,15 +124,19 @@ def apply_sign_hiding(lev, coef, qp, log2n, bit_depth, scan_type,
     return lev
 
 
-def encode_residual(enc, bank, coeffs, comp, scan_type, sign_hiding=False):
-    """Encode one residual block (no TS; matches the encoder profile).
+def encode_residual(enc, bank, coeffs, comp, scan_type, sign_hiding=False,
+                    ts=None):
+    """Encode one residual block.
 
     coeffs: [h, w] int32 with at least one nonzero.  With sign_hiding the
     sign of each group's lowest-scan coefficient is omitted when the
     nonzero spread is >= 4 (caller must have parity-fixed the levels via
-    apply_sign_hiding).
+    apply_sign_hiding).  ts: transform_skip_flag (0/1) when the PPS
+    enables the tool and the TU carries the flag (4x4), else None.
     """
     h, w = coeffs.shape
+    if ts is not None:
+        enc.encode_bin(bank["transform_skip"], 0 if comp == 0 else 1, ts)
     log2w = w.bit_length() - 1
     is_chroma = comp > 0
     ch = 1 if is_chroma else 0

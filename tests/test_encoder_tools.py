@@ -1,0 +1,97 @@
+"""Encoder tool matrix: lossless (transquant bypass force), transform
+skip, cabac_init_flag, HRD/VUI + timing SEIs, per-LCU rate control —
+each round-tripped through our decoder's hash check and the HM oracle.
+(reference: TEncSbac/TEncCavlc tool paths, TEncRateCtrl.cpp:761-868)
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HM_DEC = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+
+
+def _edges(n=2, w=64, h=64):
+    out = []
+    for t in range(n):
+        y = np.zeros((h, w), np.uint8)
+        y[::7] = 255
+        y[:, ::5] = 128
+        y[t::9] = 64
+        out.append((y, np.full((h // 2, w // 2), 128, np.uint8),
+                    np.full((h // 2, w // 2), 96, np.uint8)))
+    return out
+
+
+def _noise(n=2, w=64, h=64):
+    rng = np.random.RandomState(5)
+    return [(rng.randint(0, 256, (h, w)).astype(np.uint8),
+             rng.randint(0, 256, (h // 2, w // 2)).astype(np.uint8),
+             rng.randint(0, 256, (h // 2, w // 2)).astype(np.uint8))
+            for _ in range(n)]
+
+
+def _encode(frames, gop="intra", **mods):
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    cfg = EncoderConfig(64, 64, qp=30, gop=gop)
+    for k, v in mods.items():
+        setattr(cfg, k, v)
+    return IntraEncoder(cfg).encode_stream(frames)
+
+
+def _verify(stream, tmp_path, nframes=2):
+    from libhm_tpu.hostdec.decoder import Decoder
+    d = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    outs = d.decode_annexb(stream)
+    assert all(r.hash_status == "OK" for r in d.output_records)
+    if os.path.exists(HM_DEC):
+        p = tmp_path / "s.bin"
+        p.write_bytes(stream)
+        r = subprocess.run([HM_DEC, "-b", str(p), "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        assert r.stdout.count("(OK)") == nframes, r.stdout[-400:]
+    return outs, d
+
+
+def test_lossless_exact(tmp_path):
+    frames = _noise()
+    stream = _encode(frames, gop="lowdelayP", lossless=True)
+    outs, _ = _verify(stream, tmp_path)
+    for i in range(2):
+        for c in range(3):
+            assert (outs[i][c] == frames[i][c]).all(), \
+                "lossless decode must equal the source exactly"
+
+
+@pytest.mark.parametrize("gop", ["intra", "lowdelayP"])
+def test_transform_skip(gop, tmp_path):
+    stream = _encode(_edges(), gop=gop, transform_skip=True)
+    _verify(stream, tmp_path)
+
+
+def test_cabac_init(tmp_path):
+    stream = _encode(_edges(3), gop="lowdelayB", cabac_init=True)
+    _verify(stream, tmp_path, nframes=3)
+
+
+def test_hrd_vui_seis(tmp_path):
+    from libhm_tpu.hostdec import sei as S
+    stream = _encode(_edges(), vui_enabled=True, hrd_enabled=True)
+    _, d = _verify(stream, tmp_path)
+    sps = list(d.sps_map.values())[0]
+    assert sps.vui is not None and sps.vui.hrd is not None
+    types = [t for _, t, _ in d.sei_log]
+    assert S.SEI_BUFFERING_PERIOD in types
+    assert S.SEI_PIC_TIMING in types
+    assert S.SEI_ACTIVE_PARAMETER_SETS in types
+
+
+def test_per_lcu_rate_control(tmp_path):
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    frames = _noise(3, 192, 128)
+    cfg = EncoderConfig(192, 128, qp=32, gop="lowdelayP", rate_kbps=400,
+                        fps=30.0)
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    _verify(stream, tmp_path, nframes=3)
