@@ -1965,10 +1965,18 @@ class IntraEncoder:
         coef = forward_transform(resi, use_dst, bd)
         qp = self._qp_for_comp(comp)
         log2n = n.bit_length() - 1
+        mat = self._scaling_matrix(log2n, comp, is_intra)
+        if mat is not None:
+            # fold the default scaling list into the forward quantiser
+            # (reference xSetScalingListEnc quantCoef = scale*16/list);
+            # the recon dequant below applies the exact spec matrix path
+            coef = np.sign(coef) * ((np.abs(coef.astype(np.int64)) * 16)
+                                    // mat)
+            coef = coef.astype(np.int32)
         lev = self._quant(coef, qp, log2n, is_intra, comp, scan)
         cbf = 1 if lev.any() else 0
         if cbf:
-            deq = refimpl.dequant(lev, qp, log2n, bd)
+            deq = refimpl.dequant(lev, qp, log2n, bd, scaling=mat)
             rec = refimpl.inverse_transform(deq, use_dst, bd)
         else:
             rec = np.zeros_like(resi)
@@ -1980,7 +1988,7 @@ class IntraEncoder:
             lev_ts = self._quant(coef_ts.astype(np.int32), qp, log2n,
                                  is_intra, comp, scan)
             if lev_ts.any():
-                deq = refimpl.dequant(lev_ts, qp, log2n, bd)
+                deq = refimpl.dequant(lev_ts, qp, log2n, bd, scaling=mat)
                 rec_ts = refimpl.inverse_transform_skip(deq, bd, log2n)
             else:
                 rec_ts = np.zeros_like(resi)
@@ -1994,6 +2002,16 @@ class IntraEncoder:
             # alias a discarded trial's flag onto a new block
             self._ts_flags[id(lev)] = (lev, ts)
         return lev, rec, cbf
+
+    def _scaling_matrix(self, log2n, comp, is_intra):
+        """Default dequant scaling matrix (ScalingList: 1 with no explicit
+        data -> default lists, reference TComScalingList) or None."""
+        if not getattr(self.cfg, "scaling_list", False) or log2n < 2:
+            return None
+        if not hasattr(self, "_scal_mats"):
+            from ..hostdec.tables import build_scaling_matrices
+            self._scal_mats = build_scaling_matrices(None)
+        return self._scal_mats[(log2n - 2, (0 if is_intra else 3) + comp)]
 
     def _ts_of(self, lev):
         """transform_skip_flag for this coded block, or None when the

@@ -124,7 +124,11 @@ def write_sps(cfg) -> bytes:
     w.ue(cfg.log2_max_tb - cfg.log2_min_tb)
     w.ue(cfg.max_tr_hierarchy_inter)
     w.ue(cfg.max_tr_hierarchy_intra)
-    w.put(0)            # scaling_list_enabled
+    if getattr(cfg, "scaling_list", False):
+        w.put(1)        # scaling_list_enabled (default lists)
+        w.put(0)        # sps_scaling_list_data_present
+    else:
+        w.put(0)        # scaling_list_enabled
     w.put(1 if getattr(cfg, "amp", False) else 0)  # amp_enabled
     w.put(1 if cfg.sao else 0)
     w.put(0)            # pcm_enabled
