@@ -561,7 +561,10 @@ class IntraEncoder:
             self.ref_pics = lists
             self.sd.sh = self.sh
             self.motion = MotionDeriver(self.sd, self.sh, lists)
-            if cfg.weighted_pred and slice_type == 1 and lists[0]:
+            wp_p = cfg.weighted_pred and slice_type == 1
+            wp_b = getattr(cfg, "weighted_bipred", False) and slice_type == 0
+            self.cur_wp_l1 = None
+            if (wp_p or wp_b) and lists[0]:
                 from .wp_analysis import analyse_picture
                 crops = []
                 for c in range(3 if sps.chroma_format_idc else 1):
@@ -572,18 +575,27 @@ class IntraEncoder:
 
                 class _CropRef:
                     pass
-                rl = []
-                for r in lists[0]:
-                    cr = _CropRef()
-                    cr.planes = [r.planes[c][:sps.height >>
-                                             (sps.chroma_shift_y() if c else 0),
-                                             :sps.width >>
-                                             (sps.chroma_shift_x() if c else 0)]
-                                 for c in range(len(crops))]
-                    rl.append(cr)
-                self.cur_wp = analyse_picture(crops, rl, cfg.bit_depth)
+
+                def croplist(refs):
+                    rl = []
+                    for r in refs:
+                        cr = _CropRef()
+                        cr.planes = [
+                            r.planes[c][:sps.height >>
+                                        (sps.chroma_shift_y() if c else 0),
+                                        :sps.width >>
+                                        (sps.chroma_shift_x() if c else 0)]
+                            for c in range(len(crops))]
+                        rl.append(cr)
+                    return rl
+                self.cur_wp = analyse_picture(crops, croplist(lists[0]),
+                                              cfg.bit_depth)
+                if wp_b and lists[1]:
+                    self.cur_wp_l1 = analyse_picture(
+                        crops, croplist(lists[1]), cfg.bit_depth)
         w = write_slice_header(cfg, nal_type, poc, slice_type, qp_pic,
-                               rps=rps, wp=self.cur_wp)
+                               rps=rps, wp=self.cur_wp,
+                               wp_l1=getattr(self, "cur_wp_l1", None))
         self.enc = CabacEncoder(w)
         self.bank = make_context_bank(slice_type, qp_pic, self._cabac_init())
 
@@ -778,7 +790,9 @@ class IntraEncoder:
             for _ in range(4):
                 hdr = write_slice_header(
                     cfg, nal_type, poc, slice_type, qp_pic, rps=rps,
-                    wp=self.cur_wp, segment_address=scan[start] if start
+                    wp=self.cur_wp,
+                    wp_l1=getattr(self, "cur_wp_l1", None),
+                    segment_address=scan[start] if start
                     else 0, entry_points=eps if rbsp_offs else None).data()
                 from .hls_writer import epb_positions
                 epb = epb_positions(hdr + data)
@@ -818,12 +832,15 @@ class IntraEncoder:
         ftab = LUMA_FILTER if comp == 0 else CHROMA_FILTER
         fbx = 2 + (ssx if comp else 0)
         fby = 2 + (ssy if comp else 0)
+        def wp_of(l, ri):
+            tab = self.cur_wp if l == 0 else getattr(self, "cur_wp_l1", None)
+            if not tab:
+                return None
+            return tab[min(ri, len(tab) - 1)]
         if dir_ != 3:
             l = 0 if dir_ == 1 else 1
             ri = max(0, ref_idx[l])
-            wp = None
-            if l == 0 and getattr(self, "cur_wp", None):
-                wp = self.cur_wp[min(ri, len(self.cur_wp) - 1)]
+            wp = wp_of(l, ri) if getattr(self, "cur_wp", None) else None
             if wp is None:
                 return _interp(self._ref_plane(comp, l, ri),
                                x >> ssx, y >> ssy,
@@ -849,6 +866,27 @@ class IntraEncoder:
                     w >> ssx, h >> ssy, int(mvs[l][0]), int(mvs[l][1]),
                     fbx, fby, taps, ftab, bd, is_last=False)
             for l in range(2)]
+        wp0 = wp_of(0, max(0, ref_idx[0]))
+        wp1 = wp_of(1, max(0, ref_idx[1]))
+        if (wp0 is None) != (wp1 is None):
+            # flag-0 references carry identity weights (w = 1<<denom, o=0)
+            # and still go through the weighted rounding path on the
+            # decoder side — substitute the identity entry
+            d = (wp0 or wp1)["denom"]
+            ident = {"w": [1 << d] * 3, "o": [0] * 3, "denom": d}
+            wp0 = wp0 or ident
+            wp1 = wp1 or ident
+        if wp0 is not None and wp1 is not None:
+            # explicit bi WP (decoder _weighted_bi / reference addWeightBi)
+            scale = 1 << (bd - 8)
+            o0 = wp0["o"][comp] * scale
+            o1 = wp1["o"][comp] * scale
+            shift = (wp0["denom"] + 1) + max(2, IF_INTERNAL_PREC - bd)
+            rnd = 1 << (shift - 1)
+            val = (wp0["w"][comp] * (preds[0] + IF_OFFS) +
+                   wp1["w"][comp] * (preds[1] + IF_OFFS) + rnd +
+                   ((o0 + o1) << (shift - 1))) >> shift
+            return np.clip(val, 0, (1 << bd) - 1)
         shift = IF_INTERNAL_PREC + 1 - bd
         off = (1 << (shift - 1)) + 2 * IF_OFFS
         return np.clip((preds[0] + preds[1] + off) >> shift,

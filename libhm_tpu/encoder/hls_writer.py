@@ -228,7 +228,7 @@ def write_pps(cfg) -> bytes:
     w.se(0)             # cr_qp_offset
     w.put(0)            # slice_chroma_qp_offsets_present
     w.put(1 if getattr(cfg, "weighted_pred", False) else 0)
-    w.put(0)            # weighted_bipred
+    w.put(1 if getattr(cfg, "weighted_bipred", False) else 0)
     w.put(1 if getattr(cfg, "lossless", False) else 0)  # transquant_bypass
     tile_cols = getattr(cfg, "tile_cols", 1)
     tile_rows = getattr(cfg, "tile_rows", 1)
@@ -256,37 +256,43 @@ def write_pps(cfg) -> bytes:
     return w.data()
 
 
-def _write_pred_weight_table(w, cfg, wp):
-    """pred_weight_table() for a P slice (Rec. 7.3.6.3; reference
-    TEncCAVLC xCodePredWeightTable).  wp: per-active-ref entry, None or
-    {'w': [wY,wCb,wCr], 'o': [oY,oCb,oCr], 'denom': d}.  Chroma offsets
-    are coded as deltas from the weight-derived predictor."""
-    denom = next(e["denom"] for e in wp if e) if any(wp) else 6
+def _write_pred_weight_table(w, cfg, wp, wp_l1=None):
+    """pred_weight_table() (Rec. 7.3.6.3; reference TEncCAVLC
+    xCodePredWeightTable).  wp/wp_l1: per-active-ref entries for L0/L1,
+    each None or {'w': [wY,wCb,wCr], 'o': [oY,oCb,oCr], 'denom': d}.
+    Chroma offsets are coded as deltas from the weight-derived predictor."""
+    both = list(wp) + list(wp_l1 or [])
+    denom = next(e["denom"] for e in both if e) if any(both) else 6
     has_chroma = cfg.chroma_format_idc != 0
     w.ue(denom)                      # luma_log2_weight_denom
     if has_chroma:
         w.se(0)                      # delta_chroma_log2_weight_denom
-    for e in wp:
-        w.put(1 if e else 0)         # luma_weight_l0_flag
-    if has_chroma:
-        for e in wp:
-            w.put(1 if e else 0)     # chroma_weight_l0_flag
-    rng = 128                        # high_precision_offsets off
-    for e in wp:
-        if not e:
-            continue
-        w.se(e["w"][0] - (1 << denom))
-        w.se(e["o"][0])
+
+    def one_list(entries):
+        for e in entries:
+            w.put(1 if e else 0)     # luma_weight_lX_flag
         if has_chroma:
-            for j in (1, 2):
-                w.se(e["w"][j] - (1 << denom))
-                pred = rng - ((rng * e["w"][j]) >> denom)
-                w.se(e["o"][j] - pred)
+            for e in entries:
+                w.put(1 if e else 0)  # chroma_weight_lX_flag
+        rng = 128                    # high_precision_offsets off
+        for e in entries:
+            if not e:
+                continue
+            w.se(e["w"][0] - (1 << denom))
+            w.se(e["o"][0])
+            if has_chroma:
+                for j in (1, 2):
+                    w.se(e["w"][j] - (1 << denom))
+                    pred = rng - ((rng * e["w"][j]) >> denom)
+                    w.se(e["o"][j] - pred)
+    one_list(wp)
+    if wp_l1 is not None:
+        one_list(wp_l1)
 
 
 def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
                        rps_idx=0, rps=None, wp=None, segment_address=0,
-                       entry_points=None) -> BitWriter:
+                       entry_points=None, wp_l1=None) -> BitWriter:
     """Returns the writer positioned after the header (byte-aligned).
 
     rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
@@ -349,6 +355,9 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
                 w.ue(0)
         if getattr(cfg, "weighted_pred", False) and slice_type == 1:
             _write_pred_weight_table(w, cfg, wp or [None] * cfg.num_ref_l0)
+        elif getattr(cfg, "weighted_bipred", False) and slice_type == 0:
+            _write_pred_weight_table(w, cfg, wp or [None] * cfg.num_ref_l0,
+                                     wp_l1 or [None] * cfg.num_ref_l1)
         w.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
     w.se(slice_qp - cfg.qp)
     # deblocking control (none: pps says disabled/enabled w/o override)

@@ -95,3 +95,27 @@ def test_per_lcu_rate_control(tmp_path):
                         fps=30.0)
     stream = IntraEncoder(cfg).encode_stream(frames)
     _verify(stream, tmp_path, nframes=3)
+
+
+def test_b_slice_weighted_pred(tmp_path):
+    """Explicit WP on a fading low-delay B sequence (both lists; bi and
+    uni PUs; reference WeightPredAnalysis + addWeightBi)."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    ys, xs = np.mgrid[0:64, 0:64]
+    frames = []
+    for t in range(4):
+        g = 40 * t
+        frames.append((
+            np.clip(((xs * 2 + ys) % 200) + g, 0, 255).astype(np.uint8),
+            np.clip(((xs[::2, ::2]) % 200) + g // 2, 0, 255).astype(np.uint8),
+            np.clip(((ys[::2, ::2]) % 200) + g // 2, 0, 255).astype(np.uint8)))
+    cfg = EncoderConfig(64, 64, qp=30, gop="lowdelayB", weighted_pred=True)
+    cfg.weighted_bipred = True
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    _verify(stream, tmp_path, nframes=4)
+
+
+def test_scaling_list_encode(tmp_path):
+    """SPS default scaling lists driving the quantiser (ScalingList: 1)."""
+    stream = _encode(_edges(), gop="lowdelayP", scaling_list=True)
+    _verify(stream, tmp_path)
