@@ -126,6 +126,18 @@ class CabacEncoder:
         self._put((self.low >> 9) & 1)
         self.bw.put_bits(((self.low >> 7) & 3) | 1, 2)
 
+    def pcm_payload(self, bits):
+        """Raw PCM samples after a terminate(1) flush: byte-align, write
+        the (value, nbits) list, then reinitialise the arithmetic engine
+        (reference TEncSbac::codeIPCMInfo + xWritePCMCode + resetBac)."""
+        self.bw.align_zero()
+        for v, n in bits:
+            self.bw.put_bits(int(v), n)
+        self.low = 0
+        self.range = 510
+        self.bits_outstanding = 0
+        self.first_bit = True
+
     def encode_eg_k(self, v, k):
         """Exp-Golomb order-k via bypass bins (inverse of decode_eg_k)."""
         while v >= (1 << k):

@@ -131,7 +131,12 @@ class _RecordingCabac:
         self.ops.append(("eg", v, k))
 
     def encode_terminate(self, v):
-        pass
+        # slice/substream terminates are written by the emit pass directly;
+        # in-CU terminates (pcm_flag) are recorded and replayed
+        self.ops.append(("t", v))
+
+    def pcm_payload(self, bits):
+        self.ops.append(("pcm", bits))
 
     def replay(self, enc, lo, hi):
         for op in self.ops[lo:hi]:
@@ -142,6 +147,10 @@ class _RecordingCabac:
                 enc.encode_bypass(op[1])
             elif kind == "pn":
                 enc.encode_bypass_bins(op[1], op[2])
+            elif kind == "t":
+                enc.encode_terminate(op[1])
+            elif kind == "pcm":
+                enc.pcm_payload(op[1])
             else:
                 enc.encode_eg_k(op[1], op[2])
 
@@ -642,6 +651,7 @@ class IntraEncoder:
             self._dqp_coded = False
             self._cu_delta_enc = 0
         multi = cfg.sao or getattr(cfg, "wpp", False) or \
+            getattr(cfg, "pcm_enabled", False) or \
             getattr(cfg, "tile_cols", 1) > 1 or \
             getattr(cfg, "tile_rows", 1) > 1 or len(slice_starts) > 1
         if multi:
@@ -1636,6 +1646,70 @@ class IntraEncoder:
         size = 1 << log2size
         if not _from_inter:
             self._write_bypass_flag(x, y, size)
+        if self._pcm_eligible(log2size) and \
+                isinstance(self.enc, _RecordingCabac):
+            # IPCM decision (reference TEncSearch::IPCMSearch,
+            # TEncSearch.cpp:2913): code the CU normally, and when the
+            # estimated bits exceed the raw sample cost re-emit as PCM
+            st = self._save_cu_state(x, y, size)
+            self._encode_cu_intra_body(x, y, log2size, depth)
+            bits = self._est_ops_bits(st[3])
+            if bits > self._pcm_raw_bits(size):
+                self._restore_cu_state(x, y, size, st)
+                self._encode_cu_pcm(x, y, log2size, depth)
+            return
+        self._encode_cu_intra_body(x, y, log2size, depth)
+
+    def _pcm_eligible(self, log2size):
+        cfg = self.cfg
+        return getattr(cfg, "pcm_enabled", False) and \
+            not getattr(cfg, "lossless", False) and \
+            getattr(cfg, "log2_min_ipcm", 3) <= log2size <= \
+            getattr(cfg, "log2_max_ipcm", 5)
+
+    def _pcm_raw_bits(self, size):
+        sps = self.sps
+        bits = size * size * self.cfg.bit_depth
+        if sps.chroma_format_idc:
+            sx, sy = sps.chroma_shift_x(), sps.chroma_shift_y()
+            bits += 2 * (size >> sx) * (size >> sy) * self.cfg.bit_depth
+        return bits + 8
+
+    def _encode_cu_pcm(self, x, y, log2size, depth):
+        """pcm_flag = 1: raw samples, reconstruction = source (PCM bit
+        depth == internal bit depth here)."""
+        sps, pic, enc, bank = self.sps, self.pic, self.enc, self.bank
+        size = 1 << log2size
+        pic.set_rect(pic.depth, x, y, size, size, depth)
+        pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
+        pic.set_rect(pic.skip, x, y, size, size, 0)
+        pic.set_rect(pic.pcm, x, y, size, size, 1)
+        pic.set_rect(pic.intra_y, x, y, size, size, 1)   # DC
+        pic.set_rect(pic.intra_c, x, y, size, size, 1)
+        pic.set_rect(pic.cbf_y, x, y, size, size, 0)
+        from ..hostdec.picture import SIZE_2Nx2N
+        pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
+        self._mark_edges(x, y, size)
+        if log2size == sps.log2_min_cb:
+            enc.encode_bin(bank["part_size"], 0, 1)  # 2Nx2N
+        enc.encode_terminate(1)                      # pcm_flag
+        bd = self.cfg.bit_depth
+        bits = []
+        for c in range(3 if sps.chroma_format_idc else 1):
+            sx = sps.chroma_shift_x() if c else 0
+            sy = sps.chroma_shift_y() if c else 0
+            blk = self.orig[c][y >> sy:(y + size) >> sy,
+                               x >> sx:(x + size) >> sx]
+            for v in blk.ravel():
+                bits.append((int(v), bd))
+            self.recon[c][y >> sy:(y + size) >> sy,
+                          x >> sx:(x + size) >> sx] = blk
+        enc.pcm_payload(bits)
+        self._finish_cu_qp(x, y, size)
+
+    def _encode_cu_intra_body(self, x, y, log2size, depth):
+        sps, pic = self.sps, self.pic
+        size = 1 << log2size
         pic.set_rect(pic.depth, x, y, size, size, depth)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
         pic.set_rect(pic.skip, x, y, size, size, 0)
@@ -1820,6 +1894,8 @@ class IntraEncoder:
 
         if log2size == sps.log2_min_cb:
             enc.encode_bin(bank["part_size"], 0, 1)  # 2Nx2N
+        if self._pcm_eligible(log2size):
+            enc.encode_terminate(0)   # pcm_flag = 0
         # intra luma mode: MPM flag + bins
         preds = self.sd._intra_mpm(x, y)
         if mode in preds:
@@ -1968,6 +2044,10 @@ class IntraEncoder:
                 tot += FRAC
             elif k == "pn":
                 tot += op[2] * FRAC
+            elif k == "t":
+                tot += FRAC
+            elif k == "pcm":
+                tot += (sum(n for _, n in op[1]) + 16) * FRAC
             else:
                 tot += (2 * ((int(op[1]) >> op[2]) + 1).bit_length() - 1 +
                         op[2]) * FRAC

@@ -131,7 +131,16 @@ def write_sps(cfg) -> bytes:
         w.put(0)        # scaling_list_enabled
     w.put(1 if getattr(cfg, "amp", False) else 0)  # amp_enabled
     w.put(1 if cfg.sao else 0)
-    w.put(0)            # pcm_enabled
+    if getattr(cfg, "pcm_enabled", False):
+        w.put(1)        # pcm_enabled
+        w.put_bits(cfg.bit_depth - 1, 4)  # pcm_sample_bit_depth_luma_minus1
+        w.put_bits(cfg.bit_depth - 1, 4)  # ..._chroma_minus1
+        w.ue(getattr(cfg, "log2_min_ipcm", 3) - 3)
+        w.ue(getattr(cfg, "log2_max_ipcm", 5) -
+             getattr(cfg, "log2_min_ipcm", 3))
+        w.put(0)        # pcm_loop_filter_disabled (filters apply normally)
+    else:
+        w.put(0)        # pcm_enabled
     w.ue(len(cfg.st_rps))   # num_short_term_ref_pic_sets
     for rps in cfg.st_rps:  # (list of (delta_poc<0 list...)) simple neg-only
         if cfg.st_rps.index(rps) != 0:

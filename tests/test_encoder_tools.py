@@ -119,3 +119,24 @@ def test_scaling_list_encode(tmp_path):
     """SPS default scaling lists driving the quantiser (ScalingList: 1)."""
     stream = _encode(_edges(), gop="lowdelayP", scaling_list=True)
     _verify(stream, tmp_path)
+
+
+def test_pcm_encode(tmp_path):
+    """IPCM: noise at very low QP makes raw samples cheaper than coded
+    residual; the emitted PCM blocks must round-trip bit-exact (CABAC
+    engine restart after the raw payload; reference IPCMSearch)."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    rng = np.random.RandomState(5)
+    frames = [(rng.randint(0, 256, (64, 64)).astype(np.uint8),
+               rng.randint(0, 256, (32, 32)).astype(np.uint8),
+               rng.randint(0, 256, (32, 32)).astype(np.uint8))
+              for _ in range(2)]
+    cfg = EncoderConfig(64, 64, qp=4, gop="intra")
+    cfg.pcm_enabled = True
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    _verify(stream, tmp_path)
+    d = Decoder(parse="python", recon="numpy")
+    d.decode_annexb(stream)
+    assert len(d.output_records[0].pic_syntax.pcm_list) > 0, \
+        "expected PCM blocks to be chosen at this QP"
