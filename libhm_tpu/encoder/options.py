@@ -92,6 +92,11 @@ _BOOL_KEYS = {
     "WaveFrontSynchro": "wpp", "ECU": None, "CFM": None, "ESD": None,
     "FEN": None, "FDM": None, "AdaptiveQP": "adaptive_qp",
     "CabacInitFlag": "cabac_init",
+    "VuiParametersPresent": "vui_enabled",
+    "SEIActiveParameterSets": "sei_aps",
+    "SEIBufferingPeriod": "hrd_enabled",
+    "SEIPictureTiming": "hrd_enabled",
+    "SEIDecodedPictureHash": None,  # always written
 }
 
 _INT_KEYS = {
@@ -118,6 +123,7 @@ _INT_KEYS = {
     "LoopFilterTcOffset_div2": "tc_offset_div2",
     "MaxBytesPerPicDenom": None, "MaxBitsPerMinCuDenom": None,
     "CbQpOffset": "cb_qp_offset", "CrQpOffset": "cr_qp_offset",
+    "PCMLog2MinSize": "log2_min_ipcm", "PCMLog2MaxSize": "log2_max_ipcm",
 }
 
 _STR_KEYS = {
@@ -200,6 +206,16 @@ class HmConfig:
         cfg.tile_rows = v.get("tile_rows_minus1", 0) + 1
         if v.get("slice_mode", 0) == 1:
             cfg.slice_ctus = v.get("slice_argument", 0)
+        cfg.cabac_init = v.get("cabac_init", False)
+        cfg.scaling_list = v.get("scaling_list", False)
+        cfg.pcm_enabled = v.get("pcm_enabled", False)
+        cfg.log2_min_ipcm = v.get("log2_min_ipcm", 3)
+        cfg.log2_max_ipcm = v.get("log2_max_ipcm", 5)
+        cfg.lossless = v.get("lossless", False)
+        cfg.weighted_bipred = v.get("weighted_bipred", False)
+        if v.get("vui_enabled") or v.get("hrd_enabled"):
+            cfg.vui_enabled = True
+        cfg.hrd_enabled = bool(v.get("hrd_enabled", False))
         if v.get("rate_control"):
             cfg.rate_kbps = v.get("rate_bps", 0) // 1000
         if cfg.gop_entries:
