@@ -375,6 +375,9 @@ class Decoder:
                 sps.extended_precision:
             # scaling lists + extended precision would need int64 dequant
             # on device; this corner uses the bit-exact numpy backend
+            import sys
+            print("recon=tpu: scaling-list + extended-precision picture "
+                  "falls back to the numpy backend", file=sys.stderr)
             recon = PictureRecon(sps, pic, sd._zmap, sd.tile_map)
             recon.constrained_intra = bool(pps.constrained_intra_pred)
             from .motion import motion_compensate_np_vec
