@@ -59,13 +59,23 @@ CU_SKIP_FLAG = "cu_skip_flag"
 CU_PART_MODE = "cu_part_mode"
 CU_INTRA_MODE_LUMA = "cu_intra_mode_luma"
 CU_INTRA_MODE_CHROMA = "cu_intra_mode_chroma"
+CTU_SLICE_INDEX = "ctu_slice_index"
 PU_MERGE_FLAG = "pu_merge_flag"
+PU_MERGE_INDEX = "pu_merge_index"
 PU_UNI_BI_PREDICTION = "pu_uni_bi"
 PU_REFERENCE_POC_0 = "pu_ref_poc_0"
 PU_MV_0 = "pu_mv_0"
 PU_REFERENCE_POC_1 = "pu_ref_poc_1"
 PU_MV_1 = "pu_mv_1"
 TU_CBF_Y = "tu_cbf_y"
+TU_CBF_CB = "tu_cbf_cb"
+TU_CBF_CR = "tu_cbf_cr"
+TU_TRANSFORM_SKIP_Y = "tu_transform_skip_y"
+TU_TRANSFORM_SKIP_CB = "tu_transform_skip_cb"
+TU_TRANSFORM_SKIP_CR = "tu_transform_skip_cr"
+TU_COEFF_ENERGY_Y = "tu_coeff_energy_y"
+TU_COEFF_ENERGY_CB = "tu_coeff_energy_cb"
+TU_COEFF_ENERGY_CR = "tu_coeff_energy_cr"
 
 
 class HmDecoder:
@@ -140,11 +150,25 @@ class HmDecoder:
 
     # ------------------------------------------------------------------
     def get_internal_info(self, picture, info_type):
-        """Per-block metadata as (x, y, w, h, value, value2) tuples."""
+        """Per-block metadata as (x, y, w, h, value, value2) tuples.
+
+        CU types are emitted at CU-rectangle granularity (anchors from the
+        depth map, mirroring libHMDecoder.cpp:451-715's quadtree walk), PU
+        types per inter PU, TU types per coded transform block.
+        """
         syn = picture._syntax
         if syn is None:
             return []
+        sps = picture._dp.sps
         out = []
+        if info_type == CTU_SLICE_INDEX:
+            ctb = 1 << sps.log2_ctb
+            s4 = np.asarray(syn.slice_idx)
+            for cy in range(sps.pic_height_ctbs):
+                for cx in range(sps.pic_width_ctbs):
+                    out.append((cx * ctb, cy * ctb, ctb, ctb,
+                                int(s4[cy * (ctb >> 2), cx * (ctb >> 2)]), 0))
+            return out
         m = {
             CU_PREDICTION_MODE: syn.pred_mode,
             CU_TRANSQUANT_BYPASS: syn.tq_bypass,
@@ -152,21 +176,41 @@ class HmDecoder:
             CU_PART_MODE: syn.part_size,
             CU_INTRA_MODE_LUMA: syn.intra_y,
             CU_INTRA_MODE_CHROMA: syn.intra_c,
-            TU_CBF_Y: syn.cbf_y,
         }
         if info_type in m:
             arr = np.asarray(m[info_type])
+            depth = np.asarray(syn.depth)
+            s4 = np.asarray(syn.slice_idx)
+            ctb4 = (1 << sps.log2_ctb) >> 2
             h4, w4 = arr.shape
+            intra_only = info_type in (CU_INTRA_MODE_LUMA,
+                                       CU_INTRA_MODE_CHROMA)
+            pm = np.asarray(syn.pred_mode)
             for y4 in range(h4):
                 for x4 in range(w4):
-                    out.append((x4 * 4, y4 * 4, 4, 4, int(arr[y4, x4]), 0))
+                    if s4[y4, x4] < 0:
+                        continue  # outside the coded picture
+                    size4 = max(1, ctb4 >> int(depth[y4, x4]))
+                    if x4 % size4 or y4 % size4:
+                        continue  # not the CU anchor
+                    if intra_only and pm[y4, x4] != 1:
+                        continue
+                    out.append((x4 * 4, y4 * 4, size4 * 4, size4 * 4,
+                                int(arr[y4, x4]), 0))
             return out
-        if info_type in (PU_UNI_BI_PREDICTION, PU_MERGE_FLAG,
+        if info_type in (PU_UNI_BI_PREDICTION, PU_MERGE_FLAG, PU_MERGE_INDEX,
                          PU_REFERENCE_POC_0, PU_MV_0,
                          PU_REFERENCE_POC_1, PU_MV_1):
             for pu in syn.inter_list:
                 if info_type == PU_UNI_BI_PREDICTION:
                     out.append((pu.x, pu.y, pu.w, pu.h, pu.inter_dir, 0))
+                elif info_type == PU_MERGE_FLAG:
+                    out.append((pu.x, pu.y, pu.w, pu.h,
+                                int(getattr(pu, "merge", 0)), 0))
+                elif info_type == PU_MERGE_INDEX:
+                    if getattr(pu, "merge", 0):
+                        out.append((pu.x, pu.y, pu.w, pu.h,
+                                    int(pu.merge_idx), 0))
                 elif info_type == PU_MV_0:
                     out.append((pu.x, pu.y, pu.w, pu.h,
                                 int(pu.mv[0][0]), int(pu.mv[0][1])))
@@ -181,6 +225,33 @@ class HmDecoder:
                     rp = pu.ref_poc[1]
                     out.append((pu.x, pu.y, pu.w, pu.h,
                                 rp.poc if hasattr(rp, "poc") and rp else -1, 0))
+            return out
+        tu_types = {
+            TU_CBF_Y: 0, TU_CBF_CB: 1, TU_CBF_CR: 2,
+            TU_TRANSFORM_SKIP_Y: 0, TU_TRANSFORM_SKIP_CB: 1,
+            TU_TRANSFORM_SKIP_CR: 2,
+            TU_COEFF_ENERGY_Y: 0, TU_COEFF_ENERGY_CB: 1,
+            TU_COEFF_ENERGY_CR: 2,
+        }
+        if info_type in tu_types:
+            comp = tu_types[info_type]
+            sx = sps.chroma_shift_x() if comp else 0
+            sy = sps.chroma_shift_y() if comp else 0
+            for tu in syn.tu_list:
+                if tu.comp != comp:
+                    continue
+                lx, ly = tu.x << sx, tu.y << sy
+                lw, lh = tu.w << sx, tu.h << sy
+                if info_type in (TU_CBF_Y, TU_CBF_CB, TU_CBF_CR):
+                    out.append((lx, ly, lw, lh, 1, 0))
+                elif info_type in (TU_TRANSFORM_SKIP_Y, TU_TRANSFORM_SKIP_CB,
+                                   TU_TRANSFORM_SKIP_CR):
+                    out.append((lx, ly, lw, lh, int(tu.transform_skip), 0))
+                else:
+                    e = int(np.minimum(
+                        (np.asarray(tu.coeffs, np.int64) ** 2).sum(),
+                        2 ** 31 - 1))
+                    out.append((lx, ly, lw, lh, e, 0))
             return out
         raise ValueError(info_type)
 

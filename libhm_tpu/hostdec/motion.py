@@ -363,7 +363,8 @@ class MotionDeriver:
             dir_ = 1
             cand.ref_idx[1] = -1
             cand.mv[1] = (0, 0)
-        self._write_pu(x, y, w, h, dir_, cand.mv, cand.ref_idx)
+        self._write_pu(x, y, w, h, dir_, cand.mv, cand.ref_idx,
+                       merge=1, merge_idx=merge_idx)
 
     def apply_amvp(self, sd, x, y, w, h, inter_dir, ref_idx, mvd, mvp_idx,
                    cx, cy, cu_size, pu_idx, part_size):
@@ -375,7 +376,8 @@ class MotionDeriver:
                 mvs[l] = (p[0] + mvd[l][0], p[1] + mvd[l][1])
         self._write_pu(x, y, w, h, inter_dir, mvs, ref_idx)
 
-    def _write_pu(self, x, y, w, h, inter_dir, mvs, ref_idx):
+    def _write_pu(self, x, y, w, h, inter_dir, mvs, ref_idx, merge=0,
+                  merge_idx=-1):
         pic = self.sd.pic
         sl = np.s_[y >> 2:(y + h) >> 2, x >> 2:(x + w) >> 2]
         pic.inter_dir[sl] = inter_dir
@@ -392,6 +394,8 @@ class MotionDeriver:
                 pic.ref_idx[sl + (l,)] = -1
         pu = InterPU(x, y, w, h, inter_dir,
                      [tuple(mvs[0]), tuple(mvs[1])], list(ref_idx), None)
+        pu.merge = merge
+        pu.merge_idx = merge_idx
         pu.ref_poc = ref_pics  # store picture objects for MC
         if self.sh.wp_luma is not None:
             # resolved per-PU weights: {denom_l, denom_c, w[l][c], o[l][c]}
