@@ -975,16 +975,23 @@ class IntraEncoder:
                    (-1, -1), (1, -1), (-1, 1), (1, 1))
 
     def _tz_integer(self, orig, plane, px, py, w, h, pred_int, R):
-        H, W = plane.shape
+        # edge-padded reference (cached per plane): SAD windows become
+        # contiguous slices instead of clipped fancy-index gathers
+        pad = R + 8
+        cache_key = (id(plane), pad)
+        pc = getattr(self, "_pad_cache", None)
+        if pc is None or pc[0] != cache_key:
+            padded = np.pad(plane, pad, mode="edge")
+            self._pad_cache = (cache_key, plane, padded)
+        padded = self._pad_cache[2]
         cache = {}
 
         def sad(d):
             if d in cache:
                 return cache[d]
             dx, dy = d
-            ys0 = np.clip(np.arange(py + dy, py + dy + h), 0, H - 1)
-            xs0 = np.clip(np.arange(px + dx, px + dx + w), 0, W - 1)
-            c = int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
+            y0, x0 = py + dy + pad, px + dx + pad
+            c = int(np.abs(padded[y0:y0 + h, x0:x0 + w] - orig).sum())
             cache[d] = c
             return c
 
@@ -1245,12 +1252,10 @@ class IntraEncoder:
                 best_part = (total, part, descs)
 
         # ---- intra fallback
-        best_mode, best_icost = 1, 1 << 60
-        for mode in range(35):
-            ipred = self._intra_pred(0, x, y, size, mode)
-            c = int(np.abs(ipred - orig).sum())
-            if c < best_icost:
-                best_icost, best_mode = c, mode
+        all_preds = self._intra_all_preds(0, x, y, size)
+        costs = np.abs(all_preds - orig[None]).sum(axis=(1, 2))
+        best_mode = int(np.argmin(costs))
+        best_icost = int(costs[best_mode])
         if best_icost + lam * 24 < best_part[0]:
             pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
             self._write_bypass_flag(x, y, size)
@@ -1631,6 +1636,46 @@ class IntraEncoder:
                                                          bd, strong)
         return refimpl.predict_intra(top, left, n, mode, comp, bd, sps)
 
+    def _intra_all_preds(self, comp, x, y, n):
+        """[35, n, n] predictions for the SATD mode search: one reference
+        fill + one vectorized all-modes predict (encoder/intra_search)."""
+        sps = self.sps
+        bd = sps.bit_depth_luma if comp == 0 else sps.bit_depth_chroma
+        plane = self.recon[comp]
+        sd, pic = self.sd, self.pic
+        ssx = sps.chroma_shift_x() if comp else 0
+        ssy = sps.chroma_shift_y() if comp else 0
+        W = sps.width >> ssx
+        H = sps.height >> ssy
+        lx_anchor, ly_anchor = x << ssx, y << ssy
+        z_cur = sd._zmap[ly_anchor >> 2, lx_anchor >> 2]
+        slice_cur = pic.slice_idx[ly_anchor >> 2, lx_anchor >> 2]
+        log2_ctb, wctbs = sps.log2_ctb, sps.pic_width_ctbs
+        tile_cur = sd.tile_map[(ly_anchor >> log2_ctb) * wctbs +
+                               (lx_anchor >> log2_ctb)]
+
+        def avail(cx, cy):
+            if cx < 0 or cy < 0 or cx >= W or cy >= H:
+                return False
+            lx, ly = cx << ssx, cy << ssy
+            if sd._zmap[ly >> 2, lx >> 2] >= z_cur:
+                return False
+            if pic.slice_idx[ly >> 2, lx >> 2] != slice_cur:
+                return False
+            return sd.tile_map[(ly >> log2_ctb) * wctbs +
+                               (lx >> log2_ctb)] == tile_cur
+        top_u, left_u = refimpl.fill_reference_samples(plane, avail, x, y,
+                                                       n, bd)
+        top_f = left_f = None
+        if not sps.intra_smoothing_disabled and \
+                (comp == 0 or sps.chroma_format_idc == 3) and n > 4:
+            strong = bool(sps.strong_intra_smoothing) and comp == 0
+            top_f, left_f = refimpl.filter_reference_samples(
+                top_u, left_u, n, 2, bd, strong)
+        from .intra_search import predict_all_modes
+        return predict_all_modes(top_u, left_u, top_f, left_f, n, comp, bd,
+                                 sps)
+
     def _mark_edges(self, x, y, size):
         from ..hostdec.slicedec import (EDGE_CU_LEFT, EDGE_CU_TOP,
                                         EDGE_PU_LEFT, EDGE_PU_TOP,
@@ -1765,14 +1810,14 @@ class IntraEncoder:
         for (px, py) in pu_pos:
             orig = self.orig[0][py:py + half, px:px + half]
             preds_mpm = self.sd._intra_mpm(px, py)
+            all_preds = self._intra_all_preds(0, px, py, half)
             best_mode, best_cost = 1, float("inf")
             for mode in range(35):
-                pred = self._intra_pred(0, px, py, half, mode)
                 if mode in preds_mpm:
                     bits = 2 if preds_mpm.index(mode) == 0 else 3
                 else:
                     bits = 6
-                c = satd(pred, orig) + lam_pred * bits
+                c = satd(all_preds[mode], orig) + lam_pred * bits
                 if c < best_cost:
                     best_cost, best_mode = c, mode
             mode = best_mode
@@ -1880,8 +1925,9 @@ class IntraEncoder:
         preds_mpm = self.sd._intra_mpm(x, y)
         lam_pred = self.rd_lambda ** 0.5
         best_mode, best_cost = 1, float("inf")
+        all_preds = self._intra_all_preds(0, x, y, size)
         for mode in range(35):
-            pred = self._intra_pred(0, x, y, size, mode)
+            pred = all_preds[mode]
             if mode in preds_mpm:
                 bits = 2 if preds_mpm.index(mode) == 0 else 3
             else:
