@@ -272,6 +272,12 @@ def _mk_sps_pps(cfg):
 
 class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
+        if getattr(cfg, "dependent_slices", False) and \
+                getattr(cfg, "wpp", False):
+            raise ValueError(
+                "dependent slice segments + WPP: the row-start context sync "
+                "across segment boundaries is not implemented (the standard "
+                "cfg ladder never combines the two tools)")
         if getattr(cfg, "lossless", False):
             # CUTransquantBypassFlagForce: every CU bypasses transform/
             # quant; SDH doesn't apply and in-loop filters are no-ops on
@@ -519,9 +525,12 @@ class IntraEncoder:
         slice_starts = list(range(0, len(scan), slice_ctus))
         wc = sps.pic_width_ctbs
         m4 = sps.ctb_size >> 2
+        dep_slices = bool(getattr(cfg, "dependent_slices", False))
         for pos, addr in enumerate(scan):
             cx4, cy4 = (addr % wc) * m4, (addr // wc) * m4
-            self.pic.slice_idx[cy4:cy4 + m4, cx4:cx4 + m4] = pos // slice_ctus
+            # dependent slice segments all belong to ONE slice
+            self.pic.slice_idx[cy4:cy4 + m4, cx4:cx4 + m4] = \
+                0 if dep_slices else pos // slice_ctus
         self.recon = []
         self.orig = []
         for c in range(3):
@@ -660,9 +669,11 @@ class IntraEncoder:
             self.enc = rec
             for pos, addr in enumerate(scan):
                 rec.mark()
-                if pos in slice_starts:
-                    # QP predictor resets at slice starts (decoder inits
-                    # last_qp to the slice QP)
+                if pos in slice_starts and (pos == 0 or
+                                            not getattr(cfg, "dependent_slices",
+                                                        False)):
+                    # QP predictor resets at independent slice starts
+                    # (dependent segments continue the predictor)
                     self._last_qp_enc = qp_base
                 ctu_qg_start(addr)
                 cx = (addr % nctu_x) << sps.log2_ctb
@@ -729,10 +740,13 @@ class IntraEncoder:
             for k in bank:
                 bank[k][:] = saved[k]
 
+        dep = bool(getattr(cfg, "dependent_slices", False))
         for si, start in enumerate(slice_starts):
             end = slice_starts[si + 1] if si + 1 < len(slice_starts) \
                 else len(scan)
-            bank_reset()
+            if si == 0 or not dep:
+                bank_reset()
+            # dependent segments continue the previous segment's contexts
             subs = []
             bw = BitWriter()
             enc = CabacEncoder(bw)
@@ -767,17 +781,21 @@ class IntraEncoder:
                                   sd.tile_map[addr - wc + 1] == tile and
                                   self.pic.slice_idx[(cy - 4) >> 2,
                                                      (cx + sps.ctb_size) >> 2]
-                                  == si)
+                                  == (0 if dep else si))
                             if ok:
                                 bank_restore(wpp_saved)
                             else:
                                 bank_reset()
                 if cfg.sao:
+                    # merge availability is per SLICE: dependent segments
+                    # share the slice, independent slices do not
+                    lo = 0 if dep else start
+                    hi = len(scan) if dep else end
                     write_sao_ctu(
                         enc, bank, self.pic, addr, wc, enabled, sps,
-                        avail=lambda other, _t=tile: (
+                        avail=lambda other, _t=tile, _lo=lo, _hi=hi: (
                             sd.tile_map[other] == _t and
-                            start <= pos_of[other] < end))
+                            _lo <= pos_of[other] < _hi))
                 rec.replay(enc, rec.marks[pos], rec.marks[pos + 1])
                 last_of_slice = pos == end - 1
                 enc.encode_terminate(1 if last_of_slice else 0)
@@ -803,7 +821,8 @@ class IntraEncoder:
                     wp=self.cur_wp,
                     wp_l1=getattr(self, "cur_wp_l1", None),
                     segment_address=scan[start] if start
-                    else 0, entry_points=eps if rbsp_offs else None).data()
+                    else 0, entry_points=eps if rbsp_offs else None,
+                    dependent=dep and start > 0).data()
                 from .hls_writer import epb_positions
                 epb = epb_positions(hdr + data)
                 new_eps = []

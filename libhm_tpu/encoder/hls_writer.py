@@ -216,7 +216,8 @@ def write_pps(cfg) -> bytes:
     w = BitWriter()
     w.ue(0)             # pps id
     w.ue(0)             # sps id
-    w.put(0)            # dependent_slice_segments
+    w.put(1 if getattr(cfg, "dependent_slices", False) else 0)
+    # ^ dependent_slice_segments_enabled
     w.put(0)            # output_flag_present
     w.put_bits(0, 3)    # extra slice header bits
     w.put(1 if getattr(cfg, "sign_hiding", False) else 0)  # sign_data_hiding
@@ -301,7 +302,8 @@ def _write_pred_weight_table(w, cfg, wp, wp_l1=None):
 
 def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
                        rps_idx=0, rps=None, wp=None, segment_address=0,
-                       entry_points=None, wp_l1=None) -> BitWriter:
+                       entry_points=None, wp_l1=None,
+                       dependent=False) -> BitWriter:
     """Returns the writer positioned after the header (byte-aligned).
 
     rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
@@ -317,10 +319,26 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         w.put(0)        # no_output_of_prior_pics
     w.ue(0)             # pps id
     if segment_address:
+        if getattr(cfg, "dependent_slices", False):
+            w.put(1 if dependent else 0)  # dependent_slice_segment_flag
         ctb = 1 << cfg.log2_ctb
         nctb = ((cfg.width + ctb - 1) >> cfg.log2_ctb) * \
                ((cfg.height + ctb - 1) >> cfg.log2_ctb)
         w.put_bits(segment_address, max(1, (nctb - 1).bit_length()))
+    if dependent:
+        # dependent segments carry only the address (+ entry points)
+        tiles_d = getattr(cfg, "tile_cols", 1) > 1 or \
+            getattr(cfg, "tile_rows", 1) > 1
+        if tiles_d or getattr(cfg, "wpp", False):
+            eps = entry_points or []
+            w.ue(len(eps))
+            if eps:
+                olen = max(1, max(e - 1 for e in eps).bit_length())
+                w.ue(olen - 1)
+                for e in eps:
+                    w.put_bits(e - 1, olen)
+        w.byte_align_one()
+        return w
     w.ue(slice_type)    # 0=B 1=P 2=I
     if nal_type not in (19, 20):
         w.put_bits(poc & ((1 << cfg.log2_max_poc_lsb) - 1), cfg.log2_max_poc_lsb)

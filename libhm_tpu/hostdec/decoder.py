@@ -232,6 +232,7 @@ class Decoder:
             self.cur = (sh, pic, sd, nalu)
             self.new_sequence = False
             self.slice_count = 0
+            self._cur_slice_id = 0
             # prefix SEI received since the previous picture belongs to
             # this access unit
             self._cur_sei = self._pending_prefix_sei
@@ -251,11 +252,13 @@ class Decoder:
             pic.drop_products_from_ctu(sh.segment_address, scan_pos)
         sh.epb_positions = nalu.epb_positions  # entry-point EBSP adjust
         if sh.dependent:
-            # same slice: segments share the slice id for availability
-            sd.decode_slice(nalu.rbsp, sh, self.slice_count - 1)
+            # dependent segments share their slice's id for availability
+            # (a CHAIN of dependent segments keeps the same id)
+            sd.decode_slice(nalu.rbsp, sh, self._cur_slice_id)
         else:
+            self._cur_slice_id = self.slice_count
             sd.decode_slice(nalu.rbsp, sh, self.slice_count)
-        self.slice_count += 1
+            self.slice_count += 1
 
     # ------------------------------------------------------------------
     def _build_ref_lists(self, sh, sps):

@@ -57,6 +57,7 @@ struct Decoder {
   std::unique_ptr<Picture> cur;
   std::unique_ptr<SliceParser> parser;
   int sliceCount = 0;
+  int curSliceId = 0;
   SliceHeader curSh;  // first slice header of current picture
   SliceHeader lastIndepSh;  // for dependent-segment inheritance
 
@@ -263,6 +264,7 @@ struct Decoder {
       parser->buildGeometry();
       newSequence = false;
       sliceCount = 0;
+      curSliceId = 0;
       curSh = sh;
     }
     shStore.push_back(std::make_unique<SliceHeader>(sh));
@@ -285,9 +287,8 @@ struct Decoder {
     }
     if (!sh.first_slice_in_pic)
       dropProductsFromCtu(sps, pps, sh.segment_address);
-    parser->decodeSlice(rbsp.data(), rbsp.size(), *shp,
-                        sh.dependent ? sliceCount - 1 : sliceCount);
-    sliceCount++;
+    if (!sh.dependent) curSliceId = sliceCount++;
+    parser->decodeSlice(rbsp.data(), rbsp.size(), *shp, curSliceId);
   }
 
   // Drop parse products at CTU raster addresses >= firstCtu before a later

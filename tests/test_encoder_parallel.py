@@ -75,3 +75,25 @@ def test_wpp_interslice_roundtrip(tmp_path):
     stream = _encode(192, 128, gop="lowdelayP", wpp=True)
     _own_ok(stream)
     _hm_ok(stream, tmp_path)
+
+
+def test_dependent_slices_roundtrip(tmp_path):
+    """Chained dependent slice segments: CABAC context + QP predictor
+    continuation across segments, short dependent headers (Rec. 7.3.6.1;
+    reference TDecSlice CTXMem)."""
+    stream = _encode(192, 128, slice_ctus=2, dependent_slices=True)
+    _own_ok(stream)
+    _hm_ok(stream, tmp_path)
+
+
+def test_dependent_chain_slice_ids():
+    """A chain of >2 dependent segments keeps one slice id (decoder
+    regression: slice_count-1 only handled a single dependent segment)."""
+    from libhm_tpu.hostdec.decoder import Decoder
+    stream = _encode(192, 128, slice_ctus=1, dependent_slices=True)
+    d = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    d.decode_annexb(stream)
+    assert all(r.hash_status == "OK" for r in d.output_records)
+    import numpy as np
+    sidx = np.asarray(d.output_records[0].pic_syntax.slice_idx)
+    assert sidx.max() == 0, "all dependent segments must share slice id 0"
