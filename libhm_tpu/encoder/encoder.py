@@ -1931,7 +1931,48 @@ class IntraEncoder:
                                             ts=self._ts_of(clev))
         self._finish_cu_qp(x, y, size)
 
-    def _encode_cu_intra_2nx2n(self, x, y, log2size):
+    def _intra_rqt_eligible(self, log2size):
+        """RD-try a one-level TU split below the CU (QuadtreeTUMaxDepthIntra
+        > 1; reference xRecurIntraCodingQT).  4:2:0 only this round."""
+        sps = self.sps
+        return (sps.max_tr_hierarchy_intra > 0 and
+                sps.chroma_format_idc == 1 and
+                log2size - 1 >= sps.log2_min_tb and
+                log2size <= sps.log2_max_tb)
+
+    def _intra_min_tu_log2(self, log2size, intra_split=0):
+        sps = self.sps
+        max_tr_depth = 1 + sps.max_tr_hierarchy_intra
+        lo = sps.log2_min_tb + max_tr_depth - 1 + intra_split
+        if log2size < lo:
+            return sps.log2_min_tb
+        return min(log2size - (max_tr_depth - 1 + intra_split),
+                   sps.log2_max_tb)
+
+    def _maybe_write_subdiv(self, log2size, value):
+        """split_transform_flag when it is coded (not inferred), mirroring
+        the decode-side _tt conditions for a 2Nx2N intra root/child."""
+        sps = self.sps
+        min_tu = self._intra_min_tu_log2(self.cu_log2_for_tt)
+        if log2size > sps.log2_max_tb:
+            return  # inferred 1
+        if log2size == sps.log2_min_tb or log2size == min_tu:
+            return  # inferred 0
+        self.enc.encode_bin(self.bank["trans_subdiv"], 5 - log2size, value)
+
+    def _encode_cu_intra_2nx2n(self, x, y, log2size, _forced=None):
+        if _forced is None and self._intra_rqt_eligible(log2size) and \
+                isinstance(self.enc, _RecordingCabac):
+            st = self._save_cu_state(x, y, 1 << log2size)
+            self._encode_cu_intra_2nx2n(x, y, log2size, _forced="nosplit")
+            cost_whole = self._cu_rd_cost(x, y, 1 << log2size, st[3])
+            self._restore_cu_state(x, y, 1 << log2size, st)
+            self._encode_cu_intra_rqt_split(x, y, log2size)
+            cost_split = self._cu_rd_cost(x, y, 1 << log2size, st[3])
+            if cost_whole <= cost_split:
+                self._restore_cu_state(x, y, 1 << log2size, st)
+                self._encode_cu_intra_2nx2n(x, y, log2size, _forced="nosplit")
+            return
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, self.bank
         size = 1 << log2size
         from ..hostdec.picture import SIZE_2Nx2N
@@ -2026,9 +2067,12 @@ class IntraEncoder:
             resids.append(levs)
             cbfs.append(cbf_subs)
 
-        # --- TT syntax: no subdiv flag at this profile; cbfs then residuals
+        # --- TT syntax: split_transform_flag = 0 when it is coded
+        # (QuadtreeTUMaxDepthIntra > 1), then cbfs and residuals
         # (4:2:2 codes both sub-TU cbfs at the lowest level, mirroring
         # _parse_cbf_chroma)
+        self.cu_log2_for_tt = log2size
+        self._maybe_write_subdiv(log2size, 0)
         for v in cbfs[1]:
             enc.encode_bin(bank["qt_cbf"], 5 + 0, v)
         for v in cbfs[2]:
@@ -2055,6 +2099,171 @@ class IntraEncoder:
                 encode_residual(enc, bank, lev, comp, scan,
                                 self.cfg.sign_hiding,
                                 ts=self._ts_of(lev))
+        self._finish_cu_qp(x, y, size)
+
+    def _encode_cu_intra_rqt_split(self, x, y, log2size):
+        """Intra 2Nx2N with a one-level TU split (split_transform_flag = 1):
+        four luma quarter-TUs reconstructed sequentially with one shared
+        mode; chroma follows the tree (at the children when the child
+        chroma TB is >= 4x4, else held at the CU like the NxN case).
+        Mirrors the decode-side _tt / _emit_tu (Rec. 7.3.8.8/7.3.8.10).
+        4:2:0 only (gated by _intra_rqt_eligible)."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        size = 1 << log2size
+        from ..hostdec.picture import SIZE_2Nx2N
+        from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
+        from .rd_cost import satd
+        pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
+        pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
+
+        def mdcs(n, m, c):
+            sx = sps.chroma_shift_x() if c else 0
+            if n <= (8 >> sx):
+                if abs(m - 26) <= 4:
+                    return SCAN_HOR
+                if abs(m - 10) <= 4:
+                    return SCAN_VER
+            return SCAN_DIAG
+
+        # whole-CU SATD mode decision (same criterion as the no-split path)
+        orig = self.orig[0][y:y + size, x:x + size]
+        preds_mpm = self.sd._intra_mpm(x, y)
+        lam_pred = self.rd_lambda ** 0.5
+        all_preds = self._intra_all_preds(0, x, y, size)
+        best_mode, best_cost = 1, float("inf")
+        for m in range(35):
+            bits = (2 if preds_mpm.index(m) == 0 else 3) \
+                if m in preds_mpm else 6
+            c = satd(all_preds[m], orig) + lam_pred * bits
+            if c < best_cost:
+                best_cost, best_mode = c, m
+        mode = best_mode
+        pic.set_rect(pic.intra_y, x, y, size, size, mode)
+        pic.set_rect(pic.intra_c, x, y, size, size, mode)
+        self._mark_edges(x, y, size)
+
+        if log2size == sps.log2_min_cb:
+            enc.encode_bin(bank["part_size"], 0, 1)   # 2Nx2N
+        if self._pcm_eligible(log2size):
+            enc.encode_terminate(0)                    # pcm_flag = 0
+        # intra pred info: one PU
+        if mode in preds_mpm:
+            idx = preds_mpm.index(mode)
+            enc.encode_bin(bank["intra_luma_mpm"], 0, 1)
+            if idx == 0:
+                enc.encode_bypass(0)
+            else:
+                enc.encode_bypass(1)
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(bank["intra_luma_mpm"], 0, 0)
+            rem = mode
+            for pm in sorted(preds_mpm, reverse=True):
+                if rem > pm:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+        enc.encode_bin(bank["intra_chroma_mode"], 0, 0)  # DM
+
+        self.cu_log2_for_tt = log2size
+        self._maybe_write_subdiv(log2size, 1)
+        half = size >> 1
+        l2 = log2size - 1
+        children = ((0, 0), (half, 0), (0, half), (half, half))
+        chroma_at_children = (l2 - 1) >= 2    # 4:2:0 child chroma >= 4x4
+        min_tu = self._intra_min_tu_log2(log2size)
+        bd = cfg.bit_depth
+        ef = pic.edge_flags
+        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
+
+        leaves = []
+        for (dx, dy) in children:
+            lx, ly = x + dx, y + dy
+            pred = self._intra_pred(0, lx, ly, half, mode)
+            resi = (self.orig[0][ly:ly + half, lx:lx + half] -
+                    pred).astype(np.int32)
+            scan = mdcs(half, mode, 0)
+            lev, rec, cbf = self._tu_fwd(resi, half == 4, 0, scan, True)
+            self.recon[0][ly:ly + half, lx:lx + half] = np.clip(
+                pred + rec, 0, (1 << bd) - 1)
+            pic.set_rect(pic.cbf_y, lx, ly, half, half, cbf)
+            ef[ly >> 2:(ly + half) >> 2, lx >> 2] |= EDGE_TU_LEFT
+            ef[ly >> 2, lx >> 2:(lx + half) >> 2] |= EDGE_TU_TOP
+            c_entry = {}
+            if chroma_at_children:
+                cn = half >> 1
+                cxp, cyp = lx >> 1, ly >> 1
+                for comp in (1, 2):
+                    cpred = self._intra_pred(comp, cxp, cyp, cn, mode)
+                    cres = (self.orig[comp][cyp:cyp + cn, cxp:cxp + cn] -
+                            cpred).astype(np.int32)
+                    cscan = mdcs(cn, mode, comp)
+                    clev, crec, ccbf = self._tu_fwd(cres, False, comp,
+                                                    cscan, True)
+                    self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
+                        cpred + crec, 0, (1 << bd) - 1)
+                    c_entry[comp] = (clev, ccbf, cscan)
+            leaves.append((lev, cbf, scan, c_entry))
+
+        if chroma_at_children:
+            root_cb = 1 if any(lv[3][1][1] for lv in leaves) else 0
+            root_cr = 1 if any(lv[3][2][1] for lv in leaves) else 0
+            enc.encode_bin(bank["qt_cbf"], 5, root_cb)
+            enc.encode_bin(bank["qt_cbf"], 5, root_cr)
+        else:
+            # chroma held at the CU (single 4x4 chroma TB per component)
+            cn = size >> 1
+            cxp, cyp = x >> 1, y >> 1
+            c_single = {}
+            for comp in (1, 2):
+                cpred = self._intra_pred(comp, cxp, cyp, cn, mode)
+                cres = (self.orig[comp][cyp:cyp + cn, cxp:cxp + cn] -
+                        cpred).astype(np.int32)
+                cscan = mdcs(cn, mode, comp)
+                clev, crec, ccbf = self._tu_fwd(cres, False, comp, cscan,
+                                                True)
+                self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
+                    cpred + crec, 0, (1 << bd) - 1)
+                c_single[comp] = (clev, ccbf, cscan)
+            enc.encode_bin(bank["qt_cbf"], 5, c_single[1][1])
+            enc.encode_bin(bank["qt_cbf"], 5, c_single[2][1])
+            root_cb, root_cr = c_single[1][1], c_single[2][1]
+
+        for j, (lev, cbf, scan, c_entry) in enumerate(leaves):
+            # child subdiv = 0 when it is coded at this level
+            if l2 != sps.log2_min_tb and l2 != min_tu and \
+                    l2 <= sps.log2_max_tb:
+                enc.encode_bin(bank["trans_subdiv"], 5 - l2, 0)
+            if chroma_at_children:
+                if root_cb:
+                    enc.encode_bin(bank["qt_cbf"], 6, c_entry[1][1])
+                if root_cr:
+                    enc.encode_bin(bank["qt_cbf"], 6, c_entry[2][1])
+            enc.encode_bin(bank["qt_cbf"], 0, cbf)
+            if chroma_at_children:
+                any_cbf = cbf or (root_cb and c_entry[1][1]) or \
+                    (root_cr and c_entry[2][1])
+            else:
+                any_cbf = cbf or root_cb or root_cr
+            self._maybe_write_dqp(any_cbf)
+            if cbf:
+                encode_residual(enc, bank, lev, 0, scan,
+                                self.cfg.sign_hiding, ts=self._ts_of(lev))
+            if chroma_at_children:
+                for comp in (1, 2):
+                    if (root_cb if comp == 1 else root_cr) and \
+                            c_entry[comp][1]:
+                        clev, _, cscan = c_entry[comp]
+                        encode_residual(enc, bank, clev, comp, cscan,
+                                        self.cfg.sign_hiding,
+                                        ts=self._ts_of(clev))
+            elif j == 3:
+                for comp in (1, 2):
+                    clev, ccbf, cscan = c_single[comp]
+                    if ccbf:
+                        encode_residual(enc, bank, clev, comp, cscan,
+                                        self.cfg.sign_hiding,
+                                        ts=self._ts_of(clev))
         self._finish_cu_qp(x, y, size)
 
     _CU_MAPS = ("depth", "pred_mode", "part_size", "skip", "intra_y",

@@ -216,6 +216,11 @@ class HmConfig:
         if v.get("vui_enabled") or v.get("hrd_enabled"):
             cfg.vui_enabled = True
         cfg.hrd_enabled = bool(v.get("hrd_enabled", False))
+        if chroma == 1:
+            # one-level RQT split trials (the emitter signals subdiv=0 at
+            # the children, so any configured depth > 1 stays conformant)
+            cfg.max_tr_hierarchy_intra = max(
+                0, v.get("tu_depth_intra", 1) - 1)
         if v.get("rate_control"):
             cfg.rate_kbps = v.get("rate_bps", 0) // 1000
         if cfg.gop_entries:

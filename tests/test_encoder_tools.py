@@ -140,3 +140,38 @@ def test_pcm_encode(tmp_path):
     d.decode_annexb(stream)
     assert len(d.output_records[0].pic_syntax.pcm_list) > 0, \
         "expected PCM blocks to be chosen at this QP"
+
+
+def test_intra_rqt_split(tmp_path):
+    """QuadtreeTUMaxDepthIntra > 1: the RD tree may code 2Nx2N intra CUs
+    with a one-level TU split (split_transform_flag = 1); round-trips on
+    all decoders and actually exercises the split."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    rng = np.random.RandomState(9)
+    ys, xs = np.mgrid[0:128, 0:192]
+    frames = []
+    for t in range(2):
+        y = ((xs * 2 + ys + 7 * t) % 256).astype(np.int32)
+        y[32:64, 32:96] = rng.randint(0, 256, (32, 64))
+        frames.append((y.astype(np.uint8),
+                       ((xs[::2, ::2] + t) % 256).astype(np.uint8),
+                       ((ys[::2, ::2]) % 256).astype(np.uint8)))
+    cfg = EncoderConfig(192, 128, qp=30, gop="intra")
+    cfg.max_tr_hierarchy_intra = 1
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    _verify(stream, tmp_path)
+    d = Decoder(parse="python", recon="numpy")
+    d.decode_annexb(stream)
+    pic = d.output_records[0].pic_syntax
+    depth = np.asarray(pic.depth)
+    part = np.asarray(pic.part_size)
+    split_found = False
+    for b in pic.intra_list:
+        if b.comp:
+            continue
+        cu = 64 >> int(depth[b.y >> 2, b.x >> 2])
+        if b.w < cu and part[b.y >> 2, b.x >> 2] == 0:   # 2Nx2N
+            split_found = True
+            break
+    assert split_found, "expected at least one RQT-split intra CU"
