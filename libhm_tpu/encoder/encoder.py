@@ -1372,7 +1372,18 @@ class IntraEncoder:
         self._write_pu_syntax(desc)
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
+        # inter RQT: RD-try a one-level TU split (4:2:0, hierarchy > 0)
+        if any_cbf and sps.max_tr_hierarchy_inter > 0 and \
+                sps.chroma_format_idc == 1 and \
+                log2size - 1 >= sps.log2_min_tb and \
+                log2size <= sps.log2_max_tb:
+            if self._inter_rqt_try_split(x, y, log2size, preds, rec_resids,
+                                         cbfs):
+                return
+        min_tu_i = self._tt_min_tu(log2size, False)
         if any_cbf:
+            if sps.max_tr_hierarchy_inter > 0:
+                self._maybe_write_subdiv(log2size, 0, min_tu=min_tu_i)
             for v in cbfs[1]:
                 enc.encode_bin(bank["qt_cbf"], 5, v)
             for v in cbfs[2]:
@@ -1399,6 +1410,150 @@ class IntraEncoder:
                     preds[comp][s * n:(s + 1) * n] + rec_resi,
                     0, (1 << bd) - 1)
         self._finish_cu_qp(x, y, size)
+
+    def _inter_rqt_try_split(self, x, y, log2size, preds, whole_rec,
+                             whole_cbfs):
+        """One-level inter TU split trial for a 2Nx2N CU (reference
+        xEstimateInterResidualQT).  Returns True when the split variant
+        was chosen and fully emitted (syntax after rqt_root_cbf)."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        from ..hostdec.tables import SCAN_DIAG
+        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
+        size = 1 << log2size
+        half = size >> 1
+        l2 = log2size - 1
+        bd = cfg.bit_depth
+        children = ((0, 0), (half, 0), (0, half), (half, half))
+        chroma_at_children = (l2 - 1) >= 2
+        orig_l = self.orig[0][y:y + size, x:x + size].astype(np.int32)
+        resi_l = orig_l - preds[0]
+        # per-child transforms
+        kids = []
+        for (dx, dy) in children:
+            lev, rec, cbf = self._tu_fwd(
+                resi_l[dy:dy + half, dx:dx + half], False, 0, SCAN_DIAG,
+                False)
+            entry = {"lev": lev, "rec": rec, "cbf": cbf, "c": {}}
+            kids.append(entry)
+        if chroma_at_children:
+            cn = half >> 1
+            for ci, (dx, dy) in enumerate(children):
+                for comp in (1, 2):
+                    cyp = (y + dy) >> 1
+                    cxp = (x + dx) >> 1
+                    oc = self.orig[comp][cyp:cyp + cn,
+                                         cxp:cxp + cn].astype(np.int32)
+                    pc = preds[comp][dy >> 1:(dy >> 1) + cn,
+                                     dx >> 1:(dx >> 1) + cn]
+                    lev, rec, cbf = self._tu_fwd(oc - pc, False, comp,
+                                                 SCAN_DIAG, False)
+                    kids[ci]["c"][comp] = (lev, rec, cbf)
+        else:
+            cn = size >> 1
+            cyp, cxp = y >> 1, x >> 1
+            c_single = {}
+            for comp in (1, 2):
+                oc = self.orig[comp][cyp:cyp + cn,
+                                     cxp:cxp + cn].astype(np.int32)
+                lev, rec, cbf = self._tu_fwd(oc - preds[comp], False, comp,
+                                             SCAN_DIAG, False)
+                c_single[comp] = (lev, rec, cbf)
+
+        # RD proxy: luma SSE + lambda * nonzero-coefficient count
+        lam = max(1, 1 << ((self.cur_qp - 12) // 6))
+
+        def sse_bits(recs, levs):
+            sse = sum(int(((resi_l[dy:dy + half, dx:dx + half] - r) ** 2)
+                          .sum()) for (dx, dy), r in zip(children, recs))
+            bits = sum(int(np.count_nonzero(l)) * 2 + 8 for l in levs)
+            return sse + lam * bits
+        whole_rec_l = whole_rec[0][0] if whole_cbfs[0][0] else 0
+        cost_whole = int(((resi_l - whole_rec_l) ** 2).sum()) + \
+            lam * (int(np.count_nonzero(whole_rec[0][0])) * 2 + 8
+                   if whole_cbfs[0][0] else 8)
+        cost_split = sse_bits(
+            [k["rec"] if k["cbf"] else 0 * resi_l[:half, :half]
+             for k in kids],
+            [k["lev"] for k in kids if k["cbf"]]) + lam * 12
+        if cost_whole <= cost_split:
+            return False
+
+        # emit the split variant
+        min_tu = self._tt_min_tu(log2size, False)
+        self._maybe_write_subdiv(log2size, 1, min_tu=min_tu)
+        if chroma_at_children:
+            root_cb = 1 if any(k["c"][1][2] for k in kids) else 0
+            root_cr = 1 if any(k["c"][2][2] for k in kids) else 0
+        else:
+            root_cb, root_cr = c_single[1][2], c_single[2][2]
+        enc.encode_bin(bank["qt_cbf"], 5, root_cb)
+        enc.encode_bin(bank["qt_cbf"], 5, root_cr)
+        ef = pic.edge_flags
+        for j, ((dx, dy), k) in enumerate(zip(children, kids)):
+            lx, ly = x + dx, y + dy
+            if l2 != sps.log2_min_tb and l2 != min_tu and \
+                    l2 <= sps.log2_max_tb:
+                enc.encode_bin(bank["trans_subdiv"], 5 - l2, 0)
+            if chroma_at_children:
+                if root_cb:
+                    enc.encode_bin(bank["qt_cbf"], 6, k["c"][1][2])
+                if root_cr:
+                    enc.encode_bin(bank["qt_cbf"], 6, k["c"][2][2])
+            enc.encode_bin(bank["qt_cbf"], 0, k["cbf"])
+            if chroma_at_children:
+                any_here = k["cbf"] or (root_cb and k["c"][1][2]) or \
+                    (root_cr and k["c"][2][2])
+            else:
+                any_here = k["cbf"] or root_cb or root_cr
+            self._maybe_write_dqp(any_here)
+            if k["cbf"]:
+                encode_residual(enc, bank, k["lev"], 0, SCAN_DIAG,
+                                self.cfg.sign_hiding, ts=self._ts_of(k["lev"]))
+            if chroma_at_children:
+                for comp in (1, 2):
+                    if (root_cb if comp == 1 else root_cr) and k["c"][comp][2]:
+                        clev = k["c"][comp][0]
+                        encode_residual(enc, bank, clev, comp, SCAN_DIAG,
+                                        self.cfg.sign_hiding,
+                                        ts=self._ts_of(clev))
+            elif j == 3:
+                for comp in (1, 2):
+                    clev, _, ccbf = c_single[comp]
+                    if ccbf:
+                        encode_residual(enc, bank, clev, comp, SCAN_DIAG,
+                                        self.cfg.sign_hiding,
+                                        ts=self._ts_of(clev))
+            # recon + maps
+            rec_r = k["rec"] if k["cbf"] else 0
+            self.recon[0][ly:ly + half, lx:lx + half] = np.clip(
+                preds[0][dy:dy + half, dx:dx + half] + rec_r, 0,
+                (1 << bd) - 1)
+            pic.set_rect(pic.cbf_y, lx, ly, half, half, k["cbf"])
+            ef[ly >> 2:(ly + half) >> 2, lx >> 2] |= EDGE_TU_LEFT
+            ef[ly >> 2, lx >> 2:(lx + half) >> 2] |= EDGE_TU_TOP
+        # chroma recon
+        if chroma_at_children:
+            cn = half >> 1
+            for (dx, dy), k in zip(children, kids):
+                for comp in (1, 2):
+                    cyp, cxp = (y + dy) >> 1, (x + dx) >> 1
+                    use = (root_cb if comp == 1 else root_cr) and \
+                        k["c"][comp][2]
+                    rec_r = k["c"][comp][1] if use else 0
+                    pc = preds[comp][dy >> 1:(dy >> 1) + cn,
+                                     dx >> 1:(dx >> 1) + cn]
+                    self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
+                        pc + rec_r, 0, (1 << bd) - 1)
+        else:
+            cn = size >> 1
+            cyp, cxp = y >> 1, x >> 1
+            for comp in (1, 2):
+                clev, crec, ccbf = c_single[comp]
+                self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
+                    preds[comp] + (crec if ccbf else 0), 0, (1 << bd) - 1)
+        self._finish_cu_qp(x, y, size)
+        return True
 
     # ------------------------------------------------------------------
     def _write_inter_part_size(self, part, log2size):
@@ -1489,14 +1644,25 @@ class IntraEncoder:
         # rqt_root_cbf always coded for non-2Nx2N (spec 7.3.8.5)
         enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
         if any_cbf:
-            # root (tr_depth 0): chroma cbfs; subdiv inferred.  The root
-            # chroma block can still quad-split, so 4:2:2 codes ONE combined
-            # bin here and two sub-TU bins at the leaves (_parse_cbf_chroma)
+            # root (tr_depth 0): with max_transform_hierarchy_depth_inter
+            # == 0 the split is forced/inferred for non-2Nx2N parts; with
+            # hierarchy > 0 the subdiv flag is coded.  The root chroma
+            # block can still quad-split, so 4:2:2 codes ONE combined bin
+            # here and two sub-TU bins at the leaves (_parse_cbf_chroma)
+            min_tu_i = self._tt_min_tu(log2size, False)
+            if sps.max_tr_hierarchy_inter > 0:
+                self._maybe_write_subdiv(log2size, 1, min_tu=min_tu_i)
             enc.encode_bin(bank["qt_cbf"], 5, root_cb)
             enc.encode_bin(bank["qt_cbf"], 5, root_cr)
             for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
                                            (half, half))):
                 cbfs = child_cbf[ci]
+                if sps.max_tr_hierarchy_inter > 0 and \
+                        log2size - 1 != sps.log2_min_tb and \
+                        log2size - 1 != min_tu_i and \
+                        log2size - 1 <= sps.log2_max_tb:
+                    enc.encode_bin(bank["trans_subdiv"],
+                                   5 - (log2size - 1), 0)
                 if root_cb:
                     for v in cbfs[1]:
                         enc.encode_bin(bank["qt_cbf"], 6, v)
@@ -1941,19 +2107,27 @@ class IntraEncoder:
                 log2size <= sps.log2_max_tb)
 
     def _intra_min_tu_log2(self, log2size, intra_split=0):
+        return self._tt_min_tu(log2size, True, intra_split)
+
+    def _tt_min_tu(self, log2size, is_intra, extra_split=0):
+        """minTuLog2 of the transform tree (decode-side
+        _parse_transform_tree_root arithmetic)."""
         sps = self.sps
-        max_tr_depth = 1 + sps.max_tr_hierarchy_intra
-        lo = sps.log2_min_tb + max_tr_depth - 1 + intra_split
+        hier = sps.max_tr_hierarchy_intra if is_intra else \
+            sps.max_tr_hierarchy_inter
+        max_tr_depth = 1 + hier
+        lo = sps.log2_min_tb + max_tr_depth - 1 + extra_split
         if log2size < lo:
             return sps.log2_min_tb
-        return min(log2size - (max_tr_depth - 1 + intra_split),
+        return min(log2size - (max_tr_depth - 1 + extra_split),
                    sps.log2_max_tb)
 
-    def _maybe_write_subdiv(self, log2size, value):
+    def _maybe_write_subdiv(self, log2size, value, min_tu=None):
         """split_transform_flag when it is coded (not inferred), mirroring
-        the decode-side _tt conditions for a 2Nx2N intra root/child."""
+        the decode-side _tt conditions for a 2Nx2N root/child."""
         sps = self.sps
-        min_tu = self._intra_min_tu_log2(self.cu_log2_for_tt)
+        if min_tu is None:
+            min_tu = self._intra_min_tu_log2(self.cu_log2_for_tt)
         if log2size > sps.log2_max_tb:
             return  # inferred 1
         if log2size == sps.log2_min_tb or log2size == min_tu:

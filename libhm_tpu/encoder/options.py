@@ -221,6 +221,8 @@ class HmConfig:
             # the children, so any configured depth > 1 stays conformant)
             cfg.max_tr_hierarchy_intra = max(
                 0, v.get("tu_depth_intra", 1) - 1)
+            cfg.max_tr_hierarchy_inter = max(
+                0, v.get("tu_depth_inter", 1) - 1)
         if v.get("rate_control"):
             cfg.rate_kbps = v.get("rate_bps", 0) // 1000
         if cfg.gop_entries:

@@ -175,3 +175,22 @@ def test_intra_rqt_split(tmp_path):
             split_found = True
             break
     assert split_found, "expected at least one RQT-split intra CU"
+
+
+def test_inter_rqt_split(tmp_path):
+    """QuadtreeTUMaxDepthInter > 1: inter CUs RD-try a one-level TU split;
+    non-2Nx2N parts signal the now-coded subdiv flags."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    rng = np.random.RandomState(11)
+    ys, xs = np.mgrid[0:128, 0:192]
+    frames = []
+    for t in range(3):
+        y = ((xs * 2 + ys + 6 * t) % 256).astype(np.int32)
+        y[40:72, 48:112] = rng.randint(0, 256, (32, 64))
+        frames.append((y.astype(np.uint8),
+                       ((xs[::2, ::2] + t) % 256).astype(np.uint8),
+                       ((ys[::2, ::2]) % 256).astype(np.uint8)))
+    cfg = EncoderConfig(192, 128, qp=30, gop="lowdelayP")
+    cfg.max_tr_hierarchy_inter = 1
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    _verify(stream, tmp_path, nframes=3)
