@@ -1328,6 +1328,11 @@ class IntraEncoder:
         size = 1 << log2size
         use_merge = desc[0] == "merge"
         is422 = sps.chroma_format_idc == 2
+        if log2size > sps.log2_max_tb:
+            # 64x64 CU: the TU split is forced (subdiv inferred); no
+            # whole-CU transform exists
+            return self._encode_inter_2nx2n_forced_split(x, y, log2size,
+                                                         desc, preds)
         resids, rec_resids, cbfs = [], [], []  # per comp, over square sub-TUs
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
@@ -1411,31 +1416,70 @@ class IntraEncoder:
                     0, (1 << bd) - 1)
         self._finish_cu_qp(x, y, size)
 
-    def _inter_rqt_try_split(self, x, y, log2size, preds, whole_rec,
-                             whole_cbfs):
-        """One-level inter TU split trial for a 2Nx2N CU (reference
-        xEstimateInterResidualQT).  Returns True when the split variant
-        was chosen and fully emitted (syntax after rqt_root_cbf)."""
+    def _encode_inter_2nx2n_forced_split(self, x, y, log2size, desc, preds):
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
+        size = 1 << log2size
+        use_merge = desc[0] == "merge"
+        kids, c_single, cac = self._inter_split_tus(x, y, log2size, preds)
+        if cac:
+            any_c = any(k["c"][comp][2] for k in kids for comp in (1, 2))
+        else:
+            any_c = c_single[1][2] or c_single[2][2]
+        any_cbf = any_c or any(k["cbf"] for k in kids)
+        pic.set_rect(pic.cbf_y, x, y, size, size,
+                     1 if any(k["cbf"] for k in kids) else 0)
+        is_skip = use_merge and not any_cbf
+        self._write_bypass_flag(x, y, size)
+        enc.encode_bin(bank["skip"], self._skip_ctx(x, y),
+                       1 if is_skip else 0)
+        pic.set_rect(pic.skip, x, y, size, size, 1 if is_skip else 0)
+        if is_skip:
+            self._write_merge_idx(desc[1])
+            for comp in range(3):
+                ssx = sps.chroma_shift_x() if comp else 0
+                ssy = sps.chroma_shift_y() if comp else 0
+                nx, ny = size >> ssx, size >> ssy
+                self.recon[comp][y >> ssy:(y >> ssy) + ny,
+                                 x >> ssx:(x >> ssx) + nx] = preds[comp]
+            self._finish_cu_qp(x, y, size)
+            return
+        enc.encode_bin(bank["pred_mode"], 0, 0)
+        enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
+        self._write_pu_syntax(desc)
+        if not use_merge:
+            enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
+        if any_cbf:
+            self._inter_emit_split(x, y, log2size, preds, kids, c_single,
+                                   cac)
+        else:
+            # no residual: reconstruction = prediction
+            for comp in range(3):
+                ssx = sps.chroma_shift_x() if comp else 0
+                ssy = sps.chroma_shift_y() if comp else 0
+                nx, ny = size >> ssx, size >> ssy
+                self.recon[comp][y >> ssy:(y >> ssy) + ny,
+                                 x >> ssx:(x >> ssx) + nx] = preds[comp]
+            self._finish_cu_qp(x, y, size)
+
+    def _inter_split_tus(self, x, y, log2size, preds):
+        """Compute the one-level-split TU variant of a 2Nx2N inter CU:
+        (kids, c_single, chroma_at_children)."""
         from ..hostdec.tables import SCAN_DIAG
-        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
         size = 1 << log2size
         half = size >> 1
         l2 = log2size - 1
-        bd = cfg.bit_depth
         children = ((0, 0), (half, 0), (0, half), (half, half))
         chroma_at_children = (l2 - 1) >= 2
         orig_l = self.orig[0][y:y + size, x:x + size].astype(np.int32)
         resi_l = orig_l - preds[0]
-        # per-child transforms
         kids = []
         for (dx, dy) in children:
             lev, rec, cbf = self._tu_fwd(
                 resi_l[dy:dy + half, dx:dx + half], False, 0, SCAN_DIAG,
                 False)
-            entry = {"lev": lev, "rec": rec, "cbf": cbf, "c": {}}
-            kids.append(entry)
+            kids.append({"lev": lev, "rec": rec, "cbf": cbf, "c": {}})
+        c_single = None
         if chroma_at_children:
             cn = half >> 1
             for ci, (dx, dy) in enumerate(children):
@@ -1459,6 +1503,24 @@ class IntraEncoder:
                 lev, rec, cbf = self._tu_fwd(oc - preds[comp], False, comp,
                                              SCAN_DIAG, False)
                 c_single[comp] = (lev, rec, cbf)
+        return kids, c_single, chroma_at_children
+
+    def _inter_rqt_try_split(self, x, y, log2size, preds, whole_rec,
+                             whole_cbfs):
+        """One-level inter TU split trial for a 2Nx2N CU (reference
+        xEstimateInterResidualQT).  Returns True when the split variant
+        was chosen and fully emitted (syntax after rqt_root_cbf)."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        from ..hostdec.tables import SCAN_DIAG
+        size = 1 << log2size
+        half = size >> 1
+        bd = cfg.bit_depth
+        children = ((0, 0), (half, 0), (0, half), (half, half))
+        orig_l = self.orig[0][y:y + size, x:x + size].astype(np.int32)
+        resi_l = orig_l - preds[0]
+        kids, c_single, chroma_at_children = self._inter_split_tus(
+            x, y, log2size, preds)
 
         # RD proxy: luma SSE + lambda * nonzero-coefficient count
         lam = max(1, 1 << ((self.cur_qp - 12) // 6))
@@ -1478,8 +1540,24 @@ class IntraEncoder:
             [k["lev"] for k in kids if k["cbf"]]) + lam * 12
         if cost_whole <= cost_split:
             return False
+        self._inter_emit_split(x, y, log2size, preds, kids, c_single,
+                               chroma_at_children)
+        return True
 
-        # emit the split variant
+    def _inter_emit_split(self, x, y, log2size, preds, kids, c_single,
+                          chroma_at_children):
+        """Emit the one-level-split TT of a 2Nx2N inter CU (syntax after
+        rqt_root_cbf) + reconstruction.  For 64x64 CUs the split is
+        forced and the subdiv flag is inferred."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        from ..hostdec.tables import SCAN_DIAG
+        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
+        size = 1 << log2size
+        half = size >> 1
+        l2 = log2size - 1
+        bd = cfg.bit_depth
+        children = ((0, 0), (half, 0), (0, half), (half, half))
         min_tu = self._tt_min_tu(log2size, False)
         self._maybe_write_subdiv(log2size, 1, min_tu=min_tu)
         if chroma_at_children:
@@ -1553,7 +1631,6 @@ class IntraEncoder:
                 self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
                     preds[comp] + (crec if ccbf else 0), 0, (1 << bd) - 1)
         self._finish_cu_qp(x, y, size)
-        return True
 
     # ------------------------------------------------------------------
     def _write_inter_part_size(self, part, log2size):
@@ -2135,6 +2212,10 @@ class IntraEncoder:
         self.enc.encode_bin(self.bank["trans_subdiv"], 5 - log2size, value)
 
     def _encode_cu_intra_2nx2n(self, x, y, log2size, _forced=None):
+        if log2size > self.sps.log2_max_tb:
+            # CU larger than the maximum TB (64x64 CUs): the transform
+            # tree split is forced/inferred (no subdiv bin)
+            return self._encode_cu_intra_rqt_split(x, y, log2size)
         if _forced is None and self._intra_rqt_eligible(log2size) and \
                 isinstance(self.enc, _RecordingCabac):
             st = self._save_cu_state(x, y, 1 << log2size)

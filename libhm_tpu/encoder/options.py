@@ -173,11 +173,12 @@ class HmConfig:
             chroma = 2
         elif "444" in profile:
             chroma = 3
-        # CTU sizes above 32 need transform-tree splits below the CU
-        # (QuadtreeTULog2MaxSize is 5); the RDO tree currently codes
-        # TU == CU for 2Nx2N, so clamp -- streams stay conformant, the
-        # partitioning is just one level finer than HM's default
-        cu = min(v.get("cu_size", 64), 32)
+        # 64x64 CUs carry forced one-level TU splits; the forced-split
+        # emitters are 4:2:0-scoped, so RExt chroma formats clamp to 32
+        # (streams stay conformant, partitioning one level finer)
+        cu = v.get("cu_size", 64)
+        if chroma != 1:
+            cu = min(cu, 32)
         cfg = EncoderConfig(
             v.get("width", 0), v.get("height", 0), qp=v.get("qp", 32),
             bit_depth=bit_depth, cu_size=cu,

@@ -194,3 +194,22 @@ def test_inter_rqt_split(tmp_path):
     cfg.max_tr_hierarchy_inter = 1
     stream = IntraEncoder(cfg).encode_stream(frames)
     _verify(stream, tmp_path, nframes=3)
+
+
+def test_cu64_forced_tu_split(tmp_path):
+    """64x64 CTU coding: CUs above the maximum TB size carry forced
+    (inferred-subdiv) one-level TU splits in both intra and inter paths —
+    HM's default MaxCUWidth geometry."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    rng = np.random.RandomState(13)
+    ys, xs = np.mgrid[0:128, 0:192]
+    frames = []
+    for t in range(3):
+        y = ((xs + ys * 2 + 5 * t) % 256).astype(np.int32)
+        y[24:56, 64:128] = rng.randint(0, 256, (32, 64))
+        frames.append((y.astype(np.uint8),
+                       ((xs[::2, ::2] + t) % 256).astype(np.uint8),
+                       ((ys[::2, ::2]) % 256).astype(np.uint8)))
+    cfg = EncoderConfig(192, 128, qp=30, gop="randomaccess", cu_size=64)
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    _verify(stream, tmp_path, nframes=3)
