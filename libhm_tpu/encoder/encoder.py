@@ -294,6 +294,21 @@ class IntraEncoder:
     def encode_stream(self, frames):
         """frames: list of (Y, U, V) uint arrays. Returns Annex-B bytes."""
         cfg = self.cfg
+        if getattr(cfg, "field_coding", False) and \
+                not getattr(self, "_fields_split", False):
+            # field coding (reference TEncGOP isField paths): each frame
+            # becomes a top + bottom field coded as its own picture; the
+            # SPS VUI signals field_seq_flag / frame_field_info and the
+            # picture timing SEI carries pic_struct when HRD is on
+            split = []
+            for (fy, fu, fv) in frames:
+                split.append((fy[0::2], fu[0::2], fv[0::2]))   # top field
+                split.append((fy[1::2], fu[1::2], fv[1::2]))   # bottom
+            frames = split
+            self._fields_split = True
+            cfg.height //= 2
+            cfg.vui_enabled = True
+            self.sps, self.pps = _mk_sps_pps(cfg)
         out = bytearray()
         out += nal_unit(32, write_vps(cfg))
         out += nal_unit(33, write_sps(cfg))
@@ -404,8 +419,14 @@ class IntraEncoder:
                 msgs.append((S.SEI_RECOVERY_POINT, SW.recovery_point(0)))
             self._pics_since_bp = 0
         self._pics_since_bp += 1
+        ps = 0
+        if getattr(cfg, "field_coding", False):
+            # pic_struct 1 = top field, 2 = bottom field (Rec. D.3.3)
+            self._field_parity = getattr(self, "_field_parity", 1)
+            ps = self._field_parity
+            self._field_parity = 3 - self._field_parity
         msgs.append((S.SEI_PIC_TIMING, SW.pic_timing(
-            vui, pic_struct=0, cpb_removal_delay=self._pics_since_bp,
+            vui, pic_struct=ps, cpb_removal_delay=self._pics_since_bp,
             dpb_output_delay=cfg.num_reorder_pics + 1)))
         return nal_unit(39, SW.sei_rbsp(msgs), tid)
 

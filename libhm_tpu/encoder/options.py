@@ -92,6 +92,7 @@ _BOOL_KEYS = {
     "WaveFrontSynchro": "wpp", "ECU": None, "CFM": None, "ESD": None,
     "FEN": None, "FDM": None, "AdaptiveQP": "adaptive_qp",
     "CabacInitFlag": "cabac_init",
+    "FieldCoding": "field_coding",
     "VuiParametersPresent": "vui_enabled",
     "SEIActiveParameterSets": "sei_aps",
     "SEIBufferingPeriod": "hrd_enabled",
@@ -217,6 +218,9 @@ class HmConfig:
         if v.get("vui_enabled") or v.get("hrd_enabled"):
             cfg.vui_enabled = True
         cfg.hrd_enabled = bool(v.get("hrd_enabled", False))
+        cfg.field_coding = bool(v.get("field_coding", False))
+        if cfg.field_coding:
+            cfg.vui_enabled = True   # field_seq_flag + frame_field_info
         if chroma == 1:
             # one-level RQT split trials (the emitter signals subdiv=0 at
             # the children, so any configured depth > 1 stays conformant)

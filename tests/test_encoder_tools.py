@@ -213,3 +213,29 @@ def test_cu64_forced_tu_split(tmp_path):
     cfg = EncoderConfig(192, 128, qp=30, gop="randomaccess", cu_size=64)
     stream = IntraEncoder(cfg).encode_stream(frames)
     _verify(stream, tmp_path, nframes=3)
+
+
+def test_field_coding(tmp_path):
+    """FieldCoding: 1 — frames split into top/bottom field pictures, VUI
+    field_seq_flag set, pic_struct 1/2 in the timing SEIs (reference
+    TEncGOP isField paths)."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    from libhm_tpu.hostdec import sei as S
+    ys, xs = np.mgrid[0:128, 0:192]
+    frames = [(((xs * 2 + ys + 7 * t) % 256).astype(np.uint8),
+               ((xs[::2, ::2] + t) % 256).astype(np.uint8),
+               ((ys[::2, ::2]) % 256).astype(np.uint8)) for t in range(2)]
+    cfg = EncoderConfig(192, 128, qp=30, gop="lowdelayP")
+    cfg.field_coding = True
+    cfg.hrd_enabled = True
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    _verify(stream, tmp_path, nframes=4)
+    d = Decoder(parse="python", recon="numpy")
+    outs = d.decode_annexb(stream)
+    assert len(outs) == 4 and outs[0][0].shape[0] == 64
+    sps = list(d.sps_map.values())[0]
+    assert sps.vui.field_seq == 1
+    structs = [o.pic_struct for _, t, o in d.sei_log
+               if t == S.SEI_PIC_TIMING]
+    assert structs == [1, 2, 1, 2]
