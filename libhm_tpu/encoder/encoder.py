@@ -1261,7 +1261,7 @@ class IntraEncoder:
         pic.set_rect(pic.depth, x, y, size, size, depth)
         self._mark_edges(x, y, size)
         orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
-        lam = max(1, 1 << ((self.cur_qp - 12) // 6))
+        lam = max(1, 1 << max(0, (self.cur_qp - 12) // 6))
 
         # ---- partition trials (PU1 candidates depend on PU0's motion, so
         # each trial applies motion to the maps and restores afterwards)
@@ -1544,7 +1544,7 @@ class IntraEncoder:
             x, y, log2size, preds)
 
         # RD proxy: luma SSE + lambda * nonzero-coefficient count
-        lam = max(1, 1 << ((self.cur_qp - 12) // 6))
+        lam = max(1, 1 << max(0, (self.cur_qp - 12) // 6))
 
         def sse_bits(recs, levs):
             sse = sum(int(((resi_l[dy:dy + half, dx:dx + half] - r) ** 2)

@@ -176,9 +176,9 @@ def test_rate_control_converges():
     from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
     from libhm_tpu.hostdec import nal as N
     from libhm_tpu.hostdec.decoder import Decoder
-    frames = synth_frames(160, 96, 13)
-    target = 1200
-    enc = IntraEncoder(EncoderConfig(160, 96, qp=32, gop="lowdelayP",
+    frames = synth_frames(96, 64, 10)
+    target = 700
+    enc = IntraEncoder(EncoderConfig(96, 64, qp=32, gop="lowdelayP",
                                      rate_kbps=target, fps=30.0))
     stream = enc.encode_stream(frames)
     Decoder().decode_annexb(stream)  # must stay decodable
