@@ -278,10 +278,25 @@ struct ReconCtx {
     int scale = kInvQuantScales[rem];
     int right = 6 - (tshift + per);
     int targetBits = std::min(maxDyn + 1, 32 + right - 7);
-    int64_t lo = -(int64_t(1) << (targetBits - 1));
-    int64_t hi = (int64_t(1) << (targetBits - 1)) - 1;
     const int32_t* c = &pic->coeffs[t.coeff_off];
     size_t nn = size_t(t.w) * t.h;
+    if (maxDyn <= 15 && right > 0) {
+      // int32 fast path: |clipped coeff| <= 2^15, scale <= 72 -> the
+      // product stays under 2^23, and the result clips to +-2^15
+      int32_t lo32 = -(1 << (targetBits - 1));
+      int32_t hi32 = (1 << (targetBits - 1)) - 1;
+      int32_t add = 1 << (right - 1);
+      int32_t t32min = int32_t(tmin), t32max = int32_t(tmax);
+      for (size_t i = 0; i < nn; i++) {
+        int32_t v = c[i];
+        v = v < lo32 ? lo32 : (v > hi32 ? hi32 : v);
+        int32_t q = (v * scale + add) >> right;
+        out[i] = q < t32min ? t32min : (q > t32max ? t32max : q);
+      }
+      return;
+    }
+    int64_t lo = -(int64_t(1) << (targetBits - 1));
+    int64_t hi = (int64_t(1) << (targetBits - 1)) - 1;
     for (size_t i = 0; i < nn; i++) {
       int64_t v = c[i];
       v = v < lo ? lo : (v > hi ? hi : v);
