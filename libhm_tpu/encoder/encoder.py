@@ -328,6 +328,9 @@ class IntraEncoder:
                 poc, nal_type, slice_type, l0, l1, rps = item[:6]
                 pic_qp = item[6] if len(item) > 6 else None
                 tid = item[7] if len(item) > 7 else 0
+                # idr_base: POC-domain origin (DecodingRefreshType 2 IDRs
+                # reset the signalled POC; deltas are domain-invariant)
+                idr_base = item[8] if len(item) > 8 else 0
                 self._ref_lists_pics = [[self._dpb[p] for p in l0],
                                         [self._dpb[p] for p in l1]]
                 if l0:
@@ -337,7 +340,8 @@ class IntraEncoder:
                 elif pic_qp is not None:
                     self.cur_qp = pic_qp
                 slices, recon = self.encode_picture(
-                    frames[poc], poc, nal_type, slice_type, rps=rps)
+                    frames[poc], poc - idr_base, nal_type, slice_type,
+                    rps=rps)
                 nbits = sum(len(s) for s in slices) * 8
                 if self._rc:
                     self._rc.update(nbits)
@@ -346,7 +350,10 @@ class IntraEncoder:
                 for slice_rbsp in slices:
                     out += nal_unit(nal_type, slice_rbsp, tid)
                 out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth), tid)
-                self._dpb[poc] = _RefPic(poc, [r.copy() for r in self.recon],
+                if nal_type in (19, 20) and poc > 0:
+                    self._dpb.clear()    # IDR empties the decoder's DPB
+                self._dpb[poc] = _RefPic(poc - idr_base,
+                                         [r.copy() for r in self.recon],
                                          self.sps, self.pic)
                 if rps is not None:
                     keep = {poc} | {poc + d for d in rps[0] + rps[1]}
@@ -464,43 +471,54 @@ class IntraEncoder:
         FrameN DSL; reference TEncGOP::compressGOP ordering + TEncTop
         selectReferencePictureSet availability rules).
 
-        Yields (poc, nal_type, slice_type, l0, l1, rps, qp, temporal_id) in
-        coding order.  IntraPeriod inserts CRA (DecodingRefreshType 1) or
-        IDR-like refreshes; pictures coded after a CRA with smaller POC are
-        RASL; trailing pictures never reference across the last IRAP.
+        Yields (poc, nal_type, slice_type, l0, l1, rps, qp, temporal_id,
+        idr_base) in coding order.  IntraPeriod inserts CRA
+        (DecodingRefreshType 1) or IDR + POC reset (DecodingRefreshType 2:
+        the boundary closes the GOP -- in-between pictures are coded first
+        referencing only the past, then IDR_N_LP resets the POC domain);
+        pictures coded after a CRA with smaller POC are RASL; trailing
+        pictures never reference across the last IRAP.
         """
         cfg = self.cfg
         entries = cfg.gop_entries
         gop_size = cfg.gop_size or len(entries)
         ip = cfg.intra_period
         refresh = cfg.refresh_type
+        if refresh == 2 and ip > 0 and ip % gop_size:
+            # same constraint the reference enforces for IDR refreshes
+            raise ValueError("DecodingRefreshType 2 needs IntraPeriod to "
+                             "be a multiple of GOPSize")
         coded = set()
-        yield (0, 19, 2, [], [], None, cfg.qp, 0)   # IDR_W_RADL
+        yield (0, 19, 2, [], [], None, cfg.qp, 0, 0)   # IDR_W_RADL
         coded.add(0)
         last_irap = 0
+        idr_base = 0
         base = 0
         while base + 1 < n:
+            pending_idr = None
             for e in entries:
                 poc = base + e.poc
                 if poc >= n or poc in coded:
                     continue
-                coded.add(poc)
                 is_irap = ip > 0 and refresh > 0 and poc % ip == 0
+                if is_irap and refresh == 2:
+                    # defer the IDR until the GOP's earlier pictures are
+                    # coded (closed GOP: no leading pictures allowed)
+                    pending_idr = poc
+                    continue
+                coded.add(poc)
                 if is_irap:
                     # CRA (open GOP).  Its slice header still signals the
                     # GOP entry's RPS so the pictures the following RASL
                     # leading pictures reference survive in the DPB
                     # (reference TEncTop::selectReferencePictureSet).
-                    # DecodingRefreshType 2 (IDR + POC reset) is not
-                    # plumbed; it degrades to CRA which is also a valid
-                    # random access point.
                     last_irap = poc
                     refs = [poc + d for d in e.ref_pics]
                     past = sorted((r for r in refs if 0 <= r < poc
                                    and r in coded), reverse=True)
                     rps = (sorted(r - poc for r in past), [])
                     yield (poc, 21, 2, [], [], rps,
-                           cfg.qp + e.qp_offset, 0)
+                           cfg.qp + e.qp_offset, 0, idr_base)
                     continue
                 # reference availability: in the DPB AND not across the
                 # last IRAP for trailing pictures (leading pictures may
@@ -529,7 +547,14 @@ class IntraEncoder:
                        sorted(set(r - poc for r in past + fut if r > poc)))
                 nal = 8 if leading else 1   # RASL_R / TRAIL_R
                 yield (poc, nal, stype, l0, l1 if stype == 0 else [],
-                       rps, cfg.qp + e.qp_offset, e.temporal_id)
+                       rps, cfg.qp + e.qp_offset, e.temporal_id, idr_base)
+            if pending_idr is not None:
+                coded.add(pending_idr)
+                last_irap = idr_base = pending_idr
+                # IDR_N_LP: nothing precedes it in output order among the
+                # pictures that follow it in coding order
+                yield (pending_idr, 20, 2, [], [], None, cfg.qp, 0,
+                       pending_idr)
             base += gop_size
 
     # ------------------------------------------------------------------

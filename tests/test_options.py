@@ -80,3 +80,30 @@ def test_cfg_driven_encode_decodes(tmp_path):
     outs = dec.decode_annexb(open(out, "rb").read())
     assert len(outs) == 5
     assert all(r.hash_status == "OK" for r in dec.output_records)
+
+
+def test_refresh_type2_idr_poc_reset(tmp_path):
+    """DecodingRefreshType=2: mid-stream IDR_N_LP pictures reset the POC
+    domain (reference TEncGOP::compressGOP m_iLastIDR handling); the GOP
+    crossing the boundary closes (no leading pictures) and every hash SEI
+    still verifies."""
+    from libhm_tpu.apps.enc_app import main as enc_main
+    from libhm_tpu.hostdec.decoder import Decoder
+    from libhm_tpu.hostdec import nal as N
+    yuv = _tiny_yuv(tmp_path, n=17)
+    out = str(tmp_path / "out.bin")
+    rc = enc_main(["-c", os.path.join(REF_CFG,
+                                      "encoder_randomaccess_main.cfg"),
+                   "-i", yuv, "-b", out, "-wdt", "64", "-hgt", "64",
+                   "-f", "17", "-q", "32",
+                   "IntraPeriod=8", "DecodingRefreshType=2",
+                   "MaxCUWidth=32", "MaxPartitionDepth=3"])
+    assert rc == 0
+    data = open(out, "rb").read()
+    types = [N.parse_nal(e).nal_type for e in N.split_annexb(data)]
+    assert types.count(20) == 2          # two mid-stream IDR_N_LP
+    assert 21 not in types               # no CRA when refresh type is 2
+    dec = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    outs = dec.decode_annexb(data)
+    assert len(outs) == 17
+    assert all(r.hash_status == "OK" for r in dec.output_records)
