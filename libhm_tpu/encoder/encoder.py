@@ -272,12 +272,6 @@ def _mk_sps_pps(cfg):
 
 class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
-        if getattr(cfg, "dependent_slices", False) and \
-                getattr(cfg, "wpp", False):
-            raise ValueError(
-                "dependent slice segments + WPP: the row-start context sync "
-                "across segment boundaries is not implemented (the standard "
-                "cfg ladder never combines the two tools)")
         if getattr(cfg, "lossless", False):
             # CUTransquantBypassFlagForce: every CU bypasses transform/
             # quant; SDH doesn't apply and in-loop filters are no-ops on
@@ -787,6 +781,10 @@ class IntraEncoder:
                 bank[k][:] = saved[k]
 
         dep = bool(getattr(cfg, "dependent_slices", False))
+        # the WPP row snapshot spans dependent-segment boundaries (the
+        # decoder's storage persists per picture); cross-slice sync is
+        # already rejected by the slice_idx availability check below
+        wpp_saved = None
         for si, start in enumerate(slice_starts):
             end = slice_starts[si + 1] if si + 1 < len(slice_starts) \
                 else len(scan)
@@ -796,25 +794,29 @@ class IntraEncoder:
             subs = []
             bw = BitWriter()
             enc = CabacEncoder(bw)
-            wpp_saved = None
             for pos in range(start, end):
                 addr = scan[pos]
                 col = addr % wc
                 tile = sd.tile_map[addr]
                 cx = col << sps.log2_ctb
                 cy = (addr // wc) << sps.log2_ctb
-                if pos > start:
+                # a dependent segment starting at a tile boundary or WPP
+                # row start takes the init / sync path instead of the
+                # continued contexts (mirrors slicedec.decode_slice)
+                seg_first = pos == start
+                if pos > start or (seg_first and dep and pos > 0):
                     prev_tile = sd.tile_map[scan[pos - 1]]
                     new_tile = tile != prev_tile
                     new_row = wpp and not new_tile and \
                         col == sd._tile_first_col(addr)
                     if new_tile or new_row:
-                        # previous CTU ended with end_of_subset_one_bit +
-                        # CABAC flush; byte-align and open a new substream
-                        bw.align_zero()
-                        subs.append(bw.data())
-                        bw = BitWriter()
-                        enc = CabacEncoder(bw)
+                        if not seg_first:
+                            # previous CTU ended with end_of_subset_one_bit
+                            # + CABAC flush; byte-align, open new substream
+                            bw.align_zero()
+                            subs.append(bw.data())
+                            bw = BitWriter()
+                            enc = CabacEncoder(bw)
                         if new_tile:
                             bank_reset()
                         else:

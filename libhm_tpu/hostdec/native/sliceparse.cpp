@@ -338,17 +338,25 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
     int cy = (addr / wCtbs) << log2Ctb;
     int col = addr % wCtbs;
     int tile = tileMap[addr];
-    if (posI > startPos) {
+    // A dependent segment whose first CTU sits at a tile boundary or a
+    // WPP row start takes the init / sync path, overriding the continued
+    // contexts (reference TDecSlice::decompressSlice CTXMem rules)
+    bool segFirst = posI == startPos;
+    if (posI > startPos || (segFirst && hdr.dependent && posI > 0)) {
       int prevTile = tileMap[scan[posI - 1]];
       if (tile != prevTile) {
         bank.init(hdr.slice_type, qp, hdr.cabac_init_flag);
         for (int i = 0; i < 4; i++) riceStats[i] = 0;
         lastQp = qp;
-        curSubstream++;
-        d.start(data, len, substreams[curSubstream] * 8);
+        if (!segFirst) {
+          curSubstream++;
+          d.start(data, len, substreams[curSubstream] * 8);
+        }
       } else if (wpp && col == tileFirstCol(addr)) {
-        curSubstream++;
-        d.start(data, len, substreams[curSubstream] * 8);
+        if (!segFirst) {
+          curSubstream++;
+          d.start(data, len, substreams[curSubstream] * 8);
+        }
         bool ok = wppSavedValid && cy > 0 && col + 1 < wCtbs &&
                   tileMap[addr - wCtbs + 1] == tile &&
                   pic->slice_idx[size_t((cy - 4) >> 2) * w4() + ((cx + ctb) >> 2)] == sidx;
@@ -393,6 +401,14 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
       }
     if (sps->sao_enabled) parseSaoCtu(addr, cx, cy);
     parseCqt(cx, cy, log2Ctb, 0);
+    // row snapshot (Rec. 9.3.2.3 storage): taken whenever the 2nd CTU of
+    // a row finishes, even if the slice segment ends here -- a following
+    // dependent segment's rows sync from it
+    if (wpp && col == tileFirstCol(addr) + 1) {
+      wppBank = bank;
+      for (int i = 0; i < 4; i++) wppRice[i] = riceStats[i];
+      wppSavedValid = true;
+    }
     int isLast = d.term();
     if (isLast) {
       if (pps->dependent_slice_segments_enabled) {
@@ -405,11 +421,6 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
     }
     if (wpp && col == tileLastCol(addr)) {
       d.term();  // end_of_subset_one_bit (asserted 1)
-    }
-    if (wpp && col == tileFirstCol(addr) + 1) {
-      wppBank = bank;
-      for (int i = 0; i < 4; i++) wppRice[i] = riceStats[i];
-      wppSavedValid = true;
     }
   }
 }

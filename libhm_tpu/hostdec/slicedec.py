@@ -218,20 +218,26 @@ class SliceDecoder:
             col = addr % wc
             tile = self.tile_map[addr]
 
-            # tile / WPP substream + context management
-            if pos > start_pos:
+            # tile / WPP substream + context management.  A dependent
+            # segment whose first CTU sits at a tile boundary or a WPP row
+            # start takes the init / sync path, overriding the continued
+            # contexts (reference TDecSlice::decompressSlice CTXMem rules)
+            seg_first = pos == start_pos
+            if pos > start_pos or (seg_first and sh.dependent and pos > 0):
                 prev_tile = self.tile_map[scan[pos - 1]]
                 if tile != prev_tile:
                     # new tile: reset contexts, next substream if entry points
                     self.bank = make_context_bank(sh.slice_type, qp, sh.cabac_init_flag)
                     self.rice = RiceStats()
                     self.last_qp = qp
-                    self._next_substream(rbsp)
+                    if not seg_first:
+                        self._next_substream(rbsp)
                 elif wpp and col == self._tile_first_col(addr):
                     # new CTU row: next substream; sync contexts from the
                     # snapshot taken after the 2nd CTU of the row above if the
                     # above-right CTU exists in the same slice and tile
-                    self._next_substream(rbsp)
+                    if not seg_first:
+                        self._next_substream(rbsp)
                     abv_right_ok = (
                         self._wpp_saved is not None and cy > 0 and
                         col + 1 < wc and
@@ -266,6 +272,12 @@ class SliceDecoder:
             self._set_deblock_ctu(cx, cy, sh)
             self.parse_cqt(cx, cy, self.log2_ctb, 0)
 
+            # row snapshot (Rec. 9.3.2.3 storage): taken whenever the 2nd
+            # CTU of a row finishes, even if the slice segment ends here --
+            # a following dependent segment's rows sync from it
+            if wpp and col == self._tile_first_col(addr) + 1:
+                self._wpp_saved = ({k: v.copy() for k, v in self.bank.items()},
+                                   list(self.rice.vals))
             is_last = self.d.decode_terminate()
             if is_last:
                 if self.pps.dependent_slice_segments_enabled:
@@ -276,9 +288,6 @@ class SliceDecoder:
             if wpp and col == self._tile_last_col(addr):
                 one = self.d.decode_terminate()  # end_of_subset_one_bit
                 assert one
-            if wpp and col == self._tile_first_col(addr) + 1:
-                self._wpp_saved = ({k: v.copy() for k, v in self.bank.items()},
-                                   list(self.rice.vals))
         return pic
 
     def _next_substream(self, rbsp):

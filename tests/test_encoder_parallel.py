@@ -97,3 +97,18 @@ def test_dependent_chain_slice_ids():
     import numpy as np
     sidx = np.asarray(d.output_records[0].pic_syntax.slice_idx)
     assert sidx.max() == 0, "all dependent segments must share slice id 0"
+
+
+@pytest.mark.parametrize("slice_ctus", [3, 4, 5],
+                         ids=["midrow", "rowstart", "mixed"])
+def test_wpp_dependent_slices_roundtrip(slice_ctus, tmp_path):
+    """WPP + dependent slice segments: the row snapshot spans segment
+    boundaries and a segment starting exactly at a row start takes the
+    WPP sync instead of the continued contexts (reference
+    TDecSlice::decompressSlice CTXMem rules).  With 4 CTUs per row,
+    slice_ctus=4 puts every boundary at a row start; 3 and 5 land
+    mid-row with cross-segment snapshots."""
+    stream = _encode(128, 96, cu_size=32, wpp=True, dependent_slices=True,
+                     slice_ctus=slice_ctus)
+    _own_ok(stream)
+    _hm_ok(stream, tmp_path)
