@@ -2266,16 +2266,7 @@ class IntraEncoder:
             return self._encode_cu_intra_rqt_split(x, y, log2size)
         if _forced is None and self._intra_rqt_eligible(log2size) and \
                 isinstance(self.enc, _RecordingCabac):
-            st = self._save_cu_state(x, y, 1 << log2size)
-            self._encode_cu_intra_2nx2n(x, y, log2size, _forced="nosplit")
-            cost_whole = self._cu_rd_cost(x, y, 1 << log2size, st[3])
-            self._restore_cu_state(x, y, 1 << log2size, st)
-            self._encode_cu_intra_rqt_split(x, y, log2size)
-            cost_split = self._cu_rd_cost(x, y, 1 << log2size, st[3])
-            if cost_whole <= cost_split:
-                self._restore_cu_state(x, y, 1 << log2size, st)
-                self._encode_cu_intra_2nx2n(x, y, log2size, _forced="nosplit")
-            return
+            return self._encode_cu_intra_2nx2n_rqt(x, y, log2size)
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, self.bank
         size = 1 << log2size
         from ..hostdec.picture import SIZE_2Nx2N
@@ -2567,6 +2558,224 @@ class IntraEncoder:
                         encode_residual(enc, bank, clev, comp, cscan,
                                         self.cfg.sign_hiding,
                                         ts=self._ts_of(clev))
+        self._finish_cu_qp(x, y, size)
+
+    # ------------------------------------------------------------------
+    # Multi-level intra RQT (QuadtreeTUMaxDepthIntra > 1), mirroring the
+    # reference's three phases: the luma tree is RD-searched on its own
+    # (TEncSearch::xRecurIntraCodingQT), chroma then follows the decided
+    # tree (xRecurIntraChromaCodingQT), and the final pass writes the
+    # interleaved transform_tree syntax (Rec. 7.3.8.8 order, matching
+    # the decode-side slicedec._tt exactly).  4:2:0 only.
+    def _mdcs_scan(self, n, mode, comp):
+        """Mode-dependent coefficient scan (Rec. 8.4.4.2.1 MDCS)."""
+        from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
+        sx = self.sps.chroma_shift_x() if comp else 0
+        if n <= (8 >> sx):
+            if abs(mode - 26) <= 4:
+                return SCAN_HOR
+            if abs(mode - 10) <= 4:
+                return SCAN_VER
+        return SCAN_DIAG
+
+    def _luma_rd_cost(self, x, y, size, ops_lo):
+        cfg = self.cfg
+        norm = 1 << (2 * (cfg.bit_depth - 8))
+        o = self.orig[0][y:y + size, x:x + size].astype(np.int64)
+        r = self.recon[0][y:y + size, x:x + size].astype(np.int64)
+        sse = float(((o - r) ** 2).sum()) / norm
+        return sse + self.rd_lambda * self._est_ops_bits(ops_lo)
+
+    def _subdiv_coded(self, l2, min_tu):
+        sps = self.sps
+        return (l2 <= sps.log2_max_tb and l2 != sps.log2_min_tb and
+                l2 != min_tu)
+
+    def _intra_tt_decide(self, x, y, l2, depth, mode, min_tu):
+        """RD-choose the luma transform tree below one intra 2Nx2N CU.
+        Trial syntax (subdiv + cbf_luma + luma coeffs only) is recorded
+        for bit estimation and later discarded by the caller; on return
+        the luma recon / cbf_y / edge maps hold the chosen tree."""
+        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
+        sps, enc, bank = self.sps, self.enc, self.bank
+        size = 1 << l2
+
+        def leaf_try():
+            pred = self._intra_pred(0, x, y, size, mode)
+            resi = (self.orig[0][y:y + size, x:x + size] -
+                    pred).astype(np.int32)
+            scan = self._mdcs_scan(size, mode, 0)
+            lev, rec, cbf = self._tu_fwd(resi, size == 4, 0, scan, True)
+            self.recon[0][y:y + size, x:x + size] = np.clip(
+                pred + rec, 0, (1 << self.cfg.bit_depth) - 1)
+            self.pic.set_rect(self.pic.cbf_y, x, y, size, size, cbf)
+            ef = self.pic.edge_flags
+            ef[y >> 2:(y + size) >> 2, x >> 2] |= EDGE_TU_LEFT
+            ef[y >> 2, x >> 2:(x + size) >> 2] |= EDGE_TU_TOP
+            if self._subdiv_coded(l2, min_tu):
+                enc.encode_bin(bank["trans_subdiv"], 5 - l2, 0)
+            enc.encode_bin(bank["qt_cbf"], 1 if depth == 0 else 0, cbf)
+            if cbf:
+                encode_residual(enc, bank, lev, 0, scan,
+                                self.cfg.sign_hiding, ts=self._ts_of(lev))
+            return {"split": False, "l2": l2, "x": x, "y": y,
+                    "depth": depth, "lev": lev, "cbf": cbf, "scan": scan}
+
+        def split_try():
+            if self._subdiv_coded(l2, min_tu):
+                enc.encode_bin(bank["trans_subdiv"], 5 - l2, 1)
+            h = size >> 1
+            kids = [self._intra_tt_decide(x + dx, y + dy, l2 - 1,
+                                          depth + 1, mode, min_tu)
+                    for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h))]
+            return {"split": True, "l2": l2, "x": x, "y": y,
+                    "depth": depth, "kids": kids}
+
+        if l2 > sps.log2_max_tb:
+            return split_try()
+        if not (l2 > min_tu and l2 > sps.log2_min_tb):
+            return leaf_try()
+        st = self._save_cu_state(x, y, size)
+        mark = st[3]
+        leaf = leaf_try()
+        cost_leaf = self._luma_rd_cost(x, y, size, mark)
+        leaf_state = self._save_cu_state(x, y, size)
+        leaf_ops = list(enc.ops[mark:])
+        self._restore_cu_state(x, y, size, st)
+        split = split_try()
+        cost_split = self._luma_rd_cost(x, y, size, mark)
+        if cost_leaf <= cost_split:
+            self._restore_cu_state(x, y, size, leaf_state)
+            del enc.ops[mark:]
+            enc.ops.extend(leaf_ops)
+            return leaf
+        return split
+
+    def _intra_tt_chroma(self, node, mode):
+        """Compute chroma on the decided luma tree, z-order.  The chroma
+        TB lives at a leaf with luma >= 8x8, or at an 8x8 node that
+        splits into 4x4 lumas (children inherit; Rec. 7.3.8.8)."""
+        l2 = node["l2"]
+        if node["split"] and l2 > 3:
+            for k in node["kids"]:
+                self._intra_tt_chroma(k, mode)
+            node["cb_any"] = 1 if any(k["cb_any"] for k in node["kids"]) \
+                else 0
+            node["cr_any"] = 1 if any(k["cr_any"] for k in node["kids"]) \
+                else 0
+            return
+        x, y, bd = node["x"], node["y"], self.cfg.bit_depth
+        cn = 1 << (l2 - 1)
+        cx, cy = x >> 1, y >> 1
+        ch = {}
+        for comp in (1, 2):
+            pred = self._intra_pred(comp, cx, cy, cn, mode)
+            res = (self.orig[comp][cy:cy + cn, cx:cx + cn] -
+                   pred).astype(np.int32)
+            cscan = self._mdcs_scan(cn, mode, comp)
+            clev, crec, ccbf = self._tu_fwd(res, False, comp, cscan, True)
+            self.recon[comp][cy:cy + cn, cx:cx + cn] = np.clip(
+                pred + crec, 0, (1 << bd) - 1)
+            ch[comp] = (clev, ccbf, cscan)
+        node["chroma"] = ch
+        node["cb_any"], node["cr_any"] = ch[1][1], ch[2][1]
+        if node["split"]:
+            # 4x4 luma children below an 8x8 chroma-holding node
+            for k in node["kids"]:
+                k["cb_any"] = k["cr_any"] = 0
+
+    def _intra_tt_emit(self, node, min_tu, parent_cb, parent_cr, blk_idx,
+                       parent_chroma):
+        """Write one transform_tree node in decoder syntax order."""
+        enc, bank, sps = self.enc, self.bank, self.sps
+        l2, depth = node["l2"], node["depth"]
+        subdiv = node["split"]
+        if self._subdiv_coded(l2, min_tu):
+            enc.encode_bin(bank["trans_subdiv"], 5 - l2, 1 if subdiv else 0)
+        cb, cr = parent_cb, parent_cr
+        if l2 > 2:
+            cb, cr = node["cb_any"], node["cr_any"]
+            if depth == 0 or parent_cb:
+                enc.encode_bin(bank["qt_cbf"], 5 + depth, cb)
+            if depth == 0 or parent_cr:
+                enc.encode_bin(bank["qt_cbf"], 5 + depth, cr)
+        if subdiv:
+            held = node.get("chroma")   # 8x8 node holding the chroma TB
+            for i, k in enumerate(node["kids"]):
+                self._intra_tt_emit(k, min_tu, cb, cr, i, held)
+            return
+        cbf = node["cbf"]
+        enc.encode_bin(bank["qt_cbf"], 1 if depth == 0 else 0, cbf)
+        self._maybe_write_dqp(cbf or cb or cr)
+        if cbf:
+            encode_residual(enc, bank, node["lev"], 0, node["scan"],
+                            self.cfg.sign_hiding, ts=self._ts_of(node["lev"]))
+        ch = node.get("chroma") if l2 > 2 else \
+            (parent_chroma if blk_idx == 3 else None)
+        if ch:
+            for comp in (1, 2):
+                clev, ccbf, cscan = ch[comp]
+                if ccbf:
+                    encode_residual(enc, bank, clev, comp, cscan,
+                                    self.cfg.sign_hiding,
+                                    ts=self._ts_of(clev))
+
+    def _encode_cu_intra_2nx2n_rqt(self, x, y, log2size):
+        """Intra 2Nx2N with a full RD-searched transform tree
+        (QuadtreeTUMaxDepthIntra levels; reference xRecurIntraCodingQT)."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        from ..hostdec.picture import SIZE_2Nx2N
+        from .rd_cost import satd
+        size = 1 << log2size
+        pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
+        pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
+
+        # whole-CU SATD mode decision (shared mode for the tree)
+        orig = self.orig[0][y:y + size, x:x + size]
+        preds_mpm = self.sd._intra_mpm(x, y)
+        lam_pred = self.rd_lambda ** 0.5
+        all_preds = self._intra_all_preds(0, x, y, size)
+        best_mode, best_cost = 1, float("inf")
+        for m in range(35):
+            bits = (2 if preds_mpm.index(m) == 0 else 3) \
+                if m in preds_mpm else 6
+            c = satd(all_preds[m], orig) + lam_pred * bits
+            if c < best_cost:
+                best_cost, best_mode = c, m
+        mode = best_mode
+        pic.set_rect(pic.intra_y, x, y, size, size, mode)
+        pic.set_rect(pic.intra_c, x, y, size, size, mode)
+        self._mark_edges(x, y, size)
+
+        if log2size == sps.log2_min_cb:
+            enc.encode_bin(bank["part_size"], 0, 1)   # 2Nx2N
+        if self._pcm_eligible(log2size):
+            enc.encode_terminate(0)                    # pcm_flag = 0
+        if mode in preds_mpm:
+            idx = preds_mpm.index(mode)
+            enc.encode_bin(bank["intra_luma_mpm"], 0, 1)
+            if idx == 0:
+                enc.encode_bypass(0)
+            else:
+                enc.encode_bypass(1)
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(bank["intra_luma_mpm"], 0, 0)
+            rem = mode
+            for pm in sorted(preds_mpm, reverse=True):
+                if rem > pm:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+        enc.encode_bin(bank["intra_chroma_mode"], 0, 0)  # DM
+
+        self.cu_log2_for_tt = log2size
+        min_tu = self._intra_min_tu_log2(log2size)
+        mark = len(enc.ops)
+        tree = self._intra_tt_decide(x, y, log2size, 0, mode, min_tu)
+        del enc.ops[mark:]            # luma-only trial syntax
+        self._intra_tt_chroma(tree, mode)
+        self._intra_tt_emit(tree, min_tu, 0, 0, 0, None)
         self._finish_cu_qp(x, y, size)
 
     _CU_MAPS = ("depth", "pred_mode", "part_size", "skip", "intra_y",

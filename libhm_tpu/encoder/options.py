@@ -222,8 +222,9 @@ class HmConfig:
         if cfg.field_coding:
             cfg.vui_enabled = True   # field_seq_flag + frame_field_info
         if chroma == 1:
-            # one-level RQT split trials (the emitter signals subdiv=0 at
-            # the children, so any configured depth > 1 stays conformant)
+            # intra: full RD-searched multi-level RQT; inter: one-level
+            # split trials (deeper configured depths stay conformant --
+            # children signal subdiv=0)
             cfg.max_tr_hierarchy_intra = max(
                 0, v.get("tu_depth_intra", 1) - 1)
             cfg.max_tr_hierarchy_inter = max(

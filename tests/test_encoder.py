@@ -421,3 +421,26 @@ def test_amp_partitions():
                            capture_output=True, text=True)
         os.unlink(bit)
         assert r.stdout.count("(OK)") == 3
+
+
+@pytest.mark.parametrize("hier", [1, 2, 3])
+def test_intra_rqt_multilevel(hier, tmp_path):
+    """RD-searched multi-level intra transform tree (QuadtreeTUMaxDepthIntra
+    = hier+1; reference TEncSearch::xRecurIntraCodingQT): streams verify in
+    HM and round-trip through our decoder."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = synth_frames(96, 80, 2)
+    cfg = EncoderConfig(96, 80, qp=32, cu_size=32)
+    cfg.max_tr_hierarchy_intra = hier
+    bs = IntraEncoder(cfg).encode_stream(frames)
+    d = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    d.decode_annexb(bs)
+    assert all(r.hash_status == "OK" for r in d.output_records)
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if os.path.exists(exe):
+        p = tmp_path / "s.bin"
+        p.write_bytes(bs)
+        r = subprocess.run([exe, "-b", str(p), "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        assert r.stdout.count("(OK)") == 2, r.stdout[-400:]
