@@ -1377,10 +1377,20 @@ class IntraEncoder:
         use_merge = desc[0] == "merge"
         is422 = sps.chroma_format_idc == 2
         if log2size > sps.log2_max_tb:
+            if sps.chroma_format_idc == 1:
+                # 64x64 CU: root split forced; the tree search continues
+                # below it
+                return self._encode_inter_res_2nx2n_tree(x, y, log2size,
+                                                         desc, preds)
             # 64x64 CU: the TU split is forced (subdiv inferred); no
             # whole-CU transform exists
             return self._encode_inter_2nx2n_forced_split(x, y, log2size,
                                                          desc, preds)
+        if sps.max_tr_hierarchy_inter > 0 and \
+                sps.chroma_format_idc == 1 and \
+                log2size - 1 >= sps.log2_min_tb:
+            return self._encode_inter_res_2nx2n_tree(x, y, log2size,
+                                                     desc, preds)
         resids, rec_resids, cbfs = [], [], []  # per comp, over square sub-TUs
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
@@ -1425,14 +1435,6 @@ class IntraEncoder:
         self._write_pu_syntax(desc)
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
-        # inter RQT: RD-try a one-level TU split (4:2:0, hierarchy > 0)
-        if any_cbf and sps.max_tr_hierarchy_inter > 0 and \
-                sps.chroma_format_idc == 1 and \
-                log2size - 1 >= sps.log2_min_tb and \
-                log2size <= sps.log2_max_tb:
-            if self._inter_rqt_try_split(x, y, log2size, preds, rec_resids,
-                                         cbfs):
-                return
         min_tu_i = self._tt_min_tu(log2size, False)
         if any_cbf:
             if sps.max_tr_hierarchy_inter > 0:
@@ -1553,44 +1555,228 @@ class IntraEncoder:
                 c_single[comp] = (lev, rec, cbf)
         return kids, c_single, chroma_at_children
 
-    def _inter_rqt_try_split(self, x, y, log2size, preds, whole_rec,
-                             whole_cbfs):
-        """One-level inter TU split trial for a 2Nx2N CU (reference
-        xEstimateInterResidualQT).  Returns True when the split variant
-        was chosen and fully emitted (syntax after rqt_root_cbf)."""
+    def _encode_inter_res_2nx2n_tree(self, x, y, log2size, desc, preds):
+        """2Nx2N inter with an RD-searched transform tree (the skip
+        decision rides on the tree's total cbf)."""
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
-        from ..hostdec.tables import SCAN_DIAG
         size = 1 << log2size
-        half = size >> 1
+        use_merge = desc[0] == "merge"
         bd = cfg.bit_depth
-        children = ((0, 0), (half, 0), (0, half), (half, half))
         orig_l = self.orig[0][y:y + size, x:x + size].astype(np.int32)
         resi_l = orig_l - preds[0]
-        kids, c_single, chroma_at_children = self._inter_split_tus(
-            x, y, log2size, preds)
+        min_tu = self._tt_min_tu(log2size, False)
+        mark = len(enc.ops)
+        tree = self._inter_tt_decide(x, y, log2size, 0, min_tu, resi_l,
+                                     0, 0)
+        del enc.ops[mark:]          # luma-only trial syntax
+        self._inter_tt_chroma(tree, preds, x, y)
+        any_cbf = bool(self._inter_tt_any_luma(tree) or tree["cb_any"] or
+                       tree["cr_any"])
+        is_skip = use_merge and not any_cbf
+        self._write_bypass_flag(x, y, size)
+        enc.encode_bin(bank["skip"], self._skip_ctx(x, y),
+                       1 if is_skip else 0)
+        pic.set_rect(pic.skip, x, y, size, size, 1 if is_skip else 0)
 
-        # RD proxy: luma SSE + lambda * nonzero-coefficient count
-        lam = max(1, 1 << max(0, (self.cur_qp - 12) // 6))
+        def pred_recon():
+            pic.set_rect(pic.cbf_y, x, y, size, size, 0)
+            for comp in range(3):
+                ssx = sps.chroma_shift_x() if comp else 0
+                ssy = sps.chroma_shift_y() if comp else 0
+                nx, ny = size >> ssx, size >> ssy
+                self.recon[comp][y >> ssy:(y >> ssy) + ny,
+                                 x >> ssx:(x >> ssx) + nx] = np.clip(
+                    preds[comp], 0, (1 << bd) - 1)
 
-        def sse_bits(recs, levs):
-            sse = sum(int(((resi_l[dy:dy + half, dx:dx + half] - r) ** 2)
-                          .sum()) for (dx, dy), r in zip(children, recs))
-            bits = sum(int(np.count_nonzero(l)) * 2 + 8 for l in levs)
-            return sse + lam * bits
-        whole_rec_l = whole_rec[0][0] if whole_cbfs[0][0] else 0
-        cost_whole = int(((resi_l - whole_rec_l) ** 2).sum()) + \
-            lam * (int(np.count_nonzero(whole_rec[0][0])) * 2 + 8
-                   if whole_cbfs[0][0] else 8)
-        cost_split = sse_bits(
-            [k["rec"] if k["cbf"] else 0 * resi_l[:half, :half]
-             for k in kids],
-            [k["lev"] for k in kids if k["cbf"]]) + lam * 12
-        if cost_whole <= cost_split:
-            return False
-        self._inter_emit_split(x, y, log2size, preds, kids, c_single,
-                               chroma_at_children)
-        return True
+        if is_skip:
+            self._write_merge_idx(desc[1])
+            pred_recon()
+            self._finish_cu_qp(x, y, size)
+            return
+        enc.encode_bin(bank["pred_mode"], 0, 0)
+        enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
+        self._write_pu_syntax(desc)
+        if not use_merge:
+            enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
+        if any_cbf:
+            self._inter_tt_emit(tree, min_tu, 0, 0, 0, None, preds, x, y)
+        else:
+            pred_recon()
+        self._finish_cu_qp(x, y, size)
+
+    # ------------------------------------------------------------------
+    # Multi-level inter RQT (QuadtreeTUMaxDepthInter > 1; reference
+    # TEncSearch::xEstimateInterResidualQT).  Same three phases as the
+    # intra tree; the prediction is fixed so the decide phase is a pure
+    # residual-partitioning search.  4:2:0 only.
+    def _inter_tt_decide(self, x, y, l2, depth, min_tu, resi_l, ox, oy):
+        """RD-choose the luma transform tree over one inter residual.
+        Trial syntax (subdiv + cbf_luma + coeffs) is recorded for bit
+        estimation and discarded by the caller; no picture state is
+        touched."""
+        from ..hostdec.tables import SCAN_DIAG
+        sps, enc, bank = self.sps, self.enc, self.bank
+        size = 1 << l2
+        sub = resi_l[oy:oy + size, ox:ox + size]
+
+        def leaf_try():
+            lev, rec, cbf = self._tu_fwd(sub, False, 0, SCAN_DIAG, False)
+            if self._subdiv_coded(l2, min_tu):
+                enc.encode_bin(bank["trans_subdiv"], 5 - l2, 0)
+            enc.encode_bin(bank["qt_cbf"], 1 if depth == 0 else 0, cbf)
+            if cbf:
+                encode_residual(enc, bank, lev, 0, SCAN_DIAG,
+                                self.cfg.sign_hiding, ts=self._ts_of(lev))
+            return {"split": False, "l2": l2, "x": x, "y": y,
+                    "depth": depth, "lev": lev, "cbf": cbf, "rec": rec}
+
+        def split_try():
+            if self._subdiv_coded(l2, min_tu):
+                enc.encode_bin(bank["trans_subdiv"], 5 - l2, 1)
+            h = size >> 1
+            kids = [self._inter_tt_decide(x + dx, y + dy, l2 - 1, depth + 1,
+                                          min_tu, resi_l, ox + dx2, oy + dy2)
+                    for (dx, dy), (dx2, dy2) in
+                    zip(((0, 0), (h, 0), (0, h), (h, h)),
+                        ((0, 0), (h, 0), (0, h), (h, h)))]
+            return {"split": True, "l2": l2, "x": x, "y": y,
+                    "depth": depth, "kids": kids}
+
+        def tree_sse(node, o_x, o_y):
+            if node["split"]:
+                hh = 1 << (node["l2"] - 1)
+                return sum(tree_sse(k, o_x + dx, o_y + dy)
+                           for k, (dx, dy) in
+                           zip(node["kids"],
+                               ((0, 0), (hh, 0), (0, hh), (hh, hh))))
+            n = 1 << node["l2"]
+            r = resi_l[o_y:o_y + n, o_x:o_x + n]
+            d = r - node["rec"] if node["cbf"] else r
+            return float((d.astype(np.int64) ** 2).sum())
+
+        if l2 > sps.log2_max_tb:
+            return split_try()
+        if not (l2 > min_tu and l2 > sps.log2_min_tb):
+            return leaf_try()
+        mark = len(enc.ops)
+        leaf = leaf_try()
+        norm = 1 << (2 * (self.cfg.bit_depth - 8))
+        cost_leaf = tree_sse(leaf, ox, oy) / norm + \
+            self.rd_lambda * self._est_ops_bits(mark)
+        leaf_ops = list(enc.ops[mark:])
+        del enc.ops[mark:]
+        split = split_try()
+        cost_split = tree_sse(split, ox, oy) / norm + \
+            self.rd_lambda * self._est_ops_bits(mark)
+        if cost_leaf <= cost_split:
+            del enc.ops[mark:]
+            enc.ops.extend(leaf_ops)
+            return leaf
+        return split
+
+    def _inter_tt_chroma(self, node, preds, cu_x, cu_y):
+        """Chroma TUs on the decided inter luma tree (Rec. 7.3.8.8
+        placement rules, as in the intra tree)."""
+        from ..hostdec.tables import SCAN_DIAG
+        l2 = node["l2"]
+        if node["split"] and l2 > 3:
+            for k in node["kids"]:
+                self._inter_tt_chroma(k, preds, cu_x, cu_y)
+            node["cb_any"] = 1 if any(k["cb_any"] for k in node["kids"]) \
+                else 0
+            node["cr_any"] = 1 if any(k["cr_any"] for k in node["kids"]) \
+                else 0
+            return
+        x, y = node["x"], node["y"]
+        cn = 1 << (l2 - 1)
+        cx, cy = x >> 1, y >> 1
+        ch = {}
+        for comp in (1, 2):
+            oc = self.orig[comp][cy:cy + cn, cx:cx + cn].astype(np.int32)
+            pc = preds[comp][(y - cu_y) >> 1:((y - cu_y) >> 1) + cn,
+                             (x - cu_x) >> 1:((x - cu_x) >> 1) + cn]
+            clev, crec, ccbf = self._tu_fwd(oc - pc, False, comp,
+                                            SCAN_DIAG, False)
+            ch[comp] = (clev, crec, ccbf, pc)
+        node["chroma"] = ch
+        node["cb_any"], node["cr_any"] = ch[1][2], ch[2][2]
+        if node["split"]:
+            for k in node["kids"]:
+                k["cb_any"] = k["cr_any"] = 0
+
+    def _inter_tt_any_luma(self, node):
+        if node["split"]:
+            return any(self._inter_tt_any_luma(k) for k in node["kids"])
+        return bool(node["cbf"])
+
+    def _inter_tt_emit(self, node, min_tu, parent_cb, parent_cr, blk_idx,
+                       parent_chroma, preds, cu_x, cu_y):
+        """Write one inter transform_tree node in decoder order and
+        reconstruct as it goes."""
+        from ..hostdec.tables import SCAN_DIAG
+        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
+        enc, bank, sps, pic = self.enc, self.bank, self.sps, self.pic
+        l2, depth = node["l2"], node["depth"]
+        subdiv = node["split"]
+        bd = self.cfg.bit_depth
+        if self._subdiv_coded(l2, min_tu):
+            enc.encode_bin(bank["trans_subdiv"], 5 - l2, 1 if subdiv else 0)
+        cb, cr = parent_cb, parent_cr
+        if l2 > 2:
+            cb, cr = node["cb_any"], node["cr_any"]
+            if depth == 0 or parent_cb:
+                enc.encode_bin(bank["qt_cbf"], 5 + depth, cb)
+            if depth == 0 or parent_cr:
+                enc.encode_bin(bank["qt_cbf"], 5 + depth, cr)
+        if subdiv:
+            held = node.get("chroma")
+            for i, k in enumerate(node["kids"]):
+                self._inter_tt_emit(k, min_tu, cb, cr, i, held,
+                                    preds, cu_x, cu_y)
+            if held:
+                self._inter_tt_chroma_recon(node, held, bd)
+            return
+        x, y = node["x"], node["y"]
+        size = 1 << l2
+        cbf = node["cbf"]
+        if depth > 0 or cb or cr:
+            enc.encode_bin(bank["qt_cbf"], 1 if depth == 0 else 0, cbf)
+        self._maybe_write_dqp(cbf or cb or cr)
+        if cbf:
+            encode_residual(enc, bank, node["lev"], 0, SCAN_DIAG,
+                            self.cfg.sign_hiding, ts=self._ts_of(node["lev"]))
+        rec_r = node["rec"] if cbf else 0
+        self.recon[0][y:y + size, x:x + size] = np.clip(
+            preds[0][y - cu_y:y - cu_y + size,
+                     x - cu_x:x - cu_x + size] + rec_r, 0, (1 << bd) - 1)
+        pic.set_rect(pic.cbf_y, x, y, size, size, cbf)
+        ef = pic.edge_flags
+        ef[y >> 2:(y + size) >> 2, x >> 2] |= EDGE_TU_LEFT
+        ef[y >> 2, x >> 2:(x + size) >> 2] |= EDGE_TU_TOP
+        ch = node.get("chroma") if l2 > 2 else \
+            (parent_chroma if blk_idx == 3 else None)
+        if ch:
+            for comp in (1, 2):
+                clev, crec, ccbf, pc = ch[comp]
+                gate = cb if comp == 1 else cr
+                if l2 <= 2:
+                    # chroma held at the 8x8 parent: its own cbf values
+                    gate = ccbf
+                if gate and ccbf:
+                    encode_residual(enc, bank, clev, comp, SCAN_DIAG,
+                                    self.cfg.sign_hiding,
+                                    ts=self._ts_of(clev))
+            if l2 > 2:
+                self._inter_tt_chroma_recon(node, ch, bd)
+
+    def _inter_tt_chroma_recon(self, node, ch, bd):
+        cn = 1 << (node["l2"] - 1)
+        cx, cy = node["x"] >> 1, node["y"] >> 1
+        for comp in (1, 2):
+            clev, crec, ccbf, pc = ch[comp]
+            self.recon[comp][cy:cy + cn, cx:cx + cn] = np.clip(
+                pc + (crec if ccbf else 0), 0, (1 << bd) - 1)
 
     def _inter_emit_split(self, x, y, log2size, preds, kids, c_single,
                           chroma_at_children):

@@ -222,9 +222,7 @@ class HmConfig:
         if cfg.field_coding:
             cfg.vui_enabled = True   # field_seq_flag + frame_field_info
         if chroma == 1:
-            # intra: full RD-searched multi-level RQT; inter: one-level
-            # split trials (deeper configured depths stay conformant --
-            # children signal subdiv=0)
+            # full RD-searched multi-level RQT (intra and inter)
             cfg.max_tr_hierarchy_intra = max(
                 0, v.get("tu_depth_intra", 1) - 1)
             cfg.max_tr_hierarchy_inter = max(

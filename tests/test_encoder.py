@@ -444,3 +444,27 @@ def test_intra_rqt_multilevel(hier, tmp_path):
         r = subprocess.run([exe, "-b", str(p), "-o", "/dev/null"],
                            capture_output=True, text=True)
         assert r.stdout.count("(OK)") == 2, r.stdout[-400:]
+
+
+@pytest.mark.parametrize("cu,hier", [(32, 2), (64, 2)])
+def test_inter_rqt_multilevel(cu, hier, tmp_path):
+    """RD-searched multi-level inter transform tree
+    (QuadtreeTUMaxDepthInter; reference xEstimateInterResidualQT),
+    including the forced-split 64x64 root."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    w = h = 128 if cu == 64 else 96
+    frames = synth_frames(w, h, 3)
+    cfg = EncoderConfig(w, h, qp=32, cu_size=cu, gop="lowdelayB")
+    cfg.max_tr_hierarchy_inter = hier
+    bs = IntraEncoder(cfg).encode_stream(frames)
+    d = Decoder(parse="native", recon="native", check_sei_hash=True)
+    d.decode_annexb(bs)
+    assert all(r.hash_status == "OK" for r in d.output_records)
+    exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
+    if os.path.exists(exe):
+        p = tmp_path / "s.bin"
+        p.write_bytes(bs)
+        r = subprocess.run([exe, "-b", str(p), "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        assert r.stdout.count("(OK)") == 3, r.stdout[-400:]
