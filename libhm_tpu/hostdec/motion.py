@@ -421,9 +421,12 @@ class MotionDeriver:
 def _fetch_block(plane, x0, y0, w, h):
     """Gather with edge clamp (equivalent to reference border extension)."""
     H, W = plane.shape
+    if 0 <= x0 and x0 + w <= W and 0 <= y0 and y0 + h <= H:
+        # fully interior block: plain slice (the overwhelmingly common case)
+        return plane[y0:y0 + h, x0:x0 + w].astype(np.int32)
     ys = np.clip(np.arange(y0, y0 + h), 0, H - 1)
     xs = np.clip(np.arange(x0, x0 + w), 0, W - 1)
-    return plane[np.ix_(ys, xs)].astype(np.int64)
+    return plane[np.ix_(ys, xs)].astype(np.int32)
 
 
 def _interp(plane, x, y, w, h, mvx, mvy, frac_bits_x, frac_bits_y, taps,
@@ -472,7 +475,7 @@ def _filt_params(bd, is_first, is_last):
 
 def _filt_h(src, coefs, taps, w, bd, is_first, is_last):
     shift, offset = _filt_params(bd, is_first, is_last)
-    acc = np.zeros((src.shape[0], w), np.int64)
+    acc = np.zeros((src.shape[0], w), np.int32)
     for i in range(taps):
         c = int(coefs[i])
         if c:
@@ -485,7 +488,7 @@ def _filt_h(src, coefs, taps, w, bd, is_first, is_last):
 
 def _filt_v(src, coefs, taps, h, bd, is_first, is_last):
     shift, offset = _filt_params(bd, is_first, is_last)
-    acc = np.zeros((h, src.shape[1]), np.int64)
+    acc = np.zeros((h, src.shape[1]), np.int32)
     for i in range(taps):
         c = int(coefs[i])
         if c:
