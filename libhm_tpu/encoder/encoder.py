@@ -1189,9 +1189,10 @@ class IntraEncoder:
         from ..hostdec.picture import SIZE_2Nx2N
         orig = self.orig[0][py:py + h, px:px + w].astype(np.int32)
         best = None
+        clist = self.motion.merge_candidate_list(px, py, w, h, cx, cy,
+                                                 cu_size, pu_idx, part_size)
         for mi in range(self.cfg.max_merge_cand):
-            cand = self.motion.merge_candidates(px, py, w, h, cx, cy, cu_size,
-                                                pu_idx, part_size, mi)
+            cand = clist[mi]
             dir_ = cand.inter_dir
             if self.sh.num_ref_idx[1] == 0:
                 dir_ &= 1

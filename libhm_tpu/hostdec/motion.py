@@ -118,6 +118,14 @@ class MotionDeriver:
     # merge (Rec. 8.5.3.2.3 / reference getInterMergeCandidates)
     def merge_candidates(self, x, y, w, h, cx, cy, cu_size, pu_idx, part_size,
                          merge_idx):
+        return self.merge_candidate_list(x, y, w, h, cx, cy, cu_size,
+                                         pu_idx, part_size)[merge_idx]
+
+    def merge_candidate_list(self, x, y, w, h, cx, cy, cu_size, pu_idx,
+                             part_size):
+        """The full padded candidate list (derive once; the per-index
+        accessor above re-derives every call, which the encoder's
+        candidate sweep should avoid)."""
         sd, sh = self.sd, self.sh
         plevel = sd.pps.log2_parallel_merge_level
         single_mcl = plevel > 2 and cu_size == 8
@@ -219,7 +227,7 @@ class MotionDeriver:
             else:
                 cands.append(Cand(1, [(0, 0), (0, 0)], [r, -1]))
             zero_idx += 1
-        return cands[merge_idx]
+        return cands
 
     # ------------------------------------------------------------------
     def _tmvp(self, x, y, w, h, target_list, target_ref_idx):
