@@ -374,6 +374,20 @@ class Decoder:
         if self.recon == "native":
             assert self.parse == "native", "recon='native' needs parse='native'"
             planes = None
+        elif self.recon == "collect":
+            # defer reconstruction: stash the parse products so a batched
+            # backend (parallel/batch_decode) can run all pictures in one
+            # device program
+            planes = None
+            if not hasattr(self, "collected"):
+                self.collected = []
+            self.collected.append(dict(
+                sps=sps, pps=pps, pic=pic, zmap=sd._zmap,
+                tile_map=sd.tile_map, poc=sh.poc,
+                temporal_id=nalu.temporal_id,
+                output_flag=sh.pic_output_flag,
+                pending_hash=self._pending_hash))
+            self._pending_hash = None
         elif self.recon == "tpu" and sps.scaling_list_enabled and \
                 sps.extended_precision:
             # scaling lists + extended precision would need int64 dequant
@@ -437,6 +451,8 @@ class Decoder:
         self._cur_sei = []
         if self.recon == "native":
             dp.cropped_planes = meta["cropped"]
+        elif self.recon == "collect":
+            dp.cropped_planes = []   # real planes come from the batch recon
         dp.pic_syntax = pic
         dp.hash_status = None
         if self.check_sei_hash:
