@@ -156,8 +156,13 @@ def _scan_fn_batched(sizes, comp_is_luma, bd, W, H):
     return jax.jit(jax.vmap(run_one))
 
 
-def _intra_batch(items, comp, planes_all, res_all):
-    """Batched wavefront over all pictures for one component."""
+def _intra_batch(items, comp, planes_all, res_all, mesh=None):
+    """Batched wavefront over all pictures for one component.
+
+    With a mesh, the picture axis is sharded over its first axis (pure
+    data parallelism -- XLA partitions the vmapped scan with no
+    collectives; pictures pad up to a multiple of the mesh size with
+    scatter-dropped dummies)."""
     sps = items[0]["sps"]
     ssx = sps.chroma_shift_x() if comp else 0
     ssy = sps.chroma_shift_y() if comp else 0
@@ -176,6 +181,17 @@ def _intra_batch(items, comp, planes_all, res_all):
     sizes = tuple(sorted({n for lv, _ in preps if lv for n in lv}))
     Lmax = _pow2(max(max(L, 1) for _, L in preps))
     B = len(items)
+    Bp = B
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        m = int(mesh.devices.size)
+        Bp = -(-B // m) * m
+        axis = mesh.axis_names[0]
+
+        def shard(a):
+            spec = PartitionSpec(*((axis,) + (None,) * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
     batched = {}
     for n in sizes:
         Kmax = _pow2(max((lv[n]["xs"].shape[1] for lv, _ in preps
@@ -183,7 +199,7 @@ def _intra_batch(items, comp, planes_all, res_all):
         T = 4 * n + 1
 
         def alloc(shape_tail, fill, dtype):
-            return np.full((B, Lmax) + shape_tail, fill, dtype)
+            return np.full((Bp, Lmax) + shape_tail, fill, dtype)
 
         d = dict(xs=alloc((Kmax,), W + 1024, np.int32),
                  ys=alloc((Kmax,), H + 1024, np.int32),
@@ -200,20 +216,30 @@ def _intra_batch(items, comp, planes_all, res_all):
             L0, K0 = src["xs"].shape[:2]
             for k, v in src.items():
                 d[k][b, :L0, :K0] = v
-        batched[n] = {k: jnp.asarray(v) for k, v in d.items()}
+        batched[n] = {k: shard(jnp.asarray(v)) if shard else jnp.asarray(v)
+                      for k, v in d.items()}
     run = _scan_fn_batched(sizes, comp == 0, bd, W, H)
-    stacked = jnp.asarray(np.stack([planes_all[b][comp] for b in range(B)]))
+    pl = [planes_all[b][comp] for b in range(B)]
+    pl += [np.zeros_like(pl[0])] * (Bp - B)
+    stacked = jnp.asarray(np.stack(pl))
+    if shard:
+        stacked = shard(stacked)
     out = np.asarray(run(stacked, batched))
     for b in range(B):
         planes_all[b][comp][:, :] = out[b]
 
 
 # ---------------------------------------------------------------------------
-def decode_intra_batch(data, parse="native", check_sei_hash=False):
+def decode_intra_batch(data, parse="native", check_sei_hash=False,
+                       mesh=None):
     """Decode an all-intra Annex-B stream with cross-picture batching.
 
     Returns the list of DecodedPicture in output order (same results as
     Decoder(recon="tpu"), which reconstructs one picture at a time).
+    mesh: optional jax.sharding.Mesh -- shards the picture axis of the
+    wavefront over the mesh's first axis (decode data parallelism over
+    pictures; the multi-chip equivalent of the reference's one-process
+    serial decode, SURVEY.md section 2.5).
     """
     from ..hostdec.decoder import Decoder, DecodedPicture
     from ..recon_tpu import deblock_picture_tpu, sao_picture_tpu
@@ -243,7 +269,7 @@ def decode_intra_batch(data, parse="native", check_sei_hash=False):
             planes_all[b][c][y:y + h, x:x + w] = samples << (bd - bits)
     ncomp = 3 if sps0.chroma_format_idc else 1
     for c in range(ncomp):
-        _intra_batch(items, c, planes_all, res_all)
+        _intra_batch(items, c, planes_all, res_all, mesh=mesh)
 
     outs = []
     for b, it in enumerate(items):

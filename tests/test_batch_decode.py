@@ -35,3 +35,21 @@ def test_batched_ai_decode_rejects_inter():
     data = open(os.path.join(ROOT, "testdata", e["bitstream"]), "rb").read()
     with pytest.raises(ValueError):
         decode_intra_batch(data, parse="native")
+
+
+def test_batched_ai_decode_sharded_mesh():
+    """Picture-axis data parallelism: the batched wavefront shards over an
+    8-device mesh and stays bit-exact."""
+    import jax
+    from jax.sharding import Mesh
+    from libhm_tpu.parallel.batch_decode import decode_intra_batch
+    devs = np.array(jax.devices())
+    if devs.size < 2:
+        pytest.skip("needs a multi-device backend")
+    mesh = Mesh(devs, ("pic",))
+    e = GOLDEN["intra_416x240"]
+    data = open(os.path.join(ROOT, "testdata", e["bitstream"]), "rb").read()
+    outs = decode_intra_batch(data, parse="native", mesh=mesh)
+    outs.sort(key=lambda d: d.poc)
+    buf = b"".join(p.tobytes() for dp in outs for p in dp.cropped())
+    assert hashlib.md5(buf).hexdigest() == e["decoded_yuv_md5"]
