@@ -18,7 +18,12 @@ STREAMS = ["wp_lowdelayP_416x240", "dqp_intra_416x240",
            "rext422_intra_416x240", "rext422_lowdelayP_416x240",
            "rext444_randomaccess_416x240", "mono_intra_416x240",
            "main12_intra_416x240", "cra_randomaccess_416x240",
-           "cra_start_416x240"]
+           "cra_start_416x240",
+           # HM-encoder adversarial set: real cross-component prediction
+           # use, 4:2:2 with RDOQ/strong-smoothing off + SAOLcuBoundary,
+           # chroma QP offsets + slice deblock offsets + 3 merge cands
+           "ccp444_lowdelay_160x96", "rext422_noRdoq_160x96",
+           "chromaqp_ra_160x96"]
 
 
 def decode_and_hash(name, parse, recon):
