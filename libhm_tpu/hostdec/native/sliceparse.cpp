@@ -931,8 +931,9 @@ void SliceParser::emitTu(int x, int y, int log2size, int trDepth, int blkIdx,
   bool hasChroma = sps->chroma_format_idc != 0;
   bool chromaHere = hasChroma && (log2size - ssx >= 2);
   bool chromaLast = hasChroma && !chromaHere && blkIdx == 3;
-  bool chromaCbf = (chromaHere || chromaLast) &&
-                   (cbfCb[0] || cbfCb[1] || cbfCr[0] || cbfCr[1]);
+  // the PROPAGATED chroma cbf gates the chroma-QP adjustment even at 4x4
+  // sub-TUs whose chroma coded at the parent (TDecEntropy.cpp:530)
+  bool chromaCbf = cbfCb[0] || cbfCb[1] || cbfCr[0] || cbfCr[1];
   // dQP gating counts chroma cbfs stored at this part even when the chroma
   // blocks are coded at the parent node (TDecEntropy.cpp:505)
   bool anyCbf = cbfY || cbfCb[0] || cbfCb[1] || cbfCr[0] || cbfCr[1];

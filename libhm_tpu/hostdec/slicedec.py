@@ -920,8 +920,12 @@ class SliceDecoder:
             if pps.cu_qp_delta_enabled and not self.is_qp_delta_coded:
                 self._parse_cu_qp_delta()
                 self.is_qp_delta_coded = True
-            chroma_cbf_present = (chroma_here or chroma_last) and \
-                (cbf_cb[0] or cbf_cb[1] or cbf_cr[0] or cbf_cr[1])
+            # like dQP, the gate counts the PROPAGATED chroma cbf at this
+            # part -- so the adjustment parses at the first 4x4 sub-TU of
+            # a split 8x8 even though its chroma coded at the parent
+            # (reference TDecEntropy.cpp:530 validChromaCbf via getCbf)
+            chroma_cbf_present = \
+                cbf_cb[0] or cbf_cb[1] or cbf_cr[0] or cbf_cr[1]
             if self.sh.cu_chroma_qp_offset_enabled and chroma_cbf_present and \
                     not self.cu_tq_bypass and not self.is_chroma_qp_adj_coded:
                 self._parse_chroma_qp_adj()

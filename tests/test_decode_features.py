@@ -23,7 +23,14 @@ STREAMS = ["wp_lowdelayP_416x240", "dqp_intra_416x240",
            # use, 4:2:2 with RDOQ/strong-smoothing off + SAOLcuBoundary,
            # chroma QP offsets + slice deblock offsets + 3 merge cands
            "ccp444_lowdelay_160x96", "rext422_noRdoq_160x96",
-           "chromaqp_ra_160x96"]
+           "chromaqp_ra_160x96",
+           # second adversarial round: high-throughput RExt 4:4:4 intra,
+           # RD-chosen transquant bypass + implicit/explicit RDPCM,
+           # cu_chroma_qp_offset + parallel merge level 5 (found a real
+           # desync: the adjustment parses at the first 4x4 sub-TU, gated
+           # by the PROPAGATED chroma cbf), 4:0:0 inter
+           "ht_rext444_intra_160x96", "mixed_lossless_rdpcm_160x96",
+           "chromaqpadj_parmrg_160x96", "mono_lowdelay_160x96"]
 
 
 def decode_and_hash(name, parse, recon):
