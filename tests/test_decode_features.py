@@ -30,7 +30,12 @@ STREAMS = ["wp_lowdelayP_416x240", "dqp_intra_416x240",
            # desync: the adjustment parses at the first 4x4 sub-TU, gated
            # by the PROPAGATED chroma cbf), 4:0:0 inter
            "ht_rext444_intra_160x96", "mixed_lossless_rdpcm_160x96",
-           "chromaqpadj_parmrg_160x96", "mono_lowdelay_160x96"]
+           "chromaqpadj_parmrg_160x96", "mono_lowdelay_160x96",
+           # third round: file-specified (custom) scaling lists,
+           # constrained intra prediction on an RA GOP, tiles with
+           # loop_filter_across_tiles off, PCM at reduced sample depth
+           "customsl_lowdelay_160x96", "cip_ra_160x96",
+           "tiles_nolfcross_512x128", "pcm_reduceddepth_160x96"]
 
 
 def decode_and_hash(name, parse, recon):
