@@ -26,6 +26,12 @@ def main(argv=None):
     ap.add_argument("--print-sei", action="store_true",
                     help="dump decoded SEI messages (TAppDecTop's "
                          "outputDecodedSEIMessagesFilename equivalent)")
+    ap.add_argument("--weave-fields", action="store_true",
+                    help="pair even/odd-POC field pictures and write "
+                         "row-interleaved frames (TAppDecTop field "
+                         "output; parity from the pic_struct SEI). The "
+                         "reference app only weaves pairs it recognises "
+                         "mid-stream — this option weaves every pair")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -58,6 +64,14 @@ def main(argv=None):
                         v = [x.hex() for x in v]
                     print(f"  {k}: {v}")
     print(f"decoded {len(outs)} pictures in {dt:.3f}s ({len(outs)/dt:.2f} fps)")
+    if args.output and args.weave_fields:
+        from ..hostdec.fields import weave_fields
+        frames = weave_fields(dec.output_records)
+        with open(args.output, "wb") as f:
+            for fr in frames:
+                for plane in fr:
+                    plane.tofile(f)
+        return 0
     if args.output:
         with open(args.output, "wb") as f:
             for pic, rec in zip(outs, dec.output_records):

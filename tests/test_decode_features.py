@@ -35,7 +35,9 @@ STREAMS = ["wp_lowdelayP_416x240", "dqp_intra_416x240",
            # constrained intra prediction on an RA GOP, tiles with
            # loop_filter_across_tiles off, PCM at reduced sample depth
            "customsl_lowdelay_160x96", "cip_ra_160x96",
-           "tiles_nolfcross_512x128", "pcm_reduceddepth_160x96"]
+           "tiles_nolfcross_512x128", "pcm_reduceddepth_160x96",
+           # four temporal sub-layers (misc/encoder_randomaccess_main_4tids)
+           "tids4_ra_160x96"]
 
 
 def decode_and_hash(name, parse, recon):
@@ -54,3 +56,27 @@ def test_feature_bit_exact_python(name):
 @pytest.mark.parametrize("name", STREAMS)
 def test_feature_bit_exact_native(name):
     assert decode_and_hash(name, "native", "native") == GOLD[name]["decoded_yuv_md5"]
+
+
+def test_hm_field_coding_stream():
+    """HM-encoder field-coded RA stream (misc/encoder_randomaccess_
+    field_coding.cfg): every field picture verifies its HM-embedded hash
+    SEI on both parse planes, and fields.weave_fields pairs them into
+    row-interleaved frames (the reference app's TAppDecTop field output;
+    HM's own app only weaves the pairs it recognises mid-stream)."""
+    from libhm_tpu.hostdec.decoder import Decoder
+    from libhm_tpu.hostdec.fields import is_field_stream, weave_fields
+    data = open(os.path.join(ROOT, "testdata", "field_ra_160x96.bin"),
+                "rb").read()
+    for parse, recon in (("python", "numpy"), ("native", "native")):
+        d = Decoder(parse=parse, recon=recon, check_sei_hash=True)
+        outs = d.decode_annexb(data)
+        assert len(outs) == 8
+        assert all(r.hash_status == "OK" for r in d.output_records)
+        assert is_field_stream(d.output_records)
+        frames = weave_fields(d.output_records)
+        assert len(frames) == 4
+        assert frames[0][0].shape == (96, 160)
+    buf = b"".join(p.tobytes() for pic in outs for p in pic)
+    assert hashlib.md5(buf).hexdigest() == \
+        GOLD["field_ra_160x96"]["decoded_yuv_md5"]
