@@ -116,7 +116,11 @@ def _md5_of(pics, name):
                                   "randomaccess_main10_416x240",
                                   "cra_randomaccess_416x240",
                                   "slices_416x240", "wpp_416x240",
-                                  "tiles_832x480"])
+                                  "tiles_832x480",
+                                  "chromaqpadj_parmrg_160x96",
+                                  "ccp444_lowdelay_160x96",
+                                  "mixed_lossless_rdpcm_160x96",
+                                  "tids4_ra_160x96"])
 def test_push_protocol_bit_exact(name):
     lib, h, pics, hash_ok = _decode(name)
     pocs = [p[0] for p in pics]
