@@ -37,7 +37,12 @@ STREAMS = ["wp_lowdelayP_416x240", "dqp_intra_416x240",
            "customsl_lowdelay_160x96", "cip_ra_160x96",
            "tiles_nolfcross_512x128", "pcm_reduceddepth_160x96",
            # four temporal sub-layers (misc/encoder_randomaccess_main_4tids)
-           "tids4_ra_160x96"]
+           "tids4_ra_160x96",
+           # fourth round: transform skip up to 32x32
+           # (TransformSkipLog2MaxSize=5), HM-side WPP + dependent slice
+           # segments at 10 bit, 4:2:2 WPP random access
+           "bigts_lowdelay_160x96", "wppdep_lowdelay_160x96",
+           "wpp422_ra_160x96"]
 
 
 def decode_and_hash(name, parse, recon):
