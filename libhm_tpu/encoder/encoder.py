@@ -486,6 +486,7 @@ class IntraEncoder:
         yield (0, 19, 2, [], [], None, cfg.qp, 0, 0)   # IDR_W_RADL
         coded.add(0)
         last_irap = 0
+        lead_floor = 0     # oldest POC the current IRAP's RPS retains
         idr_base = 0
         base = 0
         while base + 1 < n:
@@ -505,12 +506,20 @@ class IntraEncoder:
                     # CRA (open GOP).  Its slice header still signals the
                     # GOP entry's RPS so the pictures the following RASL
                     # leading pictures reference survive in the DPB
-                    # (reference TEncTop::selectReferencePictureSet).
+                    # (reference TEncTop::selectReferencePictureSet).  The
+                    # retained pictures are marked used_by_curr = 0: a CRA
+                    # must have NumPocTotalCurr == 0 (Rec. 7.4.7.2; the
+                    # reference asserts it in TComSlice::setRefPicList)
+                    # retention must not reach across the PREVIOUS IRAP
+                    # (TComSlice::checkCRA: every RPS entry of a picture
+                    # following a CRA is >= that CRA's POC)
+                    lead_floor = last_irap
                     last_irap = poc
                     refs = [poc + d for d in e.ref_pics]
                     past = sorted((r for r in refs if 0 <= r < poc
-                                   and r in coded), reverse=True)
-                    rps = (sorted(r - poc for r in past), [])
+                                   and r in coded and r >= lead_floor),
+                                  reverse=True)
+                    rps = (sorted(r - poc for r in past), [], False)
                     yield (poc, 21, 2, [], [], rps,
                            cfg.qp + e.qp_offset, 0, idr_base)
                     continue
@@ -522,6 +531,10 @@ class IntraEncoder:
                     if rp < 0 or rp not in coded:
                         return False
                     if not leading and poc > last_irap and rp < last_irap:
+                        return False
+                    if leading and rp < lead_floor:
+                        # only pictures the CRA's RPS retained survive in
+                        # the DPB for the leading pictures
                         return False
                     return True
                 refs = [poc + d for d in e.ref_pics]
@@ -539,7 +552,8 @@ class IntraEncoder:
                 stype = {"I": 2, "P": 1, "B": 0}[e.slice_type]
                 rps = (sorted(set(r - poc for r in past + fut if r < poc)),
                        sorted(set(r - poc for r in past + fut if r > poc)))
-                nal = 8 if leading else 1   # RASL_R / TRAIL_R
+                nal = 9 if leading else 1   # RASL_R / TRAIL_R (the _R
+                # variants: leading pictures reference each other)
                 yield (poc, nal, stype, l0, l1 if stype == 0 else [],
                        rps, cfg.qp + e.qp_offset, e.temporal_id, idr_base)
             if pending_idr is not None:

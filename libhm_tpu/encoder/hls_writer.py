@@ -346,19 +346,22 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
             w.put(0)    # short_term_ref_pic_set_sps_flag: explicit
             if len(cfg.st_rps) > 0:
                 w.put(0)  # inter_ref_pic_set_prediction_flag
-            negs, poss = rps
+            negs, poss = rps[0], rps[1]
+            # CRA slice headers retain pictures for the RASL leading
+            # pictures with used_by_curr = 0 (NumPocTotalCurr must be 0)
+            used = 1 if (len(rps) < 3 or rps[2]) else 0
             w.ue(len(negs))
             w.ue(len(poss))
             prev = 0
             for dp in sorted(negs, reverse=True):   # closest first
                 w.ue(prev - dp - 1)
                 prev = dp
-                w.put(1)    # used_by_curr
+                w.put(used)
             prev = 0
             for dp in sorted(poss):
                 w.ue(dp - prev - 1)
                 prev = dp
-                w.put(1)
+                w.put(used)
         else:
             w.put(1)    # short_term_ref_pic_set_sps_flag
             import math

@@ -107,3 +107,32 @@ def test_refresh_type2_idr_poc_reset(tmp_path):
     outs = dec.decode_annexb(data)
     assert len(outs) == 17
     assert all(r.hash_status == "OK" for r in dec.output_records)
+
+
+def test_cra_open_gop_hm_verifies(tmp_path):
+    """Mid-stream CRA with RASL leading pictures (DecodingRefreshType 1):
+    the CRA's retention RPS uses used_by_curr=0 (NumPocTotalCurr==0,
+    Rec. 7.4.7.2), leading pictures are RASL_R (they reference each
+    other), and neither the retention nor the RASL references reach
+    across the previous IRAP (TComSlice::checkCRA)."""
+    from libhm_tpu.apps.enc_app import main as enc_main
+    yuv = _tiny_yuv(tmp_path, n=17)
+    out = str(tmp_path / "out.bin")
+    rc = enc_main(["-c", os.path.join(REF_CFG,
+                                      "encoder_randomaccess_main.cfg"),
+                   "-i", yuv, "-b", out, "-wdt", "64", "-hgt", "64",
+                   "-f", "17", "-q", "32",
+                   "IntraPeriod=8", "MaxCUWidth=32",
+                   "MaxPartitionDepth=3"])
+    assert rc == 0
+    data = open(out, "rb").read()
+    from libhm_tpu.hostdec import nal as N
+    types = [N.parse_nal(e).nal_type for e in N.split_annexb(data)]
+    assert types.count(21) == 2          # two mid-stream CRAs
+    assert 9 in types and 8 not in types  # RASL_R, never RASL_N
+    dec_exe = os.path.join(os.path.dirname(REF_CFG), "..", "repo")
+    hm = os.path.join("/root/repo/.refbuild", "TAppDecoder")
+    if os.path.exists(hm):
+        r = subprocess.run([hm, "-b", out, "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        assert r.stdout.count("(OK)") == 17, r.stdout[-400:]
