@@ -16,6 +16,7 @@
 // recon_np.py, loopfilter_np.py): whole-picture flat maps in, planes out.
 
 #include "hevcdec.h"
+#include "simd.h"
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
@@ -63,6 +64,49 @@ struct TransformTables {
 static const TransformTables kT;
 
 static const int kInvQuantScales[6] = {40, 45, 51, 57, 64, 72};
+
+#if defined(__AVX2__)
+// Pair-interleaved int16 transform tables for the vpmaddwd inverse-transform
+// kernels (see simd.h for the formulation).  For each size n:
+//   pairRows[p][2j+e] = M[2p+e][j]      (stage-2: out = t1 @ M)
+//   colPair[i][p]     = M[2p][i] | M[2p+1][i]<<16   (stage-1: t1 = M^T @ c)
+struct ItxTables {
+  std::vector<int16_t> pairRows[6];
+  std::vector<int32_t> colPair[6];
+  int16_t dstPairRows[2][8];
+  int32_t dstColPair[4][2];
+  ItxTables() {
+    for (int lg = 2; lg <= 5; lg++) {
+      int n = 1 << lg;
+      const int32_t* m = kT.dct[lg].data();
+      pairRows[lg].resize(size_t(n / 2) * 2 * n);
+      colPair[lg].resize(size_t(n) * (n / 2));
+      for (int p = 0; p < n / 2; p++)
+        for (int j = 0; j < n; j++) {
+          pairRows[lg][size_t(p) * 2 * n + 2 * j] = int16_t(m[(2 * p) * n + j]);
+          pairRows[lg][size_t(p) * 2 * n + 2 * j + 1] =
+              int16_t(m[(2 * p + 1) * n + j]);
+        }
+      for (int i = 0; i < n; i++)
+        for (int p = 0; p < n / 2; p++)
+          colPair[lg][size_t(i) * (n / 2) + p] =
+              int32_t(uint16_t(int16_t(m[(2 * p) * n + i]))) |
+              (int32_t(uint16_t(int16_t(m[(2 * p + 1) * n + i]))) << 16);
+    }
+    for (int p = 0; p < 2; p++)
+      for (int j = 0; j < 4; j++) {
+        dstPairRows[p][2 * j] = int16_t(kT.dst4[(2 * p) * 4 + j]);
+        dstPairRows[p][2 * j + 1] = int16_t(kT.dst4[(2 * p + 1) * 4 + j]);
+      }
+    for (int i = 0; i < 4; i++)
+      for (int p = 0; p < 2; p++)
+        dstColPair[i][p] =
+            int32_t(uint16_t(int16_t(kT.dst4[(2 * p) * 4 + i]))) |
+            (int32_t(uint16_t(int16_t(kT.dst4[(2 * p + 1) * 4 + i]))) << 16);
+  }
+};
+static const ItxTables kItx;
+#endif
 
 static const int kChromaQp420[58] = {
     0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
@@ -306,6 +350,171 @@ struct ReconCtx {
     }
   }
 
+#if defined(__AVX2__)
+  // vpmaddwd inverse transform for the standard dynamic range (coeffs and
+  // both stage outputs fit int16; products accumulate exactly in int32).
+  // Bit-exact vs the scalar path: stage shifts/rounds/clips are identical,
+  // packs_epi32 saturation == the scalar I16MIN/I16MAX clip.
+  void itxAvx2(int h, int w, bool dstY, bool dstX, int shift2, int32_t* buf) {
+    int lgH = 0; while ((1 << lgH) < h) lgH++;
+    int lgW = 0; while ((1 << lgW) < w) lgW++;
+    static thread_local int16_t c16[32 * 32], cp[32 * 34], t1[32 * 32];
+    // narrow coeffs to int16 (dequant clipped them to +-2^15) and find the
+    // last nonzero row / column
+    int lastRow = 0, lastCol = 0;
+    for (int i = 0; i < h; i++) {
+      bool nz = false;
+      for (int j = 0; j < w; j++) {
+        int32_t v = buf[size_t(i) * w + j];
+        c16[size_t(i) * w + j] = int16_t(v);
+        if (v) { nz = true; if (j > lastCol) lastCol = j; }
+      }
+      if (nz) lastRow = i;
+    }
+    const int shift1 = 7;
+    if (lastRow == 0 && lastCol == 0 && !dstY && !dstX) {
+      // DC-only: both stages reduce to scalar constants
+      int v1 = (64 * c16[0] + (1 << (shift1 - 1))) >> shift1;
+      v1 = v1 < I16MIN ? I16MIN : (v1 > I16MAX ? I16MAX : v1);
+      int v2 = (64 * v1 + (1 << (shift2 - 1))) >> shift2;
+      v2 = v2 < I16MIN ? I16MIN : (v2 > I16MAX ? I16MAX : v2);
+      for (int i = 0; i < h * w; i++) buf[i] = v2;
+      return;
+    }
+    const int32_t* colPairY =
+        dstY ? &kItx.dstColPair[0][0] : kItx.colPair[lgH].data();
+    const int16_t* pairRowsX =
+        dstX ? &kItx.dstPairRows[0][0] : kItx.pairRows[lgW].data();
+    int npair1 = (lastRow >> 1) + 1;
+    int npair2 = (lastCol >> 1) + 1;
+    int hp = h / 2;
+    // pre-interleave coeff row pairs: cp[p] = zip(c16 row 2p, row 2p+1)
+    for (int p = 0; p < npair1; p++) {
+      const int16_t* a = c16 + size_t(2 * p) * w;
+      const int16_t* b = c16 + size_t(2 * p + 1) * w;
+      int16_t* d = cp + size_t(p) * 2 * w;
+      int j = 0;
+      for (; j + 16 <= w; j += 16) {
+        __m256i va = _mm256_loadu_si256((const __m256i*)(a + j));
+        __m256i vb = _mm256_loadu_si256((const __m256i*)(b + j));
+        __m256i lo = _mm256_unpacklo_epi16(va, vb);
+        __m256i hi = _mm256_unpackhi_epi16(va, vb);
+        _mm256_storeu_si256((__m256i*)(d + 2 * j),
+                            _mm256_permute2x128_si256(lo, hi, 0x20));
+        _mm256_storeu_si256((__m256i*)(d + 2 * j + 16),
+                            _mm256_permute2x128_si256(lo, hi, 0x31));
+      }
+      for (; j < w; j++) { d[2 * j] = a[j]; d[2 * j + 1] = b[j]; }
+    }
+    // stage 1: t1[i][:] = (sum_p cp[p] madd colPairY[i][p] + r) >> shift1
+    __m256i r1 = _mm256_set1_epi32(1 << (shift1 - 1));
+    for (int i = 0; i < h; i++) {
+      const int32_t* bc = colPairY + size_t(i) * hp;
+      int16_t* out = t1 + size_t(i) * w;
+      if (w >= 16) {
+        for (int j = 0; j < w; j += 16) {
+          __m256i a0 = r1, a1 = r1;
+          for (int p = 0; p < npair1; p++) {
+            __m256i f = _mm256_set1_epi32(bc[p]);
+            const int16_t* row = cp + size_t(p) * 2 * w + 2 * j;
+            a0 = _mm256_add_epi32(
+                a0, _mm256_madd_epi16(
+                        _mm256_loadu_si256((const __m256i*)row), f));
+            a1 = _mm256_add_epi32(
+                a1, _mm256_madd_epi16(
+                        _mm256_loadu_si256((const __m256i*)(row + 16)), f));
+          }
+          a0 = _mm256_srai_epi32(a0, shift1);
+          a1 = _mm256_srai_epi32(a1, shift1);
+          __m256i pk = _mm256_packs_epi32(a0, a1);
+          pk = _mm256_permute4x64_epi64(pk, 0xD8);
+          _mm256_storeu_si256((__m256i*)(out + j), pk);
+        }
+      } else if (w == 8) {
+        __m256i a0 = r1;
+        for (int p = 0; p < npair1; p++)
+          a0 = _mm256_add_epi32(
+              a0, _mm256_madd_epi16(
+                      _mm256_loadu_si256((const __m256i*)(cp + p * 16)),
+                      _mm256_set1_epi32(bc[p])));
+        a0 = _mm256_srai_epi32(a0, shift1);
+        __m128i pk = _mm_packs_epi32(_mm256_castsi256_si128(a0),
+                                     _mm256_extracti128_si256(a0, 1));
+        _mm_storeu_si128((__m128i*)out, pk);
+      } else {  // w == 4
+        __m128i a0 = _mm_set1_epi32(1 << (shift1 - 1));
+        for (int p = 0; p < npair1; p++)
+          a0 = _mm_add_epi32(
+              a0, _mm_madd_epi16(_mm_loadu_si128((const __m128i*)(cp + p * 8)),
+                                 _mm_set1_epi32(bc[p])));
+        a0 = _mm_srai_epi32(a0, shift1);
+        _mm_storel_epi64((__m128i*)out, _mm_packs_epi32(a0, a0));
+      }
+    }
+    // stage 2: out[i][:] = (sum_p pairRowsX[p] madd (t1[i][2p],t1[i][2p+1])
+    //                       + r) >> shift2
+    __m256i r2 = _mm256_set1_epi32(1 << (shift2 - 1));
+    for (int i = 0; i < h; i++) {
+      const int16_t* ti = t1 + size_t(i) * w;
+      int32_t* out = buf + size_t(i) * w;
+      if (w >= 16) {
+        for (int j = 0; j < w; j += 16) {
+          __m256i a0 = r2, a1 = r2;
+          for (int p = 0; p < npair2; p++) {
+            __m256i f = _mm256_set1_epi32(
+                int32_t(uint16_t(ti[2 * p])) |
+                (int32_t(uint16_t(ti[2 * p + 1])) << 16));
+            const int16_t* row = pairRowsX + size_t(p) * 2 * w + 2 * j;
+            a0 = _mm256_add_epi32(
+                a0, _mm256_madd_epi16(
+                        _mm256_loadu_si256((const __m256i*)row), f));
+            a1 = _mm256_add_epi32(
+                a1, _mm256_madd_epi16(
+                        _mm256_loadu_si256((const __m256i*)(row + 16)), f));
+          }
+          a0 = _mm256_srai_epi32(a0, shift2);
+          a1 = _mm256_srai_epi32(a1, shift2);
+          __m256i pk = _mm256_packs_epi32(a0, a1);
+          pk = _mm256_permute4x64_epi64(pk, 0xD8);
+          // widen the clipped int16 back to the int32 interface
+          _mm256_storeu_si256(
+              (__m256i*)out,
+              _mm256_cvtepi16_epi32(_mm256_castsi256_si128(pk)));
+          _mm256_storeu_si256(
+              (__m256i*)(out + 8),
+              _mm256_cvtepi16_epi32(_mm256_extracti128_si256(pk, 1)));
+          out += 16;
+        }
+      } else if (w == 8) {
+        __m256i a0 = r2;
+        for (int p = 0; p < npair2; p++)
+          a0 = _mm256_add_epi32(
+              a0, _mm256_madd_epi16(
+                      _mm256_loadu_si256((const __m256i*)(pairRowsX + p * 16)),
+                      _mm256_set1_epi32(
+                          int32_t(uint16_t(ti[2 * p])) |
+                          (int32_t(uint16_t(ti[2 * p + 1])) << 16))));
+        a0 = _mm256_srai_epi32(a0, shift2);
+        __m128i pk = _mm_packs_epi32(_mm256_castsi256_si128(a0),
+                                     _mm256_extracti128_si256(a0, 1));
+        _mm256_storeu_si256((__m256i*)out, _mm256_cvtepi16_epi32(pk));
+      } else {  // w == 4
+        __m128i a0 = _mm_set1_epi32(1 << (shift2 - 1));
+        for (int p = 0; p < npair2; p++)
+          a0 = _mm_add_epi32(
+              a0,
+              _mm_madd_epi16(
+                  _mm_loadu_si128((const __m128i*)(pairRowsX + p * 8)),
+                  _mm_set1_epi32(int32_t(uint16_t(ti[2 * p])) |
+                                 (int32_t(uint16_t(ti[2 * p + 1])) << 16))));
+        a0 = _mm_srai_epi32(a0, shift2);
+        __m128i pk = _mm_packs_epi32(a0, a0);
+        _mm_storeu_si128((__m128i*)out, _mm_cvtepi16_epi32(pk));
+      }
+    }
+  }
+#endif
+
   void inverseTransform(const TuMeta& t, int32_t* buf) {
     // buf holds dequantized coeffs [h][w]; result written in place
     int h = t.h, w = t.w;
@@ -317,6 +526,12 @@ struct ReconCtx {
     const int32_t* tx = (t.use_dst && w == 4) ? kT.dst4 : kT.dct[lgW].data();
     int shift1 = 7;
     int shift2 = maxDyn == 15 ? 20 - bd : (6 + maxDyn - 1) - bd;
+#if defined(__AVX2__)
+    if (maxDyn <= 15) {
+      itxAvx2(h, w, t.use_dst && h == 4, t.use_dst && w == 4, shift2, buf);
+      return;
+    }
+#endif
     // stage 1: t1 = (ty^T @ c + r) >> shift1, clip int16.
     // Coefficients concentrate in the low-frequency rows; skipping all-zero
     // rows mirrors the reference's zo/partial-butterfly fast paths.
@@ -540,6 +755,12 @@ struct ReconCtx {
     bool interior = ix - half >= 0 && ix + w - 1 + (taps - 1 - half) < refW &&
                     iy - half >= 0 && iy + h - 1 + (taps - 1 - half) < refH;
     if (fx == 0 && fy == 0) {
+      if (interior && isLast) {
+        for (int j = 0; j < h; j++)
+          memcpy(dst + int64_t(j) * dstStride,
+                 ref + int64_t(iy + j) * stride + ix, size_t(w) * 2);
+        return;
+      }
       for (int j = 0; j < h; j++)
         for (int i = 0; i < w; i++) {
           int v = S(iy + j, ix + i);
@@ -549,25 +770,34 @@ struct ReconCtx {
       return;
     }
     int hr = std::max(2, headroom);
+    static thread_local int32_t acc32[64 + 16];
     if (fy == 0) {
       // single horizontal stage
       int shift = 6, offset;
       if (isLast) { offset = 1 << (shift - 1); }
       else { shift -= hr; offset = -(kIfOffs << shift); }
-      static thread_local int32_t hacc[64];
       for (int j = 0; j < h; j++) {
         if (interior) {
           const Pel* row = ref + int64_t(iy + j) * stride + ix - half;
+#if defined(__AVX2__)
+          simd::hfilt<taps>(row, w, fh, acc32);
+#else
           for (int i = 0; i < w; i++) {
             int32_t s = 0;
             for (int k = 0; k < taps; k++) s += fh[k] * row[i + k];
-            hacc[i] = s;
+            acc32[i] = s;
           }
+#endif
+          int16_t* drow = dst + int64_t(j) * dstStride;
+#if defined(__AVX2__)
+          if (isLast) simd::shiftClipStore(acc32, w, offset, shift, maxv, drow);
+          else simd::shiftNarrow(acc32, w, offset, shift, drow);
+#else
           for (int i = 0; i < w; i++) {
-            int v = (hacc[i] + offset) >> shift;
-            dst[int64_t(j) * dstStride + i] =
-                int16_t(isLast ? clip3(0, maxv, v) : v);
+            int v = (acc32[i] + offset) >> shift;
+            drow[i] = int16_t(isLast ? clip3(0, maxv, v) : v);
           }
+#endif
         } else {
           for (int i = 0; i < w; i++) {
             int32_t acc = 0;
@@ -585,20 +815,28 @@ struct ReconCtx {
       int shift = 6, offset;
       if (isLast) { offset = 1 << (shift - 1); }
       else { shift -= hr; offset = -(kIfOffs << shift); }
-      static thread_local int32_t vacc0[64];
       for (int j = 0; j < h; j++) {
         if (interior) {
           const Pel* col = ref + int64_t(iy + j - half) * stride + ix;
+#if defined(__AVX2__)
+          simd::vfilt<taps>(col, stride, w, fv, acc32);
+#else
           for (int i = 0; i < w; i++) {
             int32_t s = 0;
             for (int k = 0; k < taps; k++) s += fv[k] * col[k * stride + i];
-            vacc0[i] = s;
+            acc32[i] = s;
           }
+#endif
+          int16_t* drow = dst + int64_t(j) * dstStride;
+#if defined(__AVX2__)
+          if (isLast) simd::shiftClipStore(acc32, w, offset, shift, maxv, drow);
+          else simd::shiftNarrow(acc32, w, offset, shift, drow);
+#else
           for (int i = 0; i < w; i++) {
-            int v = (vacc0[i] + offset) >> shift;
-            dst[int64_t(j) * dstStride + i] =
-                int16_t(isLast ? clip3(0, maxv, v) : v);
+            int v = (acc32[i] + offset) >> shift;
+            drow[i] = int16_t(isLast ? clip3(0, maxv, v) : v);
           }
+#endif
         } else {
           for (int i = 0; i < w; i++) {
             int32_t acc = 0;
@@ -618,17 +856,19 @@ struct ReconCtx {
     int sh1 = 6 - hr;
     int32_t off1 = -(kIfOffs << sh1);
     static thread_local std::vector<int16_t> tmp((64 + 8) * 64);
-    static thread_local int32_t hacc2[64];
     for (int j = 0; j < h + taps - 1; j++) {
       if (interior) {
         const Pel* row = ref + int64_t(iy + j - half) * stride + ix - half;
+#if defined(__AVX2__)
+        simd::hfilt<taps>(row, w, fh, acc32);
+        simd::shiftNarrow(acc32, w, off1, sh1, &tmp[size_t(j) * w]);
+#else
         for (int i = 0; i < w; i++) {
           int32_t s = 0;
           for (int k = 0; k < taps; k++) s += fh[k] * row[i + k];
-          hacc2[i] = s;
+          tmp[size_t(j) * w + i] = int16_t((s + off1) >> sh1);
         }
-        for (int i = 0; i < w; i++)
-          tmp[size_t(j) * w + i] = int16_t((hacc2[i] + off1) >> sh1);
+#endif
       } else {
         for (int i = 0; i < w; i++) {
           int32_t acc = 0;
@@ -641,8 +881,14 @@ struct ReconCtx {
     int sh2; int32_t off2;
     if (isLast) { sh2 = 6 + hr; off2 = (1 << (sh2 - 1)) + (kIfOffs << 6); }
     else { sh2 = 6; off2 = 0; }
-    static thread_local int32_t vacc[64];
     for (int j = 0; j < h; j++) {
+      int16_t* drow = dst + int64_t(j) * dstStride;
+#if defined(__AVX2__)
+      simd::vfilt<taps>(tmp.data() + size_t(j) * w, w, w, fv, acc32);
+      if (isLast) simd::shiftClipStore(acc32, w, off2, sh2, maxv, drow);
+      else simd::shiftNarrow(acc32, w, off2, sh2, drow);
+#else
+      static thread_local int32_t vacc[64];
       const int16_t* t0 = tmp.data() + size_t(j) * w;
       for (int i = 0; i < w; i++) vacc[i] = fv[0] * t0[i];
       for (int k = 1; k < taps; k++) {
@@ -652,12 +898,12 @@ struct ReconCtx {
       }
       if (isLast) {
         for (int i = 0; i < w; i++)
-          dst[int64_t(j) * dstStride + i] =
-              int16_t(clip3(0, maxv, (vacc[i] + off2) >> sh2));
+          drow[i] = int16_t(clip3(0, maxv, (vacc[i] + off2) >> sh2));
       } else {
         for (int i = 0; i < w; i++)
-          dst[int64_t(j) * dstStride + i] = int16_t((vacc[i] + off2) >> sh2);
+          drow[i] = int16_t((vacc[i] + off2) >> sh2);
       }
+#endif
     }
   }
 
@@ -691,6 +937,39 @@ struct ReconCtx {
         int fby = c ? 2 + sy : 2;
         bool isLast = !bi && !useWp;
         int refW = compW(c), refH = compH(c);
+        Pel* out = &pic->plane[c][int64_t(y) * planeW(c) + x];
+        int64_t ostride = planeW(c);
+#if defined(__AVX2__)
+        // fused fast path: integer-MV bi-prediction fully inside the plane
+        // reduces algebraically to a rounding average of the two ref blocks
+        // (the IF copy offset and the bi-average offset cancel exactly)
+        if (bi && !useWp) {
+          int fx0 = pu.mv[0][0] & ((1 << fbx) - 1);
+          int fy0 = pu.mv[0][1] & ((1 << fby) - 1);
+          int fx1 = pu.mv[1][0] & ((1 << fbx) - 1);
+          int fy1 = pu.mv[1][1] & ((1 << fby) - 1);
+          if (!(fx0 | fy0 | fx1 | fy1)) {
+            int ix0 = x + (pu.mv[0][0] >> fbx), iy0 = y + (pu.mv[0][1] >> fby);
+            int ix1 = x + (pu.mv[1][0] >> fbx), iy1 = y + (pu.mv[1][1] >> fby);
+            if (ix0 >= 0 && iy0 >= 0 && ix0 + w <= refW && iy0 + h <= refH &&
+                ix1 >= 0 && iy1 >= 0 && ix1 + w <= refW && iy1 + h <= refH) {
+              Picture* r0 = lookupRef(pu.ref_poc[0]);
+              Picture* r1 = lookupRef(pu.ref_poc[1]);
+              if (r0 && r1) {
+                const Pel* a = r0->plane[c].data() +
+                               int64_t(iy0) * planeW(c) + ix0;
+                const Pel* b = r1->plane[c].data() +
+                               int64_t(iy1) * planeW(c) + ix1;
+                for (int j = 0; j < h; j++)
+                  simd::avgRound(a + int64_t(j) * planeW(c),
+                                 b + int64_t(j) * planeW(c), w,
+                                 out + j * ostride);
+                continue;
+              }
+            }
+          }
+        }
+#endif
         int16_t* preds[2] = {p0.data(), p1.data()};
         bool have[2] = {false, false};
         for (int l = 0; l < 2; l++) {
@@ -698,13 +977,15 @@ struct ReconCtx {
           Picture* rp = lookupRef(pu.ref_poc[l]);
           if (!rp) continue;
           const Pel* ref = rp->plane[c].data();
+          // single-list final-stage prediction writes straight into the
+          // picture plane (skips the staging copy)
+          int16_t* d = isLast ? out : preds[l];
+          int ds = isLast ? int(ostride) : w;
           interpBlock(ref, refW, refH, planeW(c), x, y, w, h,
                       pu.mv[l][0], pu.mv[l][1], fbx, fby, taps, c == 0, bd,
-                      isLast, preds[l], w);
+                      isLast, d, ds);
           have[l] = true;
         }
-        Pel* out = &pic->plane[c][int64_t(y) * planeW(c) + x];
-        int64_t ostride = planeW(c);
         if (bi && !useWp) {
           int shift = kIfPrec + 1 - bd;
           int off = (1 << (shift - 1)) + 2 * kIfOffs;
@@ -712,13 +993,15 @@ struct ReconCtx {
             const int16_t* a = p0.data() + size_t(j) * w;
             const int16_t* b = p1.data() + size_t(j) * w;
             Pel* o = out + j * ostride;
+#if defined(__AVX2__)
+            simd::biAvg(a, b, w, off, shift, maxv, o);
+#else
             for (int i = 0; i < w; i++)
               o[i] = Pel(clip3(0, maxv, (a[i] + b[i] + off) >> shift));
+#endif
           }
         } else if (!useWp) {
-          const int16_t* p = have[0] ? p0.data() : p1.data();
-          for (int j = 0; j < h; j++)
-            memcpy(out + j * ostride, p + size_t(j) * w, size_t(w) * 2);
+          // single-list prediction already written straight into the plane
         } else {
           int denom = c == 0 ? pu.wp_denom_l : pu.wp_denom_c;
           int scale = 1 << (bd - 8);
@@ -769,8 +1052,12 @@ struct ReconCtx {
       for (int j = 0; j < t.h; j++) {
         Pel* row = pl + (int64_t(t.y) + j) * stride + t.x;
         const int16_t* rr = r + size_t(j) * t.w;  // flat pool, TU-local raster
+#if defined(__AVX2__)
+        simd::addClip(row, rr, t.w, maxv);
+#else
         for (int k = 0; k < t.w; k++)
           row[k] = Pel(clip3(0, maxv, row[k] + rr[k]));
+#endif
       }
     }
   }
