@@ -1097,10 +1097,11 @@ struct ReconCtx {
     bool constrained = pps->constrained_intra_pred != 0;
     int cw = compW(c), chh = compH(c);
 
-    // fill reference samples (Rec. 8.4.4.2.2)
+    // fill reference samples (Rec. 8.4.4.2.2); fixed thread-local buffers
+    // (max n = 64), no per-block heap traffic
     int total = 4 * n + 1;
-    std::vector<int32_t> vals(total, 0);
-    std::vector<uint8_t> av(total, 0);
+    static thread_local int32_t vals[4 * 64 + 1];
+    static thread_local uint8_t av[4 * 64 + 1];
     int x = blk.x, y = blk.y;
     bool anyAvail = false;
     for (int i = 0; i < total; i++) {
@@ -1115,7 +1116,7 @@ struct ReconCtx {
     }
     if (!anyAvail) {
       int dc = 1 << (bd - 1);
-      for (auto& v : vals) v = dc;
+      for (int i = 0; i < total; i++) vals[i] = dc;
     } else {
       if (!av[0]) {
         int j = 1;
@@ -1126,7 +1127,10 @@ struct ReconCtx {
         if (!av[i]) vals[i] = vals[i - 1];
     }
     // left[0..2n]: corner then downwards; top[0..2n]: corner then rightwards
-    std::vector<int32_t> left(2 * n + 1), top(2 * n + 1);
+    static thread_local int32_t leftBuf[2 * 64 + 1], topBuf[2 * 64 + 1];
+    static thread_local int32_t nlBuf[2 * 64 + 1], ntBuf[2 * 64 + 1];
+    int32_t* left = leftBuf;
+    int32_t* top = topBuf;
     for (int i = 0; i <= 2 * n; i++) left[i] = vals[2 * n - i];
     for (int i = 0; i <= 2 * n; i++) top[i] = vals[2 * n + i];
 
@@ -1150,24 +1154,26 @@ struct ReconCtx {
         bool f2 = std::abs(corner + left[2 * n] - 2 * left[n]) < thr;
         if (f1 && f2) {
           int bl = left[2 * n], tr = top[2 * n], co = corner;
-          std::vector<int32_t> nl(2 * n + 1), nt(2 * n + 1);
+          int32_t* nl = nlBuf;
+          int32_t* nt = ntBuf;
           nl[0] = co; nt[0] = co;
           for (int i = 0; i < 2 * n; i++) {
             nl[i + 1] = ((2 * n - 1 - i) * co + (i + 1) * bl + n) >> 6;
             nt[i + 1] = ((2 * n - 1 - i) * co + (i + 1) * tr + n) >> 6;
           }
           nl[2 * n] = bl; nt[2 * n] = tr;
-          left.swap(nl); top.swap(nt);
+          left = nl; top = nt;
           strongDone = true;
         }
       }
       if (!strongDone) {
         // [1 2 1] over the full border
-        std::vector<int32_t> full(4 * n + 1);
+        static thread_local int32_t full[4 * 64 + 1], sm[4 * 64 + 1];
         for (int i = 0; i < 2 * n; i++) full[i] = left[2 * n - i];
         full[2 * n] = top[0];
         for (int i = 1; i <= 2 * n; i++) full[2 * n + i] = top[i];
-        std::vector<int32_t> sm(full);
+        sm[0] = full[0];
+        sm[4 * n] = full[4 * n];
         for (int i = 1; i < 4 * n; i++)
           sm[i] = (full[i - 1] + 2 * full[i] + full[i + 1] + 2) >> 2;
         for (int i = 0; i <= 2 * n; i++) left[i] = sm[2 * n - i];
@@ -1176,7 +1182,7 @@ struct ReconCtx {
     }
 
     // predict (Rec. 8.4.4.2.4-6)
-    std::vector<int32_t> pred(size_t(n) * n);
+    static thread_local int32_t pred[64 * 64];
     if (mode == 0) {  // planar
       int tr = top[n + 1], bl = left[n + 1];
       int log2n = 0; while ((1 << log2n) < n) log2n++;
@@ -1191,7 +1197,7 @@ struct ReconCtx {
       for (int i = 1; i <= n; i++) s += top[i] + left[i];
       int log2n = 0; while ((1 << log2n) < n) log2n++;
       int dc = int((s + n) >> (log2n + 1));
-      for (auto& v : pred) v = dc;
+      for (int i = 0; i < n * n; i++) pred[i] = dc;
       if (c == 0 && n < 32) {
         pred[0] = (left[1] + 2 * dc + top[1] + 2) >> 2;
         for (int i = 1; i < n; i++) pred[i] = (top[i + 1] + 3 * dc + 2) >> 2;
@@ -1201,17 +1207,19 @@ struct ReconCtx {
     } else {  // angular
       int ang = kAng[mode];
       bool vertical = mode >= 18;
-      const std::vector<int32_t>& main = vertical ? top : left;
-      const std::vector<int32_t>& side = vertical ? left : top;
-      std::vector<int32_t> ref;
+      const int32_t* main = vertical ? top : left;
+      const int32_t* side = vertical ? left : top;
+      static thread_local int32_t refBuf[2 * 64 + 1];
+      const int32_t* ref;
       int baseIdx;
       if (ang < 0) {
         int inv = invAngOf(ang);
-        ref.assign(2 * n + 1, 0);
-        for (int i = 0; i <= n; i++) ref[n + i] = main[i];
+        for (int i = 0; i <= n; i++) refBuf[n + i] = main[i];
         int lo = (n * ang) >> 5;
         for (int i = -1; i >= lo; i--)
-          ref[n + i] = side[std::min((-i * inv + 128) >> 8, 2 * n)];
+          refBuf[n + i] = side[std::min((-i * inv + 128) >> 8, 2 * n)];
+        // entries below n+lo are never read (min idx = n+1+lo)
+        ref = refBuf;
         baseIdx = n;
       } else {
         ref = main;
@@ -1513,9 +1521,15 @@ struct ReconCtx {
     static const int eoDx1[5] = {0, -1, 0, -1, 1};
     static const int eoDy2[5] = {0, 0, 1, 1, 1};
     static const int eoDx2[5] = {0, 1, 0, 1, -1};
-    // copy of deblocked planes as SAO source
+    // copy of deblocked planes as SAO source (only for components that
+    // actually run SAO in this picture)
     std::vector<Pel> srcs[3];
-    for (int c = 0; c < ncomp; c++) srcs[c] = pic->plane[c];
+    for (int c = 0; c < ncomp; c++) {
+      bool any = false;
+      for (int addr = 0; addr < wCtbs * hCtbs && !any; addr++)
+        any = pic->sao_type[size_t(addr) * 3 + c] >= 0;
+      if (any) srcs[c] = pic->plane[c];
+    }
     for (int addr = 0; addr < wCtbs * hCtbs; addr++) {
       int cx0 = (addr % wCtbs) << log2Ctb;
       int cy0 = (addr / wCtbs) << log2Ctb;
@@ -1543,6 +1557,20 @@ struct ReconCtx {
           int bandPos = pic->sao_band[size_t(addr) * 3 + c];
           int lut[32] = {0};
           for (int i = 0; i < 4; i++) lut[(bandPos + i) & 31] = offs[i];
+#if defined(__AVX2__)
+          bool fit8 = true;
+          int16_t lut16[32];
+          for (int i = 0; i < 32; i++) {
+            lut16[i] = int16_t(lut[i]);
+            if (lut[i] < -128 || lut[i] > 127) fit8 = false;
+          }
+          if (fit8) {
+            for (int yy = y0; yy < y1; yy++)
+              simd::saoBandRow(src + yy * stride + x0, x1 - x0, lut16,
+                               bandShift, maxv, dst + yy * stride + x0);
+            continue;
+          }
+#endif
           for (int yy = y0; yy < y1; yy++)
             for (int xx = x0; xx < x1; xx++) {
               int v = src[yy * stride + xx];
@@ -1568,6 +1596,15 @@ struct ReconCtx {
                    saoCrossOk(y1 - 1, x1 - 1, y1 - 1 + dy2, x1 - 1 + dx2, sx, sy);
           }
           if (fast) {
+#if defined(__AVX2__)
+            int16_t lut16[5] = {int16_t(lut[0]), int16_t(lut[1]), 0,
+                                int16_t(lut[3]), int16_t(lut[4])};
+            for (int yy = y0; yy < y1; yy++)
+              simd::saoEdgeRow(src + yy * stride + x0,
+                               src + (yy + dy1) * stride + dx1 + x0,
+                               src + (yy + dy2) * stride + dx2 + x0,
+                               x1 - x0, lut16, maxv, dst + yy * stride + x0);
+#else
             for (int yy = y0; yy < y1; yy++) {
               const Pel* sr = src + yy * stride;
               const Pel* n1r = src + (yy + dy1) * stride + dx1;
@@ -1580,6 +1617,7 @@ struct ReconCtx {
                 dr[xx] = Pel(clip3(0, maxv, v + lut[s1 + s2 + 2]));
               }
             }
+#endif
           } else {
             for (int yy = y0; yy < y1; yy++)
               for (int xx = x0; xx < x1; xx++) {

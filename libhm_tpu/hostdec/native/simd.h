@@ -220,6 +220,85 @@ static inline void addClip(int16_t* dst, const int16_t* r, int w, int maxv) {
   }
 }
 
+// SAO edge-offset kernel for one row: dst[i] = clip(0, maxv,
+//   src[i] + lut[sign(src[i]-n1[i]) + sign(src[i]-n2[i]) + 2])
+// lut is 5 int16 entries (lut[2] == 0).
+static inline void saoEdgeRow(const int16_t* src, const int16_t* n1,
+                              const int16_t* n2, int w, const int16_t lut[5],
+                              int maxv, int16_t* dst) {
+  __m256i l0 = _mm256_set1_epi16(lut[0]), l1 = _mm256_set1_epi16(lut[1]);
+  __m256i l3 = _mm256_set1_epi16(lut[3]), l4 = _mm256_set1_epi16(lut[4]);
+  __m256i vmax = _mm256_set1_epi16(int16_t(maxv));
+  __m256i vzero = _mm256_setzero_si256();
+  int i = 0;
+  for (; i + 16 <= w; i += 16) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(src + i));
+    __m256i a = _mm256_loadu_si256((const __m256i*)(n1 + i));
+    __m256i b = _mm256_loadu_si256((const __m256i*)(n2 + i));
+    // s = s1+s2 in {-2..2}: cmpgt(a,v)-cmpgt(v,a) = (v>a) - (v<a) = sign(v-a)
+    // because cmpgt yields -1 where true
+    __m256i s = _mm256_add_epi16(
+        _mm256_sub_epi16(_mm256_cmpgt_epi16(a, v), _mm256_cmpgt_epi16(v, a)),
+        _mm256_sub_epi16(_mm256_cmpgt_epi16(b, v), _mm256_cmpgt_epi16(v, b)));
+    __m256i off = vzero;  // lut index = s+2; lut[2] == 0
+    off = _mm256_blendv_epi8(off, l0, _mm256_cmpeq_epi16(s, _mm256_set1_epi16(-2)));
+    off = _mm256_blendv_epi8(off, l1, _mm256_cmpeq_epi16(s, _mm256_set1_epi16(-1)));
+    off = _mm256_blendv_epi8(off, l3, _mm256_cmpeq_epi16(s, _mm256_set1_epi16(1)));
+    off = _mm256_blendv_epi8(off, l4, _mm256_cmpeq_epi16(s, _mm256_set1_epi16(2)));
+    __m256i r = _mm256_adds_epi16(v, off);  // see addClip for saturation proof
+    r = _mm256_min_epi16(_mm256_max_epi16(r, vzero), vmax);
+    _mm256_storeu_si256((__m256i*)(dst + i), r);
+  }
+  for (; i < w; i++) {
+    int v = src[i];
+    int s1 = (v > n1[i]) - (v < n1[i]);
+    int s2 = (v > n2[i]) - (v < n2[i]);
+    int r = v + lut[s1 + s2 + 2];
+    dst[i] = int16_t(r < 0 ? 0 : (r > maxv ? maxv : r));
+  }
+}
+
+// SAO band-offset kernel: dst[i] = clip(0, maxv, src[i] + lut32[src[i] >>
+// bandShift]) where lut32 has 32 int16 entries (only 4 consecutive nonzero).
+// Requires every offset to fit int8 (true for bit depths <= 12; the caller
+// falls back to scalar otherwise).
+static inline void saoBandRow(const int16_t* src, int w, const int16_t* lut32,
+                              int bandShift, int maxv, int16_t* dst) {
+  int8_t tl[16], th[16];
+  for (int k = 0; k < 16; k++) {
+    tl[k] = int8_t(lut32[k]);
+    th[k] = int8_t(lut32[16 + k]);
+  }
+  __m256i tlo = _mm256_broadcastsi128_si256(_mm_loadu_si128((const __m128i*)tl));
+  __m256i thi = _mm256_broadcastsi128_si256(_mm_loadu_si128((const __m128i*)th));
+  __m256i vmax = _mm256_set1_epi16(int16_t(maxv));
+  __m256i vzero = _mm256_setzero_si256();
+  __m256i m15 = _mm256_set1_epi16(15);
+  int i = 0;
+  for (; i + 16 <= w; i += 16) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(src + i));
+    __m256i band = _mm256_srai_epi16(v, bandShift);   // 0..31
+    __m256i idx = _mm256_and_si256(band, m15);
+    // replicate the (byte-sized) index into both bytes of each int16 lane so
+    // shuffle_epi8 selects the table byte into both positions
+    __m256i idxb = _mm256_or_si256(idx, _mm256_slli_epi16(idx, 8));
+    __m256i sLo = _mm256_shuffle_epi8(tlo, idxb);
+    __m256i sHi = _mm256_shuffle_epi8(thi, idxb);
+    // sign-extend the low byte of each lane
+    sLo = _mm256_srai_epi16(_mm256_slli_epi16(sLo, 8), 8);
+    sHi = _mm256_srai_epi16(_mm256_slli_epi16(sHi, 8), 8);
+    __m256i off = _mm256_blendv_epi8(sLo, sHi, _mm256_cmpgt_epi16(band, m15));
+    __m256i r = _mm256_adds_epi16(v, off);
+    r = _mm256_min_epi16(_mm256_max_epi16(r, vzero), vmax);
+    _mm256_storeu_si256((__m256i*)(dst + i), r);
+  }
+  for (; i < w; i++) {
+    int v = src[i];
+    int r = v + lut32[(v >> bandShift) & 31];
+    dst[i] = int16_t(r < 0 ? 0 : (r > maxv ? maxv : r));
+  }
+}
+
 // dst[i] = (a[i] + b[i] + 1) >> 1 — fused integer-MV bi-prediction average.
 // Exact: samples are unsigned < 2^14, avg_epu16 computes (a+b+1)>>1, and the
 // result never exceeds max(a,b) so the 0..maxv clip is a no-op.

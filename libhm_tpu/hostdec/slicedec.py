@@ -79,7 +79,13 @@ class SliceDecoder:
         self._wpp_saved = None
 
     # ------------------------------------------------------------------
+    _zmap_cache = {}
+
     def _build_zscan_map(self):
+        key = (self.log2_ctb, self.pic.h4, self.pic.w4, self.pic_w_ctbs)
+        cached = self._zmap_cache.get(key)
+        if cached is not None:
+            return cached
         n = self.log2_ctb - 2
         m = 1 << n
         z_in_ctu = np.zeros((m, m), np.int64)
@@ -97,6 +103,7 @@ class SliceDecoder:
             for cx in range(0, w4, m):
                 ctu_idx = (cy // m) * self.pic_w_ctbs + (cx // m)
                 zmap[cy:cy + m, cx:cx + m] = ctu_idx * parts + z_in_ctu
+        self._zmap_cache[key] = zmap
         return zmap
 
     def _build_tile_map(self):
