@@ -3,24 +3,28 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Metric: 1080p Main10 random-access decode fps, full pipeline (native C++
-host CABAC parse + native reconstruction: residuals, intra, MC, deblock,
-SAO), bit-exact vs the HM decoded-picture-hash oracle.  vs_baseline = our
-fps / HM single-threaded TAppDecoder fps measured locally on the same
-stream (the reference publishes no numbers; BASELINE.md anchors the ratio
-to a local run).  Both sides take the best of five runs to suppress
-shared-host noise.
+Metric: 1080p Main10 random-access decode fps, full pipeline, bit-exact vs
+the HM decoded-picture-hash oracle.  The stream is the 17-frame golden
+repeated 3x (51 frames) to reduce shared-host timing noise; both sides are
+measured as the MEDIAN of several runs (plus best, reported on stderr).
+vs_baseline = our fps / HM single-threaded TAppDecoder fps measured locally
+on the same stream (the reference publishes no numbers; BASELINE.md anchors
+the ratio to a local run).
 
-Supplementary lines go to stderr: the host parse/recon time breakdown and
-(with BENCH_TPU=1) the recon="tpu" pipeline measured through the real
-chip.  The TPU path is bit-exact on all 31 goldens (tests/test_recon_tpu)
-but on this deployment the chip sits behind a slow tunnel (~12 MB/s H2D,
-~3 ms/dispatch), so the wall-clock headline stays with the CPU-native
-reconstruction.
+Two pipelines are measured and reported:
+ - native:  C++ host CABAC parse + AVX2 reconstruction (the wall-clock
+   headline on hosts where the TPU sits behind a slow tunnel)
+ - tpu:     C++ host CABAC parse + device reconstruction (bit-exact on all
+   47 goldens; see tests/test_recon_tpu.py) — skipped with BENCH_SKIP_TPU=1
+   or when no device is reachable
+
+The headline JSON line carries the fastest bit-exact pipeline; the stderr
+breakdown always carries both plus the parse-only rate.
 """
 import hashlib
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -32,75 +36,98 @@ STREAM = os.path.join(ROOT, "testdata", "randomaccess_main10_1080p.bin")
 GOLDEN = os.path.join(ROOT, "testdata", "golden.json")
 NAME = "randomaccess_main10_1080p"
 NFRAMES = 17
-RUNS = 5
+REPEAT = 3
+RUNS = 7
+
+
+def _data():
+    return open(STREAM, "rb").read() * REPEAT
 
 
 def bench_ours(recon="native", runs=RUNS):
     from libhm_tpu.hostdec.decoder import Decoder
-    data = open(STREAM, "rb").read()
+    data = _data()
     gold = json.load(open(GOLDEN))[NAME]["decoded_yuv_md5"]
-    best = 0.0
+    n = NFRAMES * REPEAT
+    times = []
+    outs = None
     for _ in range(runs):
         t0 = time.monotonic()
         outs = Decoder(parse="native", recon=recon).decode_annexb(data)
-        dt = time.monotonic() - t0
-        assert len(outs) == NFRAMES
-        best = max(best, NFRAMES / dt)
-    buf = b"".join(p.tobytes() for pic in outs for p in pic)
-    assert hashlib.md5(buf).hexdigest() == gold, "decode is not bit-exact"
-    return best
+        times.append(time.monotonic() - t0)
+        assert len(outs) == n
+    # bit-exactness: every 17-frame repetition must match the golden MD5
+    for r in range(REPEAT):
+        buf = b"".join(p.tobytes()
+                       for pic in outs[r * NFRAMES:(r + 1) * NFRAMES]
+                       for p in pic)
+        assert hashlib.md5(buf).hexdigest() == gold, "decode is not bit-exact"
+    return n / statistics.median(times), n / min(times)
 
 
-def bench_parse_only(runs=RUNS):
+def bench_parse_only(runs=3):
     """Host CABAC parse throughput (C++ only, no tensor materialization)."""
     import ctypes as C
     from libhm_tpu.hostdec.native_bridge import _load
     lib = _load()
-    data = open(STREAM, "rb").read()
-    best = 0.0
+    data = _data()
+    n = NFRAMES * REPEAT
+    times = []
     for _ in range(runs):
         t0 = time.monotonic()
         h = lib.hevcdec_create()
-        n = lib.hevcdec_decode(h, data, len(data))
+        got = lib.hevcdec_decode(h, data, len(data))
         lib.hevcdec_destroy(C.c_void_p(h))
-        dt = time.monotonic() - t0
-        assert n == NFRAMES
-        best = max(best, NFRAMES / dt)
-    return best
+        times.append(time.monotonic() - t0)
+        assert got == n
+    return n / statistics.median(times)
 
 
-def bench_hm():
+def bench_hm(runs=5):
     exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
     if not os.path.exists(exe):
         return None
-    best = 0.0
-    for _ in range(RUNS):
+    tmp = "/tmp/bench_hm_stream.bin"
+    with open(tmp, "wb") as f:
+        f.write(_data())
+    n = NFRAMES * REPEAT
+    times = []
+    for _ in range(runs):
         t0 = time.monotonic()
-        subprocess.run([exe, "-b", STREAM, "-o", "/dev/null"],
+        subprocess.run([exe, "-b", tmp, "-o", "/dev/null"],
                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                        check=True)
-        dt = time.monotonic() - t0
-        best = max(best, NFRAMES / dt)
-    return best
+        times.append(time.monotonic() - t0)
+    os.unlink(tmp)
+    return n / statistics.median(times)
 
 
 def main():
-    ours = bench_ours()
+    ours, ours_best = bench_ours()
     hm = bench_hm()
-    parse_fps = bench_parse_only(runs=3)
+    parse_fps = bench_parse_only()
     print(f"breakdown: parse-only {parse_fps:.2f} fps; "
-          f"full native {ours:.2f} fps; HM {hm or 0:.2f} fps",
-          file=sys.stderr)
-    if os.environ.get("BENCH_TPU"):
-        tpu = bench_ours(recon="tpu", runs=2)
-        print(f"recon=tpu pipeline: {tpu:.2f} fps (bit-exact; "
-              f"tunnel-bound on this host)", file=sys.stderr)
-    vs = (ours / hm) if hm else 0.0
+          f"full native median {ours:.2f} (best {ours_best:.2f}) fps; "
+          f"HM median {hm or 0:.2f} fps", file=sys.stderr)
+    tpu = None
+    if not os.environ.get("BENCH_SKIP_TPU"):
+        try:
+            tpu, tpu_best = bench_ours(recon="tpu", runs=2)
+            print(f"recon=tpu pipeline: median {tpu:.2f} fps (bit-exact; "
+                  f"tunnel-bound on this host)", file=sys.stderr)
+        except Exception as e:  # no device / tunnel down
+            print(f"recon=tpu pipeline unavailable: {e}", file=sys.stderr)
+    best = ours
+    pipeline = "native-cpu"
+    if tpu is not None and tpu > ours:
+        best, pipeline = tpu, "host-parse+tpu-recon"
+    vs = (best / hm) if hm else 0.0
     print(json.dumps({
         "metric": "1080p Main10 RA decode fps (bit-exact)",
-        "value": round(ours, 3),
+        "value": round(best, 3),
         "unit": "fps",
         "vs_baseline": round(vs, 4),
+        "pipeline": pipeline,
     }))
 
 

@@ -5,8 +5,8 @@ Drop-in replacement for hostdec/recon_np.PictureRecon + loopfilter_np:
    ops/transform.py (MXU int8-split matmuls) and scattered into residual
    planes on device;
  - inter prediction: rasterized per-4x4 MC through ops/interp.py;
- - intra prediction: z-scan host loop over the numpy oracle (device wavefront
-   kernel lands next);
+ - intra prediction: device wavefront kernel (parallel/intra_wavefront.py,
+   lax.scan over dependency levels, vmap within a level);
  - deblocking: host BS maps + ops/deblock.py device passes (V then H);
  - SAO: ops/sao.py device pass.
 
