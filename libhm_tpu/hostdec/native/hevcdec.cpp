@@ -119,6 +119,17 @@ struct ScanTables {
         v.push_back(uint16_t((g.second * 4 + p.second) * w + g.first * 4 + p.first));
     return grouped.emplace(key, std::move(v)).first->second;
   }
+  // inverse grouped scan: raster blk -> scanpos
+  std::map<uint32_t, std::vector<uint16_t>> groupedInv;
+  const std::vector<uint16_t>& getGroupedInv(int w, int h, int kind) {
+    uint32_t key = (w << 16) | (h << 4) | kind;
+    auto it = groupedInv.find(key);
+    if (it != groupedInv.end()) return it->second;
+    const auto& fwd = getGrouped(w, h, kind);
+    std::vector<uint16_t> inv(fwd.size());
+    for (size_t i = 0; i < fwd.size(); i++) inv[fwd[i]] = uint16_t(i);
+    return groupedInv.emplace(key, std::move(inv)).first->second;
+  }
   const std::vector<uint16_t>& getCg(int wg, int hg, int kind) {
     uint32_t key = (wg << 16) | (hg << 4) | kind;
     auto it = cgscan.find(key);

@@ -213,12 +213,29 @@ struct Cabac {
   uint32_t readBits(int n) { return n ? take(n) : 0; }
   inline int bin(uint8_t& state);
   inline int bypass();
-  uint32_t bypassN(int n) { uint32_t v = 0; for (int i = 0; i < n; i++) v = (v << 1) | bypass(); return v; }
+  // N bypass bins at once.  Unrolling the per-bit recurrence
+  //   off <- 2*off + bit - range*b,  b = (2*off + bit >= range)
+  // gives off_n = X - range*v with X = (off_0 << n) | bits and v the emitted
+  // value, constrained to 0 <= off_n < range: so v = X / range (one udiv
+  // replaces n serial compare-subtract steps).  Exact for any n with X in
+  // 64 bits; range stays in [256, 510] during bypass runs so n <= 53.
+  uint32_t bypassN(int n) {
+    uint32_t v = 0;
+    while (n > 22) {  // keep X comfortably in uint32 per chunk
+      v = (v << 22) | bypassN(22);
+      n -= 22;
+    }
+    if (!n) return v;
+    uint32_t x = (offset << n) | take(n);
+    uint32_t q = x / range;
+    offset = x - q * range;
+    return (v << n) | q;
+  }
   inline int term();
   int egk(int k) {
     int v = 0;
     while (bypass()) { v += 1 << k; k++; }
-    while (k) { k--; if (bypass()) v += 1 << k; }
+    if (k) v += int(bypassN(k));
     return v;
   }
   void alignRange() { range = 256; }

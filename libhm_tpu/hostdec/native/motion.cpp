@@ -268,22 +268,43 @@ void SliceParser::applyAmvp(int x, int y, int w, int h, int interDir,
 void SliceParser::writePu(int x, int y, int w, int h, int dir,
                           const int mvs[2][2], const int refIdx[2],
                           int merge, int mergeIdx) {
-  for (int yy = y >> 2; yy < (y + h) >> 2; yy++)
-    for (int xx = x >> 2; xx < (x + w) >> 2; xx++) {
-      size_t i = size_t(yy) * w4() + xx;
-      pic->inter_dir[i] = int8_t(dir);
-      for (int l = 0; l < 2; l++) {
-        if (dir & (1 << l)) {
-          pic->mv[i * 4 + l * 2] = mvs[l][0];
-          pic->mv[i * 4 + l * 2 + 1] = mvs[l][1];
-          pic->ref_idx[i * 2 + l] = int8_t(refIdx[l]);
-          pic->ref_poc[i * 2 + l] = refList[l][refIdx[l]].poc;
-          pic->ref_is_lt[i * 2 + l] = refList[l][refIdx[l]].long_term ? 1 : 0;
-        } else {
-          pic->ref_idx[i * 2 + l] = -1;
-        }
-      }
+  // hoist the per-cell values, then fill row-wise with wide stores (this is
+  // one of the hottest parse loops on big inter pictures)
+  int32_t mvCell[4] = {0, 0, 0, 0};
+  int32_t pocCell[2] = {0, 0};
+  uint8_t riCell[2], ltCell[2] = {0, 0};
+  for (int l = 0; l < 2; l++) {
+    if (dir & (1 << l)) {
+      mvCell[l * 2] = mvs[l][0];
+      mvCell[l * 2 + 1] = mvs[l][1];
+      riCell[l] = uint8_t(int8_t(refIdx[l]));
+      pocCell[l] = refList[l][refIdx[l]].poc;
+      ltCell[l] = refList[l][refIdx[l]].long_term ? 1 : 0;
+    } else {
+      riCell[l] = uint8_t(int8_t(-1));
     }
+  }
+  int x0 = x >> 2, x1 = (x + w) >> 2, y0 = y >> 2, y1 = (y + h) >> 2;
+  int nx = x1 - x0;
+  uint16_t riPat, ltPat;
+  uint64_t pocPat;
+  memcpy(&riPat, riCell, 2);
+  memcpy(&ltPat, ltCell, 2);
+  memcpy(&pocPat, pocCell, 8);
+  for (int yy = y0; yy < y1; yy++) {
+    size_t i = size_t(yy) * w4() + x0;
+    memset(&pic->inter_dir[i], uint8_t(dir), size_t(nx));
+    uint16_t* rid = reinterpret_cast<uint16_t*>(&pic->ref_idx[i * 2]);
+    uint16_t* ltd = reinterpret_cast<uint16_t*>(&pic->ref_is_lt[i * 2]);
+    uint64_t* pod = reinterpret_cast<uint64_t*>(&pic->ref_poc[i * 2]);
+    int32_t* mvd = &pic->mv[i * 4];
+    for (int k = 0; k < nx; k++) {
+      memcpy(&rid[k], &riPat, 2);
+      memcpy(&ltd[k], &ltPat, 2);
+      memcpy(&pod[k], &pocPat, 8);
+      memcpy(&mvd[k * 4], mvCell, 16);
+    }
+  }
   PuMeta pu;
   memset(&pu, 0, sizeof(pu));
   pu.x = x; pu.y = y; pu.w = w; pu.h = h; pu.dir = dir;

@@ -355,22 +355,12 @@ struct ReconCtx {
   // both stage outputs fit int16; products accumulate exactly in int32).
   // Bit-exact vs the scalar path: stage shifts/rounds/clips are identical,
   // packs_epi32 saturation == the scalar I16MIN/I16MAX clip.
-  void itxAvx2(int h, int w, bool dstY, bool dstX, int shift2, int32_t* buf) {
-    int lgH = 0; while ((1 << lgH) < h) lgH++;
+  // c16 must hold zeros above lastRow / right of lastCol (incl. row
+  // lastRow+1, read by the pair interleave when lastRow is even).
+  void itx16(int h, int w, bool dstY, bool dstX, int shift2,
+             const int16_t* c16, int lastRow, int lastCol, int16_t* outp) {
     int lgW = 0; while ((1 << lgW) < w) lgW++;
-    static thread_local int16_t c16[32 * 32], cp[32 * 34], t1[32 * 32];
-    // narrow coeffs to int16 (dequant clipped them to +-2^15) and find the
-    // last nonzero row / column
-    int lastRow = 0, lastCol = 0;
-    for (int i = 0; i < h; i++) {
-      bool nz = false;
-      for (int j = 0; j < w; j++) {
-        int32_t v = buf[size_t(i) * w + j];
-        c16[size_t(i) * w + j] = int16_t(v);
-        if (v) { nz = true; if (j > lastCol) lastCol = j; }
-      }
-      if (nz) lastRow = i;
-    }
+    static thread_local int16_t cp[32 * 34], t1[32 * 32];
     const int shift1 = 7;
     if (lastRow == 0 && lastCol == 0 && !dstY && !dstX) {
       // DC-only: both stages reduce to scalar constants
@@ -378,9 +368,10 @@ struct ReconCtx {
       v1 = v1 < I16MIN ? I16MIN : (v1 > I16MAX ? I16MAX : v1);
       int v2 = (64 * v1 + (1 << (shift2 - 1))) >> shift2;
       v2 = v2 < I16MIN ? I16MIN : (v2 > I16MAX ? I16MAX : v2);
-      for (int i = 0; i < h * w; i++) buf[i] = v2;
+      for (int i = 0; i < h * w; i++) outp[i] = int16_t(v2);
       return;
     }
+    int lgH = 0; while ((1 << lgH) < h) lgH++;
     const int32_t* colPairY =
         dstY ? &kItx.dstColPair[0][0] : kItx.colPair[lgH].data();
     const int16_t* pairRowsX =
@@ -456,7 +447,7 @@ struct ReconCtx {
     __m256i r2 = _mm256_set1_epi32(1 << (shift2 - 1));
     for (int i = 0; i < h; i++) {
       const int16_t* ti = t1 + size_t(i) * w;
-      int32_t* out = buf + size_t(i) * w;
+      int16_t* out = outp + size_t(i) * w;
       if (w >= 16) {
         for (int j = 0; j < w; j += 16) {
           __m256i a0 = r2, a1 = r2;
@@ -476,14 +467,7 @@ struct ReconCtx {
           a1 = _mm256_srai_epi32(a1, shift2);
           __m256i pk = _mm256_packs_epi32(a0, a1);
           pk = _mm256_permute4x64_epi64(pk, 0xD8);
-          // widen the clipped int16 back to the int32 interface
-          _mm256_storeu_si256(
-              (__m256i*)out,
-              _mm256_cvtepi16_epi32(_mm256_castsi256_si128(pk)));
-          _mm256_storeu_si256(
-              (__m256i*)(out + 8),
-              _mm256_cvtepi16_epi32(_mm256_extracti128_si256(pk, 1)));
-          out += 16;
+          _mm256_storeu_si256((__m256i*)(out + j), pk);
         }
       } else if (w == 8) {
         __m256i a0 = r2;
@@ -497,7 +481,7 @@ struct ReconCtx {
         a0 = _mm256_srai_epi32(a0, shift2);
         __m128i pk = _mm_packs_epi32(_mm256_castsi256_si128(a0),
                                      _mm256_extracti128_si256(a0, 1));
-        _mm256_storeu_si256((__m256i*)out, _mm256_cvtepi16_epi32(pk));
+        _mm_storeu_si128((__m128i*)out, pk);
       } else {  // w == 4
         __m128i a0 = _mm_set1_epi32(1 << (shift2 - 1));
         for (int p = 0; p < npair2; p++)
@@ -508,10 +492,103 @@ struct ReconCtx {
                   _mm_set1_epi32(int32_t(uint16_t(ti[2 * p])) |
                                  (int32_t(uint16_t(ti[2 * p + 1])) << 16))));
         a0 = _mm_srai_epi32(a0, shift2);
-        __m128i pk = _mm_packs_epi32(a0, a0);
-        _mm_storeu_si128((__m128i*)out, _mm_cvtepi16_epi32(pk));
+        _mm_storel_epi64((__m128i*)out, _mm_packs_epi32(a0, a0));
       }
     }
+  }
+
+  // int32 interface wrapper (scaling-list dequant path): narrow, transform,
+  // widen back
+  void itxAvx2(int h, int w, bool dstY, bool dstX, int shift2, int32_t* buf) {
+    static thread_local int16_t c16[32 * 33], o16[32 * 32];
+    int lastRow = 0, lastCol = 0;
+    for (int i = 0; i < h; i++) {
+      bool nz = false;
+      for (int j = 0; j < w; j++) {
+        int32_t v = buf[size_t(i) * w + j];
+        c16[size_t(i) * w + j] = int16_t(v);
+        if (v) { nz = true; if (j > lastCol) lastCol = j; }
+      }
+      if (nz) lastRow = i;
+    }
+    if (lastRow + 1 < h)
+      memset(c16 + size_t(lastRow + 1) * w, 0, size_t(w) * 2);
+    itx16(h, w, dstY, dstX, shift2, c16, lastRow, lastCol, o16);
+    for (int i = 0; i < h * w; i++) buf[i] = o16[i];
+  }
+
+  // dequant (flat scale) + inverse transform straight into the int16
+  // residual pool.  Covers the dominant path: no scaling lists, no
+  // transform-skip / bypass, standard dynamic range, right-shift dequant.
+  bool residualFast(const TuMeta& t, int16_t* outp) {
+    if (t.bypass || t.tskip || useScaling) return false;
+    int bd = bitDepth(t.comp);
+    if (sps->extended_precision && std::max(15, bd + 6) > 15) return false;
+    int w = t.w, h = t.h;
+    int log2w = 0; while ((1 << log2w) < w) log2w++;
+    int per = t.qp / 6, rem = t.qp % 6;
+    int tshift = 15 - bd - log2w;
+    int right = 6 - (tshift + per);
+    if (right <= 0) return false;  // rare: fall back to the scalar path
+    int scale = kInvQuantScales[rem];
+    int shift2 = 20 - bd;
+    const int32_t* c = &pic->coeffs[t.coeff_off];
+    static thread_local int16_t c16[32 * 33];
+    // scan the last nonzero row of raw coeffs (zero rows dequant to zero)
+    int lastRow = h - 1;
+    for (; lastRow > 0; lastRow--) {
+      const int32_t* row = c + size_t(lastRow) * w;
+      __m256i acc = _mm256_setzero_si256();
+      int j = 0;
+      for (; j + 8 <= w; j += 8)
+        acc = _mm256_or_si256(acc,
+                              _mm256_loadu_si256((const __m256i*)(row + j)));
+      bool nz = !_mm256_testz_si256(acc, acc);
+      for (; j < w && !nz; j++) nz = row[j] != 0;
+      if (nz) break;
+    }
+    // dequant rows 0..lastRow into int16, OR-accumulating a per-column
+    // nonzero mask as we go
+    __m256i vscale = _mm256_set1_epi32(scale);
+    __m256i vadd = _mm256_set1_epi32(1 << (right - 1));
+    __m256i lo16 = _mm256_set1_epi32(-32768), hi16 = _mm256_set1_epi32(32767);
+    alignas(32) int16_t colOr[32] = {0};
+    for (int i = 0; i <= lastRow; i++) {
+      const int32_t* row = c + size_t(i) * w;
+      int16_t* dst = c16 + size_t(i) * w;
+      if (w >= 8) {
+        for (int j = 0; j < w; j += 8) {
+          __m256i v = _mm256_loadu_si256((const __m256i*)(row + j));
+          v = _mm256_min_epi32(_mm256_max_epi32(v, lo16), hi16);
+          v = _mm256_srai_epi32(
+              _mm256_add_epi32(_mm256_mullo_epi32(v, vscale), vadd), right);
+          v = _mm256_min_epi32(_mm256_max_epi32(v, lo16), hi16);
+          __m128i pk = _mm_packs_epi32(_mm256_castsi256_si128(v),
+                                       _mm256_extracti128_si256(v, 1));
+          _mm_storeu_si128((__m128i*)(dst + j), pk);
+          _mm_store_si128(
+              (__m128i*)(colOr + j),
+              _mm_or_si128(_mm_load_si128((const __m128i*)(colOr + j)), pk));
+        }
+      } else {  // w == 4
+        for (int j = 0; j < 4; j++) {
+          int32_t v = row[j];
+          v = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+          int32_t q = (v * scale + (1 << (right - 1))) >> right;
+          q = q < -32768 ? -32768 : (q > 32767 ? 32767 : q);
+          dst[j] = int16_t(q);
+          colOr[j] = int16_t(colOr[j] | q);
+        }
+      }
+    }
+    if (lastRow + 1 < h)
+      memset(c16 + size_t(lastRow + 1) * w, 0, size_t(w) * 2);
+    int lastCol = 0;
+    for (int j = w - 1; j > 0; j--)
+      if (colOr[j]) { lastCol = j; break; }
+    itx16(h, w, t.use_dst && h == 4, t.use_dst && w == 4, shift2, c16,
+          lastRow, lastCol, outp);
+    return true;
   }
 #endif
 
@@ -672,6 +749,9 @@ struct ReconCtx {
     static thread_local int32_t scratch[32 * 32];
     for (size_t i = 0; i < pic->tu_list.size(); i++) {
       const TuMeta& t = pic->tu_list[i];
+#if defined(__AVX2__)
+      if (residualFast(t, &resPool[t.coeff_off])) continue;
+#endif
       residualForTu(t, scratch);
       int16_t* dst = &resPool[t.coeff_off];
       size_t nn = size_t(t.w) * t.h;

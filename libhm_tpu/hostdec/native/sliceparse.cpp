@@ -150,9 +150,9 @@ struct SliceParser {
   }
 
   void setRect8(std::vector<int8_t>& m, int x, int y, int w, int h, int8_t v) {
+    int x0 = x >> 2, nx = ((x + w) >> 2) - x0;
     for (int yy = y >> 2; yy < (y + h) >> 2; yy++)
-      for (int xx = x >> 2; xx < (x + w) >> 2; xx++)
-        m[size_t(yy) * w4() + xx] = v;
+      memset(&m[size_t(yy) * w4() + x0], v, size_t(nx));
   }
 
   // ---------------- SAO ------------------------------------------------
@@ -369,36 +369,30 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
         }
       }
     }
-    // mark slice id
+    // Per-CTU init, row-wise: slice id, re-init of conditionally-written
+    // maps (reference TComDataCU::initCtu zero-fills before each CTU parse;
+    // needed when a later slice re-parses CTUs an earlier slice's substream
+    // already covered, TDecCu.cpp:157), and per-CTU deblock slice params.
+    int x4lo = cx >> 2;
     int x4hi = std::min((cx + ctb) >> 2, pic->w4);
     int y4hi = std::min((cy + ctb) >> 2, pic->h4);
-    for (int yy = cy >> 2; yy < y4hi; yy++)
-      for (int xx = cx >> 2; xx < x4hi; xx++)
-        pic->slice_idx[size_t(yy) * w4() + xx] = sidx;
-    // Per-CTU re-init of conditionally-written maps (reference
-    // TComDataCU::initCtu zero-fills all arrays before each CTU parse).
-    // Needed when a later slice re-parses CTUs that an earlier slice's
-    // substream already covered: HM's SliceMode encoder entropy-codes each
-    // slice's substream to the picture end and the decoder overwrites the
-    // overlap (TDecCu.cpp:157); the two codings come from separate RDO
-    // passes so the CU/TU trees can differ.
-    for (int yy = cy >> 2; yy < y4hi; yy++)
-      for (int xx = cx >> 2; xx < x4hi; xx++) {
-        size_t i = size_t(yy) * w4() + xx;
-        pic->cbf_y[i] = 0;
-        pic->pcm[i] = 0;
-        pic->edge_flags[i] = 0;
-        pic->skip[i] = 0;
-      }
-    // deblock per-CTU slice params
-    for (int yy = cy >> 2; yy < y4hi; yy++)
-      for (int xx = cx >> 2; xx < x4hi; xx++) {
-        size_t i = size_t(yy) * w4() + xx;
-        pic->deblock_disable[i] = int8_t(hdr.deblocking_disabled);
-        pic->beta_offset[i] = int8_t(hdr.beta_offset_div2 * 2);
-        pic->tc_offset[i] = int8_t(hdr.tc_offset_div2 * 2);
-        pic->lf_across[i] = int8_t(hdr.loop_filter_across_slices);
-      }
+    int nx4 = x4hi - x4lo;
+    for (int yy = cy >> 2; yy < y4hi; yy++) {
+      size_t i = size_t(yy) * w4() + x4lo;
+      std::fill_n(&pic->slice_idx[i], nx4, sidx);
+      memset(&pic->cbf_y[i], 0, size_t(nx4));
+      memset(&pic->pcm[i], 0, size_t(nx4));
+      memset(&pic->edge_flags[i], 0, size_t(nx4));
+      memset(&pic->skip[i], 0, size_t(nx4));
+      memset(&pic->deblock_disable[i], uint8_t(int8_t(hdr.deblocking_disabled)),
+             size_t(nx4));
+      memset(&pic->beta_offset[i], uint8_t(int8_t(hdr.beta_offset_div2 * 2)),
+             size_t(nx4));
+      memset(&pic->tc_offset[i], uint8_t(int8_t(hdr.tc_offset_div2 * 2)),
+             size_t(nx4));
+      memset(&pic->lf_across[i], uint8_t(int8_t(hdr.loop_filter_across_slices)),
+             size_t(nx4));
+    }
     if (sps->sao_enabled) parseSaoCtu(addr, cx, cy);
     parseCqt(cx, cy, log2Ctb, 0);
     // row snapshot (Rec. 9.3.2.3 storage): taken whenever the 2nd CTU of
@@ -1157,8 +1151,7 @@ void SliceParser::parseResidual(int comp, int x, int y, int log2w, int log2h) {
   int wg = w >> 2, hg = h >> 2;
   const auto& scanCg = g_scans.getCg(wg, hg, scanType);
 
-  int scanPosLast = 0;
-  while (scan[scanPosLast] != blkLast) scanPosLast++;
+  int scanPosLast = g_scans.getGroupedInv(w, h, scanType)[blkLast];
 
   int firstSigCtx;
   if (singleCtx) firstSigCtx = kSigSetStart[ch][3];
