@@ -455,6 +455,9 @@ class Decoder:
             dp.cropped_planes = []   # real planes come from the batch recon
         dp.pic_syntax = pic
         dp.hash_status = None
+        if self.recon == "collect":
+            # batched backends fill dp.planes after DAG-ordered recon
+            self.collected[-1]["dp"] = dp
         if self.check_sei_hash:
             self._verify_hash(dp)
         self.dpb.append(dp)

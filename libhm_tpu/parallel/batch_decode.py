@@ -156,13 +156,17 @@ def _scan_fn_batched(sizes, comp_is_luma, bd, W, H):
     return jax.jit(jax.vmap(run_one))
 
 
-def _intra_batch(items, comp, planes_all, res_all, mesh=None):
+def _intra_batch(items, comp, planes_all, res_all, mesh=None, stacked=None):
     """Batched wavefront over all pictures for one component.
 
     With a mesh, the picture axis is sharded over its first axis (pure
     data parallelism -- XLA partitions the vmapped scan with no
     collectives; pictures pad up to a multiple of the mesh size with
-    scatter-dropped dummies)."""
+    scatter-dropped dummies).
+
+    stacked: optional device [B, Hp, Wp] planes (e.g. holding MC output).
+    When given, the scan starts from it and the updated DEVICE array is
+    returned without a host round trip; planes_all is not written."""
     sps = items[0]["sps"]
     ssx = sps.chroma_shift_x() if comp else 0
     ssy = sps.chroma_shift_y() if comp else 0
@@ -177,7 +181,7 @@ def _intra_batch(items, comp, planes_all, res_all, mesh=None):
                                       constrained)
         preps.append((levels, L))
     if all(lv is None for lv, _ in preps):
-        return
+        return stacked
     sizes = tuple(sorted({n for lv, _ in preps if lv for n in lv}))
     Lmax = _pow2(max(max(L, 1) for _, L in preps))
     B = len(items)
@@ -219,14 +223,24 @@ def _intra_batch(items, comp, planes_all, res_all, mesh=None):
         batched[n] = {k: shard(jnp.asarray(v)) if shard else jnp.asarray(v)
                       for k, v in d.items()}
     run = _scan_fn_batched(sizes, comp == 0, bd, W, H)
-    pl = [planes_all[b][comp] for b in range(B)]
-    pl += [np.zeros_like(pl[0])] * (Bp - B)
-    stacked = jnp.asarray(np.stack(pl))
+    if stacked is None:
+        pl = [planes_all[b][comp] for b in range(B)]
+        pl += [np.zeros_like(pl[0])] * (Bp - B)
+        base = jnp.asarray(np.stack(pl))
+        if shard:
+            base = shard(base)
+        out = np.asarray(run(base, batched))
+        for b in range(B):
+            planes_all[b][comp][:, :] = out[b]
+        return None
+    base = stacked
+    if Bp > B:
+        base = jnp.concatenate(
+            [base, jnp.zeros((Bp - B,) + base.shape[1:], base.dtype)])
     if shard:
-        stacked = shard(stacked)
-    out = np.asarray(run(stacked, batched))
-    for b in range(B):
-        planes_all[b][comp][:, :] = out[b]
+        base = shard(base)
+    out = run(base, batched)
+    return out[:B]
 
 
 # ---------------------------------------------------------------------------
