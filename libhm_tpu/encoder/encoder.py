@@ -138,6 +138,21 @@ class _RecordingCabac:
     def pcm_payload(self, bits):
         self.ops.append(("pcm", bits))
 
+    def advance_states(self, lo, hi):
+        """Advance the CABAC context states for the ACCEPTED ops in
+        [lo, hi).  The decision pass calls this after each CTU so RD bit
+        estimates track the adapting probabilities, the way the reference
+        keeps its RD SBAC coder states current (TEncTop
+        m_pppcRDSbacCoder); without it every estimate prices bins at the
+        slice-init state."""
+        from ..hostdec.tables import NEXT_STATE_MPS, NEXT_STATE_LPS
+        for op in self.ops[lo:hi]:
+            if op[0] == "b":
+                ctx, idx, v = op[1], op[2], op[3]
+                state = int(ctx[idx])
+                ctx[idx] = NEXT_STATE_MPS[state] if v == (state & 1) \
+                    else NEXT_STATE_LPS[state]
+
     def replay(self, enc, lo, hi):
         for op in self.ops[lo:hi]:
             kind = op[0]
@@ -270,6 +285,39 @@ def _mk_sps_pps(cfg):
     return sps, pps
 
 
+def _rough_level_bits(lev):
+    """Cheap residual-coding bit estimate for trial comparisons: sig /
+    gt1-ish cost per nonzero, EG0-ish cost per magnitude, plus the
+    coded-sub-block and last-position overhead of every touched 4x4 CG."""
+    a = np.abs(lev)
+    nzy, nzx = np.nonzero(a)
+    if len(nzy) == 0:
+        return 0.0
+    mags = a[nzy, nzx].astype(np.float64)
+    bits = 1.5 * len(nzy) + float((2 * np.ceil(np.log2(mags + 1))).sum())
+    ncg = len(set(zip(nzy >> 2, nzx >> 2)))
+    return bits + 2.0 * ncg + 8.0
+
+
+def _hm_gop_depth(poc, gop_size):
+    """Hierarchy depth of a picture within its GOP (reference
+    TEncSlice::initEncSlice depth computation, TEncSlice.cpp:227-264)."""
+    p = poc % gop_size
+    if p == 0:
+        return 0
+    depth = 0
+    step = gop_size
+    i = step >> 1
+    while i >= 1:
+        found = any(j == p for j in range(i, gop_size, step))
+        step >>= 1
+        depth += 1
+        if found:
+            break
+        i >>= 1
+    return depth
+
+
 class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
         if getattr(cfg, "lossless", False):
@@ -333,6 +381,7 @@ class IntraEncoder:
                     self.cur_qp = self._rc.pic_qp(slice_type == 2)
                 elif pic_qp is not None:
                     self.cur_qp = pic_qp
+                self.cur_qp_factor = item[9] if len(item) > 9 else None
                 slices, recon = self.encode_picture(
                     frames[poc], poc - idr_base, nal_type, slice_type,
                     rps=rps)
@@ -355,6 +404,7 @@ class IntraEncoder:
                                  if p in keep}
             return bytes(out)
         inter_gop = cfg.gop in ("lowdelayP", "lowdelayB")
+        self.cur_qp_factor = None
         refs = []                                # newest first
         for poc, frame in enumerate(frames):
             rps = None
@@ -555,7 +605,8 @@ class IntraEncoder:
                 nal = 9 if leading else 1   # RASL_R / TRAIL_R (the _R
                 # variants: leading pictures reference each other)
                 yield (poc, nal, stype, l0, l1 if stype == 0 else [],
-                       rps, cfg.qp + e.qp_offset, e.temporal_id, idr_base)
+                       rps, cfg.qp + e.qp_offset, e.temporal_id, idr_base,
+                       e.qp_factor)
             if pending_idr is not None:
                 coded.add(pending_idr)
                 last_irap = idr_base = pending_idr
@@ -607,8 +658,31 @@ class IntraEncoder:
         if qp_pic is None:
             qp_pic = cfg.qp
         self.cur_qp = qp_pic
-        # SSE lambda in the 8-bit domain (reference TEncSlice lambda model)
-        self.rd_lambda = (0.45 if slice_type == 2 else 0.57) *             2.0 ** ((qp_pic - 12) / 3.0)
+        # SSE lambda in the 8-bit domain — the reference TEncSlice lambda
+        # model (TEncSlice.cpp:355-416): GOP-entry QPfactor, the I-slice
+        # 0.57*(1-0.05*NumberBFrames) scale, and the hierarchy-depth
+        # multiplier Clip3(2,4,qp_temp/6) for depth>0 pictures.
+        gop_size = max(1, getattr(cfg, "gop_size", None) or
+                       len(getattr(cfg, "gop_entries", None) or []) or 1)
+        qp_temp = qp_pic - 12
+        if slice_type == 2:
+            scale = 1.0 - min(0.5, max(0.0, 0.05 * (gop_size - 1)))
+            factor = 0.57 * scale
+        else:
+            factor = getattr(self, "cur_qp_factor", None) or 0.57
+        lam = factor * 2.0 ** (qp_temp / 3.0)
+        if gop_size > 1 and _hm_gop_depth(poc, gop_size) > 0:
+            lam *= min(4.0, max(2.0, qp_temp / 6.0))
+        self.rd_lambda = lam
+        # chroma distortion weights (TEncSlice::setUpLambda): chroma SSE is
+        # weighted by 2^((qp-qpc)/3) in RD decisions; RDOQ uses
+        # lambda/weight for chroma
+        self.chroma_weight = [1.0, 1.0, 1.0]
+        if sps.chroma_format_idc:
+            for c in (1, 2):
+                qpi = max(0, min(57, qp_pic))
+                qpc = CHROMA_QP_SCALE[sps.chroma_format_idc][qpi]
+                self.chroma_weight[c] = 2.0 ** ((qp_pic - qpc) / 3.0)
         self.cur_wp = None
         if slice_type in (0, 1):
             self.sh = _PSliceHeader(poc, cfg, slice_type)
@@ -733,6 +807,9 @@ class IntraEncoder:
                 cx = (addr % nctu_x) << sps.log2_ctb
                 cy = (addr // nctu_x) << sps.log2_ctb
                 self.encode_cqt(cx, cy, sps.log2_ctb, 0)
+                # adapt the decision-pass context states over the accepted
+                # CTU syntax (emission resets the bank before replay)
+                rec.advance_states(rec.marks[-1], len(rec.ops))
             rec.mark()
             if cfg.deblock:
                 from ..hostdec.loopfilter_np import deblock_picture
@@ -2322,16 +2399,8 @@ class IntraEncoder:
             orig = self.orig[0][py:py + half, px:px + half]
             preds_mpm = self.sd._intra_mpm(px, py)
             all_preds = self._intra_all_preds(0, px, py, half)
-            best_mode, best_cost = 1, float("inf")
-            for mode in range(35):
-                if mode in preds_mpm:
-                    bits = 2 if preds_mpm.index(mode) == 0 else 3
-                else:
-                    bits = 6
-                c = satd(all_preds[mode], orig) + lam_pred * bits
-                if c < best_cost:
-                    best_cost, best_mode = c, mode
-            mode = best_mode
+            mode = self._select_intra_luma_mode(px, py, half, preds_mpm,
+                                                all_preds)
             pic.set_rect(pic.intra_y, px, py, half, half, mode)
             # reconstruct this PU now: the next PU predicts from it
             pred = self._intra_pred(0, px, py, half, mode)
@@ -2473,24 +2542,11 @@ class IntraEncoder:
         from ..hostdec.picture import SIZE_2Nx2N
         pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
 
-        # --- luma mode decision: SATD + lambda*modebits (reference
-        # TEncSearch estIntraPredQT's Hadamard preselection) ---
-        from .rd_cost import satd
-        orig = self.orig[0][y:y + size, x:x + size]
+        # --- luma mode decision: Hadamard preselection + full-RD over the
+        # candidate list (reference TEncSearch::estIntraPredQT) ---
         preds_mpm = self.sd._intra_mpm(x, y)
-        lam_pred = self.rd_lambda ** 0.5
-        best_mode, best_cost = 1, float("inf")
         all_preds = self._intra_all_preds(0, x, y, size)
-        for mode in range(35):
-            pred = all_preds[mode]
-            if mode in preds_mpm:
-                bits = 2 if preds_mpm.index(mode) == 0 else 3
-            else:
-                bits = 6
-            cost = satd(pred, orig) + lam_pred * bits
-            if cost < best_cost:
-                best_cost, best_mode = cost, mode
-        mode = best_mode
+        mode = self._select_intra_luma_mode(x, y, size, preds_mpm, all_preds)
         pic.set_rect(pic.intra_y, x, y, size, size, mode)
 
         if log2size == sps.log2_min_cb:
@@ -2621,19 +2677,10 @@ class IntraEncoder:
                     return SCAN_VER
             return SCAN_DIAG
 
-        # whole-CU SATD mode decision (same criterion as the no-split path)
-        orig = self.orig[0][y:y + size, x:x + size]
+        # whole-CU mode decision (same criterion as the no-split path)
         preds_mpm = self.sd._intra_mpm(x, y)
-        lam_pred = self.rd_lambda ** 0.5
         all_preds = self._intra_all_preds(0, x, y, size)
-        best_mode, best_cost = 1, float("inf")
-        for m in range(35):
-            bits = (2 if preds_mpm.index(m) == 0 else 3) \
-                if m in preds_mpm else 6
-            c = satd(all_preds[m], orig) + lam_pred * bits
-            if c < best_cost:
-                best_cost, best_mode = c, m
-        mode = best_mode
+        mode = self._select_intra_luma_mode(x, y, size, preds_mpm, all_preds)
         pic.set_rect(pic.intra_y, x, y, size, size, mode)
         pic.set_rect(pic.intra_c, x, y, size, size, mode)
         self._mark_edges(x, y, size)
@@ -2778,6 +2825,71 @@ class IntraEncoder:
             if abs(mode - 10) <= 4:
                 return SCAN_VER
         return SCAN_DIAG
+
+    def _intra_mode_rd_trial(self, x, y, size, mode, preds_mpm, pred):
+        """Luma-only RD cost of one intra candidate mode at the unsplit TU
+        (reference TEncSearch::estIntraPredQT full-RD evaluation of the
+        Hadamard-preselected candidate list)."""
+        enc, bank, cfg = self.enc, self.bank, self.cfg
+        from .residual_enc import encode_residual
+        mark = len(enc.ops)
+        if mode in preds_mpm:
+            idx = preds_mpm.index(mode)
+            enc.encode_bin(bank["intra_luma_mpm"], 0, 1)
+            if idx == 0:
+                enc.encode_bypass(0)
+            else:
+                enc.encode_bypass(1)
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(bank["intra_luma_mpm"], 0, 0)
+            rem = mode
+            for p in sorted(preds_mpm, reverse=True):
+                if rem > p:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+        orig = self.orig[0][y:y + size, x:x + size]
+        resi = (orig - pred).astype(np.int32)
+        scan = self._mdcs_scan(size, mode, 0)
+        lev, rec_resi, cbf = self._tu_fwd(resi, size == 4, 0, scan, True)
+        enc.encode_bin(bank["qt_cbf"], 1, cbf)
+        if cbf:
+            encode_residual(enc, bank, lev, 0, scan, cfg.sign_hiding,
+                            ts=self._ts_of(lev))
+        rec = np.clip(pred + rec_resi, 0, (1 << cfg.bit_depth) - 1)
+        norm = 1 << (2 * (cfg.bit_depth - 8))
+        sse = float(((orig.astype(np.int64) - rec) ** 2).sum()) / norm
+        cost = sse + self.rd_lambda * self._est_ops_bits(mark)
+        del enc.ops[mark:]
+        return cost
+
+    def _select_intra_luma_mode(self, x, y, size, preds_mpm, all_preds):
+        """Hadamard preselection + full-RD candidate pass (reference
+        estIntraPredQT: 8 candidates for 4x4/8x8, 3 for larger, plus the
+        MPMs).  Returns the chosen mode."""
+        from .rd_cost import satd
+        orig = self.orig[0][y:y + size, x:x + size]
+        lam_pred = self.rd_lambda ** 0.5
+        ranked = []
+        for m in range(35):
+            bits = (2 if preds_mpm.index(m) == 0 else 3) \
+                if m in preds_mpm else 6
+            ranked.append((satd(all_preds[m], orig) + lam_pred * bits, m))
+        ranked.sort()
+        if size > (1 << self.sps.log2_max_tb) or \
+                not isinstance(self.enc, _RecordingCabac):
+            return ranked[0][1]
+        cand = [m for _, m in ranked[:8 if size <= 8 else 3]]
+        for m in preds_mpm:
+            if m not in cand:
+                cand.append(m)
+        best_mode, best_cost = cand[0], float("inf")
+        for m in cand:
+            c = self._intra_mode_rd_trial(x, y, size, m, preds_mpm,
+                                          all_preds[m])
+            if c < best_cost:
+                best_cost, best_mode = c, m
+        return best_mode
 
     def _luma_rd_cost(self, x, y, size, ops_lo):
         cfg = self.cfg
@@ -2932,19 +3044,10 @@ class IntraEncoder:
         pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
 
-        # whole-CU SATD mode decision (shared mode for the tree)
-        orig = self.orig[0][y:y + size, x:x + size]
+        # whole-CU mode decision (shared mode for the tree)
         preds_mpm = self.sd._intra_mpm(x, y)
-        lam_pred = self.rd_lambda ** 0.5
         all_preds = self._intra_all_preds(0, x, y, size)
-        best_mode, best_cost = 1, float("inf")
-        for m in range(35):
-            bits = (2 if preds_mpm.index(m) == 0 else 3) \
-                if m in preds_mpm else 6
-            c = satd(all_preds[m], orig) + lam_pred * bits
-            if c < best_cost:
-                best_cost, best_mode = c, m
-        mode = best_mode
+        mode = self._select_intra_luma_mode(x, y, size, preds_mpm, all_preds)
         pic.set_rect(pic.intra_y, x, y, size, size, mode)
         pic.set_rect(pic.intra_c, x, y, size, size, mode)
         self._mark_edges(x, y, size)
@@ -3052,7 +3155,8 @@ class IntraEncoder:
                              x >> ssx:(x + size) >> ssx].astype(np.int64)
             r = self.recon[c][y >> ssy:(y + size) >> ssy,
                               x >> ssx:(x + size) >> ssx].astype(np.int64)
-            sse += float(((o - r) ** 2).sum()) / norm
+            sse += self.chroma_weight[c] * \
+                float(((o - r) ** 2).sum()) / norm
         return sse + self.rd_lambda * self._est_ops_bits(ops_lo)
 
     def _tu_fwd(self, resi, use_dst, comp, scan, is_intra):
@@ -3097,9 +3201,17 @@ class IntraEncoder:
                 rec_ts = refimpl.inverse_transform_skip(deq, bd, log2n)
             else:
                 rec_ts = np.zeros_like(resi)
-            sse_d = int(((resi - rec) ** 2).sum())
-            sse_t = int(((resi - rec_ts) ** 2).sum())
-            ts = 1 if sse_t < sse_d else 0
+            # RD choice with a rate estimate (the reference tries both in
+            # full RD, TEncSearch xIntraCodingTUBlock; a pure-SSE pick
+            # chooses spatial-domain levels that scatter across every
+            # coefficient group and explode the residual bit cost)
+            norm = 1 << (2 * (bd - 8))
+            lam = self.rd_lambda / self.chroma_weight[comp] * norm
+            cost_d = float(((resi - rec) ** 2).sum()) + \
+                lam * _rough_level_bits(lev)
+            cost_t = float(((resi - rec_ts) ** 2).sum()) + \
+                lam * _rough_level_bits(lev_ts)
+            ts = 1 if cost_t < cost_d else 0
             if ts:
                 lev, rec = lev_ts, rec_ts
                 cbf = 1 if lev.any() else 0
@@ -3134,8 +3246,11 @@ class IntraEncoder:
         bd = self.cfg.bit_depth
         if self.cfg.rdoq:
             from .rdoq import rdoq
+            # RDOQ chroma lambda = lambda / distortion weight
+            # (RDOQ_CHROMA_LAMBDA, TEncSlice::setUpLambda)
+            lam = self.rd_lambda / self.chroma_weight[comp]
             lev = rdoq(coef, qp, log2n, bd, comp, scan_type, self.bank,
-                       self.rd_lambda)
+                       lam)
         else:
             lev = quantize(coef, qp, log2n, bd, is_intra)
         if self.cfg.sign_hiding and lev.any():
