@@ -654,6 +654,7 @@ class IntraEncoder:
 
         self.slice_type = slice_type
         self._ts_flags = {}
+        self._pad16_cache = {}
         qp_pic = getattr(self, "cur_qp", None)
         if qp_pic is None:
             qp_pic = cfg.qp
@@ -674,6 +675,9 @@ class IntraEncoder:
         if gop_size > 1 and _hm_gop_depth(poc, gop_size) > 0:
             lam *= min(4.0, max(2.0, qp_temp / 6.0))
         self.rd_lambda = lam
+        # sqrt-lambda for SAD/SATD-domain costs (reference TComRdCost
+        # m_dLambdaMotionSAD / setCbDistortionWeight)
+        self._lam_motion = lam ** 0.5
         # chroma distortion weights (TEncSlice::setUpLambda): chroma SSE is
         # weighted by 2^((qp-qpc)/3) in RD decisions; RDOQ uses
         # lambda/weight for chroma
@@ -978,6 +982,30 @@ class IntraEncoder:
         return payloads
 
     # ------------------------------------------------------------------
+    _ENC_NATIVE = ("unset",)
+
+    def _enc_native(self):
+        """ctypes handle to the native search kernels, or None."""
+        if IntraEncoder._ENC_NATIVE == ("unset",):
+            from ..hostdec.native_bridge import try_load
+            IntraEncoder._ENC_NATIVE = (try_load(),)
+        return IntraEncoder._ENC_NATIVE[0]
+
+    def _padded_i16(self, plane, R):
+        """Edge-padded int16 copy of a reference plane (pad = R + 8),
+        cached per plane object for the current picture."""
+        cache = getattr(self, "_pad16_cache", None)
+        if cache is None:
+            cache = self._pad16_cache = {}
+        key = id(plane)
+        hit = cache.get(key)
+        if hit is not None and hit[0] is plane and hit[1] == R:
+            return hit[2]
+        padded = np.ascontiguousarray(
+            np.pad(plane, R + 8, mode="edge"), np.int16)
+        cache[key] = (plane, R, padded)
+        return padded
+
     def _ref_plane(self, comp, l, ref_idx=0):
         sps = self.sps
         ssx = sps.chroma_shift_x() if comp else 0
@@ -1122,8 +1150,7 @@ class IntraEncoder:
                         pic.sao_offsets[addr, c] = cands[c][best_t][0]
 
     def _motion_search(self, x, y, size, pred_mv):
-        return self._motion_search_rect(x, y, size, size, pred_mv,
-                                        square=True)
+        return self._motion_search_rect(x, y, size, size, pred_mv)
 
     # TZ search (reference TEncSearch xPatternSearchFast / xTZSearch,
     # TEncSearch.cpp:337-678, 4170): start from the predictor and zero,
@@ -1132,24 +1159,31 @@ class IntraEncoder:
     _TZ_DIAMOND = ((0, -1), (0, 1), (-1, 0), (1, 0),
                    (-1, -1), (1, -1), (-1, 1), (1, 1))
 
-    def _tz_integer(self, orig, plane, px, py, w, h, pred_int, R):
+    def _tz_integer(self, orig, plane, px, py, w, h, pred_int, R,
+                    pred_mv=(0, 0)):
         # edge-padded reference (cached per plane): SAD windows become
         # contiguous slices instead of clipped fancy-index gathers
         pad = R + 8
         cache_key = (id(plane), pad)
         pc = getattr(self, "_pad_cache", None)
-        if pc is None or pc[0] != cache_key:
+        if pc is None or pc[0] != cache_key or pc[1] is not plane:
             padded = np.pad(plane, pad, mode="edge")
             self._pad_cache = (cache_key, plane, padded)
         padded = self._pad_cache[2]
         cache = {}
+        lam_m = self._lam_motion
+        dsh = self.cfg.bit_depth - 8
 
         def sad(d):
+            # SAD + sqrt-lambda * MV bits vs the AMVP predictor (reference
+            # xGetCost inside xTZSearch)
             if d in cache:
                 return cache[d]
             dx, dy = d
             y0, x0 = py + dy + pad, px + dx + pad
-            c = int(np.abs(padded[y0:y0 + h, x0:x0 + w] - orig).sum())
+            c = (int(np.abs(padded[y0:y0 + h, x0:x0 + w] - orig).sum())
+                 >> dsh) + lam_m * self._mv_bits((dx << 2) - pred_mv[0],
+                                                 (dy << 2) - pred_mv[1])
             cache[d] = c
             return c
 
@@ -1197,19 +1231,36 @@ class IntraEncoder:
                 d <<= 1
         return best_mv, best
 
-    def _frac_refine(self, best_mv, best, px, py, w, h, orig):
+    def _frac_refine(self, best_mv, px, py, w, h, orig, pred_mv, l, r):
         """Two-stage half- then quarter-pel refinement over the 8
-        neighbours of the running best (reference xPatternSearchFracDIF,
-        TEncSearch.cpp:4563)."""
+        neighbours of the running best, Hadamard-costed (reference
+        xPatternSearchFracDIF, TEncSearch.cpp:4563, which uses HAD for
+        the fractional stage).  Returns (mv, pure SATD distortion)."""
+        from .rd_cost import satd
+        lam_m = self._lam_motion
+        dsh = self.cfg.bit_depth - 8
+        mvs = [(0, 0), (0, 0)]
+        ref_idx = [-1, -1]
+        ref_idx[l] = r
+
+        def had(mv):
+            mvs[l] = mv
+            pred = self._pred_from_cand(0, px, py, w, h, l + 1, mvs, ref_idx)
+            return satd(pred, orig) >> dsh
+
+        best_dist = had(best_mv)
+        best = best_dist + lam_m * self._mv_bits(best_mv[0] - pred_mv[0],
+                                                 best_mv[1] - pred_mv[1])
         for step in (2, 1):
             center = best_mv
             for ox, oy in self._TZ_DIAMOND:
                 mv = (center[0] + ox * step, center[1] + oy * step)
-                pred = self._pred_from_cand(0, px, py, w, h, 1, [mv, (0, 0)])
-                cost = int(np.abs(pred - orig).sum())
+                d = had(mv)
+                cost = d + lam_m * self._mv_bits(mv[0] - pred_mv[0],
+                                                 mv[1] - pred_mv[1])
                 if cost < best:
-                    best, best_mv = cost, mv
-        return best_mv, best
+                    best, best_mv, best_dist = cost, mv, d
+        return best_mv, best_dist
 
     def _write_merge_idx(self, idx):
         enc, bank = self.enc, self.bank
@@ -1270,15 +1321,117 @@ class IntraEncoder:
          pic.ref_is_lt[sl]) = (snap[0], snap[1], snap[2], snap[3], snap[4])
         del pic.inter_list[snap[5]:]
 
+    @staticmethod
+    def _mv_bits(dx, dy):
+        """Signed-EG0 bit length of an MVD (reference TComRdCost
+        xGetComponentBits: motion-cost bit table)."""
+        b = 0
+        for v in (int(dx), int(dy)):
+            n = (abs(v) << 1) + (1 if v <= 0 else 0)
+            b += 2 * (n.bit_length() - 1) + 1
+        return b
+
+    @staticmethod
+    def _ref_bits(r, nref):
+        """Unary ref_idx bin count (truncated at nref-1)."""
+        if nref <= 1:
+            return 0
+        return min(r + 1, nref - 1)
+
+    def _pu_me_lists(self, px, py, w, h, orig):
+        """Per-list / per-ref AMVP motion estimation + one bi-prediction
+        refinement round (reference TEncSearch::predInterSearch
+        TEncSearch.cpp:3079-3500: uni ME over every ref of both lists,
+        then iterative bi-pred with the 2*orig - predOther template).
+
+        Returns a list of (cost, ("amvp", dir, ref_idx, mv, mvd, mvp_idx))
+        candidates: best uni per list + the bi candidate.  Costs are
+        SATD (8-bit domain) + sqrt-lambda * motion bits.
+        """
+        from .rd_cost import satd
+        lam_m = self._lam_motion
+        dshift = 2 * (self.cfg.bit_depth - 8)
+        nl = 2 if (self.slice_type == 0 and self.sh.num_ref_idx[1]) else 1
+        best_uni = [None, None]  # per list: (cost, r, mv, mvd, mvp_idx, amvp)
+        plane_cache = {}
+        for l in range(nl):
+            for r in range(self.sh.num_ref_idx[l]):
+                amvp = self.motion.amvp_candidates(px, py, w, h, l, r)
+                plane = self._ref_plane(0, l, r)
+                key = id(plane)
+                if key in plane_cache:
+                    # same physical picture already searched from the other
+                    # list/ref slot (GPB duplicate lists): reuse the MV
+                    mv, pcost = plane_cache[key]
+                else:
+                    mv, pcost = self._motion_search_rect(
+                        px, py, w, h, amvp[0], l, r, orig)
+                    plane_cache[key] = (mv, pcost)
+                best = None
+                for mi, cand in enumerate(amvp):
+                    mvd = (mv[0] - cand[0], mv[1] - cand[1])
+                    bits = self._mv_bits(*mvd) + 1 + \
+                        self._ref_bits(r, self.sh.num_ref_idx[l])
+                    c = pcost + lam_m * bits
+                    if best is None or c < best[0]:
+                        best = (c, r, mv, mvd, mi)
+                if best_uni[l] is None or best[0] < best_uni[l][0]:
+                    best_uni[l] = best + (amvp,)
+        out = []
+        for l in range(nl):
+            if best_uni[l] is None:
+                continue
+            c, r, mv, mvd, mi, _ = best_uni[l]
+            ref_idx = [-1, -1]
+            mvs = [(0, 0), (0, 0)]
+            mvds = [(0, 0), (0, 0)]
+            mvps = [0, 0]
+            ref_idx[l] = r
+            mvs[l] = mv
+            mvds[l] = mvd
+            mvps[l] = mi
+            out.append((c, ("amvp", l + 1, ref_idx, mvs, mvds, mvps)))
+        # bi-prediction refinement (B slices, 8x4/4x8 PUs excluded)
+        if nl == 2 and best_uni[0] and best_uni[1] and w + h != 12:
+            u0, u1 = best_uni[0], best_uni[1]
+            refs = [u0[1], u1[1]]
+            mvs = [u0[2], u1[2]]
+            mvds = [u0[3], u1[3]]
+            mvps = [u0[4], u1[4]]
+            amvps = [u0[5], u1[5]]
+            # one template round: re-search each list against
+            # 2*orig - predOther (the reference's iterative bi ME)
+            for l in (0, 1):
+                other = 1 - l
+                p_other = self._pred_from_cand(
+                    0, px, py, w, h, other + 1, mvs, refs).astype(np.int32)
+                target = 2 * orig - p_other
+                mv2, _ = self._motion_search_rect(
+                    px, py, w, h, amvps[l][mvps[l]], l, refs[l], target)
+                mvs = list(mvs)
+                mvs[l] = mv2
+                mvds[l] = (mv2[0] - amvps[l][mvps[l]][0],
+                           mv2[1] - amvps[l][mvps[l]][1])
+            pred_bi = self._pred_from_cand(0, px, py, w, h, 3, mvs, refs)
+            bits = (self._mv_bits(*mvds[0]) + self._mv_bits(*mvds[1]) + 2 +
+                    self._ref_bits(refs[0], self.sh.num_ref_idx[0]) +
+                    self._ref_bits(refs[1], self.sh.num_ref_idx[1]))
+            c = (satd(pred_bi, orig) >> dshift) + lam_m * bits
+            out.append((c, ("amvp", 3, refs, mvs, mvds, mvps)))
+        return out
+
     def _best_pu_motion(self, px, py, w, h, cx, cy, cu_size, pu_idx,
                         part_size, lam):
-        """Decide one PU: best merge candidate vs ME/AMVP.
+        """Decide one PU: best merge candidate vs per-list/per-ref ME.
 
         Returns (cost, desc) where desc = ("merge", idx, cand, dir) or
-        ("amvp", mv, mvd, mvp_idx). Does NOT write the motion maps.
+        ("amvp", dir, ref_idx[2], mv[2], mvd[2], mvp_idx[2]).  Does NOT
+        write the motion maps.
         """
-        from ..hostdec.picture import SIZE_2Nx2N
+        from .rd_cost import satd
         orig = self.orig[0][py:py + h, px:px + w].astype(np.int32)
+        lam_m = self._lam_motion
+        dshift = 2 * (self.cfg.bit_depth - 8)
         best = None
         clist = self.motion.merge_candidate_list(px, py, w, h, cx, cy,
                                                  cu_size, pu_idx, part_size)
@@ -1293,74 +1446,119 @@ class IntraEncoder:
                 continue
             pred = self._pred_from_cand(0, px, py, w, h, dir_, cand.mv,
                                         cand.ref_idx)
-            cost = int(np.abs(pred - orig).sum()) + lam * (mi + 1)
+            cost = (satd(pred, orig) >> dshift) + lam_m * (mi + 2)
             if best is None or cost < best[0]:
                 best = (cost, ("merge", mi, cand, dir_))
-        amvp = self.motion.amvp_candidates(px, py, w, h, 0, 0)
-        mv, sad = self._motion_search_rect(px, py, w, h, amvp[0])
-        mvd0 = (mv[0] - amvp[0][0], mv[1] - amvp[0][1])
-        mvd1 = (mv[0] - amvp[1][0], mv[1] - amvp[1][1])
-        mvp_idx, mvd = (0, mvd0) if abs(mvd0[0]) + abs(mvd0[1]) <= \
-            abs(mvd1[0]) + abs(mvd1[1]) else (1, mvd1)
-        cost = sad + lam * (8 + abs(mvd[0]) + abs(mvd[1]))
-        if best is None or cost < best[0]:
-            best = (cost, ("amvp", mv, mvd, mvp_idx))
+        for cost, desc in self._pu_me_lists(px, py, w, h, orig):
+            if best is None or cost < best[0]:
+                best = (cost, desc)
         return best
 
     def _apply_pu(self, desc, px, py, w, h, cx, cy, cu_size, pu_idx,
                   part_size):
-        from ..hostdec.picture import SIZE_2Nx2N
         if desc[0] == "merge":
             self.motion.apply_merge(self.sd, px, py, w, h, desc[1],
                                     cx, cy, cu_size, pu_idx)
         else:
-            self.motion.apply_amvp(self.sd, px, py, w, h, 1, [0, -1],
-                                   [desc[2], (0, 0)], [desc[3], 0],
+            _, dir_, ref_idx, _, mvds, mvps = desc
+            self.motion.apply_amvp(self.sd, px, py, w, h, dir_,
+                                   list(ref_idx), list(mvds), list(mvps),
                                    cx, cy, cu_size, pu_idx, part_size)
 
-    def _write_pu_syntax(self, desc):
+    def _write_ref_idx(self, l, r):
+        enc, bank = self.enc, self.bank
+        nref = self.sh.num_ref_idx[l]
+        if nref <= 1:
+            return
+        enc.encode_bin(bank["ref_idx"], 0, 1 if r > 0 else 0)
+        if r > 0:
+            nrem = nref - 2
+            for i in range(r - 1):
+                if i == 0:
+                    enc.encode_bin(bank["ref_idx"], 1, 1)
+                else:
+                    enc.encode_bypass(1)
+            if r - 1 < nrem:
+                if r - 1 == 0:
+                    enc.encode_bin(bank["ref_idx"], 1, 0)
+                else:
+                    enc.encode_bypass(0)
+
+    def _write_pu_syntax(self, desc, cu_size=None, part_size=None):
         enc, bank = self.enc, self.bank
         if desc[0] == "merge":
             enc.encode_bin(bank["merge_flag"], 0, 1)
             self._write_merge_idx(desc[1])
-        else:
-            enc.encode_bin(bank["merge_flag"], 0, 0)
-            if self.slice_type == 0:
-                enc.encode_bin(bank["inter_dir"], self._cur_depth, 0)
-                enc.encode_bin(bank["inter_dir"], 4, 0)
-            if self.sh.num_ref_idx[0] > 1:
-                enc.encode_bin(bank["ref_idx"], 0, 0)  # AMVP uses ref 0
-            self._write_mvd(desc[2])
-            enc.encode_bin(bank["mvp_idx"], 0, desc[3])
+            return
+        _, dir_, ref_idx, _, mvds, mvps = desc
+        enc.encode_bin(bank["merge_flag"], 0, 0)
+        if self.slice_type == 0:
+            # inter_pred_idc (mirror of _parse_inter_dir)
+            from ..hostdec.picture import SIZE_2Nx2N
+            if part_size == SIZE_2Nx2N or cu_size != 8:
+                enc.encode_bin(bank["inter_dir"], self._cur_depth,
+                               1 if dir_ == 3 else 0)
+            if dir_ != 3:
+                enc.encode_bin(bank["inter_dir"], 4, dir_ - 1)
+        for l in range(2):
+            use = (dir_ == 3) or (dir_ == l + 1)
+            if not use or self.sh.num_ref_idx[l] == 0:
+                continue
+            self._write_ref_idx(l, ref_idx[l])
+            self._write_mvd(mvds[l])
+            enc.encode_bin(bank["mvp_idx"], 0, mvps[l])
 
-    def _motion_search_rect(self, px, py, w, h, pred_mv, square=False):
-        """TZ integer search + two-stage fractional refine.
-
-        square=True comes from the 2Nx2N path (historical interface; the
-        algorithm is the same).  FastSearch=0 (full search) falls back to
-        an exhaustive scan like reference xPatternSearch.
-        """
+    def _motion_search_rect(self, px, py, w, h, pred_mv, l=0, r=0,
+                            target=None):
+        """TZ integer search + two-stage Hadamard fractional refine for
+        one (list, ref).  target overrides the source block (the bi-pred
+        template 2*orig - predOther).  FastSearch=0 (full search) falls
+        back to an exhaustive scan like reference xPatternSearch.
+        Returns (mv, pure SATD distortion at mv)."""
         cfg = self.cfg
-        orig = self.orig[0][py:py + h, px:px + w].astype(np.int32)
-        plane = self._ref_plane(0, 0)
+        orig = target if target is not None else \
+            self.orig[0][py:py + h, px:px + w].astype(np.int32)
+        plane = self._ref_plane(0, l, r)
         H, W = plane.shape
         R = cfg.search_range
+        lib = self._enc_native()
+        if lib is not None and not getattr(self, "cur_wp", None) and \
+                not getattr(self, "cur_wp_l1", None):
+            # native TZ + HAD frac (encsearch.cpp), exact mirror of the
+            # Python fallback below; weighted-pred searches stay in Python
+            # (the frac HAD there costs the weighted prediction)
+            import ctypes as ct
+            padded = self._padded_i16(plane, R)
+            o16 = np.ascontiguousarray(orig, np.int16)
+            out = np.zeros(3, np.int64)
+            lib.enc_me_search(
+                padded.ctypes.data_as(ct.c_void_p), padded.shape[1],
+                padded.shape[0], R + 8, o16.ctypes.data_as(ct.c_void_p),
+                px, py, w, h, R, int(pred_mv[0]), int(pred_mv[1]),
+                float(self._lam_motion), cfg.bit_depth,
+                1 if getattr(cfg, "fast_search", 1) else 0,
+                out.ctypes.data_as(ct.c_void_p))
+            return (int(out[0]), int(out[1])), int(out[2])
         pred_int = ((pred_mv[0] + 2) >> 2, (pred_mv[1] + 2) >> 2)
         if getattr(cfg, "fast_search", 1):
-            imv, best = self._tz_integer(orig, plane, px, py, w, h,
-                                         pred_int, R)
+            imv, _ = self._tz_integer(orig, plane, px, py, w, h,
+                                      pred_int, R, pred_mv)
         else:
             # full search (reference xPatternSearch, TEncSearch.cpp:4109)
-            best, imv = 1 << 60, (0, 0)
+            lam_m = self._lam_motion
+            dsh = cfg.bit_depth - 8
+            best, imv = float("inf"), (0, 0)
             for dy in range(-R, R + 1):
                 ys0 = np.clip(np.arange(py + dy, py + dy + h), 0, H - 1)
                 for dx in range(-R, R + 1):
                     xs0 = np.clip(np.arange(px + dx, px + dx + w), 0, W - 1)
-                    c = int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
+                    c = (int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
+                         >> dsh) + lam_m * self._mv_bits(
+                             (dx << 2) - pred_mv[0], (dy << 2) - pred_mv[1])
                     if c < best:
                         best, imv = c, (dx, dy)
         bmv = (imv[0] << 2, imv[1] << 2)
-        return self._frac_refine(bmv, best, px, py, w, h, orig)
+        return self._frac_refine(bmv, px, py, w, h, orig, pred_mv, l, r)
 
     def encode_cu_inter(self, x, y, log2size, depth):
         """Inter-slice CU: partition (2Nx2N / 2NxN / Nx2N) + per-PU
@@ -1380,7 +1578,7 @@ class IntraEncoder:
         pic.set_rect(pic.depth, x, y, size, size, depth)
         self._mark_edges(x, y, size)
         orig = self.orig[0][y:y + size, x:x + size].astype(np.int32)
-        lam = max(1, 1 << max(0, (self.cur_qp - 12) // 6))
+        lam = self._lam_motion
 
         # ---- partition trials (PU1 candidates depend on PU0's motion, so
         # each trial applies motion to the maps and restores afterwards)
@@ -1411,10 +1609,11 @@ class IntraEncoder:
                 best_part = (total, part, descs)
 
         # ---- intra fallback
+        from .rd_cost import satd
         all_preds = self._intra_all_preds(0, x, y, size)
         costs = np.abs(all_preds - orig[None]).sum(axis=(1, 2))
         best_mode = int(np.argmin(costs))
-        best_icost = int(costs[best_mode])
+        best_icost = satd(all_preds[best_mode], orig) >> (cfg.bit_depth - 8)
         if best_icost + lam * 24 < best_part[0]:
             pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
             self._write_bypass_flag(x, y, size)
@@ -1448,7 +1647,7 @@ class IntraEncoder:
                     cand, dir_ = desc[2], desc[3]
                     mvs, ridx = cand.mv, cand.ref_idx
                 else:
-                    dir_, mvs, ridx = 1, [desc[1], (0, 0)], (0, 0)
+                    _, dir_, ridx, mvs, _, _ = desc
                 buf[dy >> ssy:(dy + h) >> ssy, dx >> ssx:(dx + w) >> ssx] = \
                     self._pred_from_cand(comp, x + dx, y + dy, w, h, dir_,
                                          mvs, ridx)
@@ -1524,7 +1723,8 @@ class IntraEncoder:
 
         enc.encode_bin(bank["pred_mode"], 0, 0)
         enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
-        self._write_pu_syntax(desc)
+        from ..hostdec.picture import SIZE_2Nx2N
+        self._write_pu_syntax(desc, size, SIZE_2Nx2N)
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
         min_tu_i = self._tt_min_tu(log2size, False)
@@ -1588,7 +1788,8 @@ class IntraEncoder:
             return
         enc.encode_bin(bank["pred_mode"], 0, 0)
         enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
-        self._write_pu_syntax(desc)
+        from ..hostdec.picture import SIZE_2Nx2N
+        self._write_pu_syntax(desc, size, SIZE_2Nx2N)
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
         if any_cbf:
@@ -1688,7 +1889,8 @@ class IntraEncoder:
             return
         enc.encode_bin(bank["pred_mode"], 0, 0)
         enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
-        self._write_pu_syntax(desc)
+        from ..hostdec.picture import SIZE_2Nx2N
+        self._write_pu_syntax(desc, size, SIZE_2Nx2N)
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
         if any_cbf:
@@ -2043,7 +2245,7 @@ class IntraEncoder:
         enc.encode_bin(bank["pred_mode"], 0, 0)
         self._write_inter_part_size(part, log2size)
         for desc in descs:
-            self._write_pu_syntax(desc)
+            self._write_pu_syntax(desc, size, part)
         # rqt_root_cbf always coded for non-2Nx2N (spec 7.3.8.5)
         enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
         if any_cbf:

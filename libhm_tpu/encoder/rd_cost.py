@@ -20,8 +20,30 @@ _H4 = _hadamard(4)
 _H8 = _hadamard(8)
 
 
+_NATIVE = ("unset",)
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE == ("unset",):
+        from ..hostdec.native_bridge import try_load
+        _NATIVE = (try_load(),)
+    return _NATIVE[0]
+
+
 def satd(a, b):
     """Sum of absolute Hadamard-transformed differences (HM normalization)."""
+    lib = _native()
+    if lib is not None and a.shape == b.shape and a.ndim == 2:
+        a16 = np.ascontiguousarray(a, np.int16)
+        b16 = np.ascontiguousarray(b, np.int16)
+        # int16 narrowing is lossless for every encoder caller (Pel-range
+        # predictions and sources); guard anyway for generic inputs
+        if (a16 == a).all() and (b16 == b).all():
+            import ctypes as ct
+            h, w = a.shape
+            return int(lib.enc_satd(a16.ctypes.data_as(ct.c_void_p),
+                                    b16.ctypes.data_as(ct.c_void_p), w, h))
     diff = a.astype(np.int64) - b.astype(np.int64)
     h, w = diff.shape
     if h % 8 == 0 and w % 8 == 0:

@@ -4,6 +4,7 @@
 #include "sliceparse.cpp"
 #include "motion.cpp"
 #include "recon.cpp"
+#include "encsearch.cpp"
 
 #include <deque>
 #include <cstdio>

@@ -1,0 +1,344 @@
+// Encoder motion-search kernels: TZ integer search, Hadamard-costed
+// fractional refinement, SATD, and a standalone luma MC interpolator.
+//
+// Mirrors the Python reference implementation in encoder/encoder.py
+// (_tz_integer / _frac_refine / _motion_search_rect) and encoder/rd_cost.py
+// (satd) exactly, which themselves rebuild reference TEncSearch::xTZSearch
+// (TEncSearch.cpp:337-678), xPatternSearchFracDIF (TEncSearch.cpp:4563) and
+// TComRdCost xGetSATD / xGetComponentBits.
+//
+// Compiled into libhevcdec.so via api.cpp (same translation unit as
+// recon.cpp, whose kLumaF / kIfPrec / kIfOffs / clip3 it reuses).
+
+namespace hevc {
+namespace enc {
+
+// ---------------------------------------------------------------------------
+// SATD (sum of absolute Hadamard-transformed differences, HM normalization:
+// 8x8 tiles when both dims allow, else 4x4, else plain SAD).
+// ---------------------------------------------------------------------------
+static inline void fwht8(int32_t* v) {
+  for (int half = 1; half < 8; half <<= 1)
+    for (int i = 0; i < 8; i += half << 1)
+      for (int j = i; j < i + half; j++) {
+        int32_t a = v[j], b = v[j + half];
+        v[j] = a + b;
+        v[j + half] = a - b;
+      }
+}
+
+static inline void fwht4(int32_t* v) {
+  int32_t a = v[0] + v[1], b = v[0] - v[1];
+  int32_t c = v[2] + v[3], d = v[2] - v[3];
+  v[0] = a + c; v[1] = b + d; v[2] = a - c; v[3] = b - d;
+}
+
+static long long satdBlock(const int32_t* diff, int w, int h) {
+  long long total = 0;
+  if (w % 8 == 0 && h % 8 == 0) {
+    for (int ty = 0; ty < h; ty += 8)
+      for (int tx = 0; tx < w; tx += 8) {
+        int32_t m[64];
+        for (int r = 0; r < 8; r++) {
+          for (int c = 0; c < 8; c++) m[r * 8 + c] = diff[(ty + r) * w + tx + c];
+          fwht8(&m[r * 8]);
+        }
+        long long s = 0;
+        for (int c = 0; c < 8; c++) {
+          int32_t col[8];
+          for (int r = 0; r < 8; r++) col[r] = m[r * 8 + c];
+          fwht8(col);
+          for (int r = 0; r < 8; r++) s += col[r] < 0 ? -col[r] : col[r];
+        }
+        total += (s + 2) >> 2;
+      }
+    return total;
+  }
+  if (w % 4 == 0 && h % 4 == 0) {
+    for (int ty = 0; ty < h; ty += 4)
+      for (int tx = 0; tx < w; tx += 4) {
+        int32_t m[16];
+        for (int r = 0; r < 4; r++) {
+          for (int c = 0; c < 4; c++) m[r * 4 + c] = diff[(ty + r) * w + tx + c];
+          fwht4(&m[r * 4]);
+        }
+        long long s = 0;
+        for (int c = 0; c < 4; c++) {
+          int32_t col[4] = {m[c], m[4 + c], m[8 + c], m[12 + c]};
+          fwht4(col);
+          for (int r = 0; r < 4; r++) s += col[r] < 0 ? -col[r] : col[r];
+        }
+        total += (s + 1) >> 1;
+      }
+    return total;
+  }
+  long long s = 0;
+  for (int i = 0; i < w * h; i++) s += diff[i] < 0 ? -diff[i] : diff[i];
+  return s;
+}
+
+// ---------------------------------------------------------------------------
+// MVD bit model: signed-EG0 bit length of each component (reference
+// TComRdCost::xGetComponentBits bit table).
+// ---------------------------------------------------------------------------
+static inline int mvBits(int dx, int dy) {
+  int b = 0;
+  for (int t = 0; t < 2; t++) {
+    int v = t ? dy : dx;
+    unsigned n = ((unsigned)(v < 0 ? -v : v) << 1) + (v <= 0 ? 1 : 0);
+    int bl = 32 - __builtin_clz(n);  // n >= 1 always
+    b += 2 * (bl - 1) + 1;
+  }
+  return b;
+}
+
+// ---------------------------------------------------------------------------
+// Luma qpel interpolation over an unpadded plane, clamped gathers — exact
+// mirror of hostdec/motion.py _interp (taps=8) for is_last both ways.
+// dst receives w*h int16 samples (clipped Pel when isLast, IF-precision
+// intermediates otherwise).
+// ---------------------------------------------------------------------------
+static void interpLuma(const int16_t* ref, int W, int H, long long stride,
+                       int x, int y, int w, int h, int mvx, int mvy,
+                       int bd, bool isLast, int16_t* dst) {
+  int fx = mvx & 3, fy = mvy & 3;
+  int ix = x + (mvx >> 2), iy = y + (mvy >> 2);
+  int headroom = kIfPrec - bd;
+  int hr = headroom < 2 ? 2 : headroom;
+  int maxv = (1 << bd) - 1;
+  auto S = [&](int yy, int xx) -> int {
+    yy = clip3(0, H - 1, yy);
+    xx = clip3(0, W - 1, xx);
+    return ref[(long long)yy * stride + xx];
+  };
+  const int* fh = kLumaF[fx];
+  const int* fv = kLumaF[fy];
+  bool interior = ix - 3 >= 0 && ix + w + 3 < W && iy - 3 >= 0 && iy + h + 3 < H;
+  if (fx == 0 && fy == 0) {
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int v = S(iy + j, ix + i);
+        dst[j * w + i] = (int16_t)(isLast ? v : (v << headroom) - kIfOffs);
+      }
+    return;
+  }
+  if (fy == 0) {
+    // single horizontal stage (is_first=true)
+    int shift = 6, offset;
+    if (isLast) offset = 1 << (shift - 1);
+    else { shift -= hr; offset = -(kIfOffs << shift); }
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int acc = 0;
+        if (interior) {
+          const int16_t* row = ref + (long long)(iy + j) * stride + ix + i - 3;
+          for (int k = 0; k < 8; k++) acc += fh[k] * row[k];
+        } else {
+          for (int k = 0; k < 8; k++) acc += fh[k] * S(iy + j, ix + i + k - 3);
+        }
+        int v = (acc + offset) >> shift;
+        dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+      }
+    return;
+  }
+  if (fx == 0) {
+    int shift = 6, offset;
+    if (isLast) offset = 1 << (shift - 1);
+    else { shift -= hr; offset = -(kIfOffs << shift); }
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int acc = 0;
+        if (interior) {
+          const int16_t* col = ref + (long long)(iy + j - 3) * stride + ix + i;
+          for (int k = 0; k < 8; k++) acc += fv[k] * col[k * stride];
+        } else {
+          for (int k = 0; k < 8; k++) acc += fv[k] * S(iy + j + k - 3, ix + i);
+        }
+        int v = (acc + offset) >> shift;
+        dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+      }
+    return;
+  }
+  // two stages: H (is_first, not last) then V (not first)
+  int sh1 = 6 - hr;
+  int off1 = -(kIfOffs << sh1);
+  static thread_local std::vector<int16_t> tmp;
+  tmp.resize((size_t)(h + 7) * w);
+  for (int j = 0; j < h + 7; j++)
+    for (int i = 0; i < w; i++) {
+      int acc = 0;
+      if (interior) {
+        const int16_t* row = ref + (long long)(iy + j - 3) * stride + ix + i - 3;
+        for (int k = 0; k < 8; k++) acc += fh[k] * row[k];
+      } else {
+        for (int k = 0; k < 8; k++) acc += fh[k] * S(iy + j - 3, ix + i + k - 3);
+      }
+      tmp[(size_t)j * w + i] = (int16_t)((acc + off1) >> sh1);
+    }
+  int sh2, off2;
+  if (isLast) { sh2 = 6 + hr; off2 = (1 << (sh2 - 1)) + (kIfOffs << 6); }
+  else { sh2 = 6; off2 = 0; }
+  for (int j = 0; j < h; j++)
+    for (int i = 0; i < w; i++) {
+      int acc = 0;
+      for (int k = 0; k < 8; k++) acc += fv[k] * tmp[(size_t)(j + k) * w + i];
+      int v = (acc + off2) >> sh2;
+      dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Full PU motion search: TZ integer (SAD + sqrt-lambda*mvbits over an
+// edge-padded plane) then two-stage half/quarter refinement (SATD-costed
+// predictions through the exact MC interpolator above).
+// ---------------------------------------------------------------------------
+struct MeArgs {
+  const int16_t* padded;  // (H+2p) x (W+2p) edge-padded reference plane
+  int pw, ph, pad;        // padded dims + pad
+  const int16_t* orig;    // w*h block (or bi template 2*orig - predOther)
+  int px, py, w, h;       // PU position in unpadded coords, size
+  int R;                  // integer search range
+  int pmx, pmy;           // AMVP predictor (qpel)
+  double lam;             // sqrt-lambda motion cost weight
+  int bd;                 // bit depth
+  int fast;               // 1 = TZ, 0 = exhaustive
+};
+
+static long long sadAt(const MeArgs& a, int dx, int dy) {
+  const int16_t* p =
+      a.padded + (long long)(a.py + dy + a.pad) * a.pw + a.px + dx + a.pad;
+  long long s = 0;
+  for (int j = 0; j < a.h; j++) {
+    const int16_t* row = p + (long long)j * a.pw;
+    const int16_t* o = a.orig + (long long)j * a.w;
+    int acc = 0;
+    for (int i = 0; i < a.w; i++) {
+      int d = row[i] - o[i];
+      acc += d < 0 ? -d : d;
+    }
+    s += acc;
+  }
+  return s;
+}
+
+static const int kDiamond[8][2] = {{0, -1}, {0, 1},  {-1, 0}, {1, 0},
+                                   {-1, -1}, {1, -1}, {-1, 1}, {1, 1}};
+
+void meSearch(const MeArgs& a, int64_t out[3]) {
+  int dsh = a.bd - 8;
+  int side = 2 * a.R + 1;
+  static thread_local std::vector<double> costCache;
+  costCache.assign((size_t)side * side, -1.0);
+  auto cost = [&](int dx, int dy) -> double {
+    size_t idx = (size_t)(dy + a.R) * side + (dx + a.R);
+    double c = costCache[idx];
+    if (c >= 0) return c;
+    c = (double)(sadAt(a, dx, dy) >> dsh) +
+        a.lam * mvBits((dx << 2) - a.pmx, (dy << 2) - a.pmy);
+    costCache[idx] = c;
+    return c;
+  };
+
+  int bx = 0, by = 0;
+  double best;
+  if (a.fast) {
+    best = cost(0, 0);
+    int cx = clip3(-a.R, a.R, (a.pmx + 2) >> 2);
+    int cy = clip3(-a.R, a.R, (a.pmy + 2) >> 2);
+    {
+      double c = cost(cx, cy);
+      if (c < best) { best = c; bx = cx; by = cy; }
+    }
+    int bestDist = 0;
+    auto diamond = [&](int ox, int oy, int dist) {
+      for (int k = 0; k < 8; k++) {
+        int mx = ox + kDiamond[k][0] * dist;
+        int my = oy + kDiamond[k][1] * dist;
+        if (mx < -a.R || mx > a.R || my < -a.R || my > a.R) continue;
+        double c = cost(mx, my);
+        if (c < best) { best = c; bx = mx; by = my; bestDist = dist; }
+      }
+    };
+    int sx = bx, sy = by;
+    for (int d = 1; d <= a.R; d <<= 1) diamond(sx, sy, d);
+    if (bestDist > 5) {
+      for (int dy = -a.R; dy <= a.R; dy += 5)
+        for (int dx = -a.R; dx <= a.R; dx += 5) {
+          double c = cost(dx, dy);
+          if (c < best) { best = c; bx = dx; by = dy; bestDist = 5; }
+        }
+    }
+    while (bestDist) {
+      int ox = bx, oy = by;
+      bestDist = 0;
+      for (int d = 1; d <= a.R; d <<= 1) diamond(ox, oy, d);
+    }
+  } else {
+    best = cost(0, 0);
+    for (int dy = -a.R; dy <= a.R; dy++)
+      for (int dx = -a.R; dx <= a.R; dx++) {
+        double c = cost(dx, dy);
+        if (c < best) { best = c; bx = dx; by = dy; }
+      }
+  }
+
+  // fractional refinement, Hadamard-costed.  The padded plane doubles as
+  // the reference: every gather stays inside pad = R + 8.
+  static thread_local std::vector<int16_t> pred;
+  pred.resize((size_t)a.w * a.h);
+  static thread_local std::vector<int32_t> diff;
+  diff.resize((size_t)a.w * a.h);
+  auto had = [&](int mvx, int mvy) -> long long {
+    interpLuma(a.padded, a.pw, a.ph, a.pw, a.px + a.pad, a.py + a.pad,
+               a.w, a.h, mvx, mvy, a.bd, true, pred.data());
+    for (int i = 0; i < a.w * a.h; i++)
+      diff[i] = (int32_t)pred[i] - (int32_t)a.orig[i];
+    return satdBlock(diff.data(), a.w, a.h) >> dsh;
+  };
+  int mvx = bx << 2, mvy = by << 2;
+  long long bestDistHad = had(mvx, mvy);
+  double bestC = (double)bestDistHad + a.lam * mvBits(mvx - a.pmx, mvy - a.pmy);
+  for (int step = 2; step >= 1; step--) {
+    int cx = mvx, cy = mvy;
+    for (int k = 0; k < 8; k++) {
+      int nx = cx + kDiamond[k][0] * step;
+      int ny = cy + kDiamond[k][1] * step;
+      long long d = had(nx, ny);
+      double c = (double)d + a.lam * mvBits(nx - a.pmx, ny - a.pmy);
+      if (c < bestC) { bestC = c; mvx = nx; mvy = ny; bestDistHad = d; }
+    }
+  }
+  out[0] = mvx;
+  out[1] = mvy;
+  out[2] = bestDistHad;
+}
+
+}  // namespace enc
+}  // namespace hevc
+
+extern "C" {
+
+long long enc_satd(const int16_t* a, const int16_t* b, int w, int h) {
+  static thread_local std::vector<int32_t> diff;
+  diff.resize((size_t)w * h);
+  for (int i = 0; i < w * h; i++) diff[i] = (int32_t)a[i] - (int32_t)b[i];
+  return hevc::enc::satdBlock(diff.data(), w, h);
+}
+
+void enc_me_search(const int16_t* padded, int pw, int ph, int pad,
+                   const int16_t* orig, int px, int py, int w, int h,
+                   int R, int pmx, int pmy, double lam, int bd, int fast,
+                   int64_t* out) {
+  hevc::enc::MeArgs a{padded, pw, ph, pad, orig, px, py, w, h,
+                      R, pmx, pmy, lam, bd, fast};
+  hevc::enc::meSearch(a, out);
+}
+
+void enc_interp_luma(const int16_t* plane, int W, int H, long long stride,
+                     int x, int y, int w, int h, int mvx, int mvy,
+                     int bd, int isLast, int16_t* dst) {
+  hevc::enc::interpLuma(plane, W, H, stride, x, y, w, h, mvx, mvy, bd,
+                        isLast != 0, dst);
+}
+
+}  // extern "C"

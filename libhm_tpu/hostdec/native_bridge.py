@@ -34,8 +34,27 @@ def _load():
     lib.hevcdec_flush.argtypes = [C.c_void_p]
     lib.hevcdec_plane_size.restype = C.c_int
     lib.hevcdec_plane_size.argtypes = [C.c_void_p, C.c_int, C.c_int]
+    # encoder search kernels (encsearch.cpp)
+    lib.enc_satd.restype = C.c_longlong
+    lib.enc_satd.argtypes = [C.c_void_p, C.c_void_p, C.c_int, C.c_int]
+    lib.enc_me_search.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_void_p,
+        C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_double, C.c_int, C.c_int, C.c_void_p]
+    lib.enc_interp_luma.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_longlong,
+        C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_int, C.c_int, C.c_void_p]
     _LIB = lib
     return lib
+
+
+def try_load():
+    """Load the native library, or None when the toolchain is absent."""
+    try:
+        return _load()
+    except Exception:
+        return None
 
 
 I8 = np.int8

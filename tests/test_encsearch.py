@@ -1,0 +1,108 @@
+"""Native encoder-search kernels (encsearch.cpp) vs the pure-Python
+reference path: SATD, luma qpel interpolation, and the full TZ+frac
+motion search must agree exactly."""
+import ctypes as ct
+
+import numpy as np
+import pytest
+
+from libhm_tpu.hostdec.native_bridge import try_load
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = try_load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_satd_matches_python(lib):
+    rng = np.random.default_rng(7)
+    # force the Python path by comparing against the hadamard math inline
+    from libhm_tpu.encoder import rd_cost
+
+    def py_satd(a, b):
+        diff = a.astype(np.int64) - b.astype(np.int64)
+        h, w = diff.shape
+        if h % 8 == 0 and w % 8 == 0:
+            t, H, rsh, add = 8, rd_cost._H8, 2, 2
+        elif h % 4 == 0 and w % 4 == 0:
+            t, H, rsh, add = 4, rd_cost._H4, 1, 1
+        else:
+            return int(np.abs(diff).sum())
+        v = diff.reshape(h // t, t, w // t, t).transpose(0, 2, 1, 3) \
+                .reshape(-1, t, t)
+        had = np.matmul(np.matmul(H, v), H)
+        s = np.abs(had).sum(axis=(1, 2))
+        return int(((s + add) >> rsh).sum())
+
+    for (h, w) in [(8, 8), (16, 16), (8, 16), (4, 4), (4, 8), (12, 16),
+                   (64, 64), (6, 6)]:
+        a = rng.integers(0, 1024, (h, w)).astype(np.int32)
+        b = rng.integers(-1023, 2047, (h, w)).astype(np.int32)
+        a16 = np.ascontiguousarray(a, np.int16)
+        b16 = np.ascontiguousarray(b, np.int16)
+        got = int(lib.enc_satd(a16.ctypes.data_as(ct.c_void_p),
+                               b16.ctypes.data_as(ct.c_void_p), w, h))
+        assert got == py_satd(a, b), (h, w)
+
+
+def test_interp_luma_matches_oracle(lib):
+    from libhm_tpu.hostdec.motion import _interp, LUMA_FILTER
+    rng = np.random.default_rng(3)
+    for bd in (8, 10):
+        plane = rng.integers(0, 1 << bd, (48, 64)).astype(np.int32)
+        p16 = np.ascontiguousarray(plane, np.int16)
+        for case in range(40):
+            x = int(rng.integers(-2, 60))
+            y = int(rng.integers(-2, 44))
+            w = int(rng.choice([4, 8, 16]))
+            h = int(rng.choice([4, 8, 16]))
+            mvx = int(rng.integers(-30, 30))
+            mvy = int(rng.integers(-30, 30))
+            for is_last in (True, False):
+                want = _interp(plane, x, y, w, h, mvx, mvy, 2, 2, 8,
+                               LUMA_FILTER, bd, is_last=is_last)
+                dst = np.empty((h, w), np.int16)
+                lib.enc_interp_luma(
+                    p16.ctypes.data_as(ct.c_void_p), 64, 48, 64,
+                    x, y, w, h, mvx, mvy, bd, 1 if is_last else 0,
+                    dst.ctypes.data_as(ct.c_void_p))
+                assert (dst.astype(np.int64) == want.astype(np.int64)).all(), \
+                    (bd, case, is_last)
+
+
+def test_me_search_matches_python(lib):
+    """Full-path check during a real lowdelayB encode: every native
+    _motion_search_rect result (mv AND SATD distortion) equals the
+    Python fallback computed against the identical encoder state."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    import tests.test_encoder as te
+    frames = te.synth_frames(96, 80, 3)
+    enc = IntraEncoder(EncoderConfig(96, 80, qp=30, gop="lowdelayB"))
+    orig_fn = IntraEncoder._motion_search_rect
+    state = {"n": 0, "checked": 0}
+
+    def wrapper(self, px, py, w, h, pred_mv, l=0, r=0, target=None):
+        res = orig_fn(self, px, py, w, h, pred_mv, l, r, target)
+        state["n"] += 1
+        # compare a deterministic sample (Python path is slow)
+        if state["n"] % 37 == 1 and state["checked"] < 25:
+            state["checked"] += 1
+            IntraEncoder._ENC_NATIVE = (None,)
+            try:
+                res_py = orig_fn(self, px, py, w, h, pred_mv, l, r, target)
+            finally:
+                IntraEncoder._ENC_NATIVE = (lib,)
+            assert res == res_py, (px, py, w, h, pred_mv, l, r)
+        return res
+
+    IntraEncoder._ENC_NATIVE = (lib,)
+    IntraEncoder._motion_search_rect = wrapper
+    try:
+        enc.encode_stream(frames)
+    finally:
+        IntraEncoder._motion_search_rect = orig_fn
+        IntraEncoder._ENC_NATIVE = ("unset",)
+    assert state["checked"] >= 10
