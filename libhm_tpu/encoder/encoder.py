@@ -655,6 +655,7 @@ class IntraEncoder:
         self.slice_type = slice_type
         self._ts_flags = {}
         self._pad16_cache = {}
+        self._refplane_cache = {}
         qp_pic = getattr(self, "cur_qp", None)
         if qp_pic is None:
             qp_pic = cfg.qp
@@ -1007,6 +1008,15 @@ class IntraEncoder:
         return padded
 
     def _ref_plane(self, comp, l, ref_idx=0):
+        # cached per picture so the returned slice has a stable identity —
+        # the padded-plane caches downstream key on id(plane)
+        cache = getattr(self, "_refplane_cache", None)
+        if cache is None:
+            cache = self._refplane_cache = {}
+        key = (comp, l, ref_idx)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         sps = self.sps
         ssx = sps.chroma_shift_x() if comp else 0
         ssy = sps.chroma_shift_y() if comp else 0
@@ -1014,7 +1024,9 @@ class IntraEncoder:
             rp = self.ref_pics[l][min(ref_idx, len(self.ref_pics[l]) - 1)]
         else:
             rp = self._prev_ref
-        return rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
+        plane = rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
+        cache[key] = plane
+        return plane
 
     def _pred_from_cand(self, comp, x, y, w, h, dir_, mvs, ref_idx=(0, 0)):
         """Prediction for a merge candidate (uni L0/L1 or bi)."""
@@ -1527,17 +1539,16 @@ class IntraEncoder:
             # native TZ + HAD frac (encsearch.cpp), exact mirror of the
             # Python fallback below; weighted-pred searches stay in Python
             # (the frac HAD there costs the weighted prediction)
-            import ctypes as ct
             padded = self._padded_i16(plane, R)
             o16 = np.ascontiguousarray(orig, np.int16)
             out = np.zeros(3, np.int64)
             lib.enc_me_search(
-                padded.ctypes.data_as(ct.c_void_p), padded.shape[1],
-                padded.shape[0], R + 8, o16.ctypes.data_as(ct.c_void_p),
+                padded.ctypes.data, padded.shape[1],
+                padded.shape[0], R + 8, o16.ctypes.data,
                 px, py, w, h, R, int(pred_mv[0]), int(pred_mv[1]),
                 float(self._lam_motion), cfg.bit_depth,
                 1 if getattr(cfg, "fast_search", 1) else 0,
-                out.ctypes.data_as(ct.c_void_p))
+                out.ctypes.data)
             return (int(out[0]), int(out[1])), int(out[2])
         pred_int = ((pred_mv[0] + 2) >> 2, (pred_mv[1] + 2) >> 2)
         if getattr(cfg, "fast_search", 1):

@@ -35,15 +35,17 @@ def satd(a, b):
     """Sum of absolute Hadamard-transformed differences (HM normalization)."""
     lib = _native()
     if lib is not None and a.shape == b.shape and a.ndim == 2:
+        if a.dtype == np.int32 and b.dtype == np.int32 and \
+                a.flags.c_contiguous and b.flags.c_contiguous:
+            h, w = a.shape
+            return int(lib.enc_satd32(a.ctypes.data, b.ctypes.data, w, h))
         a16 = np.ascontiguousarray(a, np.int16)
         b16 = np.ascontiguousarray(b, np.int16)
         # int16 narrowing is lossless for every encoder caller (Pel-range
         # predictions and sources); guard anyway for generic inputs
         if (a16 == a).all() and (b16 == b).all():
-            import ctypes as ct
             h, w = a.shape
-            return int(lib.enc_satd(a16.ctypes.data_as(ct.c_void_p),
-                                    b16.ctypes.data_as(ct.c_void_p), w, h))
+            return int(lib.enc_satd(a16.ctypes.data, b16.ctypes.data, w, h))
     diff = a.astype(np.int64) - b.astype(np.int64)
     h, w = diff.shape
     if h % 8 == 0 and w % 8 == 0:

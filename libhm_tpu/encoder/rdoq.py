@@ -113,6 +113,35 @@ def _rate_last(pos_x, pos_y, w, h, is_chroma, scan_type, bank):
     return r
 
 
+_NATIVE = ("unset",)
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE == ("unset",):
+        from ..hostdec.native_bridge import try_load
+        _NATIVE = (try_load(),)
+    return _NATIVE[0]
+
+
+_ADDR_CACHE = {}
+
+
+def _addr(arr):
+    """Cached data pointer of a long-lived contiguous int32 array (the
+    context-bank arrays are mutated in place but never reallocated)."""
+    key = id(arr)
+    hit = _ADDR_CACHE.get(key)
+    if hit is not None and hit[0] is arr:
+        return hit[1]
+    assert arr.dtype == np.int32 and arr.flags.c_contiguous
+    if len(_ADDR_CACHE) > 1024:  # banks are per-slice; don't grow unbounded
+        _ADDR_CACHE.clear()
+    a = arr.ctypes.data
+    _ADDR_CACHE[key] = (arr, a)
+    return a
+
+
 def rdoq(coef, qp, log2_size, bit_depth, comp, scan_type, bank, lam,
          max_dyn_range=15):
     """RDO-quantize one square TU.  Returns int32 levels, same shape.
@@ -120,7 +149,30 @@ def rdoq(coef, qp, log2_size, bit_depth, comp, scan_type, bank, lam,
     coef: transform coefficients [n, n] int32; bank: live context bank
     (read-only: only probabilities are consulted); lam: SSE lambda in the
     8-bit pixel domain.
+
+    Dispatches to the native mirror (native/rdoq.cpp, bit-exact — see
+    tests/test_encsearch.py) when the toolchain is available; the Python
+    body below is the reference implementation and fallback.
     """
+    lib = _native()
+    if lib is not None:
+        n = 1 << log2_size
+        c32 = np.ascontiguousarray(coef, np.int32)
+        out = np.zeros((n, n), np.int32)
+        lib.enc_rdoq(c32.ctypes.data, qp, log2_size,
+                     bit_depth, 1 if comp > 0 else 0, scan_type,
+                     _addr(bank["sig"]), _addr(bank["sig_cg"]),
+                     _addr(bank["gt1"]), _addr(bank["gt2"]),
+                     _addr(bank["last_x"]), _addr(bank["last_y"]),
+                     float(lam), max_dyn_range, out.ctypes.data)
+        return out
+    return _rdoq_py(coef, qp, log2_size, bit_depth, comp, scan_type, bank,
+                    lam, max_dyn_range)
+
+
+def _rdoq_py(coef, qp, log2_size, bit_depth, comp, scan_type, bank, lam,
+             max_dyn_range=15):
+    """Pure-Python RDOQ (the native kernel's reference mirror)."""
     n = 1 << log2_size
     per, rem = qp // 6, qp % 6
     tshift = max_dyn_range - bit_depth - log2_size
@@ -282,8 +334,12 @@ def rdoq(coef, qp, log2_size, bit_depth, comp, scan_type, bank, lam,
             else:
                 base_cost += cg_cost_zero + bit0
 
-    # last-position sweep (reference d64BestCost loop)
-    best_cost = float(cost_coeff0[:last_scan_pos + 1].sum())  # all zero
+    # last-position sweep (reference d64BestCost loop).  The all-zero cost
+    # accumulates sequentially (not np.sum's pairwise order) so the native
+    # mirror is bit-identical.
+    best_cost = 0.0
+    for _sp in range(last_scan_pos + 1):
+        best_cost += float(cost_coeff0[_sp])
     best_last_p1 = 0
     for sp in range(last_scan_pos, -1, -1):
         if level[sp] > 0:

@@ -5,6 +5,7 @@
 #include "motion.cpp"
 #include "recon.cpp"
 #include "encsearch.cpp"
+#include "rdoq.cpp"
 
 #include <deque>
 #include <cstdio>

@@ -325,6 +325,14 @@ long long enc_satd(const int16_t* a, const int16_t* b, int w, int h) {
   return hevc::enc::satdBlock(diff.data(), w, h);
 }
 
+// int32 entry point (no host-side narrowing/copies needed)
+long long enc_satd32(const int32_t* a, const int32_t* b, int w, int h) {
+  static thread_local std::vector<int32_t> diff;
+  diff.resize((size_t)w * h);
+  for (int i = 0; i < w * h; i++) diff[i] = a[i] - b[i];
+  return hevc::enc::satdBlock(diff.data(), w, h);
+}
+
 void enc_me_search(const int16_t* padded, int pw, int ph, int pad,
                    const int16_t* orig, int px, int py, int w, int h,
                    int R, int pmx, int pmy, double lam, int bd, int fast,

@@ -1,0 +1,390 @@
+// Rate-distortion optimized quantization — native port of
+// encoder/rdoq.py (itself a rebuild of reference
+// TComTrQuant::xRateDistOptQuant, TComTrQuant.cpp).  Bit-exact mirror of
+// the Python implementation: same double-precision operation order, same
+// entropy-bit model p_LPS(s) = 0.5 * alpha^s, alpha = (0.01875/0.5)^(1/63)
+// (reference ContextModel.cpp sm_aucNextStateMPS / g_entropyBits source
+// model), rates in 1/32768-bit fixed point.
+//
+// Compiled into libhevcdec.so via api.cpp (same translation unit as
+// recon.cpp / encsearch.cpp).
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace hevc {
+namespace rdoq {
+
+constexpr double kFrac = 32768.0;
+constexpr int kCoefRemainBinReduction = 3;  // residual.py:18
+constexpr int kC1FlagNumber = 8;            // residual.py:20
+
+// quant scales (tables.py QUANT_SCALES / reference g_quantScales)
+static const int kQuantScales[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+
+// last-position group index (tables.py GROUP_IDX, Table 9-48 support)
+static const int kGroupIdx[32] = {0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6,
+                                  7, 7, 7, 7, 8, 8, 8, 8, 8, 8, 8, 8,
+                                  9, 9, 9, 9, 9, 9, 9, 9};
+
+// 4x4 significance context map (residual.py CTX_IND_MAP_4x4, Table 9-39)
+static const int kCtxIndMap4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5,
+                                      6, 6, 8, 8, 7, 7, 8, 8};
+
+// significance context set layout (residual.py SIG_SET_START,
+// ContextTables.h:85); [chroma][bucket 4x4/8x8/NxN]
+static const int kSigSetStart[2][3] = {{0, 9, 21}, {0, 9, 12}};
+static const int kNonDiag8x8Offset[2] = {6, 0};
+static const int kNotFirstGroupOffset[2] = {3, 0};
+
+// entropy-bit tables per pState (0..63): bits for coding the LPS / MPS,
+// in 1/32768 units.  Same libm expressions as rdoq.py module init.
+struct EstBits {
+  double lps[64];
+  double mps[64];
+  EstBits() {
+    double alpha = std::pow(0.01875 / 0.5, 1.0 / 63.0);
+    for (int i = 0; i < 64; i++) {
+      double p = 0.5 * std::pow(alpha, (double)i);
+      lps[i] = -std::log2(p) * kFrac;
+      mps[i] = -std::log2(1.0 - p) * kFrac;
+    }
+  }
+};
+static const EstBits kEst;
+
+static inline double ctxBits(const int32_t* arr, int idx, int binval) {
+  int state = arr[idx];
+  int mps = state & 1;
+  int ps = state >> 1;
+  return binval == mps ? kEst.mps[ps] : kEst.lps[ps];
+}
+
+// scan orders (tables.py scan_order): kind 0 diag-up-right, 1 hor, 2 ver.
+// Writes (x, y) pairs.
+static void scanOrder(int w, int h, int kind, int* xs, int* ys) {
+  int i = 0;
+  if (kind == 1) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) { xs[i] = x; ys[i] = y; i++; }
+    return;
+  }
+  if (kind == 2) {
+    for (int x = 0; x < w; x++)
+      for (int y = 0; y < h; y++) { xs[i] = x; ys[i] = y; i++; }
+    return;
+  }
+  for (int d = 0; d < w + h - 1; d++) {
+    int y = d < h - 1 ? d : h - 1;
+    int x = d - y;
+    while (y >= 0 && x < w) { xs[i] = x; ys[i] = y; i++; y--; x++; }
+  }
+}
+
+// fractional bits for |level| >= 1 given running per-CG state
+// (rdoq.py _rate_abs_level / reference xGetICRateCost)
+static double rateAbsLevel(long long absLevel, int c1, int ctxSet, int c1Idx,
+                           int c2Idx, int goRice, const int32_t* gt1,
+                           const int32_t* gt2) {
+  double rate = kFrac;  // sign bypass
+  int baseGt1 = 4 * ctxSet;
+  long long base;
+  if (c1Idx < kC1FlagNumber) {
+    if (absLevel == 1) return rate + ctxBits(gt1, baseGt1 + c1, 0);
+    rate += ctxBits(gt1, baseGt1 + c1, 1);
+    if (c2Idx == 0) {
+      if (absLevel == 2) return rate + ctxBits(gt2, ctxSet, 0);
+      rate += ctxBits(gt2, ctxSet, 1);
+      base = 3;
+    } else {
+      base = 2;
+    }
+  } else {
+    base = 1;
+  }
+  long long sym = absLevel - base;
+  long long length;
+  if ((sym >> goRice) < kCoefRemainBinReduction) {
+    length = (sym >> goRice) + 1 + goRice;
+  } else {
+    length = kCoefRemainBinReduction + goRice;
+    long long sym2 = sym - ((long long)kCoefRemainBinReduction << goRice);
+    while (sym2 >= (1LL << (length - kCoefRemainBinReduction - goRice))) {
+      length++;
+      if (length > 64) break;
+    }
+    long long L = length - kCoefRemainBinReduction - goRice;
+    length = kCoefRemainBinReduction + L + 1 + L + goRice;
+  }
+  return rate + (double)length * kFrac;
+}
+
+// fractional bits of last_sig_coeff_x/y (rdoq.py _rate_last)
+static double rateLast(int posX, int posY, int w, int h, int isChroma,
+                       int scanType, const int32_t* lastX,
+                       const int32_t* lastY) {
+  if (scanType == 2) {
+    int t = posX; posX = posY; posY = t;
+    t = w; w = h; h = t;
+  }
+  int log2w = 31 - __builtin_clz((unsigned)w);
+  int log2h = 31 - __builtin_clz((unsigned)h);
+  int offX, offY, shiftX, shiftY;
+  if (isChroma) {
+    offX = offY = 15;
+    shiftX = log2w - 2; shiftY = log2h - 2;
+  } else {
+    offX = 3 * (log2w - 2) + ((log2w - 1) >> 2);
+    offY = 3 * (log2h - 2) + ((log2h - 1) >> 2);
+    shiftX = (log2w + 1) >> 2; shiftY = (log2h + 1) >> 2;
+  }
+  int gx = kGroupIdx[posX], gy = kGroupIdx[posY];
+  double r = 0.0;
+  for (int i = 0; i < gx; i++) r += ctxBits(lastX, offX + (i >> shiftX), 1);
+  if (gx < kGroupIdx[w - 1]) r += ctxBits(lastX, offX + (gx >> shiftX), 0);
+  for (int i = 0; i < gy; i++) r += ctxBits(lastY, offY + (i >> shiftY), 1);
+  if (gy < kGroupIdx[h - 1]) r += ctxBits(lastY, offY + (gy >> shiftY), 0);
+  if (gx > 3) r += (double)((gx - 2) >> 1) * kFrac;
+  if (gy > 3) r += (double)((gy - 2) >> 1) * kFrac;
+  return r;
+}
+
+// RDO-quantize one square TU (rdoq.py rdoq()).  coef/out: n*n raster int32.
+// Context arrays come straight from the Python bank (combined
+// (pState<<1)|MPS int32 states, read-only).
+static void run(const int32_t* coef, int qp, int log2Size, int bitDepth,
+                int comp, int scanType, const int32_t* sig,
+                const int32_t* sigCgCtx, const int32_t* gt1,
+                const int32_t* gt2, const int32_t* lastX,
+                const int32_t* lastY, double lam, int maxDynRange,
+                int32_t* out) {
+  const int n = 1 << log2Size;
+  const int per = qp / 6, rem = qp % 6;
+  const int tshift = maxDynRange - bitDepth - log2Size;
+  const int qbits = 14 + per + tshift;
+  const long long scale = kQuantScales[rem];
+  // same operation order as rdoq.py: pow2 / (scale*scale) / (1<<..)
+  const double errScale = std::pow(2.0, -2.0 * (double)tshift) /
+                          (double)(scale * scale) /
+                          (double)(1 << (2 * (bitDepth - 8)));
+  const double lamBits = lam / kFrac;
+
+  const int w = n, h = n, log2w = log2Size;
+  const int isChroma = comp > 0 ? 1 : 0;
+  const int ch = isChroma;
+  const int n2 = w * h;
+
+  // grouped scan: scan position -> raster blk (residual.py _grouped_scan)
+  const int wg = w >> 2, hg = h >> 2;
+  int cgx_[64], cgy_[64], inx[16], iny[16];
+  scanOrder(wg, hg, scanType, cgx_, cgy_);
+  scanOrder(4, 4, scanType, inx, iny);
+  static thread_local std::vector<int> scan;
+  scan.resize(n2);
+  {
+    int i = 0;
+    for (int g = 0; g < wg * hg; g++)
+      for (int k = 0; k < 16; k++) {
+        scan[i++] = (cgy_[g] * 4 + iny[k]) * w + cgx_[g] * 4 + inx[k];
+      }
+  }
+
+  static thread_local std::vector<long long> cs, ld, maxAbs, level;
+  static thread_local std::vector<double> costCoeff, costCoeff0, costSig;
+  cs.resize(n2); ld.resize(n2); maxAbs.resize(n2); level.assign(n2, 0);
+  costCoeff.assign(n2, 0.0); costCoeff0.resize(n2); costSig.assign(n2, 0.0);
+
+  int lastScanPos = -1;
+  for (int i = 0; i < n2; i++) {
+    long long c = coef[scan[i]];
+    cs[i] = c;
+    long long a = c < 0 ? -c : c;
+    ld[i] = a * scale;
+    maxAbs[i] = (ld[i] + (1LL << (qbits - 1))) >> qbits;
+    if (maxAbs[i]) lastScanPos = i;
+    double d = (double)ld[i];
+    costCoeff0[i] = d * d * errScale;
+  }
+  for (int i = 0; i < n2; i++) out[i] = 0;
+  if (lastScanPos < 0) return;
+
+  int firstSigCtx;
+  if (w == 4) firstSigCtx = kSigSetStart[ch][0];
+  else if (w == 8) {
+    firstSigCtx = kSigSetStart[ch][1];
+    if (scanType != 0) firstSigCtx += kNonDiag8x8Offset[ch];
+  } else {
+    firstSigCtx = kSigSetStart[ch][2];
+  }
+  const int sigBase = isChroma ? 28 : 0;
+
+  int sigCg[64] = {0};
+  const int lastCg = lastScanPos >> 4;
+
+  double baseCost = 0.0;
+  int c1 = 1;
+  for (int subset = lastCg; subset >= 0; subset--) {
+    const int subPos = subset << 4;
+    const int cgx = cgx_[subset], cgy = cgy_[subset];
+    const int cgBlk = cgy * wg + cgx;
+    const int right = cgx < wg - 1 ? sigCg[cgBlk + 1] : 0;
+    const int below = cgy < hg - 1 ? sigCg[cgBlk + wg] : 0;
+    const int pattern = (wg <= 1 && hg <= 1) ? 0 : right + (below << 1);
+
+    int ctxSet;
+    if (isChroma) ctxSet = 4 + (c1 == 0 ? 1 : 0);
+    else ctxSet = (subset > 0 ? 2 : 0) + (c1 == 0 ? 1 : 0);
+    c1 = 1;
+    int c1Idx = 0, c2Idx = 0, goRice = 0;
+    double cgCost = 0.0, cgCostZero = 0.0;
+    const int top = lastScanPos < subPos + 15 ? lastScanPos : subPos + 15;
+    for (int sp = top; sp >= subPos; sp--) {
+      const int blk = scan[sp];
+      const int py = blk >> log2w;
+      const int px = blk - (py << log2w);
+      int sctx;
+      if (px + py == 0) {
+        sctx = 0;
+      } else if (w == 4) {
+        sctx = firstSigCtx + kCtxIndMap4x4[4 * py + px];
+      } else {
+        const int xin = px & 3, yin = py & 3;
+        int cnt;
+        if (pattern == 0) {
+          int t = xin + yin;
+          cnt = t >= 3 ? 0 : (t >= 1 ? 1 : 2);
+        } else if (pattern == 1) {
+          cnt = yin >= 2 ? 0 : (yin >= 1 ? 1 : 2);
+        } else if (pattern == 2) {
+          cnt = xin >= 2 ? 0 : (xin >= 1 ? 1 : 2);
+        } else {
+          cnt = 2;
+        }
+        const int notFirst = ((px >> 2) + (py >> 2)) > 0;
+        sctx = firstSigCtx + cnt + (notFirst ? kNotFirstGroupOffset[ch] : 0);
+      }
+      const double sig1 = lamBits * ctxBits(sig, sigBase + sctx, 1);
+      const double sig0 = lamBits * ctxBits(sig, sigBase + sctx, 0);
+      const bool isLast = sp == lastScanPos;
+
+      const long long ma = maxAbs[sp];
+      double bestCost = 0.0, bestSig = 0.0;
+      bool haveBest = false;
+      long long bestLvl = 0;
+      if (!isLast) {
+        bestCost = costCoeff0[sp] + sig0;
+        bestSig = 0.0;
+        haveBest = true;
+      }
+      const long long lo = ma - 1 > 1 ? ma - 1 : 1;
+      for (long long l = ma; l >= lo; l--) {
+        const double dd = (double)(ld[sp] - (l << qbits));
+        const double d = dd * dd * errScale;
+        const double r = rateAbsLevel(l, c1, ctxSet, c1Idx, c2Idx, goRice,
+                                      gt1, gt2);
+        const double c = d + lamBits * r + (isLast ? 0.0 : sig1);
+        if (!haveBest || c < bestCost) {
+          haveBest = true;
+          bestCost = c;
+          bestLvl = l;
+          bestSig = isLast ? 0.0 : sig1;
+        }
+      }
+      level[sp] = bestLvl;
+      costCoeff[sp] = bestCost;
+      costSig[sp] = bestSig;
+      cgCost += bestCost;
+      cgCostZero += costCoeff0[sp];
+      if (bestLvl) {
+        sigCg[cgBlk] = 1;
+        if (c1Idx < kC1FlagNumber) {
+          if (bestLvl > 1) {
+            if (c2Idx == 0) c2Idx = 1;
+            c1 = 0;
+          } else if (c1 > 0 && c1 < 3) {
+            c1++;
+          }
+          c1Idx++;
+        }
+        const long long baseLvl =
+            c1Idx <= kC1FlagNumber ? (2 + (c2Idx ? 1 : 0)) : 1;
+        if (bestLvl >= baseLvl && bestLvl > (3LL << goRice))
+          goRice = goRice + 1 < 4 ? goRice + 1 : 4;
+      }
+    }
+
+    // coefficient-group significance decision
+    if (subset == lastCg || subset == 0) {
+      sigCg[cgBlk] = 1;
+      baseCost += cgCost;
+    } else {
+      const int ctxg = 2 * ch + ((right || below) ? 1 : 0);
+      const double bit1 = lamBits * ctxBits(sigCgCtx, ctxg, 1);
+      const double bit0 = lamBits * ctxBits(sigCgCtx, ctxg, 0);
+      if (sigCg[cgBlk]) {
+        const double coded = cgCost + bit1;
+        const double zeroed = cgCostZero + bit0;
+        if (zeroed < coded) {
+          sigCg[cgBlk] = 0;
+          const int end = subPos + 16 < n2 ? subPos + 16 : n2;
+          for (int sp = subPos; sp < end; sp++) {
+            level[sp] = 0;
+            costCoeff[sp] = costCoeff0[sp];
+            costSig[sp] = 0.0;
+          }
+          baseCost += zeroed;
+          c1 = 1;
+        } else {
+          baseCost += coded;
+        }
+      } else {
+        baseCost += cgCostZero + bit0;
+      }
+    }
+  }
+
+  // last-position sweep (reference d64BestCost loop); the all-zero cost is
+  // accumulated sequentially in scan order to match the Python mirror
+  double bestCost = 0.0;
+  for (int sp = 0; sp <= lastScanPos; sp++) bestCost += costCoeff0[sp];
+  int bestLastP1 = 0;
+  for (int sp = lastScanPos; sp >= 0; sp--) {
+    if (level[sp] > 0) {
+      const int blk = scan[sp];
+      const int py = blk >> log2w;
+      const int px = blk - (py << log2w);
+      const double rlast =
+          lamBits * rateLast(px, py, w, h, isChroma, scanType, lastX, lastY);
+      const double total = baseCost - costSig[sp] + rlast;
+      if (total < bestCost) {
+        bestCost = total;
+        bestLastP1 = sp + 1;
+      }
+      if (level[sp] > 1) break;
+      baseCost -= costCoeff[sp];
+      baseCost += costCoeff0[sp];
+    } else {
+      baseCost -= costSig[sp];
+    }
+  }
+
+  for (int sp = bestLastP1; sp <= lastScanPos; sp++) level[sp] = 0;
+  for (int sp = 0; sp < n2; sp++) {
+    long long l = level[sp] < 32767 ? level[sp] : 32767;
+    out[scan[sp]] = (int32_t)(cs[sp] < 0 ? -l : (cs[sp] > 0 ? l : 0));
+  }
+}
+
+}  // namespace rdoq
+}  // namespace hevc
+
+extern "C" void enc_rdoq(const int32_t* coef, int qp, int log2_size,
+                         int bit_depth, int comp, int scan_type,
+                         const int32_t* sig, const int32_t* sig_cg,
+                         const int32_t* gt1, const int32_t* gt2,
+                         const int32_t* last_x, const int32_t* last_y,
+                         double lam, int max_dyn_range, int32_t* out) {
+  hevc::rdoq::run(coef, qp, log2_size, bit_depth, comp, scan_type, sig,
+                  sig_cg, gt1, gt2, last_x, last_y, lam, max_dyn_range, out);
+}

@@ -37,6 +37,8 @@ def _load():
     # encoder search kernels (encsearch.cpp)
     lib.enc_satd.restype = C.c_longlong
     lib.enc_satd.argtypes = [C.c_void_p, C.c_void_p, C.c_int, C.c_int]
+    lib.enc_satd32.restype = C.c_longlong
+    lib.enc_satd32.argtypes = [C.c_void_p, C.c_void_p, C.c_int, C.c_int]
     lib.enc_me_search.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_void_p,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
@@ -45,6 +47,10 @@ def _load():
         C.c_void_p, C.c_int, C.c_int, C.c_longlong,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
         C.c_int, C.c_int, C.c_void_p]
+    lib.enc_rdoq.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_double, C.c_int, C.c_void_p]
     _LIB = lib
     return lib
 

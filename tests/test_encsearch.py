@@ -106,3 +106,28 @@ def test_me_search_matches_python(lib):
         IntraEncoder._motion_search_rect = orig_fn
         IntraEncoder._ENC_NATIVE = ("unset",)
     assert state["checked"] >= 10
+
+
+def test_rdoq_matches_python(lib):
+    """Native RDOQ (rdoq.cpp) is bit-identical to the Python reference
+    mirror across TU sizes, scans, components, QPs and bit depths."""
+    from libhm_tpu.hostdec.tables import make_context_bank
+    from libhm_tpu.encoder.rdoq import rdoq, _rdoq_py
+    rng = np.random.default_rng(11)
+    for trial in range(120):
+        log2n = int(rng.integers(2, 6))
+        n = 1 << log2n
+        comp = int(rng.integers(0, 3))
+        scan = int(rng.integers(0, 3)) if n <= 8 else 0
+        qp = int(rng.integers(0, 52))
+        bd = 8 if trial % 3 else 10
+        bank = make_context_bank(int(rng.integers(0, 3)), max(qp, 1))
+        for k in ("sig", "sig_cg", "gt1", "gt2", "last_x", "last_y"):
+            arr = bank[k]
+            arr[:] = np.clip(arr + rng.integers(-20, 20, arr.shape), 0, 127)
+        mag = int(rng.choice([3, 30, 300, 3000]))
+        coef = rng.integers(-mag, mag + 1, (n, n)).astype(np.int32)
+        lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+        a = rdoq(coef, qp, log2n, bd, comp, scan, bank, lam)
+        b = _rdoq_py(coef, qp, log2n, bd, comp, scan, bank, lam)
+        assert (a == b).all(), (trial, n, comp, scan, qp, bd)
