@@ -3067,14 +3067,32 @@ class IntraEncoder:
         lev, rec_resi, cbf = self._tu_fwd(resi, size == 4, 0, scan, True)
         enc.encode_bin(bank["qt_cbf"], 1, cbf)
         if cbf:
-            encode_residual(enc, bank, lev, 0, scan, cfg.sign_hiding,
-                            ts=self._ts_of(lev))
+            bits = self._residual_trial_bits(lev, 0, scan, mark)
+        else:
+            bits = self._est_ops_bits(mark)
         rec = np.clip(pred + rec_resi, 0, (1 << cfg.bit_depth) - 1)
         norm = 1 << (2 * (cfg.bit_depth - 8))
         sse = float(((orig.astype(np.int64) - rec) ** 2).sum()) / norm
-        cost = sse + self.rd_lambda * self._est_ops_bits(mark)
+        cost = sse + self.rd_lambda * bits
         del enc.ops[mark:]
         return cost
+
+    def _residual_trial_bits(self, lev, comp, scan, mark, ts="auto"):
+        """Estimated bits of ops[mark:] plus one residual block that is
+        NOT recorded (trial-only syntax): native bits-only pricer when
+        available, falling back to record-then-price.  Bit-identical to
+        recording encode_residual and pricing everything with
+        _est_ops_bits (same accumulation order)."""
+        from .rdoq import residual_bits, FRAC
+        if ts == "auto":
+            ts = self._ts_of(lev)
+        sh = self.cfg.sign_hiding
+        nb = residual_bits(self.bank, lev, comp, scan, sh, ts,
+                           start=self._est_ops_raw(mark))
+        if nb is None:
+            encode_residual(self.enc, self.bank, lev, comp, scan, sh, ts=ts)
+            nb = self._est_ops_raw(mark)
+        return nb / FRAC
 
     def _select_intra_luma_mode(self, x, y, size, preds_mpm, all_preds):
         """Hadamard preselection + full-RD candidate pass (reference
@@ -3337,6 +3355,12 @@ class IntraEncoder:
         """Estimated bits of recorded CABAC ops [lo:] using the live
         context probabilities (reference RD uses the same fractional-bit
         model)."""
+        from .rdoq import FRAC
+        return self._est_ops_raw(lo) / FRAC
+
+    def _est_ops_raw(self, lo):
+        """FRAC-scaled raw accumulation of _est_ops_bits (the unit the
+        native residual pricer continues from)."""
         from .rdoq import _bits, FRAC
         tot = 0.0
         for op in self.enc.ops[lo:]:
@@ -3354,7 +3378,7 @@ class IntraEncoder:
             else:
                 tot += (2 * ((int(op[1]) >> op[2]) + 1).bit_length() - 1 +
                         op[2]) * FRAC
-        return tot / FRAC
+        return tot
 
     def _cu_rd_cost(self, x, y, size, ops_lo):
         """SSE (8-bit domain) + lambda * estimated bits for one CU."""

@@ -142,6 +142,27 @@ def _addr(arr):
     return a
 
 
+def residual_bits(bank, coeffs, comp, scan_type, sign_hiding, ts,
+                  start=0.0):
+    """Estimated fractional bits of residual_coding() for one TU, in
+    FRAC-scaled raw units, continuing the accumulation `start` — the
+    bits-only native mirror of residual_enc.encode_residual followed by
+    the recorded-ops pricing loop (encoder._est_ops_bits), accumulated in
+    the same order so the result is bit-identical.  Returns None when the
+    native library is unavailable (caller falls back to recording)."""
+    lib = _native()
+    if lib is None:
+        return None
+    h, w = coeffs.shape
+    c32 = np.ascontiguousarray(coeffs, np.int32)
+    return lib.enc_residual_bits(
+        c32.ctypes.data, w, h, comp, scan_type,
+        1 if sign_hiding else 0, -1 if ts is None else int(ts),
+        _addr(bank["sig"]), _addr(bank["sig_cg"]), _addr(bank["gt1"]),
+        _addr(bank["gt2"]), _addr(bank["last_x"]), _addr(bank["last_y"]),
+        _addr(bank["transform_skip"]), float(start))
+
+
 def rdoq(coef, qp, log2_size, bit_depth, comp, scan_type, bank, lam,
          max_dyn_range=15):
     """RDO-quantize one square TU.  Returns int32 levels, same shape.

@@ -376,8 +376,246 @@ static void run(const int32_t* coef, int qp, int log2Size, int bitDepth,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Estimated fractional bits of residual_coding() for one TU — bits-only
+// mirror of encoder/residual_enc.py encode_residual followed by
+// encoder/encoder.py _est_ops_bits: every context bin is priced at the
+// CURRENT bank state (no state advance — trial semantics), bypass bins
+// cost exactly 1.  Accumulation order equals the emission order so the
+// result is bit-identical to the recorded-ops estimate.
+// ---------------------------------------------------------------------------
+static const int kMinInGroup[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
+
+static double lastSigBits(int posX, int posY, int w, int h, int isChroma,
+                          int scanType, const int32_t* lastX,
+                          const int32_t* lastY, double tot) {
+  if (scanType == 2) {
+    int t = posX; posX = posY; posY = t;
+    t = w; w = h; h = t;
+  }
+  int log2w = 31 - __builtin_clz((unsigned)w);
+  int log2h = 31 - __builtin_clz((unsigned)h);
+  int offX, offY, shiftX, shiftY;
+  if (isChroma) {
+    offX = offY = 15;
+    shiftX = log2w - 2; shiftY = log2h - 2;
+  } else {
+    offX = 3 * (log2w - 2) + ((log2w - 1) >> 2);
+    offY = 3 * (log2h - 2) + ((log2h - 1) >> 2);
+    shiftX = (log2w + 1) >> 2; shiftY = (log2h + 1) >> 2;
+  }
+  int gx = kGroupIdx[posX], gy = kGroupIdx[posY];
+  for (int i = 0; i < gx; i++) tot += ctxBits(lastX, offX + (i >> shiftX), 1);
+  if (gx < kGroupIdx[w - 1]) tot += ctxBits(lastX, offX + (gx >> shiftX), 0);
+  for (int i = 0; i < gy; i++) tot += ctxBits(lastY, offY + (i >> shiftY), 1);
+  if (gy < kGroupIdx[h - 1]) tot += ctxBits(lastY, offY + (gy >> shiftY), 0);
+  if (gx > 3) tot += (double)((gx - 2) >> 1) * kFrac;
+  if (gy > 3) tot += (double)((gy - 2) >> 1) * kFrac;
+  return tot;
+}
+
+// bits of encode_coef_remain (all bypass).  Python records one op per
+// prefix bin plus one bypass_bins op; the estimate sums them in that
+// order, so accumulate identically (FP association matters for parity).
+static inline double coefRemainBits(long long v, int rice, double tot) {
+  if ((v >> rice) < kCoefRemainBinReduction) {
+    long long prefix = v >> rice;
+    for (long long i = 0; i < prefix + 1; i++) tot += kFrac;
+    tot += (double)rice * kFrac;
+    return tot;
+  }
+  long long vr = v >> rice;
+  int L = 63 - __builtin_clzll((unsigned long long)(vr - 2));
+  for (int i = 0; i < kCoefRemainBinReduction + L + 1; i++) tot += kFrac;
+  tot += (double)(L + rice) * kFrac;
+  return tot;
+}
+
+static double residualBits(const int32_t* coeffs, int w, int h, int comp,
+                           int scanType, int signHiding, int tsFlag,
+                           const int32_t* sig, const int32_t* sigCgCtx,
+                           const int32_t* gt1, const int32_t* gt2,
+                           const int32_t* lastX, const int32_t* lastY,
+                           const int32_t* tsCtx, double tot) {
+  const int isChroma = comp > 0 ? 1 : 0;
+  const int ch = isChroma;
+  const int log2w = 31 - __builtin_clz((unsigned)w);
+  if (tsFlag >= 0) tot += ctxBits(tsCtx, comp == 0 ? 0 : 1, tsFlag);
+
+  // grouped scan
+  const int wg = w >> 2, hg = h >> 2;
+  int cgx_[64], cgy_[64], inx[16], iny[16];
+  scanOrder(wg, hg, scanType, cgx_, cgy_);
+  scanOrder(4, 4, scanType, inx, iny);
+  static thread_local std::vector<int> scan;
+  const int n2 = w * h;
+  scan.resize(n2);
+  {
+    int i = 0;
+    for (int g = 0; g < wg * hg; g++)
+      for (int k = 0; k < 16; k++)
+        scan[i++] = (cgy_[g] * 4 + iny[k]) * w + cgx_[g] * 4 + inx[k];
+  }
+  int scanPosLast = -1;
+  for (int i = 0; i < n2; i++)
+    if (coeffs[scan[i]]) scanPosLast = i;
+  if (scanPosLast < 0) return tot;  // caller guarantees nonzero
+  const int blkLast = scan[scanPosLast];
+  const int posY0 = blkLast >> log2w;
+  const int posX0 = blkLast - (posY0 << log2w);
+  tot = lastSigBits(posX0, posY0, w, h, isChroma, scanType, lastX, lastY,
+                    tot);
+
+  int firstSigCtx;
+  if (w == 4 && h == 4) firstSigCtx = kSigSetStart[ch][0];
+  else if (w == 8 && h == 8) {
+    firstSigCtx = kSigSetStart[ch][1];
+    if (scanType != 0) firstSigCtx += kNonDiag8x8Offset[ch];
+  } else {
+    firstSigCtx = kSigSetStart[ch][2];
+  }
+  const int sigBase = isChroma ? 28 : 0;
+
+  const int lastScanSet = scanPosLast >> 4;
+  int sigCg[64] = {0};
+  for (int s = 0; s <= lastScanSet; s++) {
+    int any = 0;
+    for (int k = 0; k < 16; k++)
+      if (coeffs[scan[s * 16 + k]]) { any = 1; break; }
+    sigCg[cgy_[s] * wg + cgx_[s]] = any;
+  }
+  sigCg[cgy_[0] * wg + cgx_[0]] = 1;
+  sigCg[cgy_[lastScanSet] * wg + cgx_[lastScanSet]] = 1;
+
+  int scanPos = scanPosLast;
+  int c1 = 1;
+  for (int subset = lastScanSet; subset >= 0; subset--) {
+    const int subPos = subset << 4;
+    int goRice = 0;
+    const int cgx = cgx_[subset], cgy = cgy_[subset];
+    const int cgBlk = cgy * wg + cgx;
+    int numNz = 0;
+    int posList[16];
+    if (scanPos == scanPosLast) {
+      posList[numNz++] = blkLast;
+      scanPos--;
+    }
+    if (subset != lastScanSet && subset != 0) {
+      const int right = cgx < wg - 1 ? sigCg[cgBlk + 1] : 0;
+      const int below = cgy < hg - 1 ? sigCg[cgBlk + wg] : 0;
+      const int ctx = (right || below) ? 1 : 0;
+      tot += ctxBits(sigCgCtx, 2 * ch + ctx, sigCg[cgBlk]);
+    }
+    int pattern;
+    if (wg <= 1 && hg <= 1) pattern = 0;
+    else {
+      const int right = cgx < wg - 1 ? sigCg[cgBlk + 1] : 0;
+      const int below = cgy < hg - 1 ? sigCg[cgBlk + wg] : 0;
+      pattern = right + (below << 1);
+    }
+    while (scanPos >= subPos) {
+      const int blk = scan[scanPos];
+      const int sigv = coeffs[blk] ? 1 : 0;
+      if (sigCg[cgBlk]) {
+        if (scanPos > subPos || subset == 0 || numNz) {
+          const int py = blk >> log2w;
+          const int px = blk - (py << log2w);
+          int ctx;
+          if (px + py == 0) {
+            ctx = 0;
+          } else if (w == 4 && h == 4) {
+            ctx = firstSigCtx + kCtxIndMap4x4[4 * py + px];
+          } else {
+            const int xin = px & 3, yin = py & 3;
+            int cnt;
+            if (pattern == 0) {
+              int t = xin + yin;
+              cnt = t >= 3 ? 0 : (t >= 1 ? 1 : 2);
+            } else if (pattern == 1) {
+              cnt = yin >= 2 ? 0 : (yin >= 1 ? 1 : 2);
+            } else if (pattern == 2) {
+              cnt = xin >= 2 ? 0 : (xin >= 1 ? 1 : 2);
+            } else {
+              cnt = 2;
+            }
+            const int notFirst = ((px >> 2) + (py >> 2)) > 0;
+            ctx = firstSigCtx + cnt + (notFirst ? kNotFirstGroupOffset[ch] : 0);
+          }
+          tot += ctxBits(sig, sigBase + ctx, sigv);
+        }
+      }
+      if (sigv) posList[numNz++] = blk;
+      scanPos--;
+    }
+    if (numNz == 0) continue;
+    int ctxSet;
+    if (isChroma) ctxSet = 4 + (c1 == 0 ? 1 : 0);
+    else ctxSet = (subset > 0 ? 2 : 0) + (c1 == 0 ? 1 : 0);
+    c1 = 1;
+    const int baseGt1 = 4 * ctxSet;
+    long long absVals[16];
+    for (int i = 0; i < numNz; i++) {
+      long long v = coeffs[posList[i]];
+      absVals[i] = v < 0 ? -v : v;
+    }
+    const int numC1 = numNz < kC1FlagNumber ? numNz : kC1FlagNumber;
+    int firstC2 = -1;
+    for (int idx = 0; idx < numC1; idx++) {
+      const int b = absVals[idx] > 1 ? 1 : 0;
+      tot += ctxBits(gt1, baseGt1 + c1, b);
+      if (b) {
+        c1 = 0;
+        if (firstC2 == -1) firstC2 = idx;
+      } else if (c1 > 0 && c1 < 3) {
+        c1++;
+      }
+    }
+    if (c1 == 0 && firstC2 != -1)
+      tot += ctxBits(gt2, ctxSet, absVals[firstC2] > 2 ? 1 : 0);
+    // signs (bypass; lowest-scan sign hidden when the spread allows)
+    int hide = 0;
+    if (signHiding) {
+      int first = -1, last = -1;
+      const int end = subPos + 16 < n2 ? subPos + 16 : n2;
+      for (int sp = subPos; sp < end; sp++)
+        if (coeffs[scan[sp]]) {
+          if (first < 0) first = sp;
+          last = sp;
+        }
+      hide = (last - first) >= 4 ? 1 : 0;
+    }
+    {
+      const int nSigns = hide ? numNz - 1 : numNz;
+      for (int i = 0; i < nSigns; i++) tot += kFrac;  // one op per sign
+    }
+    // remaining levels
+    int firstCoeff2 = 1;
+    for (int idx = 0; idx < numNz; idx++) {
+      const long long baseLevel =
+          idx < kC1FlagNumber ? (2 + firstCoeff2) : 1;
+      if (absVals[idx] >= baseLevel) {
+        tot = coefRemainBits(absVals[idx] - baseLevel, goRice, tot);
+        if (absVals[idx] > (3LL << goRice))
+          goRice = goRice + 1 < 4 ? goRice + 1 : 4;
+      }
+      if (absVals[idx] >= 2) firstCoeff2 = 0;
+    }
+  }
+  return tot;
+}
+
 }  // namespace rdoq
 }  // namespace hevc
+
+extern "C" double enc_residual_bits(
+    const int32_t* coeffs, int w, int h, int comp, int scan_type,
+    int sign_hiding, int ts_flag, const int32_t* sig, const int32_t* sig_cg,
+    const int32_t* gt1, const int32_t* gt2, const int32_t* last_x,
+    const int32_t* last_y, const int32_t* ts_ctx, double start) {
+  return hevc::rdoq::residualBits(coeffs, w, h, comp, scan_type, sign_hiding,
+                                  ts_flag, sig, sig_cg, gt1, gt2, last_x,
+                                  last_y, ts_ctx, start);
+}
 
 extern "C" void enc_rdoq(const int32_t* coef, int qp, int log2_size,
                          int bit_depth, int comp, int scan_type,

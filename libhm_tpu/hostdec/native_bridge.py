@@ -47,6 +47,11 @@ def _load():
         C.c_void_p, C.c_int, C.c_int, C.c_longlong,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
         C.c_int, C.c_int, C.c_void_p]
+    lib.enc_residual_bits.restype = C.c_double
+    lib.enc_residual_bits.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_void_p, C.c_double]
     lib.enc_rdoq.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,

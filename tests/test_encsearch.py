@@ -131,3 +131,56 @@ def test_rdoq_matches_python(lib):
         a = rdoq(coef, qp, log2n, bd, comp, scan, bank, lam)
         b = _rdoq_py(coef, qp, log2n, bd, comp, scan, bank, lam)
         assert (a == b).all(), (trial, n, comp, scan, qp, bd)
+
+
+def test_residual_bits_matches_python(lib):
+    """Native bits-only residual pricer (enc_residual_bits) is
+    bit-identical to recording encode_residual ops and pricing them with
+    the _est_ops_bits model, across sizes/scans/components/SBH/TS."""
+    from libhm_tpu.hostdec.tables import make_context_bank
+    from libhm_tpu.encoder.rdoq import residual_bits, _bits, FRAC
+    from libhm_tpu.encoder.residual_enc import encode_residual
+    from libhm_tpu.encoder.encoder import _RecordingCabac
+
+    def price(ops, start):
+        tot = start
+        for op in ops:
+            k = op[0]
+            if k == "b":
+                tot += _bits(op[1], op[2], op[3])
+            elif k == "p":
+                tot += FRAC
+            elif k == "pn":
+                tot += op[2] * FRAC
+            else:
+                raise AssertionError(op)
+        return tot
+
+    rng = np.random.default_rng(23)
+    for trial in range(200):
+        log2n = int(rng.integers(2, 6))
+        n = 1 << log2n
+        comp = int(rng.integers(0, 3))
+        scan = int(rng.integers(0, 3)) if n <= 8 else 0
+        sh = bool(rng.integers(0, 2))
+        ts = (int(rng.integers(0, 2)) if n == 4 and rng.integers(0, 2)
+              else None)
+        bank = make_context_bank(int(rng.integers(0, 3)),
+                                 int(rng.integers(1, 51)))
+        for k in ("sig", "sig_cg", "gt1", "gt2", "last_x", "last_y",
+                  "transform_skip"):
+            arr = bank[k]
+            arr[:] = np.clip(arr + rng.integers(-20, 20, arr.shape), 0, 127)
+        mag = int(rng.choice([1, 2, 9, 300, 30000]))
+        lev = rng.integers(-mag, mag + 1, (n, n)).astype(np.int32)
+        # sparsify most trials so high scan sets go empty
+        if rng.integers(0, 3):
+            lev *= (rng.random((n, n)) < 0.15)
+        if not lev.any():
+            lev[rng.integers(0, n), rng.integers(0, n)] = 1
+        start = float(rng.integers(0, 1 << 20)) * 0.33
+        enc = _RecordingCabac()
+        encode_residual(enc, bank, lev, comp, scan, sh, ts=ts)
+        py = price(enc.ops, start)
+        nat = residual_bits(bank, lev, comp, scan, sh, ts, start=start)
+        assert nat == py, (trial, n, comp, scan, sh, ts, nat, py)
