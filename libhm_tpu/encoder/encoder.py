@@ -392,7 +392,9 @@ class IntraEncoder:
                 out += self._prefix_sei(nal_type, tid)
                 for slice_rbsp in slices:
                     out += nal_unit(nal_type, slice_rbsp, tid)
-                out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth), tid)
+                if getattr(cfg, "hash_sei", True):
+                    out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth),
+                                    tid)
                 if nal_type in (19, 20) and poc > 0:
                     self._dpb.clear()    # IDR empties the decoder's DPB
                 self._dpb[poc] = _RefPic(poc - idr_base,
@@ -430,7 +432,8 @@ class IntraEncoder:
             out += self._prefix_sei(nal_type)
             for slice_rbsp in slices:
                 out += nal_unit(nal_type, slice_rbsp)
-            out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
+            if getattr(cfg, "hash_sei", True):
+                out += nal_unit(40, hash_sei_md5(recon, cfg.bit_depth))
             if inter_gop:
                 refs.insert(0, _RefPic(poc, [r.copy() for r in self.recon],
                                        self.sps, self.pic))

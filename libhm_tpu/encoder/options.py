@@ -97,7 +97,7 @@ _BOOL_KEYS = {
     "SEIActiveParameterSets": "sei_aps",
     "SEIBufferingPeriod": "hrd_enabled",
     "SEIPictureTiming": "hrd_enabled",
-    "SEIDecodedPictureHash": None,  # always written
+    "SEIDecodedPictureHash": "hash_sei",
 }
 
 _INT_KEYS = {
@@ -209,6 +209,9 @@ class HmConfig:
         if v.get("slice_mode", 0) == 1:
             cfg.slice_ctus = v.get("slice_argument", 0)
         cfg.cabac_init = v.get("cabac_init", False)
+        # HM default: no decoded-picture-hash SEI unless the cfg asks
+        # (TAppEncCfg "SEIDecodedPictureHash" default 0)
+        cfg.hash_sei = bool(v.get("hash_sei", False))
         cfg.scaling_list = v.get("scaling_list", False)
         cfg.pcm_enabled = v.get("pcm_enabled", False)
         cfg.log2_min_ipcm = v.get("log2_min_ipcm", 3)

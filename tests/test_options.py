@@ -74,7 +74,7 @@ def test_cfg_driven_encode_decodes(tmp_path):
     out = str(tmp_path / "out.bin")
     rc = enc_main(["-c", os.path.join(REF_CFG, "encoder_lowdelay_main.cfg"),
                    "-i", yuv, "-b", out, "-wdt", "64", "-hgt", "64",
-                   "-f", "5", "-q", "32"])
+                   "-f", "5", "-q", "32", "SEIDecodedPictureHash=1"])
     assert rc == 0
     dec = Decoder(parse="python", recon="numpy", check_sei_hash=True)
     outs = dec.decode_annexb(open(out, "rb").read())
@@ -97,7 +97,8 @@ def test_refresh_type2_idr_poc_reset(tmp_path):
                    "-i", yuv, "-b", out, "-wdt", "64", "-hgt", "64",
                    "-f", "17", "-q", "32",
                    "IntraPeriod=8", "DecodingRefreshType=2",
-                   "MaxCUWidth=32", "MaxPartitionDepth=3"])
+                   "MaxCUWidth=32", "MaxPartitionDepth=3",
+                   "SEIDecodedPictureHash=1"])
     assert rc == 0
     data = open(out, "rb").read()
     types = [N.parse_nal(e).nal_type for e in N.split_annexb(data)]
@@ -123,7 +124,7 @@ def test_cra_open_gop_hm_verifies(tmp_path):
                    "-i", yuv, "-b", out, "-wdt", "64", "-hgt", "64",
                    "-f", "17", "-q", "32",
                    "IntraPeriod=8", "MaxCUWidth=32",
-                   "MaxPartitionDepth=3"])
+                   "MaxPartitionDepth=3", "SEIDecodedPictureHash=1"])
     assert rc == 0
     data = open(out, "rb").read()
     from libhm_tpu.hostdec import nal as N
