@@ -71,6 +71,28 @@ def user_data_unregistered(uuid: bytes, data: bytes) -> bytes:
     return uuid + data
 
 
+def user_data_registered_t35(country_code: int, data: bytes,
+                             country_code_extension=None) -> bytes:
+    """Rec. D.2.6 (reference SEIwrite.cpp xWriteSEIuserDataRegistered)."""
+    head = bytes([country_code])
+    if country_code == 0xFF:
+        head += bytes([country_code_extension or 0])
+    return head + data
+
+
+def pan_scan_rect(rect_id=0, cancel=0, rects=(), persistence=1) -> bytes:
+    """Rec. D.2.4; rects = [(left, right, top, bottom) se(v) offsets]."""
+    def fill(w):
+        w.ue(rect_id)
+        w.put(cancel)
+        if not cancel:
+            w.ue(len(rects) - 1)
+            for (l, r, t, b) in rects:
+                w.se(l), w.se(r), w.se(t), w.se(b)
+            w.put(persistence)
+    return _bits_payload(fill)
+
+
 def mastering_display(primaries, white_point, max_lum, min_lum) -> bytes:
     def fill(w):
         for gx, gy in primaries:

@@ -191,6 +191,35 @@ class UserDataUnregistered:
         self.data = payload[16:]
 
 
+class UserDataRegisteredT35:
+    """Rec. D.2.6 / reference SEIread.cpp xParseSEIUserDataRegistered."""
+
+    def __init__(self, payload, sps=None):
+        self.country_code = payload[0]
+        if self.country_code == 0xFF:
+            self.country_code_extension = payload[1]
+            self.data = payload[2:]
+        else:
+            self.country_code_extension = None
+            self.data = payload[1:]
+
+
+class PanScanRect:
+    """Rec. D.2.4 / reference SEIread.cpp xParseSEIPanScanRect."""
+
+    def __init__(self, payload, sps=None):
+        b = _Bits(payload)
+        self.rect_id = b.ue()
+        self.cancel = b.u(1)
+        self.rects = []
+        self.persistence = None
+        if not self.cancel:
+            cnt = b.ue() + 1
+            self.rects = [(b.se(), b.se(), b.se(), b.se())
+                          for _ in range(cnt)]  # left, right, top, bottom
+            self.persistence = b.u(1)
+
+
 class MasteringDisplayColourVolume:
     def __init__(self, payload, sps=None):
         b = _Bits(payload)
@@ -537,6 +566,8 @@ _PAYLOAD_CLASSES = {
     SEI_RECOVERY_POINT: RecoveryPoint,
     SEI_ACTIVE_PARAMETER_SETS: ActiveParameterSets,
     SEI_USER_DATA_UNREGISTERED: UserDataUnregistered,
+    SEI_USER_DATA_REGISTERED_ITU_T_T35: UserDataRegisteredT35,
+    SEI_PAN_SCAN_RECT: PanScanRect,
     SEI_MASTERING_DISPLAY: MasteringDisplayColourVolume,
     SEI_TIME_CODE: TimeCode,
     SEI_FRAME_PACKING: FramePacking,

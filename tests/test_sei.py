@@ -138,3 +138,25 @@ def test_multiple_messages_one_nal():
     out = S.decode_sei_payloads(rbsp)
     assert [t for t, _ in out] == [S.SEI_ACTIVE_PARAMETER_SETS,
                                    S.SEI_RECOVERY_POINT]
+
+
+def test_user_data_registered_t35():
+    o = _decode_one(S.SEI_USER_DATA_REGISTERED_ITU_T_T35,
+                    W.user_data_registered_t35(0xB5, b"\x00\x31GA94"))
+    assert o.country_code == 0xB5 and o.country_code_extension is None
+    assert o.data == b"\x00\x31GA94"
+    o = _decode_one(S.SEI_USER_DATA_REGISTERED_ITU_T_T35,
+                    W.user_data_registered_t35(0xFF, b"x",
+                                               country_code_extension=0x42))
+    assert o.country_code == 0xFF and o.country_code_extension == 0x42
+    assert o.data == b"x"
+
+
+def test_pan_scan_rect():
+    o = _decode_one(S.SEI_PAN_SCAN_RECT, W.pan_scan_rect(
+        rect_id=3, rects=[(-16, 16, -8, 8), (0, 32, 0, 24)], persistence=1))
+    assert o.rect_id == 3 and o.cancel == 0
+    assert o.rects == [(-16, 16, -8, 8), (0, 32, 0, 24)]
+    assert o.persistence == 1
+    o = _decode_one(S.SEI_PAN_SCAN_RECT, W.pan_scan_rect(rect_id=1, cancel=1))
+    assert o.cancel == 1 and o.rects == [] and o.persistence is None
