@@ -408,7 +408,8 @@ class IntraEncoder:
         inter_gop = cfg.gop in ("lowdelayP", "lowdelayB")
         self.cur_qp_factor = None
         refs = []                                # newest first
-        for poc, frame in enumerate(frames):
+        for src_idx, frame in enumerate(frames):
+            poc = src_idx
             rps = None
             if inter_gop and poc > 0:
                 nal_type = 1                     # TRAIL_R
@@ -428,7 +429,10 @@ class IntraEncoder:
             nbits = sum(len(s) for s in slices) * 8
             if self._rc:
                 self._rc.update(nbits)
-            self.stats.append((slice_type, nbits, poc, recon))
+            # stats carry the SOURCE index, not the signalled POC (all-
+            # intra IDRs all have POC 0 — keying the Analyze source
+            # lookup by POC would compare every recon against frame 0)
+            self.stats.append((slice_type, nbits, src_idx, recon))
             out += self._prefix_sei(nal_type)
             for slice_rbsp in slices:
                 out += nal_unit(nal_type, slice_rbsp)
@@ -2656,8 +2660,10 @@ class IntraEncoder:
                 enc.encode_bypass_bins(rem, 5)
         has_chroma = sps.chroma_format_idc != 0
         if has_chroma:
-            enc.encode_bin(bank["intra_chroma_mode"], 0, 0)  # DM (PU0 mode)
-            pic.set_rect(pic.intra_c, x, y, size, size, modes[0])
+            c_real, c_dm, c_idx = self._select_chroma_intra_mode(
+                x, y, size, modes[0])
+            self._write_chroma_mode(x, y, size, modes[0], c_real, c_dm,
+                                    c_idx)
 
         # chroma transform + recon (single TU at the 8x8 parent; 4:2:2
         # splits into two square sub-TUs with the DM angle remapped)
@@ -2668,7 +2674,7 @@ class IntraEncoder:
             ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
             n = size >> ssx
             n_sub = 2 if is422 else 1
-            cmode = CHROMA422_ANGLE_MAP[modes[0]] if is422 else modes[0]
+            cmode = CHROMA422_ANGLE_MAP[c_real] if is422 else c_real
             c_scan = pick_scan(n, cmode, ssx, ssy)
             cx, cy0 = x >> ssx, y >> ssy
             for comp in (1, 2):
@@ -2786,9 +2792,10 @@ class IntraEncoder:
                 if rem > p:
                     rem -= 1
             enc.encode_bypass_bins(rem, 5)
-        # chroma: DM
-        enc.encode_bin(bank["intra_chroma_mode"], 0, 0)
-        pic.set_rect(pic.intra_c, x, y, size, size, mode)
+        # chroma direction: RD over DM + the allowed list
+        c_real, c_dm, c_idx = self._select_chroma_intra_mode(x, y, size,
+                                                             mode)
+        self._write_chroma_mode(x, y, size, mode, c_real, c_dm, c_idx)
 
         # --- transform + recon per component ---
         # TU log2: luma TU == CU (within maxTB); chroma scaled.  4:2:2
@@ -2806,9 +2813,9 @@ class IntraEncoder:
             n = size >> ssx
             n_sub = 2 if (comp and is422) else 1
             cx = x >> ssx
-            cmode = mode
+            cmode = mode if comp == 0 else c_real
             if comp and is422:
-                cmode = CHROMA422_ANGLE_MAP[mode]
+                cmode = CHROMA422_ANGLE_MAP[c_real]
             bd = cfg.bit_depth
             levs, cbf_subs = [], []
             from ..hostdec.tables import SCAN_DIAG as _SD, SCAN_HOR as _SH, \
@@ -2850,9 +2857,9 @@ class IntraEncoder:
         for comp in range(3):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
-            smode = mode
+            smode = mode if comp == 0 else c_real
             if comp and is422:
-                smode = CHROMA422_ANGLE_MAP[mode]
+                smode = CHROMA422_ANGLE_MAP[c_real]
             for s, lev in enumerate(resids[comp]):
                 if not cbfs[comp][s]:
                     continue
@@ -2921,7 +2928,9 @@ class IntraEncoder:
                 if rem > pm:
                     rem -= 1
             enc.encode_bypass_bins(rem, 5)
-        enc.encode_bin(bank["intra_chroma_mode"], 0, 0)  # DM
+        c_real, c_dm, c_idx = self._select_chroma_intra_mode(x, y, size,
+                                                             mode)
+        self._write_chroma_mode(x, y, size, mode, c_real, c_dm, c_idx)
 
         self.cu_log2_for_tt = log2size
         self._maybe_write_subdiv(log2size, 1)
@@ -2952,10 +2961,10 @@ class IntraEncoder:
                 cn = half >> 1
                 cxp, cyp = lx >> 1, ly >> 1
                 for comp in (1, 2):
-                    cpred = self._intra_pred(comp, cxp, cyp, cn, mode)
+                    cpred = self._intra_pred(comp, cxp, cyp, cn, c_real)
                     cres = (self.orig[comp][cyp:cyp + cn, cxp:cxp + cn] -
                             cpred).astype(np.int32)
-                    cscan = mdcs(cn, mode, comp)
+                    cscan = mdcs(cn, c_real, comp)
                     clev, crec, ccbf = self._tu_fwd(cres, False, comp,
                                                     cscan, True)
                     self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
@@ -2974,10 +2983,10 @@ class IntraEncoder:
             cxp, cyp = x >> 1, y >> 1
             c_single = {}
             for comp in (1, 2):
-                cpred = self._intra_pred(comp, cxp, cyp, cn, mode)
+                cpred = self._intra_pred(comp, cxp, cyp, cn, c_real)
                 cres = (self.orig[comp][cyp:cyp + cn, cxp:cxp + cn] -
                         cpred).astype(np.int32)
-                cscan = mdcs(cn, mode, comp)
+                cscan = mdcs(cn, c_real, comp)
                 clev, crec, ccbf = self._tu_fwd(cres, False, comp, cscan,
                                                 True)
                 self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
@@ -3124,6 +3133,83 @@ class IntraEncoder:
             if c < best_cost:
                 best_cost, best_mode = c, m
         return best_mode
+
+    def _select_chroma_intra_mode(self, x, y, size, luma_mode):
+        """RD-choose intra_chroma_pred_mode for one intra CU (reference
+        TEncSearch::estIntraPredChromaQT): DM plus the 4-entry allowed
+        list (planar/ver/hor/DC, the luma-colliding entry replaced by
+        angular-34, Rec. 8.4.3), each fully coded at the CU-level chroma
+        TB; cost = chroma-weighted SSE + lambda * (signal + residual)
+        bits.  Returns (real_mode, dm_flag, list_idx)."""
+        from ..hostdec.slicedec import (PLANAR_IDX, DC_IDX, HOR_IDX,
+                                        VER_IDX, CHROMA422_ANGLE_MAP)
+        sps, cfg, enc, bank = self.sps, self.cfg, self.enc, self.bank
+        if sps.chroma_format_idc == 0 or \
+                not isinstance(enc, _RecordingCabac):
+            return luma_mode, True, 0
+        allowed = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX]
+        for i in range(4):
+            if allowed[i] == luma_mode:
+                allowed[i] = 34
+                break
+        is422 = sps.chroma_format_idc == 2
+        ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+        n = size >> ssx
+        n_sub = 2 if is422 else 1
+        cx, cy0 = x >> ssx, y >> ssy
+        bd = cfg.bit_depth
+        norm = 1 << (2 * (bd - 8))
+        snaps = [self.recon[c][cy0:cy0 + n_sub * n, cx:cx + n].copy()
+                 for c in (1, 2)]
+        mark = len(enc.ops)
+        best, best_cost = (luma_mode, True, 0), float("inf")
+        for k, cand in enumerate([luma_mode] + allowed):
+            dm = k == 0
+            if not dm and cand == luma_mode:
+                continue                      # identical to the DM trial
+            cmode = CHROMA422_ANGLE_MAP[cand] if is422 else cand
+            enc.encode_bin(bank["intra_chroma_mode"], 0, 0 if dm else 1)
+            if not dm:
+                enc.encode_bypass_bins(k - 1, 2)
+            cost = 0.0
+            for comp in (1, 2):
+                for s in range(n_sub):
+                    cy = cy0 + s * n
+                    pred = self._intra_pred(comp, cx, cy, n, cmode)
+                    orig_c = self.orig[comp][cy:cy + n, cx:cx + n]
+                    resi = (orig_c - pred).astype(np.int32)
+                    cscan = self._mdcs_scan(n, cmode, comp)
+                    lev, rec_resi, cbf = self._tu_fwd(resi, False, comp,
+                                                      cscan, True)
+                    rec = np.clip(pred + rec_resi, 0, (1 << bd) - 1)
+                    self.recon[comp][cy:cy + n, cx:cx + n] = rec
+                    sse = float(((orig_c.astype(np.int64) - rec) ** 2)
+                                .sum()) / norm
+                    bits = self._residual_trial_bits(
+                        lev, comp, cscan, len(enc.ops)) if cbf else 0
+                    cost += self.chroma_weight[comp] * sse + \
+                        self.rd_lambda * bits
+            cost += self.rd_lambda * self._est_ops_bits(mark)
+            del enc.ops[mark:]
+            if cost < best_cost:
+                best_cost = cost
+                best = (cand, dm, 0 if dm else k - 1)
+        for ci, c in enumerate((1, 2)):
+            self.recon[c][cy0:cy0 + n_sub * n, cx:cx + n] = snaps[ci]
+        return best
+
+    def _write_chroma_mode(self, x, y, size, luma_mode, cmode, dm, idx):
+        """Emit intra_chroma_pred_mode and fill the chroma maps the
+        decoder derives from (slicedec parse: intra_c = real mode,
+        chroma_dm flag gates CCP)."""
+        enc, bank, pic = self.enc, self.bank, self.pic
+        enc.encode_bin(bank["intra_chroma_mode"], 0, 0 if dm else 1)
+        if not dm:
+            enc.encode_bypass_bins(idx, 2)
+        real = luma_mode if dm else cmode
+        pic.set_rect(pic.intra_c, x, y, size, size, real)
+        if getattr(pic, "chroma_dm", None) is not None:
+            pic.set_rect(pic.chroma_dm, x, y, size, size, 1 if dm else 0)
 
     def _luma_rd_cost(self, x, y, size, ops_lo):
         cfg = self.cfg
@@ -3305,14 +3391,16 @@ class IntraEncoder:
                 if rem > pm:
                     rem -= 1
             enc.encode_bypass_bins(rem, 5)
-        enc.encode_bin(bank["intra_chroma_mode"], 0, 0)  # DM
+        c_real, c_dm, c_idx = self._select_chroma_intra_mode(x, y, size,
+                                                             mode)
+        self._write_chroma_mode(x, y, size, mode, c_real, c_dm, c_idx)
 
         self.cu_log2_for_tt = log2size
         min_tu = self._intra_min_tu_log2(log2size)
         mark = len(enc.ops)
         tree = self._intra_tt_decide(x, y, log2size, 0, mode, min_tu)
         del enc.ops[mark:]            # luma-only trial syntax
-        self._intra_tt_chroma(tree, mode)
+        self._intra_tt_chroma(tree, c_real)
         self._intra_tt_emit(tree, min_tu, 0, 0, 0, None)
         self._finish_cu_qp(x, y, size)
 
