@@ -1113,60 +1113,109 @@ class IntraEncoder:
 
     # ------------------------------------------------------------------
     def _estimate_sao(self):
-        """Fill pic.sao_* from per-CTU candidate gains (joint chroma type)."""
-        from .sao_enc import sao_candidates
+        """Fill pic.sao_* per CTU: derive lambda-optimal new-type
+        candidates from category statistics, then RD-compare
+        off / new / merge-left / merge-up jointly over the components
+        (reference TEncSampleAdaptiveOffset::decideBlkParams,
+        deriveModeNewRDO / deriveModeMergeRDO).  Distortion terms use the
+        slice lambda with the chroma SSE weights, the same currency as
+        every other RD decision this slice made."""
+        from .sao_enc import sao_stats, derive_candidates, params_gain
         sps, cfg, pic = self.sps, self.cfg, self.pic
-        lam = 0.85 * 2.0 ** ((self.cur_qp - 12) / 3.0)
+        lam = self.rd_lambda
+        cw = getattr(self, "chroma_weight", [1.0, 1.0, 1.0])
+        ncomp = 3 if sps.chroma_format_idc else 1
         nctu_x = sps.pic_width_ctbs
+        bd = cfg.bit_depth
         for addr in range(sps.pic_size_ctbs):
             cx = (addr % nctu_x) << sps.log2_ctb
             cy = (addr // nctu_x) << sps.log2_ctb
-            cands = []
-            for c in range(3 if sps.chroma_format_idc else 1):
+            stats, cands = [], []
+            for c in range(ncomp):
                 ssx = sps.chroma_shift_x() if c else 0
                 ssy = sps.chroma_shift_y() if c else 0
-                bd = cfg.bit_depth
                 W, H = sps.width >> ssx, sps.height >> ssy
                 x0, y0 = cx >> ssx, cy >> ssy
                 x1 = min(x0 + (sps.ctb_size >> ssx), W)
                 y1 = min(y0 + (sps.ctb_size >> ssy), H)
-                cands.append(sao_candidates(
-                    self.orig[c][:H, :W], self.recon[c][:H, :W],
-                    x0, y0, x1, y1, bd, lam))
-            best_t, best_g = None, 0.0
+                st = sao_stats(self.orig[c][:H, :W],
+                               self.recon[c][:H, :W], x0, y0, x1, y1, bd)
+                stats.append(st)
+                # per-component lambda so the weighted net is w*gain-l*bits
+                cands.append(derive_candidates(st, bd, lam / cw[c]))
+
+            # --- best NEW params per signal group (luma; chroma pair) ---
+            new_par = [(-1, 0, [0, 0, 0, 0]) for _ in range(ncomp)]
+            luma_best, luma_net = None, 0.0     # vs luma-off (1 type bin)
             for t in ["bo"] + [f"eo{k}" for k in range(4)]:
-                g = cands[0][t][-1]
-                if g > best_g:
-                    best_t, best_g = t, g
-            if best_t is None:
-                pic.sao_type[addr, 0] = -1
-            elif best_t == "bo":
+                net = cands[0][t][-1] - lam      # extra on-vs-off type bin
+                if net > luma_net:
+                    luma_best, luma_net = t, net
+            if luma_best == "bo":
                 pos, ov, _ = cands[0]["bo"]
-                pic.sao_type[addr, 0] = 0
-                pic.sao_band_pos[addr, 0] = pos
-                pic.sao_offsets[addr, 0] = ov
-            else:
-                k = int(best_t[2:])
-                pic.sao_type[addr, 0] = 1 + k
-                pic.sao_offsets[addr, 0] = cands[0][best_t][0]
-            if sps.chroma_format_idc:
-                best_t, best_g = None, 0.0
+                new_par[0] = (0, pos, ov)
+            elif luma_best is not None:
+                k = int(luma_best[2:])
+                new_par[0] = (1 + k, 0, cands[0][luma_best][0])
+            chroma_net = 0.0
+            if ncomp == 3:
+                chroma_best = None
                 for t in ["bo"] + [f"eo{k}" for k in range(4)]:
-                    g = cands[1][t][-1] + cands[2][t][-1]
-                    if g > best_g:
-                        best_t, best_g = t, g
-                for c in (1, 2):
-                    if best_t is None:
-                        pic.sao_type[addr, c] = -1
-                    elif best_t == "bo":
+                    net = (cw[1] * cands[1][t][-1] +
+                           cw[2] * cands[2][t][-1] - lam)
+                    if net > chroma_net:
+                        chroma_best, chroma_net = t, net
+                if chroma_best == "bo":
+                    for c in (1, 2):
                         pos, ov, _ = cands[c]["bo"]
-                        pic.sao_type[addr, c] = 0
-                        pic.sao_band_pos[addr, c] = pos
-                        pic.sao_offsets[addr, c] = ov
-                    else:
-                        k = int(best_t[2:])
-                        pic.sao_type[addr, c] = 1 + k
-                        pic.sao_offsets[addr, c] = cands[c][best_t][0]
+                        new_par[c] = (0, pos, ov)
+                elif chroma_best is not None:
+                    k = int(chroma_best[2:])
+                    for c in (1, 2):
+                        new_par[c] = (1 + k, 0, cands[c][chroma_best][0])
+
+            # --- merge candidates: copy the already-decided neighbour ---
+            # scores are RELATIVE to the all-off option, which pays the
+            # zero-valued merge bins (nskip) plus one type bin per signal
+            # group; "new" pays the same merge bins (cancels), merges pay
+            # neither the merge-zero bins nor the type bins
+            can_left = addr % nctu_x > 0
+            can_up = addr >= nctu_x
+            nskip = (1 if can_left else 0) + (1 if can_up else 0)
+            off_bits = 1 + (1 if ncomp == 3 else 0)
+            options = [("new", luma_net + chroma_net)]
+            for name, ok, other, bins in (("left", can_left, addr - 1, 1),
+                                          ("up", can_up, addr - nctu_x, 2)):
+                if not ok:
+                    continue
+                g = 0.0
+                for c in range(ncomp):
+                    g += cw[c] * params_gain(
+                        stats[c], int(pic.sao_type[other, c]),
+                        int(pic.sao_band_pos[other, c]),
+                        pic.sao_offsets[other, c])
+                g += lam * (nskip + off_bits - bins)
+                options.append((name, g))
+            options.sort(key=lambda o: -o[1])
+            choice = options[0][0] if options[0][1] > 0 else "off"
+
+            if choice in ("left", "up"):
+                other = addr - 1 if choice == "left" else addr - nctu_x
+                for c in range(ncomp):
+                    pic.sao_type[addr, c] = pic.sao_type[other, c]
+                    pic.sao_band_pos[addr, c] = pic.sao_band_pos[other, c]
+                    pic.sao_offsets[addr, c] = pic.sao_offsets[other, c]
+            elif choice == "off":
+                for c in range(ncomp):
+                    pic.sao_type[addr, c] = -1
+                    pic.sao_band_pos[addr, c] = 0
+                    pic.sao_offsets[addr, c] = 0
+            else:
+                for c in range(ncomp):
+                    t, pos, ov = new_par[c]
+                    pic.sao_type[addr, c] = t
+                    pic.sao_band_pos[addr, c] = pos
+                    pic.sao_offsets[addr, c] = ov
 
     def _motion_search(self, x, y, size, pred_mv):
         return self._motion_search_rect(x, y, size, size, pred_mv)

@@ -1,13 +1,14 @@
 """SAO parameter estimation + syntax writing (encoder side).
 
 Rebuild of the reference TEncSampleAdaptiveOffset (getStatistics /
-deriveOffsets / deriveModeNewRDO, TEncSampleAdaptiveOffset.cpp:312-662)
-with a direct SSE-gain decision instead of full RD: per CTU and component,
-evaluate band offset (best 4 consecutive bands) and the four edge-offset
-classes against the deblocked reconstruction, pick the highest
-lambda-penalised distortion gain. The chosen parameters go into the same
-PicSyntax sao_* arrays the decoder fills, so applying them reuses the
-validated loopfilter_np.sao_picture.
+deriveOffsets / deriveModeNewRDO / deriveModeMergeRDO,
+TEncSampleAdaptiveOffset.cpp:312-662): per CTU and component collect
+(error-sum, count) statistics per band / edge category, derive
+lambda-optimal offsets with the iterative magnitude shrink
+(estIterOffset), then RD-compare OFF / new-type / merge-left / merge-up
+at the CTU level.  The chosen parameters go into the same PicSyntax
+sao_* arrays the decoder fills, so applying them reuses the validated
+loopfilter_np.sao_picture.
 
 Syntax mirrors hostdec.slicedec._parse_sao_ctu exactly.
 """
@@ -28,48 +29,40 @@ def _gain(e, n, off):
     return 2 * off * e - off * off * n
 
 
-def _best_offset(e, n, maxq, positive):
+def _iter_offset(e, n, maxq, positive, lam, sign_bit):
+    """Lambda-optimal offset magnitude: start from the statistical
+    optimum round(e/n) and shrink toward zero, keeping the best
+    gain - lam * bits (reference estIterOffset; TU bits = |off| + 1,
+    plus a sign bypass for BO when nonzero)."""
     if n == 0:
-        return 0, 0
+        return 0, 0.0
     off = int(round(e / n))
     off = max(0, min(maxq, off)) if positive else min(0, max(-maxq, off))
-    return off, _gain(e, n, off)
+    best_off, best_c = 0, 0.0
+    step = 1 if off >= 0 else -1
+    for o in range(off, 0, -step):
+        c = _gain(e, n, o) - lam * (abs(o) + 1 + sign_bit)
+        if c > best_c:
+            best_off, best_c = o, c
+    return best_off, best_c
 
 
-def sao_candidates(orig, dbf, x0, y0, x1, y1, bd, lam):
-    """Per-type SAO candidates for one CTU region of one component.
-
-    Returns {"bo": (band_pos, offsets, net_gain),
-             "eo<k>": (offsets, net_gain) for k in 0..3}
-    with SIGNED offsets in the decoder storage layout; net gains are
-    lambda-penalised SSE reductions (positive = better than off).
-    """
+def sao_stats(orig, dbf, x0, y0, x1, y1, bd):
+    """Per-category SAO statistics for one CTU region of one component:
+    {"bo": (e[32], n[32]), "eo<k>": (e[4], n[4])} with the EO categories
+    ordered [-2, -1, +1, +2] (decoder storage layout)."""
     o = orig[y0:y1, x0:x1].astype(np.int64)
     d = dbf[y0:y1, x0:x1].astype(np.int64)
     diff = o - d
-    maxq = (1 << (min(bd, 10) - 5)) - 1
     out = {}
 
-    # --- band offset
     bands = (d >> (bd - 5)).astype(np.int64)
     e = np.zeros(32)
     n = np.zeros(32)
     np.add.at(e, bands.ravel(), diff.ravel())
     np.add.at(n, bands.ravel(), 1)
-    offs = np.clip(np.round(np.divide(e, np.maximum(n, 1))),
-                   -maxq, maxq).astype(np.int64)
-    gains = 2 * offs * e - offs * offs * n
-    best_bo = (0, [0, 0, 0, 0], -1e18)
-    for pos in range(32):
-        idx = [(pos + i) % 32 for i in range(4)]
-        ov = [int(offs[i]) for i in idx]
-        bits = 4 + 5 + sum(abs(v) + 1 for v in ov)
-        g = float(gains[idx].sum()) - lam * bits
-        if g > best_bo[2]:
-            best_bo = (pos, ov, g)
-    out["bo"] = best_bo
+    out["bo"] = (e, n)
 
-    # --- edge offset classes (classification on the deblocked samples)
     H, W = dbf.shape
     for t in range(1, 5):
         (dy1, dx1), (dy2, dx2) = EO_NEIGHBORS[t]
@@ -78,25 +71,71 @@ def sao_candidates(orig, dbf, x0, y0, x1, y1, bd, lam):
         xx0 = max(x0, max(0, -min(dx1, dx2)))
         xx1 = min(x1, W - max(0, max(dx1, dx2)))
         if yy1 <= yy0 or xx1 <= xx0:
-            out[f"eo{t-1}"] = ([0, 0, 0, 0], -1e18)
+            out[f"eo{t-1}"] = (np.zeros(4), np.zeros(4))
             continue
         v = dbf[yy0:yy1, xx0:xx1].astype(np.int64)
         n1 = dbf[yy0 + dy1:yy1 + dy1, xx0 + dx1:xx1 + dx1].astype(np.int64)
         n2 = dbf[yy0 + dy2:yy1 + dy2, xx0 + dx2:xx1 + dx2].astype(np.int64)
         et = np.sign(v - n1) + np.sign(v - n2)
         dd = (orig[yy0:yy1, xx0:xx1].astype(np.int64) - v)
+        ee = np.zeros(4)
+        nn = np.zeros(4)
+        for ci, cat in enumerate((-2, -1, 1, 2)):
+            m = et == cat
+            ee[ci] = float(dd[m].sum())
+            nn[ci] = int(m.sum())
+        out[f"eo{t-1}"] = (ee, nn)
+    return out
+
+
+def derive_candidates(stats, bd, lam):
+    """Lambda-optimal new-type candidates from one component's stats.
+
+    Returns {"bo": (band_pos, offsets, net_gain),
+             "eo<k>": (offsets, net_gain)}; net gains are SSE reduction
+    minus lam * offset-payload bits (type/class header bits are charged
+    by the CTU-level decision, which knows the component layout)."""
+    maxq = (1 << (min(bd, 10) - 5)) - 1
+    out = {}
+
+    e, n = stats["bo"]
+    offs = np.zeros(32, np.int64)
+    gains = np.zeros(32)
+    for b in range(32):
+        offs[b], gains[b] = _iter_offset(e[b], n[b], maxq,
+                                         e[b] >= 0, lam, 1)
+    best_bo = (0, [0, 0, 0, 0], -1e18)
+    for pos in range(32):
+        idx = [(pos + i) % 32 for i in range(4)]
+        ov = [int(offs[i]) for i in idx]
+        g = float(gains[idx].sum()) - lam * 5   # band position bits
+        if g > best_bo[2]:
+            best_bo = (pos, ov, g)
+    out["bo"] = best_bo
+
+    for t in range(4):
+        ee, nn = stats[f"eo{t}"]
         ov = [0, 0, 0, 0]
         g = 0.0
-        for ci, (cat, positive) in enumerate(((-2, True), (-1, True),
-                                              (1, False), (2, False))):
-            m = et == cat
-            off, gn = _best_offset(float(dd[m].sum()), int(m.sum()), maxq,
-                                   positive)
+        for ci, positive in enumerate((True, True, False, False)):
+            off, gn = _iter_offset(ee[ci], nn[ci], maxq, positive, lam, 0)
             ov[ci] = off
             g += gn
-        bits = 4 + 2 + sum(abs(vv) + 1 for vv in ov)
-        out[f"eo{t-1}"] = (ov, g - lam * bits)
+        out[f"eo{t}"] = (ov, g - lam * 2)       # eo class bits
     return out
+
+
+def params_gain(stats, t, band_pos, offsets):
+    """SSE reduction of applying a GIVEN param set (merge candidate) to
+    the CTU whose stats these are (reference deriveModeMergeRDO)."""
+    if t < 0:
+        return 0.0
+    if t == 0:
+        e, n = stats["bo"]
+        return sum(_gain(e[(band_pos + i) % 32], n[(band_pos + i) % 32],
+                         int(offsets[i])) for i in range(4))
+    ee, nn = stats[f"eo{t-1}"]
+    return sum(_gain(ee[i], nn[i], int(offsets[i])) for i in range(4))
 
 
 def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps, avail=None):

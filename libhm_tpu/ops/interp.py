@@ -34,14 +34,18 @@ CHROMA_FILTER = jnp.asarray([
 
 
 def _gather_windows(refs, ref_sel, y0, x0, winh, winw, W, H):
-    """refs: [R, Hp, Wp]; per block gather [N, winh, winw] with edge clamp."""
+    """refs: [R, Hp, Wp]; per block gather [N, winh, winw] with edge clamp.
+
+    Single flat gather over per-sample linear indices: the obvious
+    two-stage form (gather rows, then take_along_axis on columns)
+    materializes an [N, winh, Wp] intermediate — 15 GB at 1080p — and
+    OOMs the chip."""
     ys = jnp.clip(y0[:, None] + jnp.arange(winh)[None, :], 0, H - 1)
     xs = jnp.clip(x0[:, None] + jnp.arange(winw)[None, :], 0, W - 1)
-    # two-stage gather: rows then cols
-    rows = refs[ref_sel[:, None], ys, :]                    # [N, winh, Wp]
-    out = jnp.take_along_axis(
-        rows, xs[:, None, :].repeat(winh, axis=1), axis=2)  # [N, winh, winw]
-    return out
+    Hp, Wp = refs.shape[1], refs.shape[2]
+    lin = (ref_sel[:, None, None] * (Hp * Wp) +
+           ys[:, :, None] * Wp + xs[:, None, :])            # [N, winh, winw]
+    return refs.reshape(-1)[lin]
 
 
 def _filter_h(src, coefs, taps, outw, bd, is_first, is_last):
