@@ -89,9 +89,10 @@ def main(argv=None):
         ap.error("frame count unknown (use -f or cfg FramesToBeEncoded)")
 
     w, h = cfg.width, cfg.height
+    mono = cfg.chroma_format_idc == 0
     ssx = 1 if cfg.chroma_format_idc in (1, 2) else 0
     ssy = 1 if cfg.chroma_format_idc == 1 else 0
-    cw, ch = w >> ssx, h >> ssy
+    cw, ch = (0, 0) if mono else (w >> ssx, h >> ssy)
     dt_in = np.uint8 if input_bd <= 8 else np.dtype("<u2")
     raw = np.fromfile(input_file, dt_in)
     fsz = w * h + 2 * cw * ch
@@ -103,9 +104,12 @@ def main(argv=None):
             shift = cfg.bit_depth - input_bd
             fr = (fr.astype(np.int32) << shift).astype(
                 np.uint8 if cfg.bit_depth <= 8 else np.uint16)
-        frames.append((fr[:w * h].reshape(h, w),
-                       fr[w * h:w * h + cw * ch].reshape(ch, cw),
-                       fr[w * h + cw * ch:].reshape(ch, cw)))
+        if mono:
+            frames.append((fr[:w * h].reshape(h, w),))
+        else:
+            frames.append((fr[:w * h].reshape(h, w),
+                           fr[w * h:w * h + cw * ch].reshape(ch, cw),
+                           fr[w * h + cw * ch:].reshape(ch, cw)))
     t0 = time.monotonic()
     enc = IntraEncoder(cfg)
     stream = enc.encode_stream(frames)

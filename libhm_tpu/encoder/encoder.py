@@ -645,7 +645,8 @@ class IntraEncoder:
                 0 if dep_slices else pos // slice_ctus
         self.recon = []
         self.orig = []
-        for c in range(3):
+        self.ncomp = 3 if sps.chroma_format_idc else 1
+        for c in range(self.ncomp):
             sx = sps.chroma_shift_x() if c else 0
             sy = sps.chroma_shift_y() if c else 0
             pl = np.zeros((Hp >> sy, Wp >> sx), np.int32)
@@ -850,7 +851,7 @@ class IntraEncoder:
         self.cur_qp = qp_base   # per-CTU AQ mutations must not leak out
         W, H = sps.width, sps.height
         crop = []
-        for c in range(3):
+        for c in range(self.ncomp):
             sx = sps.chroma_shift_x() if c else 0
             sy = sps.chroma_shift_y() if c else 0
             crop.append(self.recon[c][:H >> sy, :W >> sx])
@@ -1704,7 +1705,7 @@ class IntraEncoder:
 
         # ---- prediction for the whole CU
         preds = []
-        for comp in range(3):
+        for comp in range(self.ncomp):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
             buf = np.zeros((size >> ssy, size >> ssx), np.int32)
@@ -1750,7 +1751,7 @@ class IntraEncoder:
             return self._encode_inter_res_2nx2n_tree(x, y, log2size,
                                                      desc, preds)
         resids, rec_resids, cbfs = [], [], []  # per comp, over square sub-TUs
-        for comp in range(3):
+        for comp in range(self.ncomp):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
             n = size >> ssx
@@ -1770,6 +1771,10 @@ class IntraEncoder:
             resids.append(levs)
             rec_resids.append(rec_levs)
             cbfs.append(cbf_subs)
+        while len(cbfs) < 3:        # mono: chroma emission sites no-op
+            resids.append([])
+            rec_resids.append([])
+            cbfs.append([])
         any_cbf = any(any(c) for c in cbfs)
         pic.set_rect(pic.cbf_y, x, y, size, size, cbfs[0][0])
 
@@ -1779,7 +1784,7 @@ class IntraEncoder:
         pic.set_rect(pic.skip, x, y, size, size, 1 if is_skip else 0)
         if is_skip:
             self._write_merge_idx(desc[1])
-            for comp in range(3):
+            for comp in range(self.ncomp):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
                 nx, ny = size >> ssx, size >> ssy
@@ -1805,13 +1810,13 @@ class IntraEncoder:
             if any(cbfs[1]) or any(cbfs[2]):
                 enc.encode_bin(bank["qt_cbf"], 1, cbfs[0][0])
             self._maybe_write_dqp(True)
-            for comp in range(3):
+            for comp in range(self.ncomp):
                 for s, lev in enumerate(resids[comp]):
                     if cbfs[comp][s]:
                         encode_residual(self.enc, bank, lev, comp, SCAN_DIAG,
                                         self.cfg.sign_hiding,
                                         ts=self._ts_of(lev))
-        for comp in range(3):
+        for comp in range(self.ncomp):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
             n = size >> ssx
@@ -1845,7 +1850,7 @@ class IntraEncoder:
         pic.set_rect(pic.skip, x, y, size, size, 1 if is_skip else 0)
         if is_skip:
             self._write_merge_idx(desc[1])
-            for comp in range(3):
+            for comp in range(self.ncomp):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
                 nx, ny = size >> ssx, size >> ssy
@@ -1864,7 +1869,7 @@ class IntraEncoder:
                                    cac)
         else:
             # no residual: reconstruction = prediction
-            for comp in range(3):
+            for comp in range(self.ncomp):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
                 nx, ny = size >> ssx, size >> ssy
@@ -1890,6 +1895,10 @@ class IntraEncoder:
                 False)
             kids.append({"lev": lev, "rec": rec, "cbf": cbf, "c": {}})
         c_single = None
+        if self.sps.chroma_format_idc == 0:
+            # mono: no chroma TUs anywhere in the tree
+            c_single = {1: (None, None, 0), 2: (None, None, 0)}
+            return kids, c_single, False
         if chroma_at_children:
             cn = half >> 1
             for ci, (dx, dy) in enumerate(children):
@@ -1941,7 +1950,7 @@ class IntraEncoder:
 
         def pred_recon():
             pic.set_rect(pic.cbf_y, x, y, size, size, 0)
-            for comp in range(3):
+            for comp in range(self.ncomp):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
                 nx, ny = size >> ssx, size >> ssy
@@ -2160,8 +2169,9 @@ class IntraEncoder:
             root_cr = 1 if any(k["c"][2][2] for k in kids) else 0
         else:
             root_cb, root_cr = c_single[1][2], c_single[2][2]
-        enc.encode_bin(bank["qt_cbf"], 5, root_cb)
-        enc.encode_bin(bank["qt_cbf"], 5, root_cr)
+        if sps.chroma_format_idc:
+            enc.encode_bin(bank["qt_cbf"], 5, root_cb)
+            enc.encode_bin(bank["qt_cbf"], 5, root_cr)
         ef = pic.edge_flags
         for j, ((dx, dy), k) in enumerate(zip(children, kids)):
             lx, ly = x + dx, y + dy
@@ -2218,7 +2228,7 @@ class IntraEncoder:
                                      dx >> 1:(dx >> 1) + cn]
                     self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
                         pc + rec_r, 0, (1 << bd) - 1)
-        else:
+        elif sps.chroma_format_idc:
             cn = size >> 1
             cyp, cxp = y >> 1, x >> 1
             for comp in (1, 2):
@@ -2276,7 +2286,7 @@ class IntraEncoder:
         for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
                                        (half, half))):
             levs, recs, cbfs = [], [], []
-            for comp in range(3):
+            for comp in range(self.ncomp):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
                 n = half >> ssx
@@ -2299,6 +2309,10 @@ class IntraEncoder:
                 levs.append(sub_lev)
                 recs.append(sub_rec)
                 cbfs.append(sub_cbf)
+            while len(cbfs) < 3:    # mono: chroma emission sites no-op
+                levs.append([])
+                recs.append([])
+                cbfs.append([])
             child_lev.append(levs)
             child_rec.append(recs)
             child_cbf.append(cbfs)
@@ -2324,8 +2338,9 @@ class IntraEncoder:
             min_tu_i = self._tt_min_tu(log2size, False)
             if sps.max_tr_hierarchy_inter > 0:
                 self._maybe_write_subdiv(log2size, 1, min_tu=min_tu_i)
-            enc.encode_bin(bank["qt_cbf"], 5, root_cb)
-            enc.encode_bin(bank["qt_cbf"], 5, root_cr)
+            if sps.chroma_format_idc:
+                enc.encode_bin(bank["qt_cbf"], 5, root_cb)
+                enc.encode_bin(bank["qt_cbf"], 5, root_cr)
             for ci, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
                                            (half, half))):
                 cbfs = child_cbf[ci]
@@ -2345,7 +2360,7 @@ class IntraEncoder:
                 self._maybe_write_dqp(
                     cbfs[0][0] or (root_cb and any(cbfs[1])) or
                     (root_cr and any(cbfs[2])))
-                for comp in range(3):
+                for comp in range(self.ncomp):
                     if comp and not (root_cb if comp == 1 else root_cr):
                         continue
                     for s, lev in enumerate(child_lev[ci][comp]):
@@ -2361,7 +2376,7 @@ class IntraEncoder:
             ef[cy0 >> 2:(cy0 + half) >> 2, cx0 >> 2] |= EDGE_TU_LEFT
             ef[cy0 >> 2, cx0 >> 2:(cx0 + half) >> 2] |= EDGE_TU_TOP
             pic.set_rect(pic.cbf_y, cx0, cy0, half, half, child_cbf[ci][0][0])
-            for comp in range(3):
+            for comp in range(self.ncomp):
                 ssx = sps.chroma_shift_x() if comp else 0
                 ssy = sps.chroma_shift_y() if comp else 0
                 n = half >> ssx
@@ -2856,7 +2871,7 @@ class IntraEncoder:
         is422 = sps.chroma_format_idc == 2
         resids = []   # per comp: list of sub-TU level arrays
         cbfs = []     # per comp: list of sub-TU cbfs
-        for comp in range(3):
+        for comp in range(self.ncomp):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
             n = size >> ssx
@@ -2889,6 +2904,9 @@ class IntraEncoder:
                 cbf_subs.append(cbf)
             resids.append(levs)
             cbfs.append(cbf_subs)
+        while len(cbfs) < 3:        # mono: chroma emission sites no-op
+            resids.append([])
+            cbfs.append([])
 
         # --- TT syntax: split_transform_flag = 0 when it is coded
         # (QuadtreeTUMaxDepthIntra > 1), then cbfs and residuals
@@ -2903,7 +2921,7 @@ class IntraEncoder:
         enc.encode_bin(bank["qt_cbf"], 1, cbfs[0][0])
         self._maybe_write_dqp(cbfs[0][0] or any(cbfs[1]) or any(cbfs[2]))
         from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
-        for comp in range(3):
+        for comp in range(self.ncomp):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
             smode = mode if comp == 0 else c_real
@@ -3252,6 +3270,8 @@ class IntraEncoder:
         decoder derives from (slicedec parse: intra_c = real mode,
         chroma_dm flag gates CCP)."""
         enc, bank, pic = self.enc, self.bank, self.pic
+        if self.sps.chroma_format_idc == 0:
+            return                  # 4:0:0: no intra_chroma_pred_mode
         enc.encode_bin(bank["intra_chroma_mode"], 0, 0 if dm else 1)
         if not dm:
             enc.encode_bypass_bins(idx, 2)

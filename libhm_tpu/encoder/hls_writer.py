@@ -370,8 +370,9 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         if cfg.tmvp:
             w.put(1)    # slice_temporal_mvp_enabled
     if cfg.sao:
-        w.put(1)
-        w.put(1)
+        w.put(1)                    # slice_sao_luma_flag
+        if cfg.chroma_format_idc != 0:
+            w.put(1)                # slice_sao_chroma_flag
     if slice_type in (0, 1):
         w.put(0)        # num_ref_idx_active_override
         if slice_type == 0:

@@ -102,6 +102,7 @@ _BOOL_KEYS = {
 
 _INT_KEYS = {
     "SourceWidth": "width", "SourceHeight": "height", "QP": "qp",
+    "ChromaFormatIDC": "chroma_fmt",
     "InternalBitDepth": "bit_depth", "InputBitDepth": "input_bit_depth",
     "FrameRate": "fps", "FramesToBeEncoded": "frames",
     "FrameSkip": "frame_skip",
@@ -174,6 +175,11 @@ class HmConfig:
             chroma = 2
         elif "444" in profile:
             chroma = 3
+        # explicit ChromaFormatIDC overrides the profile inference
+        # (reference TAppEncCfg tmpChromaFormat: 400/420/422/444)
+        if "chroma_fmt" in v:
+            chroma = {400: 0, 420: 1, 422: 2, 444: 3}.get(
+                v["chroma_fmt"], chroma)
         # 64x64 CUs carry forced one-level TU splits; the forced-split
         # emitters are 4:2:0-scoped, so RExt chroma formats clamp to 32
         # (streams stay conformant, partitioning one level finer)

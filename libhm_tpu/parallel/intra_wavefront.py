@@ -110,14 +110,20 @@ def prepare_component(sps, pic, zmap, tile_map, comp, res_planes,
         per_size.setdefault(n, []).append(
             (lvl, blk.x, blk.y, mode, filt, strong, dbf, res, av))
 
-    # pack into [L, K] slots per size
-    L = _pow2(n_levels)
+    # pack into [L, K] slots per size.  Shapes are pow2-bucketed with
+    # floors, and every size in {4..32} gets a (possibly empty) entry, so
+    # the jitted scan's cache key is shared across pictures and streams
+    # instead of recompiling per picture geometry.
+    L = _pow2(n_levels, lo=8)
+    _K_FLOOR = {4: 256, 8: 64, 16: 16, 32: 8}
+    for n in (4, 8, 16, 32):
+        per_size.setdefault(n, [])
     levels_data = {}
     for n, items in per_size.items():
         counts = np.zeros(L + 1, np.int64)
         for it in items:
             counts[it[0]] += 1
-        K = _pow2(int(counts.max()), lo=1)
+        K = _pow2(int(counts.max()), lo=_K_FLOOR.get(n, 1))
         T = 4 * n + 1
         xs = np.full((L, K), W + 1024, np.int32)   # dummy: scatter-dropped
         ys = np.full((L, K), H + 1024, np.int32)

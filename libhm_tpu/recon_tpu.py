@@ -34,6 +34,16 @@ def _pad_pow2(n, lo=16):
     return p
 
 
+def _pad_pow4(n, lo=64):
+    """Coarser bucket (4x steps) for cheap ops where a shared XLA program
+    beats tight padding: 20-40s TPU compiles dominate any 4x overcompute
+    on a dequant+ITX batch."""
+    p = lo
+    while p < n:
+        p <<= 2
+    return p
+
+
 def _device_plane(dp, c, H, W):
     """Cached device copy of a reference picture's component plane."""
     cache = getattr(dp, "_device_planes", None)
@@ -158,7 +168,7 @@ class TpuPictureRecon:
         for (n, use_dst, path, bd, rotate, scal), idxs in buckets.items():
             max_dyn = 15 if not sps.extended_precision else max(15, bd + 6)
             N = len(idxs)
-            P = _pad_pow2(N)
+            P = _pad_pow4(N, 64)
             coeffs = np.zeros((P, n, n), np.int32)
             qp = np.zeros(P, np.int32)
             rdpcm = np.zeros(P, np.int32)
@@ -245,8 +255,14 @@ class TpuPictureRecon:
             fbx = 2 + (sx if c else 0)
             fby = 2 + (sy if c else 0)
             if poc_list:
-                refs = jnp.stack([_device_plane(pocs[p], c, H, W)
-                                  for p in poc_list])
+                planes_dev = [_device_plane(pocs[p], c, H, W)
+                              for p in poc_list]
+                # pad the stack depth to pow2 (repeat the last plane) so
+                # the MC kernel's shape key is shared across pictures
+                # with different DPB sizes
+                R = _pad_pow2(len(planes_dev), 4)
+                planes_dev += [planes_dev[-1]] * (R - len(planes_dev))
+                refs = jnp.stack(planes_dev)
             else:
                 refs = jnp.zeros((1, H, W), jnp.int32)
             bx = (xs4 << 2) >> sx

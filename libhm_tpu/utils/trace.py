@@ -21,7 +21,9 @@ import sys
 
 class _Tracer:
     def __init__(self, path):
-        self.f = open(path, "w")
+        # line-buffered: without a detach() the interpreter may drop the
+        # tail of the trace on exit, which reads as a phantom divergence
+        self.f = open(path, "w", buffering=1)
         self.n = 0
 
     def emit(self, kind, value, rng):

@@ -239,3 +239,29 @@ def test_field_coding(tmp_path):
     structs = [o.pic_struct for _, t, o in d.sei_log
                if t == S.SEI_PIC_TIMING]
     assert structs == [1, 2, 1, 2]
+
+
+@pytest.mark.parametrize("gop", ["intra", "lowdelayP", "lowdelayB"])
+def test_monochrome_encode(gop, tmp_path):
+    """4:0:0 encode (reference TAppEncCfg ChromaFormatIDC=400): no chroma
+    syntax anywhere — intra_chroma_pred_mode, chroma cbfs and the slice
+    SAO chroma flag are all absent — and HM round-trips every hash."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    rng = np.random.RandomState(11)
+    ys, xs = np.mgrid[0:64, 0:64]
+    frames = [(((xs * 2 + ys + 9 * t) % 256 +
+                rng.randint(0, 24, (64, 64))).clip(0, 255)
+               .astype(np.uint8),) for t in range(3)]
+    cfg = EncoderConfig(64, 64, qp=30, gop=gop, chroma_format_idc=0)
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    from libhm_tpu.hostdec.decoder import Decoder
+    d = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    outs = d.decode_annexb(stream)
+    assert len(outs) == 3 and all(len(pic) == 1 for pic in outs)
+    assert all(r.hash_status == "OK" for r in d.output_records)
+    if os.path.exists(HM_DEC):
+        p = tmp_path / "mono.bin"
+        p.write_bytes(stream)
+        r = subprocess.run([HM_DEC, "-b", str(p), "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        assert r.stdout.count("(OK)") == 3, r.stdout[-400:]

@@ -28,26 +28,6 @@ def _run(name):
     assert hashlib.md5(buf).hexdigest() == GOLD[name]["decoded_yuv_md5"]
 
 
-@pytest.fixture(autouse=True)
-def _clear_jax_caches():
-    """The XLA CPU backend segfaults inside backend_compile_and_load after
-    several dozen accumulated jit programs (one-shot compiles per stream
-    geometry); dropping the executable caches between streams keeps the
-    full golden sweep stable.  The per-stream kernels recompile, which is
-    the intended behaviour for independent decodes anyway."""
-    yield
-    import jax
-    from libhm_tpu.parallel import intra_wavefront
-    from libhm_tpu import recon_tpu
-    jax.clear_caches()
-    intra_wavefront._scan_fn.cache_clear()
-    for fn in ("_residual_fn", "_mc_fn", "_deblock_v_fn", "_deblock_cv_fn",
-               "_sao_fn", "_sao_fn_multi"):
-        f = getattr(recon_tpu, fn, None)
-        if f is not None and hasattr(f, "cache_clear"):
-            f.cache_clear()
-
-
 @pytest.mark.parametrize("name", FAST)
 def test_tpu_recon_bit_exact(name):
     _run(name)
