@@ -1837,9 +1837,10 @@ class IntraEncoder:
         use_merge = desc[0] == "merge"
         kids, c_single, cac = self._inter_split_tus(x, y, log2size, preds)
         if cac:
-            any_c = any(k["c"][comp][2] for k in kids for comp in (1, 2))
+            any_c = any(s[2] for k in kids for comp in (1, 2)
+                        for s in k["c"][comp])
         else:
-            any_c = c_single[1][2] or c_single[2][2]
+            any_c = any(s[2] for comp in (1, 2) for s in c_single[comp])
         any_cbf = any_c or any(k["cbf"] for k in kids)
         pic.set_rect(pic.cbf_y, x, y, size, size,
                      1 if any(k["cbf"] for k in kids) else 0)
@@ -1879,13 +1880,15 @@ class IntraEncoder:
 
     def _inter_split_tus(self, x, y, log2size, preds):
         """Compute the one-level-split TU variant of a 2Nx2N inter CU:
-        (kids, c_single, chroma_at_children)."""
+        (kids, c_single, chroma_at_children).  Chroma-format general:
+        kids[i]["c"][comp] is a LIST of square sub-TUs (two stacked for
+        4:2:2, reference TComTU sections; one otherwise)."""
         from ..hostdec.tables import SCAN_DIAG
+        sps = self.sps
         size = 1 << log2size
         half = size >> 1
         l2 = log2size - 1
         children = ((0, 0), (half, 0), (0, half), (half, half))
-        chroma_at_children = (l2 - 1) >= 2
         orig_l = self.orig[0][y:y + size, x:x + size].astype(np.int32)
         resi_l = orig_l - preds[0]
         kids = []
@@ -1894,34 +1897,47 @@ class IntraEncoder:
                 resi_l[dy:dy + half, dx:dx + half], False, 0, SCAN_DIAG,
                 False)
             kids.append({"lev": lev, "rec": rec, "cbf": cbf, "c": {}})
-        c_single = None
-        if self.sps.chroma_format_idc == 0:
+        if sps.chroma_format_idc == 0:
             # mono: no chroma TUs anywhere in the tree
-            c_single = {1: (None, None, 0), 2: (None, None, 0)}
+            c_single = {1: [(None, None, 0)], 2: [(None, None, 0)]}
             return kids, c_single, False
+        ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+        is422 = sps.chroma_format_idc == 2
+        n_sub = 2 if is422 else 1
+        chroma_at_children = (l2 - ssx) >= 2
+        c_single = None
         if chroma_at_children:
-            cn = half >> 1
+            cn = half >> ssx
             for ci, (dx, dy) in enumerate(children):
                 for comp in (1, 2):
-                    cyp = (y + dy) >> 1
-                    cxp = (x + dx) >> 1
-                    oc = self.orig[comp][cyp:cyp + cn,
-                                         cxp:cxp + cn].astype(np.int32)
-                    pc = preds[comp][dy >> 1:(dy >> 1) + cn,
-                                     dx >> 1:(dx >> 1) + cn]
-                    lev, rec, cbf = self._tu_fwd(oc - pc, False, comp,
-                                                 SCAN_DIAG, False)
-                    kids[ci]["c"][comp] = (lev, rec, cbf)
+                    subs = []
+                    for s in range(n_sub):
+                        cyp = ((y + dy) >> ssy) + s * cn
+                        cxp = (x + dx) >> ssx
+                        oc = self.orig[comp][cyp:cyp + cn,
+                                             cxp:cxp + cn].astype(np.int32)
+                        pc = preds[comp][
+                            (dy >> ssy) + s * cn:(dy >> ssy) + (s + 1) * cn,
+                            dx >> ssx:(dx >> ssx) + cn]
+                        lev, rec, cbf = self._tu_fwd(oc - pc, False, comp,
+                                                     SCAN_DIAG, False)
+                        subs.append((lev, rec, cbf))
+                    kids[ci]["c"][comp] = subs
         else:
-            cn = size >> 1
-            cyp, cxp = y >> 1, x >> 1
+            cn = size >> ssx
             c_single = {}
             for comp in (1, 2):
-                oc = self.orig[comp][cyp:cyp + cn,
-                                     cxp:cxp + cn].astype(np.int32)
-                lev, rec, cbf = self._tu_fwd(oc - preds[comp], False, comp,
-                                             SCAN_DIAG, False)
-                c_single[comp] = (lev, rec, cbf)
+                subs = []
+                for s in range(n_sub):
+                    cyp = (y >> ssy) + s * cn
+                    cxp = x >> ssx
+                    oc = self.orig[comp][cyp:cyp + cn,
+                                         cxp:cxp + cn].astype(np.int32)
+                    pc = preds[comp][s * cn:(s + 1) * cn, :]
+                    lev, rec, cbf = self._tu_fwd(oc - pc, False, comp,
+                                                 SCAN_DIAG, False)
+                    subs.append((lev, rec, cbf))
+                c_single[comp] = subs
         return kids, c_single, chroma_at_children
 
     def _encode_inter_res_2nx2n_tree(self, x, y, log2size, desc, preds):
@@ -2152,7 +2168,10 @@ class IntraEncoder:
                           chroma_at_children):
         """Emit the one-level-split TT of a 2Nx2N inter CU (syntax after
         rqt_root_cbf) + reconstruction.  For 64x64 CUs the split is
-        forced and the subdiv flag is inferred."""
+        forced and the subdiv flag is inferred.  Chroma-format general:
+        the root codes ONE chroma bin per component (the 4:2:2 combined
+        bin, mirroring _parse_cbf_chroma at a non-lowest level); each
+        leaf codes the per-sub-TU bins."""
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
         from ..hostdec.tables import SCAN_DIAG
@@ -2164,12 +2183,18 @@ class IntraEncoder:
         children = ((0, 0), (half, 0), (0, half), (half, half))
         min_tu = self._tt_min_tu(log2size, False)
         self._maybe_write_subdiv(log2size, 1, min_tu=min_tu)
+        has_c = sps.chroma_format_idc != 0
+        ssx = sps.chroma_shift_x() if has_c else 0
+        ssy = sps.chroma_shift_y() if has_c else 0
         if chroma_at_children:
-            root_cb = 1 if any(k["c"][1][2] for k in kids) else 0
-            root_cr = 1 if any(k["c"][2][2] for k in kids) else 0
+            root_cb = 1 if any(s[2] for k in kids for s in k["c"][1]) else 0
+            root_cr = 1 if any(s[2] for k in kids for s in k["c"][2]) else 0
+        elif has_c:
+            root_cb = 1 if any(s[2] for s in c_single[1]) else 0
+            root_cr = 1 if any(s[2] for s in c_single[2]) else 0
         else:
-            root_cb, root_cr = c_single[1][2], c_single[2][2]
-        if sps.chroma_format_idc:
+            root_cb = root_cr = 0
+        if has_c:
             enc.encode_bin(bank["qt_cbf"], 5, root_cb)
             enc.encode_bin(bank["qt_cbf"], 5, root_cr)
         ef = pic.edge_flags
@@ -2179,14 +2204,15 @@ class IntraEncoder:
                     l2 <= sps.log2_max_tb:
                 enc.encode_bin(bank["trans_subdiv"], 5 - l2, 0)
             if chroma_at_children:
-                if root_cb:
-                    enc.encode_bin(bank["qt_cbf"], 6, k["c"][1][2])
-                if root_cr:
-                    enc.encode_bin(bank["qt_cbf"], 6, k["c"][2][2])
+                for comp, root in ((1, root_cb), (2, root_cr)):
+                    if root:
+                        for (_, _, scbf) in k["c"][comp]:
+                            enc.encode_bin(bank["qt_cbf"], 6, scbf)
             enc.encode_bin(bank["qt_cbf"], 0, k["cbf"])
             if chroma_at_children:
-                any_here = k["cbf"] or (root_cb and k["c"][1][2]) or \
-                    (root_cr and k["c"][2][2])
+                any_here = k["cbf"] or \
+                    (root_cb and any(s[2] for s in k["c"][1])) or \
+                    (root_cr and any(s[2] for s in k["c"][2]))
             else:
                 any_here = k["cbf"] or root_cb or root_cr
             self._maybe_write_dqp(any_here)
@@ -2194,19 +2220,23 @@ class IntraEncoder:
                 encode_residual(enc, bank, k["lev"], 0, SCAN_DIAG,
                                 self.cfg.sign_hiding, ts=self._ts_of(k["lev"]))
             if chroma_at_children:
-                for comp in (1, 2):
-                    if (root_cb if comp == 1 else root_cr) and k["c"][comp][2]:
-                        clev = k["c"][comp][0]
-                        encode_residual(enc, bank, clev, comp, SCAN_DIAG,
-                                        self.cfg.sign_hiding,
-                                        ts=self._ts_of(clev))
-            elif j == 3:
-                for comp in (1, 2):
-                    clev, _, ccbf = c_single[comp]
-                    if ccbf:
-                        encode_residual(enc, bank, clev, comp, SCAN_DIAG,
-                                        self.cfg.sign_hiding,
-                                        ts=self._ts_of(clev))
+                for comp, root in ((1, root_cb), (2, root_cr)):
+                    if not root:
+                        continue
+                    for (clev, _, scbf) in k["c"][comp]:
+                        if scbf:
+                            encode_residual(enc, bank, clev, comp,
+                                            SCAN_DIAG, self.cfg.sign_hiding,
+                                            ts=self._ts_of(clev))
+            elif j == 3 and has_c:
+                for comp, root in ((1, root_cb), (2, root_cr)):
+                    if not root:
+                        continue
+                    for (clev, _, scbf) in c_single[comp]:
+                        if scbf:
+                            encode_residual(enc, bank, clev, comp,
+                                            SCAN_DIAG, self.cfg.sign_hiding,
+                                            ts=self._ts_of(clev))
             # recon + maps
             rec_r = k["rec"] if k["cbf"] else 0
             self.recon[0][ly:ly + half, lx:lx + half] = np.clip(
@@ -2217,24 +2247,28 @@ class IntraEncoder:
             ef[ly >> 2, lx >> 2:(lx + half) >> 2] |= EDGE_TU_TOP
         # chroma recon
         if chroma_at_children:
-            cn = half >> 1
+            cn = half >> ssx
             for (dx, dy), k in zip(children, kids):
-                for comp in (1, 2):
-                    cyp, cxp = (y + dy) >> 1, (x + dx) >> 1
-                    use = (root_cb if comp == 1 else root_cr) and \
-                        k["c"][comp][2]
-                    rec_r = k["c"][comp][1] if use else 0
-                    pc = preds[comp][dy >> 1:(dy >> 1) + cn,
-                                     dx >> 1:(dx >> 1) + cn]
+                for comp, root in ((1, root_cb), (2, root_cr)):
+                    for s, (clev, crec, scbf) in enumerate(k["c"][comp]):
+                        cyp = ((y + dy) >> ssy) + s * cn
+                        cxp = (x + dx) >> ssx
+                        pc = preds[comp][
+                            (dy >> ssy) + s * cn:(dy >> ssy) + (s + 1) * cn,
+                            dx >> ssx:(dx >> ssx) + cn]
+                        rec_r = crec if (root and scbf) else 0
+                        self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = \
+                            np.clip(pc + rec_r, 0, (1 << bd) - 1)
+        elif has_c:
+            cn = size >> ssx
+            for comp, root in ((1, root_cb), (2, root_cr)):
+                for s, (clev, crec, scbf) in enumerate(c_single[comp]):
+                    cyp = (y >> ssy) + s * cn
+                    cxp = x >> ssx
+                    pc = preds[comp][s * cn:(s + 1) * cn, :]
+                    rec_r = crec if (root and scbf) else 0
                     self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
                         pc + rec_r, 0, (1 << bd) - 1)
-        elif sps.chroma_format_idc:
-            cn = size >> 1
-            cyp, cxp = y >> 1, x >> 1
-            for comp in (1, 2):
-                clev, crec, ccbf = c_single[comp]
-                self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
-                    preds[comp] + (crec if ccbf else 0), 0, (1 << bd) - 1)
         self._finish_cu_qp(x, y, size)
 
     # ------------------------------------------------------------------
@@ -2947,14 +2981,18 @@ class IntraEncoder:
         four luma quarter-TUs reconstructed sequentially with one shared
         mode; chroma follows the tree (at the children when the child
         chroma TB is >= 4x4, else held at the CU like the NxN case).
-        Mirrors the decode-side _tt / _emit_tu (Rec. 7.3.8.8/7.3.8.10).
-        4:2:0 only (gated by _intra_rqt_eligible)."""
+        Chroma-format general: 4:2:2 children carry two stacked square
+        sub-TUs with the DM angle remapped; the root codes one combined
+        chroma bin per component (mirroring _parse_cbf_chroma), the
+        leaves code the per-sub-TU bins.  Used for 64x64 CUs (forced
+        split, subdiv inferred) in every chroma format.
+        Mirrors the decode-side _tt / _emit_tu (Rec. 7.3.8.8/7.3.8.10)."""
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
         size = 1 << log2size
         from ..hostdec.picture import SIZE_2Nx2N
         from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
-        from .rd_cost import satd
+        from ..hostdec.slicedec import CHROMA422_ANGLE_MAP
         pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
 
@@ -2995,6 +3033,7 @@ class IntraEncoder:
                 if rem > pm:
                     rem -= 1
             enc.encode_bypass_bins(rem, 5)
+        has_c = sps.chroma_format_idc != 0
         c_real, c_dm, c_idx = self._select_chroma_intra_mode(x, y, size,
                                                              mode)
         self._write_chroma_mode(x, y, size, mode, c_real, c_dm, c_idx)
@@ -3004,11 +3043,39 @@ class IntraEncoder:
         half = size >> 1
         l2 = log2size - 1
         children = ((0, 0), (half, 0), (0, half), (half, half))
-        chroma_at_children = (l2 - 1) >= 2    # 4:2:0 child chroma >= 4x4
+        ssx = sps.chroma_shift_x() if has_c else 0
+        ssy = sps.chroma_shift_y() if has_c else 0
+        is422 = sps.chroma_format_idc == 2
+        n_sub = 2 if is422 else 1
+        cmode = CHROMA422_ANGLE_MAP[c_real] if is422 else c_real
+        chroma_at_children = has_c and (l2 - ssx) >= 2
         min_tu = self._intra_min_tu_log2(log2size)
         bd = cfg.bit_depth
         ef = pic.edge_flags
         from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
+
+        def chroma_tus(bx, by, n):
+            """Code the two components' sub-TUs of one chroma-holding
+            node at (bx, by) luma coords, luma node size n.  Returns
+            {comp: [(lev, cbf, scan), ...]} and writes the recon."""
+            out = {}
+            cn = n >> ssx
+            for comp in (1, 2):
+                subs = []
+                for s in range(n_sub):
+                    cyp = (by >> ssy) + s * cn
+                    cxp = bx >> ssx
+                    cpred = self._intra_pred(comp, cxp, cyp, cn, cmode)
+                    cres = (self.orig[comp][cyp:cyp + cn, cxp:cxp + cn] -
+                            cpred).astype(np.int32)
+                    cscan = mdcs(cn, cmode, comp)
+                    clev, crec, ccbf = self._tu_fwd(cres, False, comp,
+                                                    cscan, True)
+                    self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
+                        cpred + crec, 0, (1 << bd) - 1)
+                    subs.append((clev, ccbf, cscan))
+                out[comp] = subs
+            return out
 
         leaves = []
         for (dx, dy) in children:
@@ -3023,45 +3090,27 @@ class IntraEncoder:
             pic.set_rect(pic.cbf_y, lx, ly, half, half, cbf)
             ef[ly >> 2:(ly + half) >> 2, lx >> 2] |= EDGE_TU_LEFT
             ef[ly >> 2, lx >> 2:(lx + half) >> 2] |= EDGE_TU_TOP
-            c_entry = {}
-            if chroma_at_children:
-                cn = half >> 1
-                cxp, cyp = lx >> 1, ly >> 1
-                for comp in (1, 2):
-                    cpred = self._intra_pred(comp, cxp, cyp, cn, c_real)
-                    cres = (self.orig[comp][cyp:cyp + cn, cxp:cxp + cn] -
-                            cpred).astype(np.int32)
-                    cscan = mdcs(cn, c_real, comp)
-                    clev, crec, ccbf = self._tu_fwd(cres, False, comp,
-                                                    cscan, True)
-                    self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
-                        cpred + crec, 0, (1 << bd) - 1)
-                    c_entry[comp] = (clev, ccbf, cscan)
+            c_entry = chroma_tus(lx, ly, half) if chroma_at_children else {}
             leaves.append((lev, cbf, scan, c_entry))
 
+        c_single = None
         if chroma_at_children:
-            root_cb = 1 if any(lv[3][1][1] for lv in leaves) else 0
-            root_cr = 1 if any(lv[3][2][1] for lv in leaves) else 0
+            root_cb = 1 if any(s[1] for lv in leaves
+                               for s in lv[3][1]) else 0
+            root_cr = 1 if any(s[1] for lv in leaves
+                               for s in lv[3][2]) else 0
             enc.encode_bin(bank["qt_cbf"], 5, root_cb)
             enc.encode_bin(bank["qt_cbf"], 5, root_cr)
-        else:
-            # chroma held at the CU (single 4x4 chroma TB per component)
-            cn = size >> 1
-            cxp, cyp = x >> 1, y >> 1
-            c_single = {}
+        elif has_c:
+            # chroma held at the CU (single chroma TB per component)
+            c_single = chroma_tus(x, y, size)
             for comp in (1, 2):
-                cpred = self._intra_pred(comp, cxp, cyp, cn, c_real)
-                cres = (self.orig[comp][cyp:cyp + cn, cxp:cxp + cn] -
-                        cpred).astype(np.int32)
-                cscan = mdcs(cn, c_real, comp)
-                clev, crec, ccbf = self._tu_fwd(cres, False, comp, cscan,
-                                                True)
-                self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
-                    cpred + crec, 0, (1 << bd) - 1)
-                c_single[comp] = (clev, ccbf, cscan)
-            enc.encode_bin(bank["qt_cbf"], 5, c_single[1][1])
-            enc.encode_bin(bank["qt_cbf"], 5, c_single[2][1])
-            root_cb, root_cr = c_single[1][1], c_single[2][1]
+                for (_, scbf, _) in c_single[comp]:
+                    enc.encode_bin(bank["qt_cbf"], 5, scbf)
+            root_cb = 1 if any(s[1] for s in c_single[1]) else 0
+            root_cr = 1 if any(s[1] for s in c_single[2]) else 0
+        else:
+            root_cb = root_cr = 0
 
         for j, (lev, cbf, scan, c_entry) in enumerate(leaves):
             # child subdiv = 0 when it is coded at this level
@@ -3069,14 +3118,15 @@ class IntraEncoder:
                     l2 <= sps.log2_max_tb:
                 enc.encode_bin(bank["trans_subdiv"], 5 - l2, 0)
             if chroma_at_children:
-                if root_cb:
-                    enc.encode_bin(bank["qt_cbf"], 6, c_entry[1][1])
-                if root_cr:
-                    enc.encode_bin(bank["qt_cbf"], 6, c_entry[2][1])
+                for comp, root in ((1, root_cb), (2, root_cr)):
+                    if root:
+                        for (_, scbf, _) in c_entry[comp]:
+                            enc.encode_bin(bank["qt_cbf"], 6, scbf)
             enc.encode_bin(bank["qt_cbf"], 0, cbf)
             if chroma_at_children:
-                any_cbf = cbf or (root_cb and c_entry[1][1]) or \
-                    (root_cr and c_entry[2][1])
+                any_cbf = cbf or \
+                    (root_cb and any(s[1] for s in c_entry[1])) or \
+                    (root_cr and any(s[1] for s in c_entry[2]))
             else:
                 any_cbf = cbf or root_cb or root_cr
             self._maybe_write_dqp(any_cbf)
@@ -3084,29 +3134,23 @@ class IntraEncoder:
                 encode_residual(enc, bank, lev, 0, scan,
                                 self.cfg.sign_hiding, ts=self._ts_of(lev))
             if chroma_at_children:
+                for comp, root in ((1, root_cb), (2, root_cr)):
+                    if not root:
+                        continue
+                    for (clev, scbf, cscan) in c_entry[comp]:
+                        if scbf:
+                            encode_residual(enc, bank, clev, comp, cscan,
+                                            self.cfg.sign_hiding,
+                                            ts=self._ts_of(clev))
+            elif j == 3 and has_c:
                 for comp in (1, 2):
-                    if (root_cb if comp == 1 else root_cr) and \
-                            c_entry[comp][1]:
-                        clev, _, cscan = c_entry[comp]
-                        encode_residual(enc, bank, clev, comp, cscan,
-                                        self.cfg.sign_hiding,
-                                        ts=self._ts_of(clev))
-            elif j == 3:
-                for comp in (1, 2):
-                    clev, ccbf, cscan = c_single[comp]
-                    if ccbf:
-                        encode_residual(enc, bank, clev, comp, cscan,
-                                        self.cfg.sign_hiding,
-                                        ts=self._ts_of(clev))
+                    for (clev, scbf, cscan) in c_single[comp]:
+                        if scbf:
+                            encode_residual(enc, bank, clev, comp, cscan,
+                                            self.cfg.sign_hiding,
+                                            ts=self._ts_of(clev))
         self._finish_cu_qp(x, y, size)
 
-    # ------------------------------------------------------------------
-    # Multi-level intra RQT (QuadtreeTUMaxDepthIntra > 1), mirroring the
-    # reference's three phases: the luma tree is RD-searched on its own
-    # (TEncSearch::xRecurIntraCodingQT), chroma then follows the decided
-    # tree (xRecurIntraChromaCodingQT), and the final pass writes the
-    # interleaved transform_tree syntax (Rec. 7.3.8.8 order, matching
-    # the decode-side slicedec._tt exactly).  4:2:0 only.
     def _mdcs_scan(self, n, mode, comp):
         """Mode-dependent coefficient scan (Rec. 8.4.4.2.1 MDCS)."""
         from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
@@ -3239,23 +3283,33 @@ class IntraEncoder:
             if not dm:
                 enc.encode_bypass_bins(k - 1, 2)
             cost = 0.0
+            # a chroma TB larger than the max TB (4:4:4 64x64 CUs) is
+            # coded as four quadrant TBs — evaluate the same structure
+            tb = min(n, 1 << self.sps.log2_max_tb)
             for comp in (1, 2):
                 for s in range(n_sub):
-                    cy = cy0 + s * n
-                    pred = self._intra_pred(comp, cx, cy, n, cmode)
-                    orig_c = self.orig[comp][cy:cy + n, cx:cx + n]
-                    resi = (orig_c - pred).astype(np.int32)
-                    cscan = self._mdcs_scan(n, cmode, comp)
-                    lev, rec_resi, cbf = self._tu_fwd(resi, False, comp,
-                                                      cscan, True)
-                    rec = np.clip(pred + rec_resi, 0, (1 << bd) - 1)
-                    self.recon[comp][cy:cy + n, cx:cx + n] = rec
-                    sse = float(((orig_c.astype(np.int64) - rec) ** 2)
-                                .sum()) / norm
-                    bits = self._residual_trial_bits(
-                        lev, comp, cscan, len(enc.ops)) if cbf else 0
-                    cost += self.chroma_weight[comp] * sse + \
-                        self.rd_lambda * bits
+                    for qy in range(0, n, tb):
+                        for qx in range(0, n, tb):
+                            cy = cy0 + s * n + qy
+                            cxq = cx + qx
+                            pred = self._intra_pred(comp, cxq, cy, tb,
+                                                    cmode)
+                            orig_c = self.orig[comp][cy:cy + tb,
+                                                     cxq:cxq + tb]
+                            resi = (orig_c - pred).astype(np.int32)
+                            cscan = self._mdcs_scan(tb, cmode, comp)
+                            lev, rec_resi, cbf = self._tu_fwd(
+                                resi, False, comp, cscan, True)
+                            rec = np.clip(pred + rec_resi, 0,
+                                          (1 << bd) - 1)
+                            self.recon[comp][cy:cy + tb, cxq:cxq + tb] = rec
+                            sse = float(((orig_c.astype(np.int64) - rec)
+                                         ** 2).sum()) / norm
+                            bits = self._residual_trial_bits(
+                                lev, comp, cscan,
+                                len(enc.ops)) if cbf else 0
+                            cost += self.chroma_weight[comp] * sse + \
+                                self.rd_lambda * bits
             cost += self.rd_lambda * self._est_ops_bits(mark)
             del enc.ops[mark:]
             if cost < best_cost:

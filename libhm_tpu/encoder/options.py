@@ -180,12 +180,7 @@ class HmConfig:
         if "chroma_fmt" in v:
             chroma = {400: 0, 420: 1, 422: 2, 444: 3}.get(
                 v["chroma_fmt"], chroma)
-        # 64x64 CUs carry forced one-level TU splits; the forced-split
-        # emitters are 4:2:0-scoped, so RExt chroma formats clamp to 32
-        # (streams stay conformant, partitioning one level finer)
         cu = v.get("cu_size", 64)
-        if chroma != 1:
-            cu = min(cu, 32)
         cfg = EncoderConfig(
             v.get("width", 0), v.get("height", 0), qp=v.get("qp", 32),
             bit_depth=bit_depth, cu_size=cu,

@@ -479,3 +479,44 @@ def test_inter_rqt_multilevel(cu, hier, tmp_path):
         r = subprocess.run([exe, "-b", str(p), "-o", "/dev/null"],
                            capture_output=True, text=True)
         assert r.stdout.count("(OK)") == 3, r.stdout[-400:]
+
+
+@pytest.mark.parametrize("fmt,gop", [(2, "intra"), (2, "lowdelayB"),
+                                     (3, "intra"), (3, "lowdelayB")])
+def test_rext_64x64_cu(fmt, gop, tmp_path):
+    """64x64 CUs for RExt chroma formats (no CU clamp): the forced
+    one-level TU split codes 4:2:2 sub-TU pairs / 4:4:4 full-size chroma
+    at the children (reference TComTU sections; 7.3.8.8 chroma cbf
+    structure).  HM verifies every hash."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    w = h = 64
+    sx = 1 if fmt == 2 else 0
+    frames = []
+    ys, xs = np.mgrid[0:h, 0:w]
+    for t in range(3):
+        # smooth ramp so RD keeps whole-CTU (depth-0) 64x64 CUs
+        yp = ((xs + 2 * ys) // 4 + 40 + 2 * t).clip(0, 255).astype(np.uint8)
+        cw = w >> sx
+        u = ((np.mgrid[0:h, 0:cw][1] // 3 + 60 + t)).astype(np.uint8)
+        v = ((np.mgrid[0:h, 0:cw][0] // 3 + 90 + t)).astype(np.uint8)
+        frames.append((yp, u, v))
+    cfg = EncoderConfig(w, h, qp=34 if fmt == 2 else 40, gop=gop,
+                        cu_size=64, chroma_format_idc=fmt)
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    from libhm_tpu.hostdec.decoder import Decoder
+    d = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    outs = d.decode_annexb(stream)
+    assert len(outs) == 3
+    assert all(r.hash_status == "OK" for r in d.output_records)
+    # the stream must actually carry 64x64 CUs (depth-0 leaves)
+    assert any((np.asarray(r.pic_syntax.depth) == 0).any()
+               for r in d.output_records)
+    import os, subprocess
+    hm = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".refbuild", "TAppDecoder")
+    if os.path.exists(hm):
+        p = tmp_path / "s.bin"
+        p.write_bytes(stream)
+        r = subprocess.run([hm, "-b", str(p), "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        assert r.stdout.count("(OK)") == 3, r.stdout[-400:]
