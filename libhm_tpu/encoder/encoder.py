@@ -3678,7 +3678,8 @@ class IntraEncoder:
             return None
         if not hasattr(self, "_scal_mats"):
             from ..hostdec.tables import build_scaling_matrices
-            self._scal_mats = build_scaling_matrices(None)
+            self._scal_mats = build_scaling_matrices(
+                getattr(self.cfg, "scaling_list_data", None))
         return self._scal_mats[(log2n - 2, (0 if is_intra else 3) + comp)]
 
     def _ts_of(self, lev):

@@ -98,6 +98,39 @@ def write_vps(cfg) -> bytes:
     return w.data()
 
 
+def write_scaling_list_data(w, data):
+    """scaling_list_data() syntax (Rec. 7.3.4; reference TEncCavlc::
+    codeScalingList/xCodeScalingList TEncCavlc.cpp:1470-1532): explicit
+    DPCM lists in up-right diagonal scan for the matrices present in
+    `data` ({(size_id, matrix_id): (raster_list, dc)}), default-pred for
+    the rest.  Mirrors hostdec.params.parse_scaling_list_data."""
+    from ..hostdec.tables import scan_order, SCAN_DIAG
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            entry = data.get((size_id, matrix_id))
+            if entry is None:
+                w.put(0)            # scaling_list_pred_mode: from ref
+                w.ue(0)            # delta 0 -> default list
+                continue
+            raster, dc = entry
+            w.put(1)                # explicit list
+            base = 4 if size_id == 0 else 8
+            next_coef = 8
+            if size_id > 1:
+                w.se(dc - 8)
+                next_coef = dc
+            for (sx, sy) in scan_order(base, base, SCAN_DIAG):
+                c = raster[sy * base + sx]
+                d = c - next_coef
+                if d > 127:
+                    d -= 256
+                elif d < -128:
+                    d += 256
+                w.se(d)
+                next_coef = c
+
+
 def write_sps(cfg) -> bytes:
     w = BitWriter()
     w.put_bits(0, 4)    # vps id
@@ -125,8 +158,13 @@ def write_sps(cfg) -> bytes:
     w.ue(cfg.max_tr_hierarchy_inter)
     w.ue(cfg.max_tr_hierarchy_intra)
     if getattr(cfg, "scaling_list", False):
-        w.put(1)        # scaling_list_enabled (default lists)
-        w.put(0)        # sps_scaling_list_data_present
+        w.put(1)        # scaling_list_enabled
+        data = getattr(cfg, "scaling_list_data", None)
+        if data:
+            w.put(1)    # sps_scaling_list_data_present
+            write_scaling_list_data(w, data)
+        else:
+            w.put(0)    # default lists
     else:
         w.put(0)        # scaling_list_enabled
     w.put(1 if getattr(cfg, "amp", False) else 0)  # amp_enabled

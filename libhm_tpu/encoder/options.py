@@ -86,7 +86,6 @@ _BOOL_KEYS = {
     "WeightedPredP": "weighted_pred", "WeightedPredB": "weighted_bipred",
     "TemporalMvp": "tmvp", "TMVPMode": "tmvp",
     "StrongIntraSmoothing": "strong_intra_smoothing",
-    "ScalingList": "scaling_list",
     "PCMEnabledFlag": "pcm_enabled",
     "SAOLcuBoundary": None, "UseAdaptiveQP": "adaptive_qp",
     "WaveFrontSynchro": "wpp", "ECU": None, "CFM": None, "ESD": None,
@@ -103,6 +102,7 @@ _BOOL_KEYS = {
 _INT_KEYS = {
     "SourceWidth": "width", "SourceHeight": "height", "QP": "qp",
     "ChromaFormatIDC": "chroma_fmt",
+    "ScalingList": "scaling_list",
     "InternalBitDepth": "bit_depth", "InputBitDepth": "input_bit_depth",
     "FrameRate": "fps", "FramesToBeEncoded": "frames",
     "FrameSkip": "frame_skip",
@@ -131,6 +131,7 @@ _INT_KEYS = {
 _STR_KEYS = {
     "InputFile": "input_file", "BitstreamFile": "bitstream_file",
     "ReconFile": "recon_file", "Profile": "profile",
+    "ScalingListFile": "scaling_list_file",
 }
 
 
@@ -213,7 +214,11 @@ class HmConfig:
         # HM default: no decoded-picture-hash SEI unless the cfg asks
         # (TAppEncCfg "SEIDecodedPictureHash" default 0)
         cfg.hash_sei = bool(v.get("hash_sei", False))
-        cfg.scaling_list = v.get("scaling_list", False)
+        sl_mode = int(v.get("scaling_list", 0) or 0)
+        cfg.scaling_list = bool(sl_mode)
+        if sl_mode == 2 and v.get("scaling_list_file"):
+            cfg.scaling_list_data = read_scaling_list_file(
+                v["scaling_list_file"])
         cfg.pcm_enabled = v.get("pcm_enabled", False)
         cfg.log2_min_ipcm = v.get("log2_min_ipcm", 3)
         cfg.log2_max_ipcm = v.get("log2_max_ipcm", 5)
@@ -245,3 +250,44 @@ class HmConfig:
         else:
             cfg.gop = "intra"
         return cfg
+
+
+def read_scaling_list_file(path):
+    """HM ScalingListFile parser (reference TComScalingList::
+    xParseScalingList, TComSlice.cpp:2051): named sections with
+    comma-separated coefficients in raster order (the <=8x8 signaling
+    base), plus *_DC sections for 16x16/32x32.  Returns the decoder's
+    scaling_list_data dict {(size_id, matrix_id): (raster_list, dc)}
+    covering the signaled matrix ids (size 3 codes only luma lists)."""
+    import re
+    text = open(path).read()
+
+    def section(name, count):
+        m = re.search(re.escape(name) + r"(?![A-Z_0-9])", text)
+        if m is None:
+            return None
+        vals = re.findall(r"-?\d+", text[m.end():])
+        if len(vals) < count:
+            return None
+        return [int(v) for v in vals[:count]]
+
+    sizes = ["4X4", "8X8", "16X16", "32X32"]
+    out = {}
+    for size_id in range(4):
+        n = 16 if size_id == 0 else 64
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            kind = "INTRA" if matrix_id < 3 else "INTER"
+            comp = ["LUMA", "CHROMAU", "CHROMAV"][matrix_id % 3]
+            name = f"{kind}{sizes[size_id]}_{comp}"
+            lst = section(name, n)
+            if lst is None:
+                raise ValueError(f"scaling list file: missing {name}")
+            dc = 8
+            if size_id > 1:
+                d = section(name + "_DC", 1)
+                if d is None:
+                    raise ValueError(f"scaling list file: missing {name}_DC")
+                dc = d[0]
+            out[(size_id, matrix_id)] = (lst, dc)
+    return out

