@@ -26,6 +26,14 @@ def main(argv=None):
     ap.add_argument("--print-sei", action="store_true",
                     help="dump decoded SEI messages (TAppDecTop's "
                          "outputDecodedSEIMessagesFilename equivalent)")
+    ap.add_argument("-s", "--skip-frames", type=int, default=0,
+                    help="number of decoded pictures to drop before "
+                         "writing output (TAppDecCfg m_iSkipFrame)")
+    ap.add_argument("--colour-space-convert", default="UNCHANGED",
+                    choices=["UNCHANGED", "YCrCbtoYCbCr", "GBRtoRGB"],
+                    help="output colour-space conversion for 4:4:4 "
+                         "streams (TAppDecCfg OutputColourSpaceConvert; "
+                         "reference TComChromaFormat.cpp:42-69)")
     ap.add_argument("--weave-fields", action="store_true",
                     help="pair even/odd-POC field pictures and write "
                          "row-interleaved frames (TAppDecTop field "
@@ -72,6 +80,17 @@ def main(argv=None):
                 for plane in fr:
                     plane.tofile(f)
         return 0
+    # output colour-space conversion: plane permutations, 4:4:4 only
+    # (YCrCbtoYCbCr swaps the chroma planes; GBRtoRGB: coded (G,B,R)
+    # planes written back out as R,G,B)
+    perm = {"UNCHANGED": None, "YCrCbtoYCbCr": (0, 2, 1),
+            "GBRtoRGB": (2, 0, 1)}[args.colour_space_convert]
+    if perm is not None:
+        outs = [tuple(pic[i] for i in perm) if len(pic) == 3 else pic
+                for pic in outs]
+    if args.skip_frames:
+        outs = outs[args.skip_frames:]
+        dec.output_records = dec.output_records[args.skip_frames:]
     if args.output:
         with open(args.output, "wb") as f:
             for pic, rec in zip(outs, dec.output_records):

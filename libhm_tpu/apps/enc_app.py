@@ -38,6 +38,15 @@ def main(argv=None):
     ap.add_argument("--rate", type=int, default=None,
                     help="target bitrate in kbps (R-lambda rate control)")
     ap.add_argument("-fr", "--frame-rate", type=float, default=None)
+    ap.add_argument("-fs", "--frame-skip", type=int, default=None,
+                    help="skip N source frames before encoding "
+                         "(TAppEncCfg FrameSkip)")
+    ap.add_argument("--input-colour-space-convert", default="UNCHANGED",
+                    choices=["UNCHANGED", "YCbCrtoYCrCb", "YCbCrtoYYY",
+                             "RGBtoGBR"],
+                    help="input colour-space conversion (TAppEncCfg "
+                         "InputColourSpaceConvert; reference "
+                         "TComChromaFormat.cpp:42-69)")
     args, extra = ap.parse_known_args(argv)
 
     from ..encoder.encoder import IntraEncoder, EncoderConfig
@@ -96,6 +105,10 @@ def main(argv=None):
     dt_in = np.uint8 if input_bd <= 8 else np.dtype("<u2")
     raw = np.fromfile(input_file, dt_in)
     fsz = w * h + 2 * cw * ch
+    skip = args.frame_skip if args.frame_skip is not None else \
+        (hm.get("frame_skip", 0) if args.config else 0)
+    if skip:
+        raw = raw[skip * fsz:]
     frames = []
     for f in range(nframes):
         fr = raw[f * fsz:(f + 1) * fsz].astype(
@@ -110,6 +123,16 @@ def main(argv=None):
             frames.append((fr[:w * h].reshape(h, w),
                            fr[w * h:w * h + cw * ch].reshape(ch, cw),
                            fr[w * h + cw * ch:].reshape(ch, cw)))
+    csc = args.input_colour_space_convert
+    if csc != "UNCHANGED" and not mono:
+        # plane permutations / replication before encoding (reference
+        # TVideoIOYuv ipCSC; YYY requires 4:4:4 geometry)
+        if csc == "YCbCrtoYCrCb":
+            frames = [(y, v, u) for (y, u, v) in frames]
+        elif csc == "YCbCrtoYYY":
+            frames = [(y, y.copy(), y.copy()) for (y, u, v) in frames]
+        elif csc == "RGBtoGBR":
+            frames = [(g, b, r) for (r, g, b) in frames]
     t0 = time.monotonic()
     enc = IntraEncoder(cfg)
     stream = enc.encode_stream(frames)

@@ -93,3 +93,46 @@ def test_enc_app_summary_and_recon(tmp_path):
     outs = Decoder().decode_annexb(open(bit, "rb").read())
     dec = b"".join(p.astype(np.uint8).tobytes() for pic in outs for p in pic)
     assert open(rec, "rb").read() == dec
+
+
+def test_dec_app_skip_and_csc(tmp_path):
+    """TAppDec -s skip-frames + OutputColourSpaceConvert plane
+    permutation (reference TAppDecCfg.cpp:80, TComChromaFormat.cpp:42)."""
+    import numpy as np
+    import subprocess, sys, os
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(ROOT, "testdata")
+    import json
+    gold = json.load(open(os.path.join(src, "golden.json")))
+    name = next(n for n in gold if "444" in n)
+    bs = os.path.join(src, gold[name]["bitstream"])
+    outa = tmp_path / "a.yuv"
+    outb = tmp_path / "b.yuv"
+    for out, extra in ((outa, []), (outb, ["--colour-space-convert",
+                                           "YCrCbtoYCbCr"])):
+        r = subprocess.run([sys.executable, "-m", "libhm_tpu.apps.dec_app",
+                            "-b", bs, "-o", str(out)] + extra,
+                           capture_output=True, text=True, cwd=ROOT)
+        assert r.returncode == 0, r.stderr[-300:]
+    from libhm_tpu.hostdec.decoder import Decoder
+    outs = Decoder(parse="native", recon="native").decode_annexb(
+        open(bs, "rb").read())
+    dt = outs[0][0].dtype
+    a = np.fromfile(outa, dt)
+    b = np.fromfile(outb, dt)
+    assert len(a) == len(b) and not (a == b).all()
+    # 4:4:4: each picture = 3 equal-size planes; conversion swaps 1 and 2
+    psz = outs[0][0].size
+    a = a.reshape(-1, 3, psz)
+    b = b.reshape(-1, 3, psz)
+    assert (b[:, 0] == a[:, 0]).all()
+    assert (b[:, 1] == a[:, 2]).all() and (b[:, 2] == a[:, 1]).all()
+    # skip-frames drops the first picture
+    outc = tmp_path / "c.yuv"
+    r = subprocess.run([sys.executable, "-m", "libhm_tpu.apps.dec_app",
+                        "-b", bs, "-o", str(outc), "-s", "1"],
+                       capture_output=True, text=True, cwd=ROOT)
+    assert r.returncode == 0
+    c = np.fromfile(outc, dt)
+    assert len(c) == len(a.ravel()) - 3 * psz
+    assert (c == a.reshape(-1)[3 * psz:]).all()
