@@ -3222,6 +3222,10 @@ class IntraEncoder:
         estIntraPredQT: 8 candidates for 4x4/8x8, 3 for larger, plus the
         MPMs).  Returns the chosen mode."""
         from .rd_cost import satd
+        from ..utils.envvar import FORCE_LUMA_MODE
+        forced = FORCE_LUMA_MODE.get_int()
+        if forced is not None and 0 <= forced <= 34:
+            return forced           # Debug.h ForceLumaMode equivalent
         orig = self.orig[0][y:y + size, x:x + size]
         lam_pred = self.rd_lambda ** 0.5
         ranked = []
@@ -3263,6 +3267,15 @@ class IntraEncoder:
             if allowed[i] == luma_mode:
                 allowed[i] = 34
                 break
+        from ..utils.envvar import FORCE_CHROMA_MODE
+        if FORCE_CHROMA_MODE.is_set():
+            # Debug.h ForceChromaMode equivalent: DM or a listed mode
+            want = FORCE_CHROMA_MODE.get_str()
+            if want.upper() != "DM":
+                m = FORCE_CHROMA_MODE.get_int()
+                if m is not None and m in allowed:
+                    return m, False, allowed.index(m)
+            return luma_mode, True, 0
         is422 = sps.chroma_format_idc == 2
         ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
         n = size >> ssx

@@ -136,3 +136,30 @@ def test_dec_app_skip_and_csc(tmp_path):
     c = np.fromfile(outc, dt)
     assert len(c) == len(a.ravel()) - 3 * psz
     assert (c == a.reshape(-1)[3 * psz:]).all()
+
+
+def test_envvar_force_modes(tmp_path, monkeypatch):
+    """HEVC_FORCE_LUMA_MODE / HEVC_FORCE_CHROMA_MODE (reference Debug.h
+    DebugOptionList::ForceLumaMode/ForceChromaMode): every intra PU is
+    coded with the forced mode, and the stream still round-trips."""
+    import numpy as np
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    rng = np.random.RandomState(2)
+    frames = [(rng.randint(0, 256, (64, 64)).astype(np.uint8),
+               rng.randint(0, 256, (32, 32)).astype(np.uint8),
+               rng.randint(0, 256, (32, 32)).astype(np.uint8))]
+    monkeypatch.setenv("HEVC_FORCE_LUMA_MODE", "26")
+    monkeypatch.setenv("HEVC_FORCE_CHROMA_MODE", "10")
+    stream = IntraEncoder(EncoderConfig(64, 64, qp=30)).encode_stream(frames)
+    d = Decoder(parse="python", recon="numpy", check_sei_hash=True)
+    d.decode_annexb(stream)
+    assert all(r.hash_status == "OK" for r in d.output_records)
+    ps = d.output_records[0].pic_syntax
+    iy = np.asarray(ps.intra_y)[:16, :16]
+    ic = np.asarray(ps.intra_c)[:16, :16]
+    pcm = np.asarray(ps.pcm)[:16, :16]
+    assert (iy[pcm == 0] == 26).all()
+    assert (ic[pcm == 0] == 10).all()
+    from libhm_tpu.utils.envvar import print_env_vars
+    print_env_vars()
