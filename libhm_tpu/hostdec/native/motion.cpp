@@ -326,7 +326,7 @@ void SliceParser::writePu(int x, int y, int w, int h, int dir,
       }
     }
   }
-  pic->inter_list.push_back(pu);
+  puSink->push_back(pu);
 }
 
 }  // namespace hevc

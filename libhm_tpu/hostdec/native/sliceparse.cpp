@@ -2,6 +2,9 @@
 // Translation of libhm_tpu/hostdec/slicedec.py + residual.py + motion.py.
 // Compiled as part of api.cpp (single translation unit).
 #include "hevcdec.h"
+#include <atomic>
+#include <thread>
+#include <cstdlib>
 
 namespace hevc {
 
@@ -64,6 +67,22 @@ struct SliceParser {
   int depLastQp = 0, depQpPred = 0;
   std::vector<size_t> substreams;
   size_t curSubstream = 0;
+  // list sinks: the sequential path appends straight into the picture;
+  // WPP row workers swap in private buffers that are concatenated in row
+  // order afterwards, so the lists keep exact sequential parse order
+  std::vector<TuMeta>* tuSink = nullptr;
+  std::vector<int32_t>* coefSink = nullptr;
+  std::vector<IntraMeta>* intraSink = nullptr;
+  std::vector<PcmMeta>* pcmSink = nullptr;
+  std::vector<int32_t>* pcmSampSink = nullptr;
+  std::vector<PuMeta>* puSink = nullptr;
+  void bindSinks() {
+    tuSink = &pic->tu_list; coefSink = &pic->coeffs;
+    intraSink = &pic->intra_list; pcmSink = &pic->pcm_list;
+    pcmSampSink = &pic->pcm_samples; puSink = &pic->inter_list;
+  }
+  bool decodeSliceWpp(const uint8_t* data, size_t len,
+                      const SliceHeader& hdr, int sidx, int qp);
 
   // motion derivation context
   std::vector<RefPicInfo> refList[2];
@@ -313,6 +332,8 @@ void SliceParser::decodeSlice(const uint8_t* data, size_t len,
     substreams.push_back(b);
   }
   curSubstream = 0;
+  bindSinks();
+  if (decodeSliceWpp(data, len, hdr, sidx, qp)) return;
   d.start(data, len, hdr.data_bit_offset);
 
   int hCtbs = sps->picHCtbs();
@@ -796,10 +817,10 @@ void SliceParser::parsePcm(int x, int y, int log2size) {
     int sx = c ? sps->ssx() : 0, sy = c ? sps->ssy() : 0;
     int w = size >> sx, h = size >> sy;
     int bits = c == 0 ? sps->pcm_bd_luma : sps->pcm_bd_chroma;
-    PcmMeta m{c, x >> sx, y >> sy, w, h, bits, int32_t(pic->pcm_samples.size())};
-    pic->pcm_list.push_back(m);
+    PcmMeta m{c, x >> sx, y >> sy, w, h, bits, int32_t(pcmSampSink->size())};
+    pcmSink->push_back(m);
     for (int i = 0; i < w * h; i++)
-      pic->pcm_samples.push_back(int32_t(d.readBits(bits)));
+      pcmSampSink->push_back(int32_t(d.readBits(bits)));
   }
   d.range = 510;
   d.offset = d.readBits(9);
@@ -945,8 +966,8 @@ void SliceParser::emitTu(int x, int y, int log2size, int trDepth, int blkIdx,
   }
   if (cuPredMode == MODE_INTRA) {
     int mode = map8(pic->intra_y, x, y);
-    int tuIdx = cbfY ? int(pic->tu_list.size()) : -1;
-    pic->intra_list.push_back({0, x, y, size, size, mode, tuIdx});
+    int tuIdx = cbfY ? int(tuSink->size()) : -1;
+    intraSink->push_back({0, x, y, size, size, mode, tuIdx});
   }
   if (cbfY) parseResidual(0, x, y, log2size, log2size);
 
@@ -976,19 +997,19 @@ void SliceParser::emitTu(int x, int y, int log2size, int trDepth, int blkIdx,
         int sy = cpy + s * cs;
         int tuIdx = -1;
         if (cbf[s]) {
-          tuIdx = int(pic->tu_list.size());
+          tuIdx = int(tuSink->size());
           parseResidual(comp, cpx, sy, clog2, clog2);
         } else if (alpha) {
-          tuIdx = int(pic->tu_list.size());
+          tuIdx = int(tuSink->size());
           TuMeta m{comp, cpx, sy, cs, cs, qpForComp(comp), 0, 0, 0, 0, alpha,
-                   int32_t(pic->coeffs.size())};
-          pic->tu_list.push_back(m);
-          pic->coeffs.resize(pic->coeffs.size() + size_t(cs) * cs, 0);
+                   int32_t(coefSink->size())};
+          tuSink->push_back(m);
+          coefSink->resize(coefSink->size() + size_t(cs) * cs, 0);
           crossCompAlpha = 0;
         }
         if (cuPredMode == MODE_INTRA) {
           int cmode = map8(pic->intra_c, x, y);
-          pic->intra_list.push_back({comp, cpx, sy, cs, cs, cmode, tuIdx});
+          intraSink->push_back({comp, cpx, sy, cs, cs, cmode, tuIdx});
         }
       }
     }
@@ -1135,12 +1156,12 @@ void SliceParser::parseResidual(int comp, int x, int y, int log2w, int log2h) {
   TuMeta meta{comp, x, y, w, h, qpForComp(comp),
               (comp == 0 && isIntra && w == 4 && h == 4) ? 1 : 0,
               tskip, cuTqBypass, rdpcmMode, comp ? crossCompAlpha : 0,
-              int32_t(pic->coeffs.size())};
-  pic->tu_list.push_back(meta);
+              int32_t(coefSink->size())};
+  tuSink->push_back(meta);
   crossCompAlpha = 0;
-  size_t coefBase = pic->coeffs.size();
-  pic->coeffs.resize(coefBase + size_t(w) * h, 0);
-  int32_t* coeff = pic->coeffs.data() + coefBase;
+  size_t coefBase = coefSink->size();
+  coefSink->resize(coefBase + size_t(w) * h, 0);
+  int32_t* coeff = coefSink->data() + coefBase;
 
   int ch = comp ? 1 : 0;
   int posX, posY;
@@ -1289,6 +1310,156 @@ void SliceParser::parseResidual(int comp, int x, int y, int log2w, int log2h) {
       coeff[pos[idx]] = v;
     }
   }
+}
+
+
+// ---------------------------------------------------------------------------
+// WPP-parallel slice parse (reference TDecGop.cpp:105-155 allocates one
+// CABAC engine per substream; this is the actual concurrent realization).
+// One worker per CTU row, each with a private SliceParser clone (own CABAC
+// engine, context bank, Rice stats and list buffers).  Row r waits until
+// row r-1 has finished col+2 CTUs before parsing col (Rec. 9.3.1 WPP
+// ordering), takes its starting contexts from the row-above clone's
+// after-2-CTUs snapshot, and appends parse products to private list
+// buffers that are concatenated in row order afterwards -- so the result
+// is bit- and order-identical to the sequential parse.
+bool SliceParser::decodeSliceWpp(const uint8_t* data, size_t len,
+                                 const SliceHeader& hdr, int sidx, int qp) {
+  int hCtbs = sps->picHCtbs();
+  if (!pps->entropy_coding_sync || pps->tiles_enabled || hdr.dependent ||
+      hdr.segment_address != 0 || pps->cu_qp_delta_enabled ||
+      sh->cu_chroma_qp_offset_enabled ||
+      int(substreams.size()) != hCtbs || hCtbs < 2)
+    return false;
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (const char* e = std::getenv("HEVC_WPP_THREADS")) {
+    long v = std::strtol(e, nullptr, 10);
+    nthreads = v < 0 ? 0 : unsigned(v);
+  }
+  if (nthreads < 2) return false;   // nothing to gain; sequential path
+
+  struct Row {
+    SliceParser p;                    // clone: own engine/contexts/sinks
+    std::vector<TuMeta> tus;
+    std::vector<int32_t> coefs;
+    std::vector<IntraMeta> intras;
+    std::vector<PcmMeta> pcms;
+    std::vector<int32_t> pcmSamps;
+    std::vector<PuMeta> pus;
+    std::atomic<int> done{0};         // CTUs finished in this row
+  };
+  std::vector<std::unique_ptr<Row>> rows;
+  for (int r = 0; r < hCtbs; r++) {
+    rows.emplace_back(new Row{*this});
+    Row& rw = *rows.back();
+    rw.p.tuSink = &rw.tus; rw.p.coefSink = &rw.coefs;
+    rw.p.intraSink = &rw.intras; rw.p.pcmSink = &rw.pcms;
+    rw.p.pcmSampSink = &rw.pcmSamps; rw.p.puSink = &rw.pus;
+  }
+
+  auto rowWorker = [&](int r) {
+    Row& rw = *rows[r];
+    SliceParser& P = rw.p;
+    P.d.start(data, len, substreams[size_t(r)] * 8);
+    if (r == 0) {
+      P.bank.init(hdr.slice_type, qp, hdr.cabac_init_flag);
+      for (int i = 0; i < 4; i++) P.riceStats[i] = 0;
+    } else {
+      Row& up = *rows[r - 1];
+      while (up.done.load(std::memory_order_acquire) < 2)
+        std::this_thread::yield();
+      P.bank = up.p.wppBank;
+      for (int i = 0; i < 4; i++) P.riceStats[i] = up.p.wppRice[i];
+    }
+    P.lastQp = qp; P.qpPred = qp;
+    P.cuQpDelta = 0; P.qpDeltaCoded = false;
+    P.chromaQpAdj = 0; P.chromaQpAdjCoded = false;
+    int ctbL = P.ctb;
+    for (int col = 0; col < P.wCtbs; col++) {
+      if (r > 0) {
+        Row& up = *rows[r - 1];
+        int need = std::min(col + 2, P.wCtbs);
+        while (up.done.load(std::memory_order_acquire) < need)
+          std::this_thread::yield();
+      }
+      int addr = r * P.wCtbs + col;
+      int cx = col << P.log2Ctb;
+      int cy = r << P.log2Ctb;
+      int x4lo = cx >> 2;
+      int x4hi = std::min((cx + ctbL) >> 2, pic->w4);
+      int y4hi = std::min((cy + ctbL) >> 2, pic->h4);
+      int nx4 = x4hi - x4lo;
+      for (int yy = cy >> 2; yy < y4hi; yy++) {
+        size_t i = size_t(yy) * P.w4() + x4lo;
+        std::fill_n(&pic->slice_idx[i], nx4, sidx);
+        memset(&pic->cbf_y[i], 0, size_t(nx4));
+        memset(&pic->pcm[i], 0, size_t(nx4));
+        memset(&pic->edge_flags[i], 0, size_t(nx4));
+        memset(&pic->skip[i], 0, size_t(nx4));
+        memset(&pic->deblock_disable[i],
+               uint8_t(int8_t(hdr.deblocking_disabled)), size_t(nx4));
+        memset(&pic->beta_offset[i],
+               uint8_t(int8_t(hdr.beta_offset_div2 * 2)), size_t(nx4));
+        memset(&pic->tc_offset[i],
+               uint8_t(int8_t(hdr.tc_offset_div2 * 2)), size_t(nx4));
+        memset(&pic->lf_across[i],
+               uint8_t(int8_t(hdr.loop_filter_across_slices)), size_t(nx4));
+      }
+      if (sps->sao_enabled) P.parseSaoCtu(addr, cx, cy);
+      P.parseCqt(cx, cy, P.log2Ctb, 0);
+      if (col == 1) {
+        P.wppBank = P.bank;
+        for (int i = 0; i < 4; i++) P.wppRice[i] = P.riceStats[i];
+        P.wppSavedValid = true;
+      }
+      rw.done.store(col + 1, std::memory_order_release);
+      int isLast = P.d.term();       // end_of_slice_segment_flag
+      if (isLast) break;
+      if (col == P.wCtbs - 1) P.d.term();  // end_of_subset_one_bit
+    }
+  };
+
+  // bounded pool: rows must start in order (row r spins on row r-1)
+  unsigned pool = std::min<unsigned>(nthreads, unsigned(hCtbs));
+  std::atomic<int> nextRow{0};
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < pool; t++)
+    threads.emplace_back([&] {
+      for (;;) {
+        int r = nextRow.fetch_add(1, std::memory_order_relaxed);
+        if (r >= hCtbs) return;
+        rowWorker(r);
+      }
+    });
+  for (auto& th : threads) th.join();
+
+  // concatenate per-row products in row order with index rebasing
+  for (auto& rp : rows) {
+    Row& rw = *rp;
+    int32_t tuBase = int32_t(pic->tu_list.size());
+    int32_t coefBase = int32_t(pic->coeffs.size());
+    int32_t sampBase = int32_t(pic->pcm_samples.size());
+    for (TuMeta m : rw.tus) {
+      m.coeff_off += coefBase;
+      pic->tu_list.push_back(m);
+    }
+    pic->coeffs.insert(pic->coeffs.end(), rw.coefs.begin(), rw.coefs.end());
+    for (IntraMeta m : rw.intras) {
+      if (m.tu_index >= 0) m.tu_index += tuBase;
+      pic->intra_list.push_back(m);
+    }
+    for (PcmMeta m : rw.pcms) {
+      m.sample_off += sampBase;
+      pic->pcm_list.push_back(m);
+    }
+    pic->pcm_samples.insert(pic->pcm_samples.end(), rw.pcmSamps.begin(),
+                            rw.pcmSamps.end());
+    pic->inter_list.insert(pic->inter_list.end(), rw.pus.begin(),
+                           rw.pus.end());
+  }
+  depSavedValid = false;
+  wppSavedValid = false;
+  return true;
 }
 
 }  // namespace hevc
