@@ -39,3 +39,37 @@ def test_tpu_recon_bit_exact(name):
 @pytest.mark.parametrize("name", SLOW)
 def test_tpu_recon_bit_exact_1080p(name):
     _run(name)
+
+
+def test_extprec_scaling_fallback_branch(monkeypatch):
+    """scaling-lists + extended-precision pictures fall back to the numpy
+    backend with a loud stderr note (hostdec/decoder.py).  No real stream
+    can exercise this: the reference encoder refuses ExtendedPrecision
+    without a RExt__HIGH_BIT_DEPTH_SUPPORT rebuild.  Force the flag on the
+    custom-scaling-list golden and check the branch runs and matches the
+    numpy backend decoding under the same (forced) interpretation."""
+    import numpy as np
+    from libhm_tpu.hostdec import params as P
+    orig = P.parse_sps
+
+    def patched(rbsp):
+        sps = orig(rbsp)
+        sps.extended_precision = True
+        return sps
+
+    monkeypatch.setattr(P, "parse_sps", patched)
+    import libhm_tpu.hostdec.decoder as D
+    monkeypatch.setattr(D, "parse_sps", patched, raising=False)
+    data = open(os.path.join(ROOT, "testdata",
+                             GOLD["customsl_lowdelay_160x96"]["bitstream"]),
+                "rb").read()
+    import io, contextlib, sys
+    from libhm_tpu.hostdec.decoder import Decoder
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        outs_t = Decoder(parse="python", recon="tpu").decode_annexb(data)
+    assert "falls back to the numpy backend" in err.getvalue()
+    outs_n = Decoder(parse="python", recon="numpy").decode_annexb(data)
+    for a, b in zip(outs_t, outs_n):
+        for pa, pb in zip(a, b):
+            assert (np.asarray(pa) == np.asarray(pb)).all()
