@@ -1722,9 +1722,50 @@ class IntraEncoder:
             preds.append(buf)
 
         if part == SIZE_2Nx2N:
-            self._encode_inter_res_2nx2n(x, y, log2size, descs[0], preds)
+            self._inter_2nx2n_rd(x, y, log2size, descs[0], preds)
         else:
             self._encode_inter_res_split(x, y, log2size, descs, part, preds)
+
+    def _emit_skip_cu(self, x, y, log2size, desc, preds):
+        """Forced SKIP emission for a merge 2Nx2N CU: skip_flag=1 +
+        merge_idx, reconstruction = prediction, no residual syntax."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        size = 1 << log2size
+        self._write_bypass_flag(x, y, size)
+        enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 1)
+        pic.set_rect(pic.skip, x, y, size, size, 1)
+        pic.set_rect(pic.cbf_y, x, y, size, size, 0)
+        self._write_merge_idx(desc[1])
+        bd = cfg.bit_depth
+        for comp in range(self.ncomp):
+            ssx = sps.chroma_shift_x() if comp else 0
+            ssy = sps.chroma_shift_y() if comp else 0
+            nx, ny = size >> ssx, size >> ssy
+            self.recon[comp][y >> ssy:(y >> ssy) + ny,
+                             x >> ssx:(x >> ssx) + nx] = np.clip(
+                preds[comp], 0, (1 << bd) - 1)
+        self._finish_cu_qp(x, y, size)
+
+    def _inter_2nx2n_rd(self, x, y, log2size, desc, preds):
+        """Merge 2Nx2N CUs: RD-compare the forced SKIP against the
+        coded-residual CU (reference TEncCu::xCheckRDCostMerge2Nx2N
+        evaluates each merge candidate both with residual and as skip;
+        quantize-to-zero alone misses the cases where coding the residual
+        is RD-worse than eating the distortion)."""
+        if desc[0] != "merge" or not isinstance(self.enc, _RecordingCabac):
+            return self._encode_inter_res_2nx2n(x, y, log2size, desc, preds)
+        size = 1 << log2size
+        st = self._save_cu_state(x, y, size)
+        mark = len(self.enc.ops)
+        self._emit_skip_cu(x, y, log2size, desc, preds)
+        cost_skip = self._cu_rd_cost(x, y, size, mark)
+        self._restore_cu_state(x, y, size, st)
+        self._encode_inter_res_2nx2n(x, y, log2size, desc, preds)
+        cost_full = self._cu_rd_cost(x, y, size, mark)
+        if cost_skip < cost_full:
+            self._restore_cu_state(x, y, size, st)
+            self._emit_skip_cu(x, y, log2size, desc, preds)
 
     # ------------------------------------------------------------------
     def _encode_inter_res_2nx2n(self, x, y, log2size, desc, preds):
