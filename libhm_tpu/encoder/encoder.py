@@ -1518,6 +1518,9 @@ class IntraEncoder:
             cost = (satd(pred, orig) >> dshift) + lam_m * (mi + 2)
             if best is None or cost < best[0]:
                 best = (cost, ("merge", mi, cand, dir_))
+        # best merge-only candidate, for the caller's CU-level full-RD
+        # arbitration against the ME result
+        self._pu_best_merge = best[1] if best is not None else None
         for cost, desc in self._pu_me_lists(px, py, w, h, orig):
             if best is None or cost < best[0]:
                 best = (cost, desc)
@@ -1658,6 +1661,7 @@ class IntraEncoder:
                                                SIZE_nLx2N, SIZE_nRx2N)
                 parts += [SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N, SIZE_nRx2N]
         best_part = None
+        merge_2nx2n = None
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)
         pic.set_rect(pic.skip, x, y, size, size, 0)
         for part in parts:
@@ -1672,6 +1676,8 @@ class IntraEncoder:
                 descs.append(desc)
                 self._apply_pu(desc, x + dx, y + dy, w, h, x, y, size,
                                pu_idx, part)
+            if part == SIZE_2Nx2N:
+                merge_2nx2n = self._pu_best_merge
             self._restore_motion(x, y, size, snap)
             if best_part is None or total < best_part[0]:
                 best_part = (total, part, descs)
@@ -1694,36 +1700,61 @@ class IntraEncoder:
         _, part, descs = best_part
         pic.set_rect(pic.part_size, x, y, size, size, part)
         pus = pu_partitions(part, size)
-        # apply the winning motion for real (maps + PU edge flags)
-        for pu_idx, (dx, dy, w, h) in enumerate(pus):
-            self._apply_pu(descs[pu_idx], x + dx, y + dy, w, h, x, y, size,
-                           pu_idx, part)
-            ef = pic.edge_flags
-            from ..hostdec.slicedec import EDGE_PU_LEFT, EDGE_PU_TOP
-            ef[(y + dy) >> 2:(y + dy + h) >> 2, (x + dx) >> 2] |= EDGE_PU_LEFT
-            ef[(y + dy) >> 2, (x + dx) >> 2:(x + dx + w) >> 2] |= EDGE_PU_TOP
 
-        # ---- prediction for the whole CU
-        preds = []
-        for comp in range(self.ncomp):
-            ssx = sps.chroma_shift_x() if comp else 0
-            ssy = sps.chroma_shift_y() if comp else 0
-            buf = np.zeros((size >> ssy, size >> ssx), np.int32)
+        def apply_and_preds(cur_descs):
+            """Write maps + PU edge flags, return per-comp predictions."""
+            from ..hostdec.slicedec import EDGE_PU_LEFT, EDGE_PU_TOP
             for pu_idx, (dx, dy, w, h) in enumerate(pus):
-                desc = descs[pu_idx]
-                if desc[0] == "merge":
-                    cand, dir_ = desc[2], desc[3]
-                    mvs, ridx = cand.mv, cand.ref_idx
-                else:
-                    _, dir_, ridx, mvs, _, _ = desc
-                buf[dy >> ssy:(dy + h) >> ssy, dx >> ssx:(dx + w) >> ssx] = \
-                    self._pred_from_cand(comp, x + dx, y + dy, w, h, dir_,
-                                         mvs, ridx)
-            preds.append(buf)
+                self._apply_pu(cur_descs[pu_idx], x + dx, y + dy, w, h,
+                               x, y, size, pu_idx, part)
+                ef = pic.edge_flags
+                ef[(y + dy) >> 2:(y + dy + h) >> 2,
+                   (x + dx) >> 2] |= EDGE_PU_LEFT
+                ef[(y + dy) >> 2,
+                   (x + dx) >> 2:(x + dx + w) >> 2] |= EDGE_PU_TOP
+            out = []
+            for comp in range(self.ncomp):
+                ssx = sps.chroma_shift_x() if comp else 0
+                ssy = sps.chroma_shift_y() if comp else 0
+                buf = np.zeros((size >> ssy, size >> ssx), np.int32)
+                for pu_idx, (dx, dy, w, h) in enumerate(pus):
+                    desc = cur_descs[pu_idx]
+                    if desc[0] == "merge":
+                        cand, dir_ = desc[2], desc[3]
+                        mvs, ridx = cand.mv, cand.ref_idx
+                    else:
+                        _, dir_, ridx, mvs, _, _ = desc
+                    buf[dy >> ssy:(dy + h) >> ssy,
+                        dx >> ssx:(dx + w) >> ssx] = self._pred_from_cand(
+                            comp, x + dx, y + dy, w, h, dir_, mvs, ridx)
+                out.append(buf)
+            return out
 
         if part == SIZE_2Nx2N:
+            # full-RD arbitration: the SATD-best desc vs the best merge
+            # candidate, each coded for real (reference TEncCu compares
+            # xCheckRDCostMerge2Nx2N against xCheckRDCostInter — SATD
+            # ranks backwards when a large-DC residual is transform-cheap)
+            cands = [descs[0]]
+            if merge_2nx2n is not None and descs[0][0] != "merge" and \
+                    isinstance(enc, _RecordingCabac):
+                cands.append(merge_2nx2n)
+            if len(cands) > 1:
+                best = None
+                for desc in cands:
+                    st = self._save_cu_state(x, y, size)
+                    mark = len(enc.ops)
+                    p = apply_and_preds([desc])
+                    self._inter_2nx2n_rd(x, y, log2size, desc, p)
+                    cost = self._cu_rd_cost(x, y, size, mark)
+                    if best is None or cost < best[0]:
+                        best = (cost, desc)
+                    self._restore_cu_state(x, y, size, st)
+                descs = [best[1]]
+            preds = apply_and_preds(descs)
             self._inter_2nx2n_rd(x, y, log2size, descs[0], preds)
         else:
+            preds = apply_and_preds(descs)
             self._encode_inter_res_split(x, y, log2size, descs, part, preds)
 
     def _emit_skip_cu(self, x, y, log2size, desc, preds):
