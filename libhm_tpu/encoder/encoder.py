@@ -1504,6 +1504,7 @@ class IntraEncoder:
         best = None
         clist = self.motion.merge_candidate_list(px, py, w, h, cx, cy,
                                                  cu_size, pu_idx, part_size)
+        best_ac = None
         for mi in range(self.cfg.max_merge_cand):
             cand = clist[mi]
             dir_ = cand.inter_dir
@@ -1518,9 +1519,21 @@ class IntraEncoder:
             cost = (satd(pred, orig) >> dshift) + lam_m * (mi + 2)
             if best is None or cost < best[0]:
                 best = (cost, ("merge", mi, cand, dir_))
-        # best merge-only candidate, for the caller's CU-level full-RD
+            # AC-SATD ranking: a constant (DC) residual is one cheap
+            # coefficient, but Hadamard charges it full price — rank a
+            # second champion with the residual mean removed so the
+            # CU-level full-RD arbitration sees the transform-cheap
+            # candidate too (reference xCheckRDCostMerge2Nx2N full-RD
+            # codes EVERY merge index, TEncCu.cpp, which covers this)
+            dc = int(np.round((orig - pred).mean()))
+            cost_ac = (satd(pred + dc, orig) >> dshift) + lam_m * (mi + 2)
+            if best_ac is None or cost_ac < best_ac[0]:
+                best_ac = (cost_ac, ("merge", mi, cand, dir_))
+        # best merge-only candidates, for the caller's CU-level full-RD
         # arbitration against the ME result
         self._pu_best_merge = best[1] if best is not None else None
+        self._pu_best_merge_ac = best_ac[1] if best_ac is not None and \
+            (best is None or best_ac[1][1] != best[1][1]) else None
         for cost, desc in self._pu_me_lists(px, py, w, h, orig):
             if best is None or cost < best[0]:
                 best = (cost, desc)
@@ -1662,6 +1675,8 @@ class IntraEncoder:
                 parts += [SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N, SIZE_nRx2N]
         best_part = None
         merge_2nx2n = None
+        merge_2nx2n_ac = None
+        part_trials = []
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)
         pic.set_rect(pic.skip, x, y, size, size, 0)
         for part in parts:
@@ -1678,32 +1693,31 @@ class IntraEncoder:
                                pu_idx, part)
             if part == SIZE_2Nx2N:
                 merge_2nx2n = self._pu_best_merge
+                merge_2nx2n_ac = self._pu_best_merge_ac
             self._restore_motion(x, y, size, snap)
+            part_trials.append((total, part, descs))
             if best_part is None or total < best_part[0]:
                 best_part = (total, part, descs)
 
-        # ---- intra fallback
+        # ---- intra candidate (SATD preselect; full-RD arbitrated below)
         from .rd_cost import satd
         all_preds = self._intra_all_preds(0, x, y, size)
         costs = np.abs(all_preds - orig[None]).sum(axis=(1, 2))
         best_mode = int(np.argmin(costs))
         best_icost = satd(all_preds[best_mode], orig) >> (cfg.bit_depth - 8)
-        if best_icost + lam * 24 < best_part[0]:
+
+        def emit_intra():
             pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
             self._write_bypass_flag(x, y, size)
             enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
             pic.set_rect(pic.skip, x, y, size, size, 0)
             enc.encode_bin(bank["pred_mode"], 0, 1)
             self.encode_cu(x, y, log2size, depth, _from_inter=True)
-            return
 
-        _, part, descs = best_part
-        pic.set_rect(pic.part_size, x, y, size, size, part)
-        pus = pu_partitions(part, size)
-
-        def apply_and_preds(cur_descs):
+        def apply_and_preds(part, cur_descs):
             """Write maps + PU edge flags, return per-comp predictions."""
             from ..hostdec.slicedec import EDGE_PU_LEFT, EDGE_PU_TOP
+            pus = pu_partitions(part, size)
             for pu_idx, (dx, dy, w, h) in enumerate(pus):
                 self._apply_pu(cur_descs[pu_idx], x + dx, y + dy, w, h,
                                x, y, size, pu_idx, part)
@@ -1730,32 +1744,61 @@ class IntraEncoder:
                 out.append(buf)
             return out
 
-        if part == SIZE_2Nx2N:
-            # full-RD arbitration: the SATD-best desc vs the best merge
-            # candidate, each coded for real (reference TEncCu compares
-            # xCheckRDCostMerge2Nx2N against xCheckRDCostInter — SATD
-            # ranks backwards when a large-DC residual is transform-cheap)
-            cands = [descs[0]]
-            if merge_2nx2n is not None and descs[0][0] != "merge" and \
-                    isinstance(enc, _RecordingCabac):
-                cands.append(merge_2nx2n)
-            if len(cands) > 1:
-                best = None
-                for desc in cands:
-                    st = self._save_cu_state(x, y, size)
-                    mark = len(enc.ops)
-                    p = apply_and_preds([desc])
-                    self._inter_2nx2n_rd(x, y, log2size, desc, p)
-                    cost = self._cu_rd_cost(x, y, size, mark)
-                    if best is None or cost < best[0]:
-                        best = (cost, desc)
-                    self._restore_cu_state(x, y, size, st)
-                descs = [best[1]]
-            preds = apply_and_preds(descs)
-            self._inter_2nx2n_rd(x, y, log2size, descs[0], preds)
-        else:
-            preds = apply_and_preds(descs)
-            self._encode_inter_res_split(x, y, log2size, descs, part, preds)
+        def emit_inter(part, cur_descs):
+            pic.set_rect(pic.part_size, x, y, size, size, part)
+            preds = apply_and_preds(part, cur_descs)
+            if part == SIZE_2Nx2N:
+                self._inter_2nx2n_rd(x, y, log2size, cur_descs[0], preds)
+            else:
+                self._encode_inter_res_split(x, y, log2size, cur_descs,
+                                             part, preds)
+
+        if not isinstance(enc, _RecordingCabac):
+            # single-pass emission: SATD decides (no trial machinery)
+            if best_icost + lam * 24 < best_part[0]:
+                emit_intra()
+            else:
+                emit_inter(best_part[1], best_part[2])
+            return
+
+        # ---- full-RD CU-mode arbitration (reference TEncCu::xCompressCU:
+        # every candidate — merge/skip, each inter partition, intra — is
+        # coded for real and compared by SSE + lambda*bits.  SATD alone
+        # ranks backwards on transform-cheap residuals, e.g. the constant
+        # DC offset a zero MV leaves on a translating gradient.)  SATD
+        # preselects: top-2 partitions + 2Nx2N ME + best 2Nx2N merge +
+        # gated intra.
+        cands = []  # (emit_callable, dedup_key)
+        ranked = sorted(part_trials, key=lambda t: t[0])[:2]
+        have = set()
+        for _, part, descs in ranked:
+            cands.append((lambda p=part, d=descs: emit_inter(p, d), part))
+            have.add(part)
+        if SIZE_2Nx2N not in have:
+            t2n = next(t for t in part_trials if t[1] == SIZE_2Nx2N)
+            cands.append((lambda d=t2n[2]: emit_inter(SIZE_2Nx2N, d),
+                          SIZE_2Nx2N))
+        twon = next(t for t in part_trials if t[1] == SIZE_2Nx2N)
+        if merge_2nx2n is not None and twon[2][0][0] != "merge":
+            cands.append((lambda d=[merge_2nx2n]:
+                          emit_inter(SIZE_2Nx2N, d), "merge2n"))
+        if merge_2nx2n_ac is not None and not (
+                twon[2][0][0] == "merge" and
+                twon[2][0][1] == merge_2nx2n_ac[1]):
+            cands.append((lambda d=[merge_2nx2n_ac]:
+                          emit_inter(SIZE_2Nx2N, d), "merge2n_ac"))
+        if best_icost < 2 * best_part[0] + lam * 48:
+            cands.append((emit_intra, "intra"))
+        best = None
+        for emitfn, _key in cands:
+            st = self._save_cu_state(x, y, size)
+            mark = len(enc.ops)
+            emitfn()
+            cost = self._cu_rd_cost(x, y, size, mark)
+            if best is None or cost < best[0]:
+                best = (cost, emitfn)
+            self._restore_cu_state(x, y, size, st)
+        best[1]()
 
     def _emit_skip_cu(self, x, y, log2size, desc, preds):
         """Forced SKIP emission for a merge 2Nx2N CU: skip_flag=1 +
