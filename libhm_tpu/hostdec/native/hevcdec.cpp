@@ -83,12 +83,16 @@ struct CtxBank {
 };
 
 // ---------------------------------------------------------------------------
-// scan tables (generated once per (log2w, log2h, type))
+// scan tables, precomputed eagerly for every (log2w, log2h, type) combo at
+// static init: the per-TU lookup is a flat array index, and — unlike the
+// former lazily-filled std::map — is safe to read concurrently from the
+// WPP row-parallel parse threads.
 enum { SCAN_DIAG = 0, SCAN_HOR = 1, SCAN_VER = 2 };
 struct ScanTables {
-  // grouped scan: scanpos -> raster blk
-  std::map<uint32_t, std::vector<uint16_t>> grouped;
-  std::map<uint32_t, std::vector<uint16_t>> cgscan;  // cg scanpos -> (cgx, cgy) packed
+  // grouped scan: scanpos -> raster blk, for TB sizes 4..32 per axis
+  std::vector<uint16_t> grouped[4][4][3];
+  std::vector<uint16_t> groupedInv[4][4][3];
+  std::vector<uint16_t> cgscan[4][4][3];  // cg scanpos -> (cgy<<8)|cgx
 
   static void diag(int w, int h, std::vector<std::pair<int, int>>& out) {
     for (int d = 0; d < w + h - 1; d++) {
@@ -105,43 +109,42 @@ struct ScanTables {
       for (int x = 0; x < w; x++) for (int y = 0; y < h; y++) out.push_back({x, y});
     } else diag(w, h, out);
   }
-  const std::vector<uint16_t>& getGrouped(int w, int h, int kind) {
-    uint32_t key = (w << 16) | (h << 4) | kind;
-    auto it = grouped.find(key);
-    if (it != grouped.end()) return it->second;
+  ScanTables() {
     std::vector<std::pair<int, int>> cg, inner;
-    order(w >> 2, h >> 2, kind, cg);
-    order(4, 4, kind, inner);
-    std::vector<uint16_t> v;
-    v.reserve(w * h);
-    for (auto& g : cg)
-      for (auto& p : inner)
-        v.push_back(uint16_t((g.second * 4 + p.second) * w + g.first * 4 + p.first));
-    return grouped.emplace(key, std::move(v)).first->second;
+    for (int lw = 0; lw < 4; lw++)
+      for (int lh = 0; lh < 4; lh++)
+        for (int kind = 0; kind < 3; kind++) {
+          int w = 4 << lw, h = 4 << lh;
+          order(w >> 2, h >> 2, kind, cg);
+          order(4, 4, kind, inner);
+          auto& v = grouped[lw][lh][kind];
+          v.reserve(size_t(w) * h);
+          for (auto& g : cg)
+            for (auto& p : inner)
+              v.push_back(uint16_t((g.second * 4 + p.second) * w +
+                                   g.first * 4 + p.first));
+          auto& inv = groupedInv[lw][lh][kind];
+          inv.resize(v.size());
+          for (size_t i = 0; i < v.size(); i++) inv[v[i]] = uint16_t(i);
+          // cg table indexed by the GROUP grid size (1..8 per axis)
+          order(1 << lw, 1 << lh, kind, cg);
+          auto& cv = cgscan[lw][lh][kind];
+          cv.clear();
+          for (auto& g : cg) cv.push_back(uint16_t((g.second << 8) | g.first));
+        }
   }
-  // inverse grouped scan: raster blk -> scanpos
-  std::map<uint32_t, std::vector<uint16_t>> groupedInv;
-  const std::vector<uint16_t>& getGroupedInv(int w, int h, int kind) {
-    uint32_t key = (w << 16) | (h << 4) | kind;
-    auto it = groupedInv.find(key);
-    if (it != groupedInv.end()) return it->second;
-    const auto& fwd = getGrouped(w, h, kind);
-    std::vector<uint16_t> inv(fwd.size());
-    for (size_t i = 0; i < fwd.size(); i++) inv[fwd[i]] = uint16_t(i);
-    return groupedInv.emplace(key, std::move(inv)).first->second;
+  static int lg2(int v) { return 31 - __builtin_clz(unsigned(v)); }
+  const std::vector<uint16_t>& getGrouped(int w, int h, int kind) const {
+    return grouped[lg2(w) - 2][lg2(h) - 2][kind];
   }
-  const std::vector<uint16_t>& getCg(int wg, int hg, int kind) {
-    uint32_t key = (wg << 16) | (hg << 4) | kind;
-    auto it = cgscan.find(key);
-    if (it != cgscan.end()) return it->second;
-    std::vector<std::pair<int, int>> cg;
-    order(wg, hg, kind, cg);
-    std::vector<uint16_t> v;
-    for (auto& g : cg) v.push_back(uint16_t((g.second << 8) | g.first));
-    return cgscan.emplace(key, std::move(v)).first->second;
+  const std::vector<uint16_t>& getGroupedInv(int w, int h, int kind) const {
+    return groupedInv[lg2(w) - 2][lg2(h) - 2][kind];
+  }
+  const std::vector<uint16_t>& getCg(int wg, int hg, int kind) const {
+    return cgscan[lg2(wg)][lg2(hg)][kind];
   }
 };
-static ScanTables g_scans;
+static const ScanTables g_scans;
 
 static const int kCtxIndMap4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8};
 static const int kSigSetStart[2][4] = {{0, 9, 21, 27}, {0, 9, 12, 15}};
