@@ -7,11 +7,15 @@
 #include "encsearch.cpp"
 #include "rdoq.cpp"
 
+#include <atomic>
+#include <condition_variable>
 #include <deque>
 #include <cstdio>
 #include <cstdlib>
 #include <ctime>
 #include <map>
+#include <mutex>
+#include <thread>
 
 namespace hevc {
 
@@ -152,16 +156,144 @@ struct Decoder {
     clock_gettime(CLOCK_MONOTONIC, &ts);
     return ts.tv_sec + ts.tv_nsec * 1e-9;
   }
+
+  // ---- parse/recon picture pipeline -------------------------------------
+  // On multicore hosts the parse thread hands each finished picture to a
+  // worker pool; a picture's reconstruction starts as soon as the
+  // reconstructions of its reference pictures are done (reference frame:
+  // this is the "frame pipeline" slot of SURVEY §2.5 that HM leaves
+  // single-threaded).  Reference resolution (incl. the lost-ref
+  // closest-POC fabrication, TDecTop::xCreateLostPicture) is snapshotted
+  // on the parse thread with the exact DPB state serial recon would see.
+  struct ReconTask {
+    Picture* pic;
+    const SPS* sps;
+    const PPS* pps;
+    std::vector<std::pair<int, Picture*>> refs;  // poc -> picture snapshot
+    std::vector<Picture*> waits;                 // recon dependencies
+  };
+  std::deque<ReconTask> reconQ;
+  std::mutex pipeMu;
+  std::condition_variable pipeCv;
+  std::vector<std::thread> workers;
+  std::map<const Picture*, int> reconState;  // 1 = queued/running, 2 = done
+  bool pipeStop = false;
+  int pipeThreads = -1;  // -1 = undecided
+
+  int pipelineThreads() {
+    if (pipeThreads < 0) {
+      const char* env = getenv("HEVC_THREADS");
+      int want = env ? atoi(env) : int(std::thread::hardware_concurrency());
+      pipeThreads = want > 1 ? std::min(want, 8) : 0;
+    }
+    return pipeThreads;
+  }
+
+  void workerLoop() {
+    std::unique_lock<std::mutex> lk(pipeMu);
+    for (;;) {
+      pipeCv.wait(lk, [&] { return pipeStop || !reconQ.empty(); });
+      if (reconQ.empty()) {
+        if (pipeStop) return;
+        continue;
+      }
+      ReconTask t = std::move(reconQ.front());
+      reconQ.pop_front();
+      // FIFO pops mean every earlier picture is already running or done,
+      // so the earliest-unfinished picture always has its deps satisfied:
+      // waiting here cannot deadlock the pool.
+      pipeCv.wait(lk, [&] {
+        for (Picture* w : t.waits)
+          if (reconState[w] != 2) return false;
+        return true;
+      });
+      lk.unlock();
+      double t0 = now();
+      reconstructPicture(*t.pic, *t.sps, *t.pps, [&t](int poc) -> Picture* {
+        for (auto& pr : t.refs)
+          if (pr.first == poc) return pr.second;
+        return nullptr;
+      });
+      double dt = now() - t0;
+      lk.lock();
+      tRecon += dt;
+      reconState[t.pic] = 2;
+      pipeCv.notify_all();
+    }
+  }
+
+  void queueRecon(Picture* p, const SPS& sps, const PPS& pps) {
+    ReconTask t{p, &sps, &pps, {}, {}};
+    std::vector<int> pocs;
+    for (const PuMeta& pu : p->inter_list)
+      for (int l = 0; l < 2; l++) {
+        if (!(pu.dir & (1 << l))) continue;
+        int poc = pu.ref_poc[l];
+        bool seen = false;
+        for (int q : pocs) if (q == poc) { seen = true; break; }
+        if (!seen) pocs.push_back(poc);
+      }
+    for (int poc : pocs) {
+      Picture* rp = findDpbPoc(poc);
+      t.refs.push_back({poc, rp});
+      if (rp) t.waits.push_back(rp);
+    }
+    std::lock_guard<std::mutex> lk(pipeMu);
+    if (workers.empty()) {
+      int n = std::max(1, pipelineThreads() - 1);
+      for (int i = 0; i < n; i++)
+        workers.emplace_back([this] { workerLoop(); });
+    }
+    reconState[p] = 1;
+    reconQ.push_back(std::move(t));
+    pipeCv.notify_all();
+  }
+
+  void waitReconPic(const Picture* p) {
+    if (workers.empty()) return;
+    std::unique_lock<std::mutex> lk(pipeMu);
+    pipeCv.wait(lk, [&] {
+      auto it = reconState.find(p);
+      return it == reconState.end() || it->second == 2;
+    });
+  }
+
+  void drainRecon() {
+    if (workers.empty()) return;
+    std::unique_lock<std::mutex> lk(pipeMu);
+    pipeCv.wait(lk, [&] {
+      if (!reconQ.empty()) return false;
+      for (auto& kv : reconState)
+        if (kv.second != 2) return false;
+      return true;
+    });
+  }
+
+  ~Decoder() {
+    if (!workers.empty()) {
+      {
+        std::lock_guard<std::mutex> lk(pipeMu);
+        pipeStop = true;
+      }
+      pipeCv.notify_all();
+      for (auto& w : workers) w.join();
+    }
+  }
+
   void finishPicture() {
     if (!cur) return;
     if (reconEnabled) {
       Picture* p = cur.get();
       const SPS& sps = spsMap[p->sps_id];
       const PPS& pps = ppsMap[p->pps_id];
-      double t0 = now();
-      reconstructPicture(*p, sps, pps,
-                         [this](int poc) { return findDpbPoc(poc); });
-      tRecon += now() - t0;
+      if (pipelineThreads() > 1) {
+        queueRecon(p, sps, pps);
+      } else {
+        double t0 = now();
+        reconstructPicture(*p, sps, pps,
+                           [this](int poc) { return findDpbPoc(poc); });
+        tRecon += now() - t0;
+      }
     }
     // keep a raw pointer in the DPB list for TMVP / ref bookkeeping;
     // ownership moves to `done`, DPB holds non-owning copies via shared ptrs.
@@ -382,6 +514,7 @@ struct Decoder {
       }
     }
     finishPicture();
+    drainRecon();
     if (getenv("HEVCDEC_TIMING"))
       fprintf(stderr, "hevcdec timing: parse(+recon@finish) %.3fs recon %.3fs\n",
               tParse - tRecon, tRecon);
@@ -419,12 +552,17 @@ int hevcdec_feed(void* h, const uint8_t* ebsp, size_t n) {
 int hevcdec_flush(void* h) {
   auto* d = static_cast<hevc::Decoder*>(h);
   d->finishPicture();
+  d->drainRecon();
   return int(d->doneOrder.size());
 }
 
-// per-picture accessors (idx = decode order)
+// per-picture accessors (idx = decode order); block until the pipeline
+// has reconstructed that picture
 static hevc::Picture* P(void* h, int idx) {
-  return static_cast<hevc::Decoder*>(h)->doneOrder[idx];
+  auto* d = static_cast<hevc::Decoder*>(h);
+  hevc::Picture* p = d->doneOrder[idx];
+  d->waitReconPic(p);
+  return p;
 }
 
 void hevcdec_pic_info(void* h, int idx, int32_t* out) {

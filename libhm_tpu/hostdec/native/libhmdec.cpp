@@ -185,6 +185,7 @@ void verifyPendingHash(HmDecCtx* c) {
   if (!c->havePendingHash || c->dec.doneOrder.empty()) return;
   c->havePendingHash = false;
   hevc::Picture* p = c->dec.doneOrder.back();
+  c->dec.waitReconPic(p);  // pipeline: planes must be complete to hash
   const hevc::SPS& s = c->dec.spsMap[p->sps_id];
   bool ok = true;
   int ncomp = s.chroma_format_idc ? 3 : 1;
@@ -333,6 +334,9 @@ void* libHMDec_get_picture(void* h) {
   if (flush || notDisplayed > s.num_reorder_pics[sl] ||
       live >= s.max_dec_pic_buffering[sl] + 1) {
     minPic->needed_for_output = false;
+    // pipeline: the client reads this picture's planes directly via
+    // libHMDEC_get_image_plane — they must be reconstructed by now
+    d.waitReconPic(minPic);
     return minPic;
   }
   return nullptr;

@@ -1750,7 +1750,8 @@ struct ReconCtx {
     return ts.tv_sec + ts.tv_nsec * 1e-9;
   }
   void run() {
-    static double tRes = 0, tInter = 0, tIntra = 0, tDb = 0, tSao = 0;
+    static thread_local double tRes = 0, tInter = 0, tIntra = 0, tDb = 0,
+        tSao = 0;
     bool timing = getenv("HEVCDEC_TIMING") != nullptr;
     double t0 = now();
     buildGeometry();
