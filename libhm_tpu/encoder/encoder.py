@@ -664,6 +664,7 @@ class IntraEncoder:
         self._ts_flags = {}
         self._pad16_cache = {}
         self._refplane_cache = {}
+        self._wplane_cache = {}   # per-picture: WP weights change per slice
         qp_pic = getattr(self, "cur_qp", None)
         if qp_pic is None:
             qp_pic = cfg.qp
@@ -1607,11 +1608,35 @@ class IntraEncoder:
         H, W = plane.shape
         R = cfg.search_range
         lib = self._enc_native()
-        if lib is not None and not getattr(self, "cur_wp", None) and \
-                not getattr(self, "cur_wp_l1", None):
+        if lib is not None:
             # native TZ + HAD frac (encsearch.cpp), exact mirror of the
-            # Python fallback below; weighted-pred searches stay in Python
-            # (the frac HAD there costs the weighted prediction)
+            # Python fallback below.  Weighted prediction searches run on a
+            # pre-weighted reference plane (reference
+            # TComRdCostWeightPrediction xGetSADw weights the candidate
+            # block per pixel; weighting the plane once is the same affine
+            # map hoisted out of the search loop — interpolation is linear
+            # and the 8-tap kernels sum to 64, so the offset passes through
+            # the fractional stages unchanged up to rounding)
+            tab = self.cur_wp if l == 0 else getattr(self, "cur_wp_l1", None)
+            wp = tab[min(r, len(tab) - 1)] if tab else None
+            if wp is not None:
+                bd = cfg.bit_depth
+                cache = getattr(self, "_wplane_cache", None)
+                if cache is None:
+                    cache = self._wplane_cache = {}
+                key = (id(plane), l, r)
+                hit = cache.get(key)
+                if hit is not None and hit[0] is plane:
+                    plane = hit[1]
+                else:
+                    wgt, dn = wp["w"][0], wp["denom"]
+                    off = wp["o"][0] * (1 << (bd - 8))
+                    rnd = (1 << (dn - 1)) if dn > 0 else 0
+                    wpl = np.clip(((wgt * plane.astype(np.int64) + rnd)
+                                   >> dn) + off, 0, (1 << bd) - 1)
+                    wpl = wpl.astype(plane.dtype)
+                    cache[key] = (plane, wpl)
+                    plane = wpl
             padded = self._padded_i16(plane, R)
             o16 = np.ascontiguousarray(orig, np.int16)
             out = np.zeros(3, np.int64)
@@ -1787,7 +1812,11 @@ class IntraEncoder:
                 twon[2][0][1] == merge_2nx2n_ac[1]):
             cands.append((lambda d=[merge_2nx2n_ac]:
                           emit_inter(SIZE_2Nx2N, d), "merge2n_ac"))
-        if best_icost < 2 * best_part[0] + lam * 48:
+        # gate the (expensive) full intra RDO trial on SATD plausibility;
+        # the margin keeps the transform-cheap cases (where inter SATD is
+        # inflated by a DC offset) inside the trial set without paying the
+        # intra mode search on every clearly-inter CU
+        if best_icost < 1.25 * best_part[0] + lam * 24:
             cands.append((emit_intra, "intra"))
         best = None
         for emitfn, _key in cands:
@@ -3750,10 +3779,39 @@ class IntraEncoder:
             lev = resi.astype(np.int32)
             cbf = 1 if lev.any() else 0
             return lev, (lev if cbf else np.zeros_like(lev)), cbf
-        coef = forward_transform(resi, use_dst, bd)
         qp = self._qp_for_comp(comp)
         log2n = n.bit_length() - 1
         mat = self._scaling_matrix(log2n, comp, is_intra)
+        if mat is None and resi.shape[0] == n:
+            lib = self._enc_native()
+            if lib is not None:
+                # native whole-TU forward path (enc_tu_fwd, bit-identical
+                # mirror of the Python body below — tests/test_encsearch.py)
+                from .rdoq import _addr
+                cfg, bank = self.cfg, self.bank
+                ts_en = 1 if (getattr(cfg, "transform_skip", False) and
+                              n == 4) else 0
+                norm = 1 << (2 * (bd - 8))
+                r32 = np.ascontiguousarray(resi, np.int32)
+                lev = np.empty((n, n), np.int32)
+                rec = np.empty((n, n), np.int32)
+                flags = lib.enc_tu_fwd(
+                    r32.ctypes.data, n, 1 if use_dst else 0,
+                    1 if comp > 0 else 0, qp, bd, 1 if is_intra else 0,
+                    int(scan), 1 if cfg.rdoq else 0,
+                    float(self.rd_lambda / self.chroma_weight[comp]),
+                    1 if cfg.sign_hiding else 0, ts_en,
+                    float(self.rd_lambda / self.chroma_weight[comp] * norm),
+                    _addr(bank["sig"]), _addr(bank["sig_cg"]),
+                    _addr(bank["gt1"]), _addr(bank["gt2"]),
+                    _addr(bank["last_x"]), _addr(bank["last_y"]),
+                    lev.ctypes.data, rec.ctypes.data)
+                cbf = flags & 1
+                ts = (flags >> 1) - 1
+                if ts >= 0:
+                    self._ts_flags[id(lev)] = (lev, ts)
+                return lev, rec, cbf
+        coef = forward_transform(resi, use_dst, bd)
         if mat is not None:
             # fold the default scaling list into the forward quantiser
             # (reference xSetScalingListEnc quantCoef = scale*16/list);

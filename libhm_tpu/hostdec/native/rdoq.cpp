@@ -626,3 +626,279 @@ extern "C" void enc_rdoq(const int32_t* coef, int qp, int log2_size,
   hevc::rdoq::run(coef, qp, log2_size, bit_depth, comp, scan_type, sig,
                   sig_cg, gt1, gt2, last_x, last_y, lam, max_dyn_range, out);
 }
+
+// ===========================================================================
+// Whole-TU forward path: transform + (RDOQ | xQuant) + sign-data-hiding
+// fix-up + dequant + inverse transform (+ 4x4 transform-skip trial), the
+// native mirror of encoder.py _tu_fwd for the common configuration
+// (no lossless, no scaling lists, 15-bit dynamic range).  Reference chain:
+// TComTrQuant::transformNxN / xQuant / signBitHidingHDQ / invTransformNxN.
+namespace hevc {
+namespace tufwd {
+
+static const int kQuantScalesF[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+
+static inline int32_t clip16i(long long v) {
+  return v < -32768 ? -32768 : (v > 32767 ? 32767 : int32_t(v));
+}
+
+static void fwdTransform(const int32_t* resi, int n, bool useDst, int bd,
+                         int32_t* coef) {
+  int lg = 0;
+  while ((1 << lg) < n) lg++;
+  const int32_t* M = (useDst && n == 4) ? kT.dst4 : kT.dct[lg].data();
+  const int s1 = lg + bd - 9, s2 = lg + 6;
+  const long long r1 = 1LL << (s1 - 1), r2 = 1LL << (s2 - 1);
+  static thread_local int32_t tmp[32 * 32];
+  for (int k = 0; k < n; k++)
+    for (int c = 0; c < n; c++) {
+      long long acc = 0;
+      for (int j = 0; j < n; j++)
+        acc += (long long)M[k * n + j] * resi[j * n + c];
+      tmp[k * n + c] = clip16i((acc + r1) >> s1);
+    }
+  for (int k = 0; k < n; k++)
+    for (int r = 0; r < n; r++) {
+      long long acc = 0;
+      for (int j = 0; j < n; j++)
+        acc += (long long)tmp[k * n + j] * M[r * n + j];
+      coef[k * n + r] = clip16i((acc + r2) >> s2);
+    }
+}
+
+static void invTransform(const int32_t* coef, int n, bool useDst, int bd,
+                         int32_t* rec) {
+  int lg = 0;
+  while ((1 << lg) < n) lg++;
+  const int32_t* M = (useDst && n == 4) ? kT.dst4 : kT.dct[lg].data();
+  const int s1 = 7, s2 = 20 - bd;
+  const long long r1 = 1LL << (s1 - 1), r2 = 1LL << (s2 - 1);
+  static thread_local int32_t t1[32 * 32];
+  // stage 1: t1 = M^T @ coef
+  for (int i = 0; i < n; i++)
+    for (int c = 0; c < n; c++) {
+      long long acc = 0;
+      for (int j = 0; j < n; j++)
+        acc += (long long)M[j * n + i] * coef[j * n + c];
+      t1[i * n + c] = clip16i((acc + r1) >> s1);
+    }
+  // stage 2: rec = t1 @ M
+  for (int i = 0; i < n; i++)
+    for (int r = 0; r < n; r++) {
+      long long acc = 0;
+      for (int j = 0; j < n; j++)
+        acc += (long long)t1[i * n + j] * M[j * n + r];
+      rec[i * n + r] = clip16i((acc + r2) >> s2);
+    }
+}
+
+static void dequantFlat(const int32_t* lev, int n, int qp, int bd,
+                        int32_t* out) {
+  int lg = 0;
+  while ((1 << lg) < n) lg++;
+  const int per = qp / 6, rem = qp % 6;
+  const int tshift = 15 - bd - lg;
+  const long long tmin = -(1LL << 15), tmax = (1LL << 15) - 1;
+  const int scale = kInvQuantScales[rem];
+  const int right = 6 - (tshift + per);
+  const int targetBits = std::min(16, 32 + right - 7);
+  const long long lo = -(1LL << (targetBits - 1));
+  const long long hi = (1LL << (targetBits - 1)) - 1;
+  for (int i = 0; i < n * n; i++) {
+    long long c = lev[i];
+    c = c < lo ? lo : (c > hi ? hi : c);
+    long long q = right > 0 ? ((c * scale + (1LL << (right - 1))) >> right)
+                            : ((c * scale) << (-right));
+    out[i] = int32_t(q < tmin ? tmin : (q > tmax ? tmax : q));
+  }
+}
+
+static void quantPlain(const int32_t* coef, int n, int qp, int bd,
+                       bool isIntra, int32_t* lev) {
+  int lg = 0;
+  while ((1 << lg) < n) lg++;
+  const int per = qp / 6, rem = qp % 6;
+  const int tshift = 15 - bd - lg;
+  const int qbits = 14 + per + tshift;
+  const int scale = kQuantScalesF[rem];
+  const long long offset = (long long)(isIntra ? 171 : 85) << (qbits - 9);
+  for (int i = 0; i < n * n; i++) {
+    long long c = coef[i];
+    long long a = c < 0 ? -c : c;
+    long long l = (a * scale + offset) >> qbits;
+    if (l > 32767) l = 32767;
+    lev[i] = int32_t(c < 0 ? -l : l);
+  }
+}
+
+// parity fix-up for sign-data-hiding (residual_enc.apply_sign_hiding /
+// reference TComTrQuant::signBitHidingHDQ)
+static void sdhFix(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
+                   int scanType) {
+  int lg = 0;
+  while ((1 << lg) < n) lg++;
+  const int per = qp / 6, rem = qp % 6;
+  const int qbits = 14 + per + (15 - bd - lg);
+  const int scale = kQuantScalesF[rem];
+  const int wg = n >> 2;
+  int cgx[64], cgy[64], inx[16], iny[16];
+  rdoq::scanOrder(wg, wg, scanType, cgx, cgy);
+  rdoq::scanOrder(4, 4, scanType, inx, iny);
+  for (int g = 0; g < wg * wg; g++) {
+    int idxs[16];
+    for (int k = 0; k < 16; k++)
+      idxs[k] = (cgy[g] * 4 + iny[k]) * n + cgx[g] * 4 + inx[k];
+    int first = -1, last = -1;
+    long long absSum = 0;
+    for (int k = 0; k < 16; k++) {
+      int l = lev[idxs[k]];
+      if (l) {
+        if (first < 0) first = k;
+        last = k;
+        absSum += l < 0 ? -l : l;
+      }
+    }
+    if (first < 0 || last - first < 4 /* SBH_THRESHOLD */) continue;
+    bool wantNeg = lev[idxs[first]] < 0;
+    if ((absSum & 1) == (wantNeg ? 1 : 0)) continue;
+    long long bestCost = 0;
+    int bestBlk = -1, bestD = 0;
+    bool haveBest = false;
+    for (int j = 0; j < 16; j++) {
+      int blk = idxs[j];
+      int l = lev[blk];
+      if (l == 0) continue;
+      long long c = coef[blk];
+      long long ld = (c < 0 ? -c : c) * scale;
+      long long al = l < 0 ? -l : l;
+      for (int d = 1; d >= -1; d -= 2) {
+        long long na = al + d;
+        if (na <= 0) {
+          if (j == first || j == last) continue;
+          if (na < 0) continue;
+        }
+        long long errNow = ld - (al << qbits);
+        if (errNow < 0) errNow = -errNow;
+        long long errNew = ld - (na << qbits);
+        if (errNew < 0) errNew = -errNew;
+        long long cost = errNew - errNow;
+        if (!haveBest || cost < bestCost) {
+          haveBest = true;
+          bestCost = cost;
+          bestBlk = blk;
+          bestD = d;
+        }
+      }
+    }
+    if (!haveBest) continue;
+    lev[bestBlk] += lev[bestBlk] > 0 ? bestD : -bestD;
+  }
+}
+
+// _rough_level_bits: cheap residual bit proxy for the TS-vs-DCT trial
+static double roughLevelBits(const int32_t* lev, int n) {
+  double bits = 0.0;
+  int nnz = 0;
+  bool cg[64] = {false};
+  const int wg = n >> 2;
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) {
+      int a = lev[y * n + x];
+      if (a < 0) a = -a;
+      if (!a) continue;
+      nnz++;
+      cg[(y >> 2) * wg + (x >> 2)] = true;
+      bits += 2.0 * std::ceil(std::log2((double)a + 1.0));
+    }
+  if (!nnz) return 0.0;
+  int ncg = 0;
+  for (int i = 0; i < 64; i++) ncg += cg[i] ? 1 : 0;
+  return bits + 1.5 * nnz + 2.0 * ncg + 8.0;
+}
+
+static bool anyNz(const int32_t* v, int n2) {
+  for (int i = 0; i < n2; i++)
+    if (v[i]) return true;
+  return false;
+}
+
+}  // namespace tufwd
+}  // namespace hevc
+
+// Returns (cbf) | ((ts_flag + 1) << 1) where ts_flag is -1 when the block
+// carries no transform_skip decision.
+extern "C" int enc_tu_fwd(const int32_t* resi, int n, int use_dst, int comp,
+                          int qp, int bit_depth, int is_intra, int scan_type,
+                          int rdoq_on, double rdoq_lam, int sdh_on,
+                          int ts_enabled, double ts_lam,
+                          const int32_t* sig, const int32_t* sig_cg,
+                          const int32_t* gt1, const int32_t* gt2,
+                          const int32_t* last_x, const int32_t* last_y,
+                          int32_t* lev_out, int32_t* rec_out) {
+  using namespace hevc;
+  using namespace hevc::tufwd;
+  const int n2 = n * n;
+  int lg = 0;
+  while ((1 << lg) < n) lg++;
+  static thread_local int32_t coef[32 * 32], deq[32 * 32];
+
+  fwdTransform(resi, n, use_dst != 0, bit_depth, coef);
+  if (rdoq_on)
+    rdoq::run(coef, qp, lg, bit_depth, comp, scan_type, sig, sig_cg, gt1,
+              gt2, last_x, last_y, rdoq_lam, 15, lev_out);
+  else
+    quantPlain(coef, n, qp, bit_depth, is_intra != 0, lev_out);
+  if (sdh_on && anyNz(lev_out, n2)) sdhFix(lev_out, coef, n, qp, bit_depth,
+                                           scan_type);
+  int cbf = anyNz(lev_out, n2) ? 1 : 0;
+  if (cbf) {
+    dequantFlat(lev_out, n, qp, bit_depth, deq);
+    invTransform(deq, n, use_dst != 0, bit_depth, rec_out);
+  } else {
+    for (int i = 0; i < n2; i++) rec_out[i] = 0;
+  }
+  int tsFlag = -1;
+  if (ts_enabled && n == 4) {
+    const int tshift = 15 - bit_depth - lg;
+    static thread_local int32_t coefTs[16], levTs[16], recTs[16];
+    for (int i = 0; i < n2; i++)
+      coefTs[i] = tshift >= 0 ? (resi[i] << tshift) : (resi[i] >> -tshift);
+    if (rdoq_on)
+      rdoq::run(coefTs, qp, lg, bit_depth, comp, scan_type, sig, sig_cg,
+                gt1, gt2, last_x, last_y, rdoq_lam, 15, levTs);
+    else
+      quantPlain(coefTs, n, qp, bit_depth, is_intra != 0, levTs);
+    if (sdh_on && anyNz(levTs, n2)) sdhFix(levTs, coefTs, n, qp, bit_depth,
+                                           scan_type);
+    if (anyNz(levTs, n2)) {
+      dequantFlat(levTs, n, qp, bit_depth, deq);
+      for (int i = 0; i < n2; i++) {
+        long long c = deq[i];
+        long long r = tshift >= 0
+            ? ((c + (tshift == 0 ? 0 : (1LL << (tshift - 1)))) >> tshift)
+            : (c << -tshift);
+        recTs[i] = clip16i(r);
+      }
+    } else {
+      for (int i = 0; i < n2; i++) recTs[i] = 0;
+    }
+    double costD = 0, costT = 0;
+    for (int i = 0; i < n2; i++) {
+      double dd = (double)(resi[i] - rec_out[i]);
+      double dt = (double)(resi[i] - recTs[i]);
+      costD += dd * dd;
+      costT += dt * dt;
+    }
+    costD += ts_lam * roughLevelBits(lev_out, n);
+    costT += ts_lam * roughLevelBits(levTs, n);
+    tsFlag = costT < costD ? 1 : 0;
+    if (tsFlag) {
+      for (int i = 0; i < n2; i++) {
+        lev_out[i] = levTs[i];
+        rec_out[i] = recTs[i];
+      }
+      cbf = anyNz(lev_out, n2) ? 1 : 0;
+    }
+  }
+  return cbf | ((tsFlag + 1) << 1);
+}

@@ -56,6 +56,12 @@ def _load():
         C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
         C.c_void_p, C.c_double, C.c_int, C.c_void_p]
+    lib.enc_tu_fwd.restype = C.c_int
+    lib.enc_tu_fwd.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_int, C.c_int, C.c_double, C.c_int, C.c_int, C.c_double,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_void_p, C.c_void_p]
     _LIB = lib
     return lib
 
