@@ -3361,10 +3361,33 @@ class IntraEncoder:
             nb = self._est_ops_raw(mark)
         return nb / FRAC
 
-    def _select_intra_luma_mode(self, x, y, size, preds_mpm, all_preds):
+    def _intra_mode_rd_trial_bits(self, mode, preds_mpm):
+        """Record just the luma-mode signalling bins (MPM flag + index or
+        5-bit escape) into the live recorder, for trial pricing."""
+        enc, bank = self.enc, self.bank
+        if mode in preds_mpm:
+            idx = preds_mpm.index(mode)
+            enc.encode_bin(bank["intra_luma_mpm"], 0, 1)
+            if idx == 0:
+                enc.encode_bypass(0)
+            else:
+                enc.encode_bypass(1)
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(bank["intra_luma_mpm"], 0, 0)
+            rem = mode
+            for p in sorted(preds_mpm, reverse=True):
+                if rem > p:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+
+    def _select_intra_luma_mode(self, x, y, size, preds_mpm, all_preds,
+                                tree_min_tu=None):
         """Hadamard preselection + full-RD candidate pass (reference
         estIntraPredQT: 8 candidates for 4x4/8x8, 3 for larger, plus the
-        MPMs).  Returns the chosen mode."""
+        MPMs), optionally followed by a joint (mode, tree) RD pass over
+        the top candidates when the CU carries a multi-level RQT
+        (tree_min_tu set).  Returns the chosen mode."""
         from .rd_cost import satd
         from ..utils.envvar import FORCE_LUMA_MODE
         forced = FORCE_LUMA_MODE.get_int()
@@ -3385,10 +3408,29 @@ class IntraEncoder:
         for m in preds_mpm:
             if m not in cand:
                 cand.append(m)
-        best_mode, best_cost = cand[0], float("inf")
+        scored = []
         for m in cand:
             c = self._intra_mode_rd_trial(x, y, size, m, preds_mpm,
                                           all_preds[m])
+            scored.append((c, m))
+        scored.sort()
+        if tree_min_tu is None or len(scored) < 2:
+            return scored[0][1]
+        # stage 3: joint (mode, transform-tree) RD over the top unsplit-RD
+        # candidates — the reference's estIntraPredQT runs the full
+        # xRecurIntraCodingQT per candidate, so a mode that only wins with
+        # a split tree (or only wins unsplit) is ranked by its real cost
+        enc = self.enc
+        log2size = size.bit_length() - 1
+        best_mode, best_cost = None, float("inf")
+        for _, m in scored[:2]:
+            st = self._save_cu_state(x, y, size)
+            mark = len(enc.ops)
+            self._intra_mode_rd_trial_bits(m, preds_mpm)
+            self.cu_log2_for_tt = log2size
+            self._intra_tt_decide(x, y, log2size, 0, m, tree_min_tu)
+            c = self._luma_rd_cost(x, y, size, mark)
+            self._restore_cu_state(x, y, size, st)
             if c < best_cost:
                 best_cost, best_mode = c, m
         return best_mode
@@ -3644,10 +3686,14 @@ class IntraEncoder:
         pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
 
-        # whole-CU mode decision (shared mode for the tree)
+        # whole-CU mode decision (shared mode for the tree), ranked with
+        # the transform tree in the loop for the final candidates
         preds_mpm = self.sd._intra_mpm(x, y)
         all_preds = self._intra_all_preds(0, x, y, size)
-        mode = self._select_intra_luma_mode(x, y, size, preds_mpm, all_preds)
+        self.cu_log2_for_tt = log2size
+        mode = self._select_intra_luma_mode(
+            x, y, size, preds_mpm, all_preds,
+            tree_min_tu=self._intra_min_tu_log2(log2size))
         pic.set_rect(pic.intra_y, x, y, size, size, mode)
         pic.set_rect(pic.intra_c, x, y, size, size, mode)
         self._mark_edges(x, y, size)
