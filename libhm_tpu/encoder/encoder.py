@@ -2957,11 +2957,10 @@ class IntraEncoder:
         self._finish_cu_qp(x, y, size)
 
     def _intra_rqt_eligible(self, log2size):
-        """RD-try a one-level TU split below the CU (QuadtreeTUMaxDepthIntra
-        > 1; reference xRecurIntraCodingQT).  4:2:0 only this round."""
+        """RD-search the TU split tree below the CU (QuadtreeTUMaxDepthIntra
+        > 1; reference xRecurIntraCodingQT), any chroma format."""
         sps = self.sps
         return (sps.max_tr_hierarchy_intra > 0 and
-                sps.chroma_format_idc == 1 and
                 log2size - 1 >= sps.log2_min_tb and
                 log2size <= sps.log2_max_tb)
 
@@ -3607,53 +3606,98 @@ class IntraEncoder:
         return split
 
     def _intra_tt_chroma(self, node, mode):
-        """Compute chroma on the decided luma tree, z-order.  The chroma
-        TB lives at a leaf with luma >= 8x8, or at an 8x8 node that
-        splits into 4x4 lumas (children inherit; Rec. 7.3.8.8)."""
+        """Compute chroma on the decided luma tree, z-order, for any
+        chroma format.  420/422: the chroma TB lives at a leaf with luma
+        >= 8x8, or is held at an 8x8 node that splits into 4x4 lumas
+        (children inherit; Rec. 7.3.8.8); 4:2:2 codes two square sub-TUs
+        stacked vertically with the DM angle remapped.  4:4:4: chroma
+        follows every luma split (same-size TBs at every leaf)."""
+        from ..hostdec.slicedec import CHROMA422_ANGLE_MAP
+        sps = self.sps
+        idc = sps.chroma_format_idc
         l2 = node["l2"]
-        if node["split"] and l2 > 3:
+        if idc == 0:
+            node["cb"] = node["cr"] = [0, 0]
+            if node["split"]:
+                for k in node["kids"]:
+                    self._intra_tt_chroma(k, mode)
+            return
+        if node["split"] and (idc == 3 or l2 > 3):
             for k in node["kids"]:
                 self._intra_tt_chroma(k, mode)
-            node["cb_any"] = 1 if any(k["cb_any"] for k in node["kids"]) \
-                else 0
-            node["cr_any"] = 1 if any(k["cr_any"] for k in node["kids"]) \
-                else 0
+            for key in ("cb", "cr"):
+                v = 1 if any(any(k[key]) for k in node["kids"]) else 0
+                node[key] = [v, v]
             return
         x, y, bd = node["x"], node["y"], self.cfg.bit_depth
-        cn = 1 << (l2 - 1)
-        cx, cy = x >> 1, y >> 1
+        ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+        cn = 1 << (l2 - ssx)
+        n_sub = 2 if idc == 2 else 1
+        cx = x >> ssx
+        cy0 = y >> ssy
+        cmode = CHROMA422_ANGLE_MAP[mode] if idc == 2 else mode
         ch = {}
         for comp in (1, 2):
-            pred = self._intra_pred(comp, cx, cy, cn, mode)
-            res = (self.orig[comp][cy:cy + cn, cx:cx + cn] -
-                   pred).astype(np.int32)
-            cscan = self._mdcs_scan(cn, mode, comp)
-            clev, crec, ccbf = self._tu_fwd(res, False, comp, cscan, True)
-            self.recon[comp][cy:cy + cn, cx:cx + cn] = np.clip(
-                pred + crec, 0, (1 << bd) - 1)
-            ch[comp] = (clev, ccbf, cscan)
+            subs = []
+            for s in range(n_sub):
+                cy = cy0 + s * cn
+                pred = self._intra_pred(comp, cx, cy, cn, cmode)
+                res = (self.orig[comp][cy:cy + cn, cx:cx + cn] -
+                       pred).astype(np.int32)
+                cscan = self._mdcs_scan(cn, cmode, comp)
+                clev, crec, ccbf = self._tu_fwd(res, False, comp, cscan,
+                                                True)
+                self.recon[comp][cy:cy + cn, cx:cx + cn] = np.clip(
+                    pred + crec, 0, (1 << bd) - 1)
+                subs.append((clev, ccbf, cscan))
+            ch[comp] = subs
         node["chroma"] = ch
-        node["cb_any"], node["cr_any"] = ch[1][1], ch[2][1]
+        node["cb"] = [ch[1][0][1], ch[1][-1][1]]
+        node["cr"] = [ch[2][0][1], ch[2][-1][1]]
         if node["split"]:
-            # 4x4 luma children below an 8x8 chroma-holding node
+            # 4x4 luma children below an 8x8 chroma-holding node (420/422)
             for k in node["kids"]:
-                k["cb_any"] = k["cr_any"] = 0
+                k["cb"] = k["cr"] = [0, 0]
+
+    def _write_cbf_chroma(self, log2size, tr_depth, vals):
+        """Mirror of the decode-side _parse_cbf_chroma: one combined bin,
+        except 4:2:2 at the lowest level (or when the chroma block cannot
+        quad-split further) which codes both square sub-TU CBFs."""
+        enc, bank = self.enc, self.bank
+        ctx = 5 + tr_depth
+        if self.sps.chroma_format_idc != 2:
+            enc.encode_bin(bank["qt_cbf"], ctx, vals[0])
+            return
+        can_quad = (log2size - 1) >= 3
+        if vals[2] or not can_quad:     # vals[2] = lowest
+            enc.encode_bin(bank["qt_cbf"], ctx, vals[0])
+            enc.encode_bin(bank["qt_cbf"], ctx, vals[1])
+        else:
+            enc.encode_bin(bank["qt_cbf"], ctx, vals[0])
 
     def _intra_tt_emit(self, node, min_tu, parent_cb, parent_cr, blk_idx,
                        parent_chroma):
-        """Write one transform_tree node in decoder syntax order."""
+        """Write one transform_tree node in decoder syntax order (mirror
+        of slicedec._tt for an intra 2Nx2N CU, all chroma formats)."""
         enc, bank, sps = self.enc, self.bank, self.sps
+        idc = sps.chroma_format_idc
         l2, depth = node["l2"], node["depth"]
         subdiv = node["split"]
         if self._subdiv_coded(l2, min_tu):
             enc.encode_bin(bank["trans_subdiv"], 5 - l2, 1 if subdiv else 0)
-        cb, cr = parent_cb, parent_cr
-        if l2 > 2:
-            cb, cr = node["cb_any"], node["cr_any"]
-            if depth == 0 or parent_cb:
-                enc.encode_bin(bank["qt_cbf"], 5 + depth, cb)
-            if depth == 0 or parent_cr:
-                enc.encode_bin(bank["qt_cbf"], 5 + depth, cr)
+        cb, cr = list(parent_cb), list(parent_cr)
+        if idc != 0 and (l2 > 2 or idc == 3):
+            cb = node["cb"]
+            cr = node["cr"]
+            lowest = 0 if subdiv else 1
+            if depth == 0 or parent_cb[0] or parent_cb[1]:
+                self._write_cbf_chroma(l2, depth, (cb[0], cb[1], lowest))
+            else:
+                cb = [0, 0]
+            if depth == 0 or parent_cr[0] or parent_cr[1]:
+                self._write_cbf_chroma(l2, depth, (cr[0], cr[1], lowest))
+            else:
+                cr = [0, 0]
         if subdiv:
             held = node.get("chroma")   # 8x8 node holding the chroma TB
             for i, k in enumerate(node["kids"]):
@@ -3661,19 +3705,20 @@ class IntraEncoder:
             return
         cbf = node["cbf"]
         enc.encode_bin(bank["qt_cbf"], 1 if depth == 0 else 0, cbf)
-        self._maybe_write_dqp(cbf or cb or cr)
+        self._maybe_write_dqp(cbf or cb[0] or cb[1] or cr[0] or cr[1])
         if cbf:
             encode_residual(enc, bank, node["lev"], 0, node["scan"],
                             self.cfg.sign_hiding, ts=self._ts_of(node["lev"]))
-        ch = node.get("chroma") if l2 > 2 else \
-            (parent_chroma if blk_idx == 3 else None)
+        chroma_here = idc != 0 and (l2 - sps.chroma_shift_x()) >= 2
+        ch = node.get("chroma") if chroma_here else \
+            (parent_chroma if (idc != 0 and blk_idx == 3) else None)
         if ch:
             for comp in (1, 2):
-                clev, ccbf, cscan = ch[comp]
-                if ccbf:
-                    encode_residual(enc, bank, clev, comp, cscan,
-                                    self.cfg.sign_hiding,
-                                    ts=self._ts_of(clev))
+                for clev, ccbf, cscan in ch[comp]:
+                    if ccbf:
+                        encode_residual(enc, bank, clev, comp, cscan,
+                                        self.cfg.sign_hiding,
+                                        ts=self._ts_of(clev))
 
     def _encode_cu_intra_2nx2n_rqt(self, x, y, log2size):
         """Intra 2Nx2N with a full RD-searched transform tree
@@ -3727,7 +3772,7 @@ class IntraEncoder:
         tree = self._intra_tt_decide(x, y, log2size, 0, mode, min_tu)
         del enc.ops[mark:]            # luma-only trial syntax
         self._intra_tt_chroma(tree, c_real)
-        self._intra_tt_emit(tree, min_tu, 0, 0, 0, None)
+        self._intra_tt_emit(tree, min_tu, (0, 0), (0, 0), 0, None)
         self._finish_cu_qp(x, y, size)
 
     _CU_MAPS = ("depth", "pred_mode", "part_size", "skip", "intra_y",
