@@ -1880,17 +1880,11 @@ class IntraEncoder:
         use_merge = desc[0] == "merge"
         is422 = sps.chroma_format_idc == 2
         if log2size > sps.log2_max_tb:
-            if sps.chroma_format_idc == 1:
-                # 64x64 CU: root split forced; the tree search continues
-                # below it
-                return self._encode_inter_res_2nx2n_tree(x, y, log2size,
-                                                         desc, preds)
-            # 64x64 CU: the TU split is forced (subdiv inferred); no
-            # whole-CU transform exists
-            return self._encode_inter_2nx2n_forced_split(x, y, log2size,
-                                                         desc, preds)
+            # 64x64 CU: root split forced; the tree search continues
+            # below it (any chroma format)
+            return self._encode_inter_res_2nx2n_tree(x, y, log2size,
+                                                     desc, preds)
         if sps.max_tr_hierarchy_inter > 0 and \
-                sps.chroma_format_idc == 1 and \
                 log2size - 1 >= sps.log2_min_tb:
             return self._encode_inter_res_2nx2n_tree(x, y, log2size,
                                                      desc, preds)
@@ -1974,116 +1968,6 @@ class IntraEncoder:
                     0, (1 << bd) - 1)
         self._finish_cu_qp(x, y, size)
 
-    def _encode_inter_2nx2n_forced_split(self, x, y, log2size, desc, preds):
-        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
-            self.bank
-        size = 1 << log2size
-        use_merge = desc[0] == "merge"
-        kids, c_single, cac = self._inter_split_tus(x, y, log2size, preds)
-        if cac:
-            any_c = any(s[2] for k in kids for comp in (1, 2)
-                        for s in k["c"][comp])
-        else:
-            any_c = any(s[2] for comp in (1, 2) for s in c_single[comp])
-        any_cbf = any_c or any(k["cbf"] for k in kids)
-        pic.set_rect(pic.cbf_y, x, y, size, size,
-                     1 if any(k["cbf"] for k in kids) else 0)
-        is_skip = use_merge and not any_cbf
-        self._write_bypass_flag(x, y, size)
-        enc.encode_bin(bank["skip"], self._skip_ctx(x, y),
-                       1 if is_skip else 0)
-        pic.set_rect(pic.skip, x, y, size, size, 1 if is_skip else 0)
-        if is_skip:
-            self._write_merge_idx(desc[1])
-            for comp in range(self.ncomp):
-                ssx = sps.chroma_shift_x() if comp else 0
-                ssy = sps.chroma_shift_y() if comp else 0
-                nx, ny = size >> ssx, size >> ssy
-                self.recon[comp][y >> ssy:(y >> ssy) + ny,
-                                 x >> ssx:(x >> ssx) + nx] = preds[comp]
-            self._finish_cu_qp(x, y, size)
-            return
-        enc.encode_bin(bank["pred_mode"], 0, 0)
-        enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
-        from ..hostdec.picture import SIZE_2Nx2N
-        self._write_pu_syntax(desc, size, SIZE_2Nx2N)
-        if not use_merge:
-            enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
-        if any_cbf:
-            self._inter_emit_split(x, y, log2size, preds, kids, c_single,
-                                   cac)
-        else:
-            # no residual: reconstruction = prediction
-            for comp in range(self.ncomp):
-                ssx = sps.chroma_shift_x() if comp else 0
-                ssy = sps.chroma_shift_y() if comp else 0
-                nx, ny = size >> ssx, size >> ssy
-                self.recon[comp][y >> ssy:(y >> ssy) + ny,
-                                 x >> ssx:(x >> ssx) + nx] = preds[comp]
-            self._finish_cu_qp(x, y, size)
-
-    def _inter_split_tus(self, x, y, log2size, preds):
-        """Compute the one-level-split TU variant of a 2Nx2N inter CU:
-        (kids, c_single, chroma_at_children).  Chroma-format general:
-        kids[i]["c"][comp] is a LIST of square sub-TUs (two stacked for
-        4:2:2, reference TComTU sections; one otherwise)."""
-        from ..hostdec.tables import SCAN_DIAG
-        sps = self.sps
-        size = 1 << log2size
-        half = size >> 1
-        l2 = log2size - 1
-        children = ((0, 0), (half, 0), (0, half), (half, half))
-        orig_l = self.orig[0][y:y + size, x:x + size].astype(np.int32)
-        resi_l = orig_l - preds[0]
-        kids = []
-        for (dx, dy) in children:
-            lev, rec, cbf = self._tu_fwd(
-                resi_l[dy:dy + half, dx:dx + half], False, 0, SCAN_DIAG,
-                False)
-            kids.append({"lev": lev, "rec": rec, "cbf": cbf, "c": {}})
-        if sps.chroma_format_idc == 0:
-            # mono: no chroma TUs anywhere in the tree
-            c_single = {1: [(None, None, 0)], 2: [(None, None, 0)]}
-            return kids, c_single, False
-        ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
-        is422 = sps.chroma_format_idc == 2
-        n_sub = 2 if is422 else 1
-        chroma_at_children = (l2 - ssx) >= 2
-        c_single = None
-        if chroma_at_children:
-            cn = half >> ssx
-            for ci, (dx, dy) in enumerate(children):
-                for comp in (1, 2):
-                    subs = []
-                    for s in range(n_sub):
-                        cyp = ((y + dy) >> ssy) + s * cn
-                        cxp = (x + dx) >> ssx
-                        oc = self.orig[comp][cyp:cyp + cn,
-                                             cxp:cxp + cn].astype(np.int32)
-                        pc = preds[comp][
-                            (dy >> ssy) + s * cn:(dy >> ssy) + (s + 1) * cn,
-                            dx >> ssx:(dx >> ssx) + cn]
-                        lev, rec, cbf = self._tu_fwd(oc - pc, False, comp,
-                                                     SCAN_DIAG, False)
-                        subs.append((lev, rec, cbf))
-                    kids[ci]["c"][comp] = subs
-        else:
-            cn = size >> ssx
-            c_single = {}
-            for comp in (1, 2):
-                subs = []
-                for s in range(n_sub):
-                    cyp = (y >> ssy) + s * cn
-                    cxp = x >> ssx
-                    oc = self.orig[comp][cyp:cyp + cn,
-                                         cxp:cxp + cn].astype(np.int32)
-                    pc = preds[comp][s * cn:(s + 1) * cn, :]
-                    lev, rec, cbf = self._tu_fwd(oc - pc, False, comp,
-                                                 SCAN_DIAG, False)
-                    subs.append((lev, rec, cbf))
-                c_single[comp] = subs
-        return kids, c_single, chroma_at_children
-
     def _encode_inter_res_2nx2n_tree(self, x, y, log2size, desc, preds):
         """2Nx2N inter with an RD-searched transform tree (the skip
         decision rides on the tree's total cbf)."""
@@ -2100,8 +1984,8 @@ class IntraEncoder:
                                      0, 0)
         del enc.ops[mark:]          # luma-only trial syntax
         self._inter_tt_chroma(tree, preds, x, y)
-        any_cbf = bool(self._inter_tt_any_luma(tree) or tree["cb_any"] or
-                       tree["cr_any"])
+        any_cbf = bool(self._inter_tt_any_luma(tree) or any(tree["cb"]) or
+                       any(tree["cr"]))
         is_skip = use_merge and not any_cbf
         self._write_bypass_flag(x, y, size)
         enc.encode_bin(bank["skip"], self._skip_ctx(x, y),
@@ -2130,7 +2014,8 @@ class IntraEncoder:
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
         if any_cbf:
-            self._inter_tt_emit(tree, min_tu, 0, 0, 0, None, preds, x, y)
+            self._inter_tt_emit(tree, min_tu, (0, 0), (0, 0), 0, None,
+                                preds, x, y)
         else:
             pred_recon()
         self._finish_cu_qp(x, y, size)
@@ -2207,33 +2092,50 @@ class IntraEncoder:
 
     def _inter_tt_chroma(self, node, preds, cu_x, cu_y):
         """Chroma TUs on the decided inter luma tree (Rec. 7.3.8.8
-        placement rules, as in the intra tree)."""
+        placement rules, as in the intra tree), any chroma format."""
         from ..hostdec.tables import SCAN_DIAG
+        sps = self.sps
+        idc = sps.chroma_format_idc
         l2 = node["l2"]
-        if node["split"] and l2 > 3:
+        if idc == 0:
+            node["cb"] = node["cr"] = [0, 0]
+            if node["split"]:
+                for k in node["kids"]:
+                    self._inter_tt_chroma(k, preds, cu_x, cu_y)
+            return
+        if node["split"] and (idc == 3 or l2 > 3):
             for k in node["kids"]:
                 self._inter_tt_chroma(k, preds, cu_x, cu_y)
-            node["cb_any"] = 1 if any(k["cb_any"] for k in node["kids"]) \
-                else 0
-            node["cr_any"] = 1 if any(k["cr_any"] for k in node["kids"]) \
-                else 0
+            for key in ("cb", "cr"):
+                v = 1 if any(any(k[key]) for k in node["kids"]) else 0
+                node[key] = [v, v]
             return
         x, y = node["x"], node["y"]
-        cn = 1 << (l2 - 1)
-        cx, cy = x >> 1, y >> 1
+        ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+        cn = 1 << (l2 - ssx)
+        n_sub = 2 if idc == 2 else 1
+        cx = x >> ssx
+        cy0 = y >> ssy
+        px0 = (x - cu_x) >> ssx
+        py0 = (y - cu_y) >> ssy
         ch = {}
         for comp in (1, 2):
-            oc = self.orig[comp][cy:cy + cn, cx:cx + cn].astype(np.int32)
-            pc = preds[comp][(y - cu_y) >> 1:((y - cu_y) >> 1) + cn,
-                             (x - cu_x) >> 1:((x - cu_x) >> 1) + cn]
-            clev, crec, ccbf = self._tu_fwd(oc - pc, False, comp,
-                                            SCAN_DIAG, False)
-            ch[comp] = (clev, crec, ccbf, pc)
+            subs = []
+            for s in range(n_sub):
+                cy = cy0 + s * cn
+                oc = self.orig[comp][cy:cy + cn, cx:cx + cn].astype(np.int32)
+                pc = preds[comp][py0 + s * cn:py0 + (s + 1) * cn,
+                                 px0:px0 + cn]
+                clev, crec, ccbf = self._tu_fwd(oc - pc, False, comp,
+                                                SCAN_DIAG, False)
+                subs.append((clev, crec, ccbf, pc))
+            ch[comp] = subs
         node["chroma"] = ch
-        node["cb_any"], node["cr_any"] = ch[1][2], ch[2][2]
+        node["cb"] = [ch[1][0][2], ch[1][-1][2]]
+        node["cr"] = [ch[2][0][2], ch[2][-1][2]]
         if node["split"]:
             for k in node["kids"]:
-                k["cb_any"] = k["cr_any"] = 0
+                k["cb"] = k["cr"] = [0, 0]
 
     def _inter_tt_any_luma(self, node):
         if node["split"]:
@@ -2247,18 +2149,25 @@ class IntraEncoder:
         from ..hostdec.tables import SCAN_DIAG
         from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
         enc, bank, sps, pic = self.enc, self.bank, self.sps, self.pic
+        idc = sps.chroma_format_idc
         l2, depth = node["l2"], node["depth"]
         subdiv = node["split"]
         bd = self.cfg.bit_depth
         if self._subdiv_coded(l2, min_tu):
             enc.encode_bin(bank["trans_subdiv"], 5 - l2, 1 if subdiv else 0)
-        cb, cr = parent_cb, parent_cr
-        if l2 > 2:
-            cb, cr = node["cb_any"], node["cr_any"]
-            if depth == 0 or parent_cb:
-                enc.encode_bin(bank["qt_cbf"], 5 + depth, cb)
-            if depth == 0 or parent_cr:
-                enc.encode_bin(bank["qt_cbf"], 5 + depth, cr)
+        cb, cr = list(parent_cb), list(parent_cr)
+        if idc != 0 and (l2 > 2 or idc == 3):
+            cb = node["cb"]
+            cr = node["cr"]
+            lowest = 0 if subdiv else 1
+            if depth == 0 or parent_cb[0] or parent_cb[1]:
+                self._write_cbf_chroma(l2, depth, (cb[0], cb[1], lowest))
+            else:
+                cb = [0, 0]
+            if depth == 0 or parent_cr[0] or parent_cr[1]:
+                self._write_cbf_chroma(l2, depth, (cr[0], cr[1], lowest))
+            else:
+                cr = [0, 0]
         if subdiv:
             held = node.get("chroma")
             for i, k in enumerate(node["kids"]):
@@ -2270,9 +2179,9 @@ class IntraEncoder:
         x, y = node["x"], node["y"]
         size = 1 << l2
         cbf = node["cbf"]
-        if depth > 0 or cb or cr:
+        if depth > 0 or cb[0] or cb[1] or cr[0] or cr[1]:
             enc.encode_bin(bank["qt_cbf"], 1 if depth == 0 else 0, cbf)
-        self._maybe_write_dqp(cbf or cb or cr)
+        self._maybe_write_dqp(cbf or cb[0] or cb[1] or cr[0] or cr[1])
         if cbf:
             encode_residual(enc, bank, node["lev"], 0, SCAN_DIAG,
                             self.cfg.sign_hiding, ts=self._ts_of(node["lev"]))
@@ -2284,138 +2193,31 @@ class IntraEncoder:
         ef = pic.edge_flags
         ef[y >> 2:(y + size) >> 2, x >> 2] |= EDGE_TU_LEFT
         ef[y >> 2, x >> 2:(x + size) >> 2] |= EDGE_TU_TOP
-        ch = node.get("chroma") if l2 > 2 else \
-            (parent_chroma if blk_idx == 3 else None)
+        chroma_here = idc != 0 and (l2 - sps.chroma_shift_x()) >= 2
+        ch = node.get("chroma") if chroma_here else \
+            (parent_chroma if (idc != 0 and blk_idx == 3) else None)
         if ch:
             for comp in (1, 2):
-                clev, crec, ccbf, pc = ch[comp]
-                gate = cb if comp == 1 else cr
-                if l2 <= 2:
-                    # chroma held at the 8x8 parent: its own cbf values
-                    gate = ccbf
-                if gate and ccbf:
-                    encode_residual(enc, bank, clev, comp, SCAN_DIAG,
-                                    self.cfg.sign_hiding,
-                                    ts=self._ts_of(clev))
-            if l2 > 2:
+                for clev, crec, ccbf, pc in ch[comp]:
+                    if ccbf:
+                        encode_residual(enc, bank, clev, comp, SCAN_DIAG,
+                                        self.cfg.sign_hiding,
+                                        ts=self._ts_of(clev))
+            if chroma_here:
                 self._inter_tt_chroma_recon(node, ch, bd)
 
     def _inter_tt_chroma_recon(self, node, ch, bd):
-        cn = 1 << (node["l2"] - 1)
-        cx, cy = node["x"] >> 1, node["y"] >> 1
+        sps = self.sps
+        ssx, ssy = sps.chroma_shift_x(), sps.chroma_shift_y()
+        cn = 1 << (node["l2"] - ssx)
+        cx = node["x"] >> ssx
+        cy0 = node["y"] >> ssy
         for comp in (1, 2):
-            clev, crec, ccbf, pc = ch[comp]
-            self.recon[comp][cy:cy + cn, cx:cx + cn] = np.clip(
-                pc + (crec if ccbf else 0), 0, (1 << bd) - 1)
+            for s, (clev, crec, ccbf, pc) in enumerate(ch[comp]):
+                cy = cy0 + s * cn
+                self.recon[comp][cy:cy + cn, cx:cx + cn] = np.clip(
+                    pc + (crec if ccbf else 0), 0, (1 << bd) - 1)
 
-    def _inter_emit_split(self, x, y, log2size, preds, kids, c_single,
-                          chroma_at_children):
-        """Emit the one-level-split TT of a 2Nx2N inter CU (syntax after
-        rqt_root_cbf) + reconstruction.  For 64x64 CUs the split is
-        forced and the subdiv flag is inferred.  Chroma-format general:
-        the root codes ONE chroma bin per component (the 4:2:2 combined
-        bin, mirroring _parse_cbf_chroma at a non-lowest level); each
-        leaf codes the per-sub-TU bins."""
-        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
-            self.bank
-        from ..hostdec.tables import SCAN_DIAG
-        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
-        size = 1 << log2size
-        half = size >> 1
-        l2 = log2size - 1
-        bd = cfg.bit_depth
-        children = ((0, 0), (half, 0), (0, half), (half, half))
-        min_tu = self._tt_min_tu(log2size, False)
-        self._maybe_write_subdiv(log2size, 1, min_tu=min_tu)
-        has_c = sps.chroma_format_idc != 0
-        ssx = sps.chroma_shift_x() if has_c else 0
-        ssy = sps.chroma_shift_y() if has_c else 0
-        if chroma_at_children:
-            root_cb = 1 if any(s[2] for k in kids for s in k["c"][1]) else 0
-            root_cr = 1 if any(s[2] for k in kids for s in k["c"][2]) else 0
-        elif has_c:
-            root_cb = 1 if any(s[2] for s in c_single[1]) else 0
-            root_cr = 1 if any(s[2] for s in c_single[2]) else 0
-        else:
-            root_cb = root_cr = 0
-        if has_c:
-            enc.encode_bin(bank["qt_cbf"], 5, root_cb)
-            enc.encode_bin(bank["qt_cbf"], 5, root_cr)
-        ef = pic.edge_flags
-        for j, ((dx, dy), k) in enumerate(zip(children, kids)):
-            lx, ly = x + dx, y + dy
-            if l2 != sps.log2_min_tb and l2 != min_tu and \
-                    l2 <= sps.log2_max_tb:
-                enc.encode_bin(bank["trans_subdiv"], 5 - l2, 0)
-            if chroma_at_children:
-                for comp, root in ((1, root_cb), (2, root_cr)):
-                    if root:
-                        for (_, _, scbf) in k["c"][comp]:
-                            enc.encode_bin(bank["qt_cbf"], 6, scbf)
-            enc.encode_bin(bank["qt_cbf"], 0, k["cbf"])
-            if chroma_at_children:
-                any_here = k["cbf"] or \
-                    (root_cb and any(s[2] for s in k["c"][1])) or \
-                    (root_cr and any(s[2] for s in k["c"][2]))
-            else:
-                any_here = k["cbf"] or root_cb or root_cr
-            self._maybe_write_dqp(any_here)
-            if k["cbf"]:
-                encode_residual(enc, bank, k["lev"], 0, SCAN_DIAG,
-                                self.cfg.sign_hiding, ts=self._ts_of(k["lev"]))
-            if chroma_at_children:
-                for comp, root in ((1, root_cb), (2, root_cr)):
-                    if not root:
-                        continue
-                    for (clev, _, scbf) in k["c"][comp]:
-                        if scbf:
-                            encode_residual(enc, bank, clev, comp,
-                                            SCAN_DIAG, self.cfg.sign_hiding,
-                                            ts=self._ts_of(clev))
-            elif j == 3 and has_c:
-                for comp, root in ((1, root_cb), (2, root_cr)):
-                    if not root:
-                        continue
-                    for (clev, _, scbf) in c_single[comp]:
-                        if scbf:
-                            encode_residual(enc, bank, clev, comp,
-                                            SCAN_DIAG, self.cfg.sign_hiding,
-                                            ts=self._ts_of(clev))
-            # recon + maps
-            rec_r = k["rec"] if k["cbf"] else 0
-            self.recon[0][ly:ly + half, lx:lx + half] = np.clip(
-                preds[0][dy:dy + half, dx:dx + half] + rec_r, 0,
-                (1 << bd) - 1)
-            pic.set_rect(pic.cbf_y, lx, ly, half, half, k["cbf"])
-            ef[ly >> 2:(ly + half) >> 2, lx >> 2] |= EDGE_TU_LEFT
-            ef[ly >> 2, lx >> 2:(lx + half) >> 2] |= EDGE_TU_TOP
-        # chroma recon
-        if chroma_at_children:
-            cn = half >> ssx
-            for (dx, dy), k in zip(children, kids):
-                for comp, root in ((1, root_cb), (2, root_cr)):
-                    for s, (clev, crec, scbf) in enumerate(k["c"][comp]):
-                        cyp = ((y + dy) >> ssy) + s * cn
-                        cxp = (x + dx) >> ssx
-                        pc = preds[comp][
-                            (dy >> ssy) + s * cn:(dy >> ssy) + (s + 1) * cn,
-                            dx >> ssx:(dx >> ssx) + cn]
-                        rec_r = crec if (root and scbf) else 0
-                        self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = \
-                            np.clip(pc + rec_r, 0, (1 << bd) - 1)
-        elif has_c:
-            cn = size >> ssx
-            for comp, root in ((1, root_cb), (2, root_cr)):
-                for s, (clev, crec, scbf) in enumerate(c_single[comp]):
-                    cyp = (y >> ssy) + s * cn
-                    cxp = x >> ssx
-                    pc = preds[comp][s * cn:(s + 1) * cn, :]
-                    rec_r = crec if (root and scbf) else 0
-                    self.recon[comp][cyp:cyp + cn, cxp:cxp + cn] = np.clip(
-                        pc + rec_r, 0, (1 << bd) - 1)
-        self._finish_cu_qp(x, y, size)
-
-    # ------------------------------------------------------------------
     def _write_inter_part_size(self, part, log2size):
         """part_mode bins for an inter CU (mirror of the decoder's
         _parse_inter_part_size incl. the AMP refinement bins)."""

@@ -20,19 +20,16 @@ HM_DEC = os.path.join(ROOT, ".refbuild", "TAppDecoder")
 CFG = "/root/reference/cfg/encoder_intra_main_rext.cfg"
 
 
-@pytest.mark.skipif(not os.path.exists(HM_DEC),
-                    reason="reference decoder binary not built")
-@pytest.mark.parametrize("idc", ["400", "422", "444"])
-def test_rext_intra_rqt_hm_verifies(idc, tmp_path):
+def _roundtrip(idc, cfg, nframes, tmp_path):
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from gen_golden import synth_yuv
     src = str(tmp_path / "src.yuv")
-    synth_yuv(src, 96, 80, 2, 8, "420" if idc == "400" else idc)
+    synth_yuv(src, 96, 80, nframes, 8, "420" if idc == "400" else idc)
     out = str(tmp_path / "out.bin")
     r = subprocess.run(
-        [sys.executable, "-m", "libhm_tpu.apps.enc_app", "-c", CFG,
+        [sys.executable, "-m", "libhm_tpu.apps.enc_app", "-c", cfg,
          "-i", src, "-b", out, "-o", "/dev/null", "-wdt", "96",
-         "-hgt", "80", "-f", "2", "-q", "30", "-fr", "30",
+         "-hgt", "80", "-f", str(nframes), "-q", "30", "-fr", "30",
          f"--ChromaFormatIDC={idc}", "--InputBitDepth=8"],
         cwd=ROOT, capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-2000:]
@@ -47,3 +44,19 @@ def test_rext_intra_rqt_hm_verifies(idc, tmp_path):
     ours = np.concatenate([np.ascontiguousarray(p).astype(np.uint16).ravel()
                            for pic in outs for p in pic])
     assert np.array_equal(hm, ours)
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC),
+                    reason="reference decoder binary not built")
+@pytest.mark.parametrize("idc", ["400", "422", "444"])
+def test_rext_intra_rqt_hm_verifies(idc, tmp_path):
+    _roundtrip(idc, CFG, 2, tmp_path)
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC),
+                    reason="reference decoder binary not built")
+@pytest.mark.parametrize("idc", ["400", "422", "444"])
+def test_rext_inter_rqt_hm_verifies(idc, tmp_path):
+    """Multi-level INTER RQT (xEstimateInterResidualQT) for RExt formats."""
+    _roundtrip(idc, "/root/reference/cfg/encoder_lowdelay_main_rext.cfg",
+               5, tmp_path)
