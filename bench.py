@@ -102,6 +102,24 @@ def bench_hm(runs=5):
     return n / statistics.median(times)
 
 
+def _device_reachable(timeout_s=90):
+    """Probe jax device init in a subprocess with a hard timeout: a dead
+    TPU tunnel HANGS client init (it does not raise), which would
+    otherwise hang the whole bench."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s, cwd=ROOT)
+        ok = r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("device probe failed/hung; skipping the TPU pipeline",
+              file=sys.stderr)
+    return ok
+
+
 def main():
     ours, ours_best = bench_ours()
     hm = bench_hm()
@@ -110,7 +128,7 @@ def main():
           f"full native median {ours:.2f} (best {ours_best:.2f}) fps; "
           f"HM median {hm or 0:.2f} fps", file=sys.stderr)
     tpu = None
-    if not os.environ.get("BENCH_SKIP_TPU"):
+    if not os.environ.get("BENCH_SKIP_TPU") and _device_reachable():
         try:
             tpu, tpu_best = bench_ours(recon="tpu", runs=2)
             print(f"recon=tpu pipeline: median {tpu:.2f} fps (bit-exact; "

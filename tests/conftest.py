@@ -20,3 +20,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the TPU-backend sweep compiles many
+# programs; caching them on disk makes the subprocess-isolated groups in
+# test_recon_tpu (and repeated CI runs) cheap after the first pass.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_libhm")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
