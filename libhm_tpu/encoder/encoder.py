@@ -1506,6 +1506,8 @@ class IntraEncoder:
         clist = self.motion.merge_candidate_list(px, py, w, h, cx, cy,
                                                  cu_size, pu_idx, part_size)
         best_ac = None
+        self._pu_merge_cands = []  # all valid (deduped) merge candidates
+        seen_motion = set()
         for mi in range(self.cfg.max_merge_cand):
             cand = clist[mi]
             dir_ = cand.inter_dir
@@ -1515,6 +1517,12 @@ class IntraEncoder:
                 dir_ = 1
             if not dir_:
                 continue
+            mkey = (dir_,) + tuple(
+                (tuple(cand.mv[l]), cand.ref_idx[l])
+                for l in range(2) if dir_ & (l + 1))
+            if mkey not in seen_motion:
+                seen_motion.add(mkey)
+                self._pu_merge_cands.append(("merge", mi, cand, dir_))
             pred = self._pred_from_cand(0, px, py, w, h, dir_, cand.mv,
                                         cand.ref_idx)
             cost = (satd(pred, orig) >> dshift) + lam_m * (mi + 2)
@@ -1699,8 +1707,7 @@ class IntraEncoder:
                                                SIZE_nLx2N, SIZE_nRx2N)
                 parts += [SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N, SIZE_nRx2N]
         best_part = None
-        merge_2nx2n = None
-        merge_2nx2n_ac = None
+        merge_2nx2n_all = []
         part_trials = []
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)
         pic.set_rect(pic.skip, x, y, size, size, 0)
@@ -1717,8 +1724,7 @@ class IntraEncoder:
                 self._apply_pu(desc, x + dx, y + dy, w, h, x, y, size,
                                pu_idx, part)
             if part == SIZE_2Nx2N:
-                merge_2nx2n = self._pu_best_merge
-                merge_2nx2n_ac = self._pu_best_merge_ac
+                merge_2nx2n_all = self._pu_merge_cands
             self._restore_motion(x, y, size, snap)
             part_trials.append((total, part, descs))
             if best_part is None or total < best_part[0]:
@@ -1803,15 +1809,16 @@ class IntraEncoder:
             t2n = next(t for t in part_trials if t[1] == SIZE_2Nx2N)
             cands.append((lambda d=t2n[2]: emit_inter(SIZE_2Nx2N, d),
                           SIZE_2Nx2N))
+        # every (deduped) 2Nx2N merge candidate gets a full-RD trial, each
+        # skip-vs-residual arbitrated inside _inter_2nx2n_rd (reference
+        # TEncCu::xCheckRDCostMerge2Nx2N codes EVERY merge index both ways;
+        # SATD preselection ranks transform-cheap residuals backwards)
         twon = next(t for t in part_trials if t[1] == SIZE_2Nx2N)
-        if merge_2nx2n is not None and twon[2][0][0] != "merge":
-            cands.append((lambda d=[merge_2nx2n]:
-                          emit_inter(SIZE_2Nx2N, d), "merge2n"))
-        if merge_2nx2n_ac is not None and not (
-                twon[2][0][0] == "merge" and
-                twon[2][0][1] == merge_2nx2n_ac[1]):
-            cands.append((lambda d=[merge_2nx2n_ac]:
-                          emit_inter(SIZE_2Nx2N, d), "merge2n_ac"))
+        for mdesc in merge_2nx2n_all:
+            if twon[2][0][0] == "merge" and twon[2][0][1] == mdesc[1]:
+                continue  # already covered by the 2Nx2N partition trial
+            cands.append((lambda d=[mdesc]:
+                          emit_inter(SIZE_2Nx2N, d), ("merge2n", mdesc[1])))
         # gate the (expensive) full intra RDO trial on SATD plausibility;
         # the generous margin keeps the transform-cheap cases (where inter
         # SATD is inflated by a DC offset) inside the trial set — measured
