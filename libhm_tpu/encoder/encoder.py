@@ -10,6 +10,8 @@ this framework's decoder and the HM reference binary verify it bit-exact.
 The heavy parts (mode search SAD, forward transforms) are numpy here and
 move onto the TPU ops as the encoder widens (see libhm_tpu/ops/transform).
 """
+import os
+
 import numpy as np
 
 from ..hostdec import refimpl
@@ -1800,7 +1802,8 @@ class IntraEncoder:
         # preselects: top-2 partitions + 2Nx2N ME + best 2Nx2N merge +
         # gated intra.
         cands = []  # (emit_callable, dedup_key)
-        ranked = sorted(part_trials, key=lambda t: t[0])[:2]
+        nfull = int(os.environ.get("HEVC_RD_PARTS", "0")) or len(part_trials)
+        ranked = sorted(part_trials, key=lambda t: t[0])[:nfull]
         have = set()
         for _, part, descs in ranked:
             cands.append((lambda p=part, d=descs: emit_inter(p, d), part))
