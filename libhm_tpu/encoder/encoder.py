@@ -18,7 +18,8 @@ from ..hostdec import refimpl
 from ..hostdec import params as hls
 from ..hostdec.picture import PicSyntax, MODE_INTRA
 from ..hostdec.slicedec import SliceDecoder
-from ..hostdec.tables import make_context_bank, CHROMA_QP_SCALE
+from ..hostdec.tables import (make_context_bank, CHROMA_QP_SCALE,
+                              NEXT_STATE_MPS, NEXT_STATE_LPS)
 from .cabac_enc import BitWriter, CabacEncoder
 from .hls_writer import (write_vps, write_sps, write_pps, write_slice_header,
                          hash_sei_md5, nal_unit)
@@ -111,7 +112,20 @@ class _RecordingCabac:
     bitstream pass can interleave SAO syntax (the HM compressSlice /
     encodeSlice two-pass split). Decisions never read CABAC state, so
     replaying (context-array, index, value) tuples through a fresh engine
-    is exact."""
+    is exact.
+
+    Trial-coder semantics (reference TEncBinCABACCounter + the per-depth
+    RD SBAC coders, TEncTop m_pppcRDSbacCoder): recording a context bin
+    ADAPTS the shared context state immediately, so every later rate
+    estimate — including RDOQ's estBits view of the live bank — prices
+    bins at the probabilities the real coder will actually have.  Each
+    op carries its pre-adaptation state, which makes rejection exact:
+    truncate() walks the discarded ops backwards restoring the states,
+    and reinstate() re-advances them when a saved trial is accepted.
+    Without this, every estimate prices at the slice-init state and RDOQ
+    systematically over-kills coefficients in large CUs (the contexts
+    have long since adapted toward "significant"), which shows up as
+    intra over-splitting and a real BD-rate gap vs the reference."""
 
     def __init__(self):
         self.ops = []
@@ -121,7 +135,33 @@ class _RecordingCabac:
         self.marks.append(len(self.ops))
 
     def encode_bin(self, ctx, idx, v):
-        self.ops.append(("b", ctx, idx, v))
+        state = int(ctx[idx])
+        ctx[idx] = NEXT_STATE_MPS[state] if v == (state & 1) \
+            else NEXT_STATE_LPS[state]
+        self.ops.append(("b", ctx, idx, v, state))
+
+    def truncate(self, lo):
+        """Discard ops[lo:], rolling the context states back to where
+        they were before those ops were recorded."""
+        ops = self.ops
+        for i in range(len(ops) - 1, lo - 1, -1):
+            op = ops[i]
+            if op[0] == "b":
+                op[1][op[2]] = op[4]
+        del ops[lo:]
+
+    def reinstate(self, saved):
+        """Re-append previously recorded (then truncated) ops, advancing
+        the context states through them again.  The caller guarantees
+        the bank is in the same state it was when `saved` was first
+        recorded, so the carried pre-states stay valid."""
+        for op in saved:
+            if op[0] == "b":
+                ctx, idx, v = op[1], op[2], op[3]
+                state = int(ctx[idx])
+                ctx[idx] = NEXT_STATE_MPS[state] if v == (state & 1) \
+                    else NEXT_STATE_LPS[state]
+        self.ops.extend(saved)
 
     def encode_bypass(self, v):
         self.ops.append(("p", v))
@@ -139,21 +179,6 @@ class _RecordingCabac:
 
     def pcm_payload(self, bits):
         self.ops.append(("pcm", bits))
-
-    def advance_states(self, lo, hi):
-        """Advance the CABAC context states for the ACCEPTED ops in
-        [lo, hi).  The decision pass calls this after each CTU so RD bit
-        estimates track the adapting probabilities, the way the reference
-        keeps its RD SBAC coder states current (TEncTop
-        m_pppcRDSbacCoder); without it every estimate prices bins at the
-        slice-init state."""
-        from ..hostdec.tables import NEXT_STATE_MPS, NEXT_STATE_LPS
-        for op in self.ops[lo:hi]:
-            if op[0] == "b":
-                ctx, idx, v = op[1], op[2], op[3]
-                state = int(ctx[idx])
-                ctx[idx] = NEXT_STATE_MPS[state] if v == (state & 1) \
-                    else NEXT_STATE_LPS[state]
 
     def replay(self, enc, lo, hi):
         for op in self.ops[lo:hi]:
@@ -823,9 +848,6 @@ class IntraEncoder:
                 cx = (addr % nctu_x) << sps.log2_ctb
                 cy = (addr // nctu_x) << sps.log2_ctb
                 self.encode_cqt(cx, cy, sps.log2_ctb, 0)
-                # adapt the decision-pass context states over the accepted
-                # CTU syntax (emission resets the bank before replay)
-                rec.advance_states(rec.marks[-1], len(rec.ops))
             rec.mark()
             if cfg.deblock:
                 from ..hostdec.loopfilter_np import deblock_picture
@@ -1993,7 +2015,7 @@ class IntraEncoder:
         mark = len(enc.ops)
         tree = self._inter_tt_decide(x, y, log2size, 0, min_tu, resi_l,
                                      0, 0)
-        del enc.ops[mark:]          # luma-only trial syntax
+        enc.truncate(mark)          # luma-only trial syntax
         self._inter_tt_chroma(tree, preds, x, y)
         any_cbf = bool(self._inter_tt_any_luma(tree) or any(tree["cb"]) or
                        any(tree["cr"]))
@@ -2091,13 +2113,13 @@ class IntraEncoder:
         cost_leaf = tree_sse(leaf, ox, oy) / norm + \
             self.rd_lambda * self._est_ops_bits(mark)
         leaf_ops = list(enc.ops[mark:])
-        del enc.ops[mark:]
+        enc.truncate(mark)
         split = split_try()
         cost_split = tree_sse(split, ox, oy) / norm + \
             self.rd_lambda * self._est_ops_bits(mark)
         if cost_leaf <= cost_split:
-            del enc.ops[mark:]
-            enc.ops.extend(leaf_ops)
+            enc.truncate(mark)
+            enc.reinstate(leaf_ops)
             return leaf
         return split
 
@@ -2434,7 +2456,7 @@ class IntraEncoder:
             if cost_leaf <= cost_split:
                 # reinstate the recorded leaf trial instead of re-encoding
                 self._restore_cu_state(x, y, size, st)
-                self.enc.ops.extend(leaf_ops)
+                self.enc.reinstate(leaf_ops)
                 pic.inter_list.extend(leaf_products)
                 (self._last_qp_enc, self._qp_pred_enc, self._dqp_coded,
                  self._cu_delta_enc) = leaf_state[5]
@@ -2808,7 +2830,12 @@ class IntraEncoder:
     def _encode_cu_intra_2nx2n(self, x, y, log2size, _forced=None):
         if log2size > self.sps.log2_max_tb:
             # CU larger than the maximum TB (64x64 CUs): the transform
-            # tree split is forced/inferred (no subdiv bin)
+            # tree split is forced/inferred (no subdiv bin).  In RD mode
+            # the general RQT path handles the forced root split (and
+            # searches the tree below the 32x32 children); the manual
+            # single-level emitter stays as the fast non-RD path.
+            if isinstance(self.enc, _RecordingCabac):
+                return self._encode_cu_intra_2nx2n_rqt(x, y, log2size)
             return self._encode_cu_intra_rqt_split(x, y, log2size)
         if _forced is None and self._intra_rqt_eligible(log2size) and \
                 isinstance(self.enc, _RecordingCabac):
@@ -3153,7 +3180,7 @@ class IntraEncoder:
         norm = 1 << (2 * (cfg.bit_depth - 8))
         sse = float(((orig.astype(np.int64) - rec) ** 2).sum()) / norm
         cost = sse + self.rd_lambda * bits
-        del enc.ops[mark:]
+        enc.truncate(mark)
         return cost
 
     def _residual_trial_bits(self, lev, comp, scan, mark, ts="auto"):
@@ -3213,21 +3240,33 @@ class IntraEncoder:
                 if m in preds_mpm else 6
             ranked.append((satd(all_preds[m], orig) + lam_pred * bits, m))
         ranked.sort()
-        if size > (1 << self.sps.log2_max_tb) or \
-                not isinstance(self.enc, _RecordingCabac):
+        if not isinstance(self.enc, _RecordingCabac):
             return ranked[0][1]
-        cand = [m for _, m in ranked[:8 if size <= 8 else 3]]
-        for m in preds_mpm:
-            if m not in cand:
-                cand.append(m)
-        scored = []
-        for m in cand:
-            c = self._intra_mode_rd_trial(x, y, size, m, preds_mpm,
-                                          all_preds[m])
-            scored.append((c, m))
-        scored.sort()
-        if tree_min_tu is None or len(scored) < 2:
-            return scored[0][1]
+        if size > (1 << self.sps.log2_max_tb):
+            if tree_min_tu is None:
+                return ranked[0][1]
+            # CU larger than the max TB: no unsplit trial exists (the
+            # root TT split is forced), so the joint (mode, tree) RD
+            # below ranks the SATD candidates + MPMs directly
+            # (reference estIntraPredQT runs xRecurIntraCodingQT per
+            # candidate at 64x64 too, TEncSearch.cpp)
+            scored = [(float(c), m) for c, m in ranked[:3]]
+            for m in preds_mpm:
+                if m not in [mm for _, mm in scored]:
+                    scored.append((float("inf"), m))
+        else:
+            cand = [m for _, m in ranked[:8 if size <= 8 else 3]]
+            for m in preds_mpm:
+                if m not in cand:
+                    cand.append(m)
+            scored = []
+            for m in cand:
+                c = self._intra_mode_rd_trial(x, y, size, m, preds_mpm,
+                                              all_preds[m])
+                scored.append((c, m))
+            scored.sort()
+            if tree_min_tu is None or len(scored) < 2:
+                return scored[0][1]
         # stage 3: joint (mode, transform-tree) RD over the top unsplit-RD
         # candidates — the reference's estIntraPredQT runs the full
         # xRecurIntraCodingQT per candidate, so a mode that only wins with
@@ -3235,7 +3274,10 @@ class IntraEncoder:
         enc = self.enc
         log2size = size.bit_length() - 1
         best_mode, best_cost = None, float("inf")
-        for _, m in scored[:2]:
+        ncand = int(os.environ.get("HEVC_INTRA_RD_CANDS", "2"))
+        if size > (1 << self.sps.log2_max_tb):
+            ncand = len(scored)    # no stage-2 preselection ran
+        for _, m in scored[:ncand]:
             st = self._save_cu_state(x, y, size)
             mark = len(enc.ops)
             self._intra_mode_rd_trial_bits(m, preds_mpm)
@@ -3322,7 +3364,7 @@ class IntraEncoder:
                             cost += self.chroma_weight[comp] * sse + \
                                 self.rd_lambda * bits
             cost += self.rd_lambda * self._est_ops_bits(mark)
-            del enc.ops[mark:]
+            enc.truncate(mark)
             if cost < best_cost:
                 best_cost = cost
                 best = (cand, dm, 0 if dm else k - 1)
@@ -3412,9 +3454,9 @@ class IntraEncoder:
         split = split_try()
         cost_split = self._luma_rd_cost(x, y, size, mark)
         if cost_leaf <= cost_split:
+            enc.truncate(mark)   # roll the split ops' states back first
             self._restore_cu_state(x, y, size, leaf_state)
-            del enc.ops[mark:]
-            enc.ops.extend(leaf_ops)
+            enc.reinstate(leaf_ops)
             return leaf
         return split
 
@@ -3583,7 +3625,7 @@ class IntraEncoder:
         min_tu = self._intra_min_tu_log2(log2size)
         mark = len(enc.ops)
         tree = self._intra_tt_decide(x, y, log2size, 0, mode, min_tu)
-        del enc.ops[mark:]            # luma-only trial syntax
+        enc.truncate(mark)            # luma-only trial syntax
         self._intra_tt_chroma(tree, c_real)
         self._intra_tt_emit(tree, min_tu, (0, 0), (0, 0), 0, None)
         self._finish_cu_qp(x, y, size)
@@ -3623,7 +3665,7 @@ class IntraEncoder:
             ssy = sps.chroma_shift_y() if c else 0
             self.recon[c][y >> ssy:(y + size) >> ssy,
                           x >> ssx:(x + size) >> ssx] = recs[c]
-        del self.enc.ops[nops:]
+        self.enc.truncate(nops)
         del pic.inter_list[ninter:]
 
     def _est_ops_bits(self, lo):
@@ -3635,13 +3677,18 @@ class IntraEncoder:
 
     def _est_ops_raw(self, lo):
         """FRAC-scaled raw accumulation of _est_ops_bits (the unit the
-        native residual pricer continues from)."""
-        from .rdoq import _bits, FRAC
+        native residual pricer continues from).  Context bins are priced
+        at the per-op PRE-adaptation state each op carries (trial-coder
+        semantics: the state each bin was actually coded at, reference
+        TEncBinCABACCounter fractional-bit accumulation)."""
+        from .rdoq import _EST_MPS, _EST_LPS, FRAC
         tot = 0.0
         for op in self.enc.ops[lo:]:
             k = op[0]
             if k == "b":
-                tot += _bits(op[1], op[2], op[3])
+                state = op[4]
+                tot += _EST_MPS[state >> 1] if op[3] == (state & 1) \
+                    else _EST_LPS[state >> 1]
             elif k == "p":
                 tot += FRAC
             elif k == "pn":

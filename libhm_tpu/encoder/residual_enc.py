@@ -72,8 +72,9 @@ def apply_sign_hiding(lev, coef, qp, log2n, bit_depth, scan_type,
     for every 4x4 coefficient group whose nonzero spread is >= 4, the
     decoder derives the sign of the lowest-scan-position coefficient from
     the parity of the absolute sum — adjust one level by +-1 when the
-    parity disagrees, choosing the cheapest adjustment in levelDouble
-    units.  Modifies lev in place and returns it."""
+    parity disagrees, choosing the RD-optimal adjustment by the signed
+    deltaU rounding-error cost (reference xSignBitHidingHDQ).  Modifies
+    lev in place and returns it."""
     h, w = lev.shape
     flat = lev.ravel()
     cflat = coef.ravel()
@@ -82,6 +83,8 @@ def apply_sign_hiding(lev, coef, qp, log2n, bit_depth, scan_type,
     from ..hostdec.tables import QUANT_SCALES
     qbits = 14 + per + (max_dyn_range - bit_depth - log2n)
     scale = int(QUANT_SCALES[rem])
+    nz_all = np.nonzero(flat[scan])[0]
+    last_sub = (int(nz_all[-1]) >> 4) if len(nz_all) else -1
     for sub in range(len(scan) // 16):
         idxs = scan[sub * 16:(sub + 1) * 16]
         levels = flat[idxs]
@@ -92,35 +95,49 @@ def apply_sign_hiding(lev, coef, qp, log2n, bit_depth, scan_type,
         if last - first < SBH_THRESHOLD:
             continue
         abs_sum = int(np.abs(levels).sum())
-        want_neg = flat[idxs[first]] < 0
-        if (abs_sum & 1) == (1 if want_neg else 0):
+        signbit = 1 if flat[idxs[first]] < 0 else 0
+        if signbit == (abs_sum & 1):
             continue
-        # choose the cheapest +-1 adjustment that flips the parity
-        best = None
-        for j in range(16):
+        # RD-optimal +-1 adjustment (reference xSignBitHidingHDQ,
+        # TComTrQuant.cpp): deltaU = rounding error of the chosen level
+        # in (qbits-8)-shifted levelDouble units; incrementing an
+        # under-quantized coefficient (deltaU > 0) GAINS quality, so
+        # curCost can be negative.  Zero coefficients may be promoted to
+        # +-1; below the first nonzero only when the source sign matches
+        # the parity-implied hidden sign (the promoted coefficient
+        # becomes the new hidden-sign carrier); in the last coded group
+        # never beyond the last position (it would move last_sig).
+        min_cost, min_pos, final_change = None, -1, 0
+        top = last if sub == last_sub else 15
+        for j in range(top, -1, -1):
             blk = int(idxs[j])
             l = int(flat[blk])
-            if l == 0:
-                continue
-            ld = abs(int(cflat[blk])) * scale
-            for d in (1, -1):
-                na = abs(l) + d
-                if na <= 0:
-                    # zeroing an endpoint would change the spread; zeroing
-                    # the hidden coefficient is never allowed
-                    if j in (first, last):
+            du = (abs(int(cflat[blk])) * scale - (abs(l) << qbits)) \
+                >> (qbits - 8)
+            if l != 0:
+                if du > 0:
+                    cur_cost, cur_change = -du, 1
+                elif j == first and abs(l) == 1:
+                    continue    # never zero the hidden-sign coefficient
+                else:
+                    cur_cost, cur_change = du, -1
+            else:
+                if j < first:
+                    src_sign = 0 if int(cflat[blk]) >= 0 else 1
+                    if src_sign != signbit:
                         continue
-                    if na < 0:
-                        continue
-                err_now = abs(ld - (abs(l) << qbits))
-                err_new = abs(ld - (na << qbits))
-                cost = err_new - err_now
-                if best is None or cost < best[0]:
-                    best = (cost, blk, d)
-        if best is None:
+                cur_cost, cur_change = -du, 1
+            if min_cost is None or cur_cost < min_cost:
+                min_cost, min_pos, final_change = cur_cost, blk, cur_change
+        if min_pos < 0:
             continue
-        _, blk, d = best
-        flat[blk] += d if flat[blk] > 0 else -d
+        l = int(flat[min_pos])
+        if l in (32767, -32768):
+            final_change = -1
+        if int(cflat[min_pos]) >= 0:
+            flat[min_pos] = l + final_change
+        else:
+            flat[min_pos] = l - final_change
     return lev
 
 

@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <vector>
 
+#include "tables_gen.h"
+
 namespace hevc {
 namespace rdoq {
 
@@ -59,6 +61,20 @@ static inline double ctxBits(const int32_t* arr, int idx, int binval) {
   int mps = state & 1;
   int ps = state >> 1;
   return binval == mps ? kEst.mps[ps] : kEst.lps[ps];
+}
+
+// adaptive variant: price at the current (local-copy) state, then advance
+// it — the trial-coder semantics of the RD search (reference
+// TEncBinCABACCounter accumulates fractional bits while the context
+// model adapts through the trial).  RDOQ itself stays frozen-state, like
+// the reference's per-TU estBits snapshot.
+static inline double ctxBitsAdapt(int32_t* arr, int idx, int binval) {
+  int state = arr[idx];
+  int ps = state >> 1;
+  double r = binval == (state & 1) ? kEst.mps[ps] : kEst.lps[ps];
+  arr[idx] = binval == (state & 1) ? kNextStateMps[state]
+                                   : kNextStateLps[state];
+  return r;
 }
 
 // scan orders (tables.py scan_order): kind 0 diag-up-right, 1 hor, 2 ver.
@@ -387,8 +403,8 @@ static void run(const int32_t* coef, int qp, int log2Size, int bitDepth,
 static const int kMinInGroup[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
 static double lastSigBits(int posX, int posY, int w, int h, int isChroma,
-                          int scanType, const int32_t* lastX,
-                          const int32_t* lastY, double tot) {
+                          int scanType, int32_t* lastX,
+                          int32_t* lastY, double tot) {
   if (scanType == 2) {
     int t = posX; posX = posY; posY = t;
     t = w; w = h; h = t;
@@ -405,10 +421,14 @@ static double lastSigBits(int posX, int posY, int w, int h, int isChroma,
     shiftX = (log2w + 1) >> 2; shiftY = (log2h + 1) >> 2;
   }
   int gx = kGroupIdx[posX], gy = kGroupIdx[posY];
-  for (int i = 0; i < gx; i++) tot += ctxBits(lastX, offX + (i >> shiftX), 1);
-  if (gx < kGroupIdx[w - 1]) tot += ctxBits(lastX, offX + (gx >> shiftX), 0);
-  for (int i = 0; i < gy; i++) tot += ctxBits(lastY, offY + (i >> shiftY), 1);
-  if (gy < kGroupIdx[h - 1]) tot += ctxBits(lastY, offY + (gy >> shiftY), 0);
+  for (int i = 0; i < gx; i++)
+    tot += ctxBitsAdapt(lastX, offX + (i >> shiftX), 1);
+  if (gx < kGroupIdx[w - 1])
+    tot += ctxBitsAdapt(lastX, offX + (gx >> shiftX), 0);
+  for (int i = 0; i < gy; i++)
+    tot += ctxBitsAdapt(lastY, offY + (i >> shiftY), 1);
+  if (gy < kGroupIdx[h - 1])
+    tot += ctxBitsAdapt(lastY, offY + (gy >> shiftY), 0);
   if (gx > 3) tot += (double)((gx - 2) >> 1) * kFrac;
   if (gy > 3) tot += (double)((gy - 2) >> 1) * kFrac;
   return tot;
@@ -433,14 +453,24 @@ static inline double coefRemainBits(long long v, int rice, double tot) {
 
 static double residualBits(const int32_t* coeffs, int w, int h, int comp,
                            int scanType, int signHiding, int tsFlag,
-                           const int32_t* sig, const int32_t* sigCgCtx,
-                           const int32_t* gt1, const int32_t* gt2,
-                           const int32_t* lastX, const int32_t* lastY,
-                           const int32_t* tsCtx, double tot) {
+                           const int32_t* sigIn, const int32_t* sigCgIn,
+                           const int32_t* gt1In, const int32_t* gt2In,
+                           const int32_t* lastXIn, const int32_t* lastYIn,
+                           const int32_t* tsIn, double tot) {
+  // local context copies: the pricer adapts states through the block
+  // (trial-coder semantics) without touching the live bank
+  int32_t sig[44], sigCgCtx[4], gt1[24], gt2[6], lastX[30], lastY[30],
+      tsCtx[2];
+  for (int i = 0; i < 44; i++) sig[i] = sigIn[i];
+  for (int i = 0; i < 4; i++) sigCgCtx[i] = sigCgIn[i];
+  for (int i = 0; i < 24; i++) gt1[i] = gt1In[i];
+  for (int i = 0; i < 6; i++) gt2[i] = gt2In[i];
+  for (int i = 0; i < 30; i++) { lastX[i] = lastXIn[i]; lastY[i] = lastYIn[i]; }
+  for (int i = 0; i < 2; i++) tsCtx[i] = tsIn[i];
   const int isChroma = comp > 0 ? 1 : 0;
   const int ch = isChroma;
   const int log2w = 31 - __builtin_clz((unsigned)w);
-  if (tsFlag >= 0) tot += ctxBits(tsCtx, comp == 0 ? 0 : 1, tsFlag);
+  if (tsFlag >= 0) tot += ctxBitsAdapt(tsCtx, comp == 0 ? 0 : 1, tsFlag);
 
   // grouped scan
   const int wg = w >> 2, hg = h >> 2;
@@ -504,7 +534,7 @@ static double residualBits(const int32_t* coeffs, int w, int h, int comp,
       const int right = cgx < wg - 1 ? sigCg[cgBlk + 1] : 0;
       const int below = cgy < hg - 1 ? sigCg[cgBlk + wg] : 0;
       const int ctx = (right || below) ? 1 : 0;
-      tot += ctxBits(sigCgCtx, 2 * ch + ctx, sigCg[cgBlk]);
+      tot += ctxBitsAdapt(sigCgCtx, 2 * ch + ctx, sigCg[cgBlk]);
     }
     int pattern;
     if (wg <= 1 && hg <= 1) pattern = 0;
@@ -541,7 +571,7 @@ static double residualBits(const int32_t* coeffs, int w, int h, int comp,
             const int notFirst = ((px >> 2) + (py >> 2)) > 0;
             ctx = firstSigCtx + cnt + (notFirst ? kNotFirstGroupOffset[ch] : 0);
           }
-          tot += ctxBits(sig, sigBase + ctx, sigv);
+          tot += ctxBitsAdapt(sig, sigBase + ctx, sigv);
         }
       }
       if (sigv) posList[numNz++] = blk;
@@ -562,7 +592,7 @@ static double residualBits(const int32_t* coeffs, int w, int h, int comp,
     int firstC2 = -1;
     for (int idx = 0; idx < numC1; idx++) {
       const int b = absVals[idx] > 1 ? 1 : 0;
-      tot += ctxBits(gt1, baseGt1 + c1, b);
+      tot += ctxBitsAdapt(gt1, baseGt1 + c1, b);
       if (b) {
         c1 = 0;
         if (firstC2 == -1) firstC2 = idx;
@@ -571,7 +601,7 @@ static double residualBits(const int32_t* coeffs, int w, int h, int comp,
       }
     }
     if (c1 == 0 && firstC2 != -1)
-      tot += ctxBits(gt2, ctxSet, absVals[firstC2] > 2 ? 1 : 0);
+      tot += ctxBitsAdapt(gt2, ctxSet, absVals[firstC2] > 2 ? 1 : 0);
     // signs (bypass; lowest-scan sign hidden when the spread allows)
     int hide = 0;
     if (signHiding) {
@@ -744,6 +774,14 @@ static void sdhFix(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
   int cgx[64], cgy[64], inx[16], iny[16];
   rdoq::scanOrder(wg, wg, scanType, cgx, cgy);
   rdoq::scanOrder(4, 4, scanType, inx, iny);
+  // last CG (in CG scan order) containing a nonzero: adjustments there
+  // must not move the last-significant position
+  int lastSub = -1;
+  for (int g = 0; g < wg * wg; g++)
+    for (int k = 0; k < 16; k++) {
+      int idx = (cgy[g] * 4 + iny[k]) * n + cgx[g] * 4 + inx[k];
+      if (lev[idx]) lastSub = g;
+    }
   for (int g = 0; g < wg * wg; g++) {
     int idxs[16];
     for (int k = 0; k < 16; k++)
@@ -759,39 +797,54 @@ static void sdhFix(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
       }
     }
     if (first < 0 || last - first < 4 /* SBH_THRESHOLD */) continue;
-    bool wantNeg = lev[idxs[first]] < 0;
-    if ((absSum & 1) == (wantNeg ? 1 : 0)) continue;
-    long long bestCost = 0;
-    int bestBlk = -1, bestD = 0;
-    bool haveBest = false;
-    for (int j = 0; j < 16; j++) {
+    int signbit = lev[idxs[first]] < 0 ? 1 : 0;
+    if (signbit == (absSum & 1)) continue;
+    // RD-optimal +-1 adjustment by signed deltaU rounding-error cost
+    // (reference xSignBitHidingHDQ): incrementing an under-quantized
+    // coefficient GAINS quality, so curCost can be negative; zeros may
+    // be promoted (below the first nonzero only when the source sign
+    // matches the hidden sign); in the last coded CG never beyond the
+    // last position.
+    long long minCost = 0;
+    int minPos = -1, finalChange = 0;
+    bool have = false;
+    int top = (g == lastSub) ? last : 15;
+    for (int j = top; j >= 0; j--) {
       int blk = idxs[j];
       int l = lev[blk];
-      if (l == 0) continue;
       long long c = coef[blk];
-      long long ld = (c < 0 ? -c : c) * scale;
       long long al = l < 0 ? -l : l;
-      for (int d = 1; d >= -1; d -= 2) {
-        long long na = al + d;
-        if (na <= 0) {
-          if (j == first || j == last) continue;
-          if (na < 0) continue;
+      long long du = (((c < 0 ? -c : c) * (long long)scale) -
+                      (al << qbits)) >> (qbits - 8);
+      long long curCost;
+      int curChange;
+      if (l != 0) {
+        if (du > 0) {
+          curCost = -du; curChange = 1;
+        } else if (j == first && al == 1) {
+          continue;   // never zero the hidden-sign coefficient
+        } else {
+          curCost = du; curChange = -1;
         }
-        long long errNow = ld - (al << qbits);
-        if (errNow < 0) errNow = -errNow;
-        long long errNew = ld - (na << qbits);
-        if (errNew < 0) errNew = -errNew;
-        long long cost = errNew - errNow;
-        if (!haveBest || cost < bestCost) {
-          haveBest = true;
-          bestCost = cost;
-          bestBlk = blk;
-          bestD = d;
+      } else {
+        if (j < first) {
+          int srcSign = c >= 0 ? 0 : 1;
+          if (srcSign != signbit) continue;
         }
+        curCost = -du; curChange = 1;
+      }
+      if (!have || curCost < minCost) {
+        have = true;
+        minCost = curCost;
+        minPos = blk;
+        finalChange = curChange;
       }
     }
-    if (!haveBest) continue;
-    lev[bestBlk] += lev[bestBlk] > 0 ? bestD : -bestD;
+    if (minPos < 0) continue;
+    int l = lev[minPos];
+    if (l == 32767 || l == -32768) finalChange = -1;
+    if (coef[minPos] >= 0) lev[minPos] = l + finalChange;
+    else lev[minPos] = l - finalChange;
   }
 }
 

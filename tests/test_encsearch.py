@@ -135,10 +135,13 @@ def test_rdoq_matches_python(lib):
 
 def test_residual_bits_matches_python(lib):
     """Native bits-only residual pricer (enc_residual_bits) is
-    bit-identical to recording encode_residual ops and pricing them with
-    the _est_ops_bits model, across sizes/scans/components/SBH/TS."""
+    bit-identical to recording encode_residual ops and pricing them at
+    the per-op pre-adaptation states the recorder carries (trial-coder
+    semantics), across sizes/scans/components/SBH/TS.  The native pricer
+    runs FIRST: recording adapts the shared bank in place."""
     from libhm_tpu.hostdec.tables import make_context_bank
-    from libhm_tpu.encoder.rdoq import residual_bits, _bits, FRAC
+    from libhm_tpu.encoder.rdoq import residual_bits, _EST_MPS, _EST_LPS, \
+        FRAC
     from libhm_tpu.encoder.residual_enc import encode_residual
     from libhm_tpu.encoder.encoder import _RecordingCabac
 
@@ -147,7 +150,9 @@ def test_residual_bits_matches_python(lib):
         for op in ops:
             k = op[0]
             if k == "b":
-                tot += _bits(op[1], op[2], op[3])
+                state = op[4]
+                tot += _EST_MPS[state >> 1] if op[3] == (state & 1) \
+                    else _EST_LPS[state >> 1]
             elif k == "p":
                 tot += FRAC
             elif k == "pn":
@@ -179,8 +184,46 @@ def test_residual_bits_matches_python(lib):
         if not lev.any():
             lev[rng.integers(0, n), rng.integers(0, n)] = 1
         start = float(rng.integers(0, 1 << 20)) * 0.33
+        nat = residual_bits(bank, lev, comp, scan, sh, ts, start=start)
         enc = _RecordingCabac()
         encode_residual(enc, bank, lev, comp, scan, sh, ts=ts)
         py = price(enc.ops, start)
-        nat = residual_bits(bank, lev, comp, scan, sh, ts, start=start)
         assert nat == py, (trial, n, comp, scan, sh, ts, nat, py)
+
+
+def test_tu_fwd_matches_python(lib):
+    """Native whole-TU forward kernel (enc_tu_fwd) is bit-identical to
+    the Python body it mirrors (forward_transform -> RDOQ -> sign-data
+    hiding), across sizes/scans/components/QPs."""
+    from libhm_tpu.hostdec.tables import make_context_bank
+    from libhm_tpu.encoder.rdoq import rdoq, _addr
+    from libhm_tpu.encoder.transforms import forward_transform
+    from libhm_tpu.encoder.residual_enc import apply_sign_hiding
+
+    rng = np.random.default_rng(31)
+    for trial in range(120):
+        log2n = int(rng.integers(2, 6))
+        n = 1 << log2n
+        comp = int(rng.integers(0, 3))
+        scan = int(rng.integers(0, 3)) if n <= 8 else 0
+        qp = int(rng.integers(10, 48))
+        sdh = int(rng.integers(0, 2))
+        mag = int(rng.choice([40, 200, 900]))
+        resi = rng.integers(-mag, mag, (n, n)).astype(np.int32)
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        coef = forward_transform(resi, False, 8)
+        bank = make_context_bank(int(rng.integers(0, 3)), max(qp, 1))
+        lev_py = rdoq(coef, qp, log2n, 8, comp, scan, bank, lam)
+        if sdh:
+            lev_py = apply_sign_hiding(lev_py.copy(), coef, qp, log2n, 8,
+                                       scan)
+        lev = np.empty((n, n), np.int32)
+        rec = np.empty((n, n), np.int32)
+        r32 = np.ascontiguousarray(resi, np.int32)
+        lib.enc_tu_fwd(r32.ctypes.data, n, 0, 1 if comp else 0, qp, 8, 1,
+                       scan, 1, float(lam), sdh, 0, float(lam),
+                       _addr(bank["sig"]), _addr(bank["sig_cg"]),
+                       _addr(bank["gt1"]), _addr(bank["gt2"]),
+                       _addr(bank["last_x"]), _addr(bank["last_y"]),
+                       lev.ctypes.data, rec.ctypes.data)
+        assert (lev == lev_py).all(), (trial, n, comp, scan, qp, sdh)
