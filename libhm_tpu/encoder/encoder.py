@@ -853,6 +853,7 @@ class IntraEncoder:
                 from ..hostdec.loopfilter_np import deblock_picture
                 deblock_picture(self.recon, self.pic, sps, pps)
             if cfg.sao:
+                self._sao_decide_pic_enabled(poc)
                 self._estimate_sao()
                 from ..hostdec.loopfilter_np import sao_picture
                 sao_picture(self.recon, self.pic, sps, pps)
@@ -894,7 +895,13 @@ class IntraEncoder:
         wc = sps.pic_width_ctbs
         wpp = bool(getattr(cfg, "wpp", False))
         sd = self.sd
-        enabled = [1, 1, 1] if sps.chroma_format_idc else [1, 0, 0]
+        sl_en = getattr(self, "_sao_slice_enabled", None)
+        if sl_en is None:
+            sl_en = [True, True, True]
+        if sps.chroma_format_idc:
+            enabled = [1 if sl_en[c] else 0 for c in range(3)]
+        else:
+            enabled = [1 if sl_en[0] else 0, 0, 0]
         pos_of = {a: i for i, a in enumerate(scan)}
         payloads = []
         bank = self.bank   # the recorded ops reference these arrays:
@@ -963,7 +970,7 @@ class IntraEncoder:
                                 bank_restore(wpp_saved)
                             else:
                                 bank_reset()
-                if cfg.sao:
+                if cfg.sao and (enabled[0] or enabled[1]):
                     # merge availability is per SLICE: dependent segments
                     # share the slice, independent slices do not
                     lo = 0 if dep else start
@@ -999,7 +1006,8 @@ class IntraEncoder:
                     wp_l1=getattr(self, "cur_wp_l1", None),
                     segment_address=scan[start] if start
                     else 0, entry_points=eps if rbsp_offs else None,
-                    dependent=dep and start > 0).data()
+                    dependent=dep and start > 0,
+                    sao_flags=(enabled[0], enabled[1])).data()
                 from .hls_writer import epb_positions
                 epb = epb_positions(hdr + data)
                 new_eps = []
@@ -1138,6 +1146,28 @@ class IntraEncoder:
         return self._pred_from_cand(comp, x, y, w, h, 1, [mv, (0, 0)])
 
     # ------------------------------------------------------------------
+    def _sao_decide_pic_enabled(self, poc):
+        """Picture-level SAO on/off per component (reference
+        TEncSampleAdaptiveOffset::decidePicParams, SAO_ENCODING_CHOICE):
+        for hierarchy-depth > 0 pictures a component is disabled when the
+        previous depth layer's SAO-off CTU rate exceeded 0.75 (luma) /
+        0.5 (chroma).  Sets self._sao_slice_enabled, consumed by
+        _estimate_sao, the slice-header writer and the emission pass."""
+        gop_size = max(1, getattr(self.cfg, "gop_size", None) or
+                       len(getattr(self.cfg, "gop_entries", None) or []) or 1)
+        depth = _hm_gop_depth(poc, gop_size) if gop_size > 1 else 0
+        rates = getattr(self, "_sao_disabled_rate", None)
+        if rates is None:
+            rates = self._sao_disabled_rate = {}
+        en = [True, True, True]
+        if depth > 0:
+            for c in range(3):
+                thr = 0.75 if c == 0 else 0.5
+                if rates.get((c, depth - 1), 0.0) > thr:
+                    en[c] = False
+        self._sao_depth = depth
+        self._sao_slice_enabled = en
+
     def _estimate_sao(self):
         """Fill pic.sao_* per CTU: derive lambda-optimal new-type
         candidates from category statistics, then RD-compare
@@ -1151,13 +1181,28 @@ class IntraEncoder:
         lam = self.rd_lambda
         cw = getattr(self, "chroma_weight", [1.0, 1.0, 1.0])
         ncomp = 3 if sps.chroma_format_idc else 1
+        en = getattr(self, "_sao_slice_enabled", None)
+        if en is None:
+            en = [True, True, True]
+        luma_on = en[0]
+        chroma_on = ncomp == 3 and en[1]
         nctu_x = sps.pic_width_ctbs
         bd = cfg.bit_depth
+        if not luma_on and not chroma_on:
+            pic.sao_type[:, :] = -1
+            pic.sao_band_pos[:, :] = 0
+            pic.sao_offsets[:, :, :] = 0
+            self._sao_update_disabled_rate(ncomp)
+            return
         for addr in range(sps.pic_size_ctbs):
             cx = (addr % nctu_x) << sps.log2_ctb
             cy = (addr // nctu_x) << sps.log2_ctb
             stats, cands = [], []
             for c in range(ncomp):
+                if not en[c]:
+                    stats.append(None)
+                    cands.append(None)
+                    continue
                 ssx = sps.chroma_shift_x() if c else 0
                 ssy = sps.chroma_shift_y() if c else 0
                 W, H = sps.width >> ssx, sps.height >> ssy
@@ -1173,10 +1218,11 @@ class IntraEncoder:
             # --- best NEW params per signal group (luma; chroma pair) ---
             new_par = [(-1, 0, [0, 0, 0, 0]) for _ in range(ncomp)]
             luma_best, luma_net = None, 0.0     # vs luma-off (1 type bin)
-            for t in ["bo"] + [f"eo{k}" for k in range(4)]:
-                net = cands[0][t][-1] - lam      # extra on-vs-off type bin
-                if net > luma_net:
-                    luma_best, luma_net = t, net
+            if luma_on:
+                for t in ["bo"] + [f"eo{k}" for k in range(4)]:
+                    net = cands[0][t][-1] - lam  # extra on-vs-off type bin
+                    if net > luma_net:
+                        luma_best, luma_net = t, net
             if luma_best == "bo":
                 pos, ov, _ = cands[0]["bo"]
                 new_par[0] = (0, pos, ov)
@@ -1184,7 +1230,7 @@ class IntraEncoder:
                 k = int(luma_best[2:])
                 new_par[0] = (1 + k, 0, cands[0][luma_best][0])
             chroma_net = 0.0
-            if ncomp == 3:
+            if chroma_on:
                 chroma_best = None
                 for t in ["bo"] + [f"eo{k}" for k in range(4)]:
                     net = (cw[1] * cands[1][t][-1] +
@@ -1208,7 +1254,7 @@ class IntraEncoder:
             can_left = addr % nctu_x > 0
             can_up = addr >= nctu_x
             nskip = (1 if can_left else 0) + (1 if can_up else 0)
-            off_bits = 1 + (1 if ncomp == 3 else 0)
+            off_bits = (1 if luma_on else 0) + (1 if chroma_on else 0)
             options = [("new", luma_net + chroma_net)]
             for name, ok, other, bins in (("left", can_left, addr - 1, 1),
                                           ("up", can_up, addr - nctu_x, 2)):
@@ -1216,6 +1262,8 @@ class IntraEncoder:
                     continue
                 g = 0.0
                 for c in range(ncomp):
+                    if not en[c]:
+                        continue
                     g += cw[c] * params_gain(
                         stats[c], int(pic.sao_type[other, c]),
                         int(pic.sao_band_pos[other, c]),
@@ -1242,6 +1290,21 @@ class IntraEncoder:
                     pic.sao_type[addr, c] = t
                     pic.sao_band_pos[addr, c] = pos
                     pic.sao_offsets[addr, c] = ov
+        self._sao_update_disabled_rate(ncomp)
+
+    def _sao_update_disabled_rate(self, ncomp):
+        """Record this picture's SAO-off CTU rate per component at its
+        hierarchy depth (reference TEncSampleAdaptiveOffset::
+        decideBlkParams tail, m_saoDisabledRate update) — feeds the next
+        pictures' decidePicParams gating."""
+        rates = getattr(self, "_sao_disabled_rate", None)
+        if rates is None:
+            rates = self._sao_disabled_rate = {}
+        depth = getattr(self, "_sao_depth", 0)
+        nctu = self.sps.pic_size_ctbs
+        for c in range(ncomp):
+            off = int(np.count_nonzero(self.pic.sao_type[:, c] == -1))
+            rates[(c, depth)] = off / nctu
 
     def _motion_search(self, x, y, size, pred_mv):
         return self._motion_search_rect(x, y, size, size, pred_mv)

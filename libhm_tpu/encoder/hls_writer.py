@@ -341,7 +341,7 @@ def _write_pred_weight_table(w, cfg, wp, wp_l1=None):
 def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
                        rps_idx=0, rps=None, wp=None, segment_address=0,
                        entry_points=None, wp_l1=None,
-                       dependent=False) -> BitWriter:
+                       dependent=False, sao_flags=None) -> BitWriter:
     """Returns the writer positioned after the header (byte-aligned).
 
     rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
@@ -408,9 +408,10 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         if cfg.tmvp:
             w.put(1)    # slice_temporal_mvp_enabled
     if cfg.sao:
-        w.put(1)                    # slice_sao_luma_flag
+        sl, sc = (1, 1) if sao_flags is None else sao_flags
+        w.put(1 if sl else 0)       # slice_sao_luma_flag
         if cfg.chroma_format_idc != 0:
-            w.put(1)                # slice_sao_chroma_flag
+            w.put(1 if sc else 0)   # slice_sao_chroma_flag
     if slice_type in (0, 1):
         w.put(0)        # num_ref_idx_active_override
         if slice_type == 0:
