@@ -654,6 +654,7 @@ class IntraEncoder:
     def encode_picture(self, frame, poc=0, nal_type=19, slice_type=2,
                        rps=None):
         cfg, sps, pps = self.cfg, self.sps, self.pps
+        self._dbg_poc = poc
         Wp = sps.pic_width_ctbs << sps.log2_ctb
         Hp = sps.pic_height_ctbs << sps.log2_ctb
         self.pic = PicSyntax(sps, pps)
@@ -828,10 +829,13 @@ class IntraEncoder:
             self._qp_pred_enc = self._last_qp_enc
             self._dqp_coded = False
             self._cu_delta_enc = 0
-        multi = cfg.sao or getattr(cfg, "wpp", False) or \
-            getattr(cfg, "pcm_enabled", False) or \
-            getattr(cfg, "tile_cols", 1) > 1 or \
-            getattr(cfg, "tile_rows", 1) > 1 or len(slice_starts) > 1
+        # The record+replay two-pass structure is what enables every
+        # full-RD trial (live-adapting trial CABAC with rollback); the
+        # direct single-pass emission below prices nothing and exists only
+        # as a debug escape hatch (HEVC_ENC_1PASS=1).  It used to be the
+        # default for SAO-less configs, which silently degraded them to
+        # SATD-only decisions (-23% rate efficiency on the AI ladder).
+        multi = os.environ.get("HEVC_ENC_1PASS", "0") != "1"
         if multi:
             # pass 1: decide + record the CU symbol stream in decode order
             rec = _RecordingCabac()
@@ -1495,7 +1499,26 @@ class IntraEncoder:
             return 0
         return min(r + 1, nref - 1)
 
-    def _pu_me_lists(self, px, py, w, h, orig):
+    @staticmethod
+    def _blk_bits(part, p_slice, pu_idx, last_mode):
+        """Inter-mode signalling bit estimate [uniL0, uniL1, bi] for the
+        motion-cost model (reference TEncSearch::xGetBlkBits,
+        TEncSearch.cpp:3823-3870)."""
+        from ..hostdec.picture import (SIZE_2Nx2N, SIZE_NxN, SIZE_2NxN,
+                                       SIZE_2NxnU, SIZE_2NxnD)
+        if part in (SIZE_2Nx2N, SIZE_NxN):
+            return (1, 3, 5) if p_slice else (3, 3, 5)
+        if p_slice:
+            return (3, 0, 0)
+        if part in (SIZE_2NxN, SIZE_2NxnU, SIZE_2NxnD):   # horizontal
+            tab = (((0, 0, 3), (0, 0, 0), (0, 0, 0)),
+                   ((5, 7, 7), (7, 5, 7), (6, 6, 6)))
+        else:                                             # vertical
+            tab = (((0, 2, 3), (0, 0, 0), (0, 0, 0)),
+                   ((5, 7, 7), (5, 5, 7), (6, 6, 6)))
+        return tab[min(pu_idx, 1)][last_mode]
+
+    def _pu_me_lists(self, px, py, w, h, orig, part_size=None, pu_idx=0):
         """Per-list / per-ref AMVP motion estimation + one bi-prediction
         refinement round (reference TEncSearch::predInterSearch
         TEncSearch.cpp:3079-3500: uni ME over every ref of both lists,
@@ -1503,12 +1526,17 @@ class IntraEncoder:
 
         Returns a list of (cost, ("amvp", dir, ref_idx, mv, mvd, mvp_idx))
         candidates: best uni per list + the bi candidate.  Costs are
-        SATD (8-bit domain) + sqrt-lambda * motion bits.
+        SATD (8-bit domain) + sqrt-lambda * motion bits, with the
+        reference's xGetBlkBits mode-bit charges.
         """
         from .rd_cost import satd
+        from ..hostdec.picture import SIZE_2Nx2N
         lam_m = self._lam_motion
         dshift = 2 * (self.cfg.bit_depth - 8)
         nl = 2 if (self.slice_type == 0 and self.sh.num_ref_idx[1]) else 1
+        blk = self._blk_bits(SIZE_2Nx2N if part_size is None else part_size,
+                             nl == 1, pu_idx,
+                             getattr(self, "_pu_last_mode", 0))
         best_uni = [None, None]  # per list: (cost, r, mv, mvd, mvp_idx, amvp)
         plane_cache = {}
         for l in range(nl):
@@ -1527,7 +1555,7 @@ class IntraEncoder:
                 best = None
                 for mi, cand in enumerate(amvp):
                     mvd = (mv[0] - cand[0], mv[1] - cand[1])
-                    bits = self._mv_bits(*mvd) + 1 + \
+                    bits = blk[l] + self._mv_bits(*mvd) + 1 + \
                         self._ref_bits(r, self.sh.num_ref_idx[l])
                     c = pcost + lam_m * bits
                     if best is None or c < best[0]:
@@ -1570,11 +1598,13 @@ class IntraEncoder:
                 mvds[l] = (mv2[0] - amvps[l][mvps[l]][0],
                            mv2[1] - amvps[l][mvps[l]][1])
             pred_bi = self._pred_from_cand(0, px, py, w, h, 3, mvs, refs)
-            bits = (self._mv_bits(*mvds[0]) + self._mv_bits(*mvds[1]) + 2 +
+            bits = (blk[2] +
+                    self._mv_bits(*mvds[0]) + self._mv_bits(*mvds[1]) + 2 +
                     self._ref_bits(refs[0], self.sh.num_ref_idx[0]) +
                     self._ref_bits(refs[1], self.sh.num_ref_idx[1]))
             c = (satd(pred_bi, orig) >> dshift) + lam_m * bits
             out.append((c, ("amvp", 3, refs, mvs, mvds, mvps)))
+        self._pu_me_all = out
         return out
 
     def _best_pu_motion(self, px, py, w, h, cx, cy, cu_size, pu_idx,
@@ -1630,9 +1660,16 @@ class IntraEncoder:
         self._pu_best_merge = best[1] if best is not None else None
         self._pu_best_merge_ac = best_ac[1] if best_ac is not None and \
             (best is None or best_ac[1][1] != best[1][1]) else None
-        for cost, desc in self._pu_me_lists(px, py, w, h, orig):
+        for cost, desc in self._pu_me_lists(px, py, w, h, orig,
+                                            part_size, pu_idx):
             if best is None or cost < best[0]:
                 best = (cost, desc)
+        # uiLastMode for the second PU's xGetBlkBits row
+        d = best[1]
+        if d[0] == "amvp":
+            self._pu_last_mode = 2 if d[1] == 3 else d[1] - 1
+        else:
+            self._pu_last_mode = 2 if d[3] == 3 else d[3] - 1
         return best
 
     def _apply_pu(self, desc, px, py, w, h, cx, cy, cu_size, pu_idx,
@@ -1795,6 +1832,7 @@ class IntraEncoder:
                 parts += [SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N, SIZE_nRx2N]
         best_part = None
         merge_2nx2n_all = []
+        me_2nx2n = []
         part_trials = []
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTER)
         pic.set_rect(pic.skip, x, y, size, size, 0)
@@ -1802,6 +1840,7 @@ class IntraEncoder:
             pic.set_rect(pic.part_size, x, y, size, size, part)
             snap = self._snapshot_motion(x, y, size)
             descs, total = [], lam * (1 if part == SIZE_2Nx2N else 2)
+            self._pu_last_mode = 0
             for pu_idx, (dx, dy, w, h) in enumerate(pu_partitions(part, size)):
                 cost, desc = self._best_pu_motion(x + dx, y + dy, w, h,
                                                   x, y, size, pu_idx, part,
@@ -1812,6 +1851,7 @@ class IntraEncoder:
                                pu_idx, part)
             if part == SIZE_2Nx2N:
                 merge_2nx2n_all = self._pu_merge_cands
+                me_2nx2n = list(getattr(self, "_pu_me_all", []))
             self._restore_motion(x, y, size, snap)
             part_trials.append((total, part, descs))
             if best_part is None or total < best_part[0]:
@@ -1907,6 +1947,20 @@ class IntraEncoder:
                 continue  # already covered by the 2Nx2N partition trial
             cands.append((lambda d=[mdesc]:
                           emit_inter(SIZE_2Nx2N, d), ("merge2n", mdesc[1])))
+        # 2Nx2N uni-ME champions also get full-RD trials: bi-prediction's
+        # averaging suppresses high-frequency content, so Hadamard
+        # preselection over-picks bi on noisy sources; the coded cost of
+        # the uni candidate frequently wins where SATD said otherwise
+        # (top-temporal-layer B pictures especially)
+        if os.environ.get("HEVC_RD_UNI", "1") != "0":
+            t2d = twon[2][0]
+            for mc, mdesc in me_2nx2n:
+                if mdesc[1] == 3 or (t2d[0] == "amvp" and
+                                     t2d[1] == mdesc[1]):
+                    continue  # bi, or already the 2Nx2N trial itself
+                cands.append((lambda d=[mdesc]:
+                              emit_inter(SIZE_2Nx2N, d),
+                              ("uni2n", mdesc[1])))
         # gate the (expensive) full intra RDO trial on SATD plausibility;
         # the generous margin keeps the transform-cheap cases (where inter
         # SATD is inflated by a DC offset) inside the trial set — measured
@@ -1962,6 +2016,11 @@ class IntraEncoder:
         self._restore_cu_state(x, y, size, st)
         self._encode_inter_res_2nx2n(x, y, log2size, desc, preds)
         cost_full = self._cu_rd_cost(x, y, size, mark)
+        dbg = os.environ.get("HEVC_DBG_SKIPRD")
+        if dbg:
+            with open(dbg, "a") as f:
+                f.write(f"{getattr(self, '_dbg_poc', -1)} {x} {y} {size} "
+                        f"{cost_skip:.1f} {cost_full:.1f}\n")
         if cost_skip < cost_full:
             self._restore_cu_state(x, y, size, st)
             self._emit_skip_cu(x, y, log2size, desc, preds)
@@ -2713,6 +2772,13 @@ class IntraEncoder:
         if log2size == sps.log2_min_cb and self.cfg.rdo_cu and \
                 sps.chroma_format_idc != 3 and \
                 isinstance(self.enc, _RecordingCabac):
+            force = os.environ.get("HEVC_FORCE_PART")   # debug A/B knob
+            if force == "nxn":
+                self._encode_cu_intra_nxn(x, y, log2size)
+                return
+            if force == "2nx2n":
+                self._encode_cu_intra_2nx2n(x, y, log2size)
+                return
             st = self._save_cu_state(x, y, size)
             self._encode_cu_intra_2nx2n(x, y, log2size)
             cost_2n = self._cu_rd_cost(x, y, size, st[3])

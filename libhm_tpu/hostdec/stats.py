@@ -20,13 +20,16 @@ def collect(data: bytes):
     Returns {name: {"bins": n, "bypass": n}} plus "__total__".
     """
     from . import cabac as cabac_mod
+    from . import residual as res_mod
     from . import slicedec as sd_mod
     from .decoder import Decoder
 
     counts = defaultdict(lambda: {"bins": 0, "bypass": 0})
     cur_sd = [None]
     cur_name = [None]
+    cur_comp = [None]
 
+    orig_rc = res_mod.residual_coding
     orig_ds = sd_mod.SliceDecoder.decode_slice
     orig_bin = cabac_mod.CabacDecoder.decode_bin
     orig_byp = cabac_mod.CabacDecoder.decode_bypass
@@ -38,11 +41,23 @@ def collect(data: bytes):
         cur_sd[0] = self
         return orig_ds(self, *a, **k)
 
+    def rc(d, bank, w, h, comp, *a, **k):
+        cur_comp[0] = comp
+        try:
+            return orig_rc(d, bank, w, h, comp, *a, **k)
+        finally:
+            cur_comp[0] = None
+
+    _RES = ("sig", "sig_cg", "gt1", "gt2", "last_x", "last_y",
+            "transform_skip", "rdpcm", "cu_transquant_bypass")
+
     def name_of(ctx):
         sd = cur_sd[0]
         if sd is not None:
             for k, v in sd.bank.items():
                 if v is ctx:
+                    if cur_comp[0] is not None and k in _RES:
+                        return f"{k}:c{min(cur_comp[0], 1)}"
                     return k
         return "?"
 
@@ -69,6 +84,8 @@ def collect(data: bytes):
         return orig_trm(self)
 
     sd_mod.SliceDecoder.decode_slice = ds
+    res_mod.residual_coding = rc
+    sd_mod.residual_coding = rc
     cabac_mod.CabacDecoder.decode_bin = d_bin
     cabac_mod.CabacDecoder.decode_bypass = d_byp
     cabac_mod.CabacDecoder.decode_bypass_bins = d_bypn
@@ -78,6 +95,8 @@ def collect(data: bytes):
         Decoder().decode_annexb(data)
     finally:
         sd_mod.SliceDecoder.decode_slice = orig_ds
+        res_mod.residual_coding = orig_rc
+        sd_mod.residual_coding = orig_rc
         cabac_mod.CabacDecoder.decode_bin = orig_bin
         cabac_mod.CabacDecoder.decode_bypass = orig_byp
         cabac_mod.CabacDecoder.decode_bypass_bins = orig_bypn
