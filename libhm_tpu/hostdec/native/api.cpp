@@ -150,7 +150,7 @@ struct Decoder {
     }
   }
 
-  double tParse = 0, tRecon = 0;
+  double tParse = 0, tParseW = 0, tRecon = 0;
   static double now() {
     struct timespec ts;
     clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -158,13 +158,22 @@ struct Decoder {
   }
 
   // ---- parse/recon picture pipeline -------------------------------------
-  // On multicore hosts the parse thread hands each finished picture to a
-  // worker pool; a picture's reconstruction starts as soon as the
-  // reconstructions of its reference pictures are done (reference frame:
-  // this is the "frame pipeline" slot of SURVEY §2.5 that HM leaves
-  // single-threaded).  Reference resolution (incl. the lost-ref
-  // closest-POC fabrication, TDecTop::xCreateLostPicture) is snapshotted
-  // on the parse thread with the exact DPB state serial recon would see.
+  // Two worker pools (reference frame: HM is strictly serial, TDecTop /
+  // TDecSlice; the "frame pipeline" slot of SURVEY §2.5):
+  //  * PARSE pool: a picture's slice data is a pure function of its rbsp
+  //    bits, the parameter sets, a per-slice reference-list snapshot and
+  //    the collocated picture's parsed motion field (TMVP).  Pictures
+  //    therefore CABAC-parse concurrently with a single ordering edge:
+  //    colPic must be parsed first (frame threading).  All DPB/RPS/POC
+  //    bookkeeping stays on the main thread; workers only read
+  //    snapshotted metadata and the colPic's arrays.
+  //  * RECON pool: a picture reconstructs once its reference pictures are
+  //    reconstructed (and its own parse finished, which is implied by the
+  //    recon task being created at parse completion).
+  // Scheduling is readiness-scan, not FIFO: a worker only pops a task
+  // whose dependencies are already complete, so it never blocks while
+  // holding work (no hold-and-wait, no deadlock; both dependency graphs
+  // follow decode order and are acyclic).
   struct ReconTask {
     Picture* pic;
     const SPS* sps;
@@ -172,13 +181,35 @@ struct Decoder {
     std::vector<std::pair<int, Picture*>> refs;  // poc -> picture snapshot
     std::vector<Picture*> waits;                 // recon dependencies
   };
+  struct SliceWork {
+    std::vector<uint8_t> rbsp;
+    SliceHeader* sh;                 // owned by shStore
+    int sliceId = 0;
+    bool firstInPic = false;
+    std::vector<RefPicInfo> refList[2];  // per-slice snapshot
+    bool allRefsBefore = true;
+    Picture* colPic = nullptr;
+    int colPoc = 0;
+  };
+  struct ParseTask {
+    Picture* pic = nullptr;
+    std::unique_ptr<SliceParser> parser;
+    const SPS* sps = nullptr;
+    const PPS* pps = nullptr;
+    std::vector<SliceWork> slices;
+  };
   std::deque<ReconTask> reconQ;
+  std::deque<ParseTask> parseQ;
   std::mutex pipeMu;
   std::condition_variable pipeCv;
-  std::vector<std::thread> workers;
+  std::vector<std::thread> workers;       // recon pool
+  std::vector<std::thread> parseWorkers;  // parse pool
   std::map<const Picture*, int> reconState;  // 1 = queued/running, 2 = done
+  std::map<const Picture*, int> parseState;  // 1 = queued/running, 2 = done
+  std::vector<SliceWork> pendingSlices;      // slices of `cur` awaiting submit
   bool pipeStop = false;
-  int pipeThreads = -1;  // -1 = undecided
+  int pipeThreads = -1;       // -1 = undecided
+  int parsePipeThreads = -1;  // -1 = undecided
 
   int pipelineThreads() {
     if (pipeThreads < 0) {
@@ -189,24 +220,50 @@ struct Decoder {
     return pipeThreads;
   }
 
+  int parseThreads() {
+    if (parsePipeThreads < 0) {
+      const char* env = getenv("HEVC_PARSE_THREADS");
+      if (env) {
+        parsePipeThreads = std::max(0, atoi(env));
+      } else {
+        const char* tenv = getenv("HEVC_THREADS");
+        int want = tenv ? atoi(tenv)
+                        : int(std::thread::hardware_concurrency());
+        parsePipeThreads = want > 1 ? std::min(want, 4) : 0;
+      }
+    }
+    return parsePipeThreads;
+  }
+  bool parsePipelined() { return parseThreads() >= 2; }
+
+  bool reconReady(const ReconTask& t) {
+    for (Picture* w : t.waits) {
+      auto it = reconState.find(w);
+      if (it != reconState.end() && it->second != 2) return false;
+    }
+    return true;
+  }
+  bool parseReady(const ParseTask& t) {
+    for (const SliceWork& s : t.slices) {
+      if (!s.colPic) continue;
+      auto it = parseState.find(s.colPic);
+      if (it != parseState.end() && it->second != 2) return false;
+    }
+    return true;
+  }
+
   void workerLoop() {
     std::unique_lock<std::mutex> lk(pipeMu);
     for (;;) {
-      pipeCv.wait(lk, [&] { return pipeStop || !reconQ.empty(); });
-      if (reconQ.empty()) {
-        if (pipeStop) return;
-        continue;
-      }
-      ReconTask t = std::move(reconQ.front());
-      reconQ.pop_front();
-      // FIFO pops mean every earlier picture is already running or done,
-      // so the earliest-unfinished picture always has its deps satisfied:
-      // waiting here cannot deadlock the pool.
+      size_t idx = SIZE_MAX;
       pipeCv.wait(lk, [&] {
-        for (Picture* w : t.waits)
-          if (reconState[w] != 2) return false;
-        return true;
+        for (size_t i = 0; i < reconQ.size(); i++)
+          if (reconReady(reconQ[i])) { idx = i; return true; }
+        return pipeStop && reconQ.empty();
       });
+      if (idx == SIZE_MAX) { if (pipeStop && reconQ.empty()) return; continue; }
+      ReconTask t = std::move(reconQ[idx]);
+      reconQ.erase(reconQ.begin() + idx);
       lk.unlock();
       double t0 = now();
       reconstructPicture(*t.pic, *t.sps, *t.pps, [&t](int poc) -> Picture* {
@@ -219,6 +276,77 @@ struct Decoder {
       tRecon += dt;
       reconState[t.pic] = 2;
       pipeCv.notify_all();
+    }
+  }
+
+  void runParseTask(ParseTask& t) {
+    SliceParser& sp = *t.parser;
+    for (SliceWork& s : t.slices) {
+      sp.poc = t.pic->poc;
+      for (int l = 0; l < 2; l++) sp.refList[l] = s.refList[l];
+      sp.allRefsBefore = s.allRefsBefore;
+      sp.colPic = s.colPic;
+      sp.colPoc = s.colPoc;
+      if (!s.firstInPic)
+        dropProductsFromCtu(t.pic, &sp, *t.sps, *t.pps,
+                            s.sh->segment_address);
+      sp.decodeSlice(s.rbsp.data(), s.rbsp.size(), *s.sh, s.sliceId);
+    }
+  }
+
+  void parseLoop() {
+    std::unique_lock<std::mutex> lk(pipeMu);
+    for (;;) {
+      size_t idx = SIZE_MAX;
+      pipeCv.wait(lk, [&] {
+        for (size_t i = 0; i < parseQ.size(); i++)
+          if (parseReady(parseQ[i])) { idx = i; return true; }
+        return pipeStop && parseQ.empty();
+      });
+      if (idx == SIZE_MAX) { if (pipeStop && parseQ.empty()) return; continue; }
+      ParseTask t = std::move(parseQ[idx]);
+      parseQ.erase(parseQ.begin() + idx);
+      lk.unlock();
+      double t0 = now();
+      runParseTask(t);
+      double dt = now() - t0;
+      // recon task built AFTER parse: ref pocs/pics come from the slice
+      // ref-list snapshots (exactly the mapping the PUs' ref_poc used)
+      ReconTask r{t.pic, t.sps, t.pps, {}, {}};
+      if (reconEnabled) {
+        for (SliceWork& s : t.slices)
+          for (int l = 0; l < 2; l++)
+            for (RefPicInfo& info : s.refList[l]) {
+              bool seen = false;
+              for (auto& pr : r.refs)
+                if (pr.first == info.poc && pr.second == info.pic) {
+                  seen = true;
+                  break;
+                }
+              if (!seen) r.refs.push_back({info.poc, info.pic});
+            }
+        for (auto& pr : r.refs) {
+          if (!pr.second || pr.second == t.pic) continue;
+          bool seen = false;
+          for (Picture* w : r.waits)
+            if (w == pr.second) { seen = true; break; }
+          if (!seen) r.waits.push_back(pr.second);
+        }
+      }
+      lk.lock();
+      tParseW += dt;
+      parseState[t.pic] = 2;
+      if (reconEnabled) reconQ.push_back(std::move(r));
+      pipeCv.notify_all();
+    }
+  }
+
+  void startReconPool() {
+    // callers hold pipeMu
+    if (workers.empty()) {
+      int n = std::max(1, pipelineThreads() - 1);
+      for (int i = 0; i < n; i++)
+        workers.emplace_back([this] { workerLoop(); });
     }
   }
 
@@ -239,22 +367,36 @@ struct Decoder {
       if (rp) t.waits.push_back(rp);
     }
     std::lock_guard<std::mutex> lk(pipeMu);
-    if (workers.empty()) {
-      int n = std::max(1, pipelineThreads() - 1);
-      for (int i = 0; i < n; i++)
-        workers.emplace_back([this] { workerLoop(); });
-    }
+    startReconPool();
     reconState[p] = 1;
     reconQ.push_back(std::move(t));
     pipeCv.notify_all();
   }
 
   void waitReconPic(const Picture* p) {
+    if (!parseWorkers.empty()) {
+      std::unique_lock<std::mutex> lk(pipeMu);
+      pipeCv.wait(lk, [&] {
+        auto it = parseState.find(p);
+        return it == parseState.end() || it->second == 2;
+      });
+    }
     if (workers.empty()) return;
     std::unique_lock<std::mutex> lk(pipeMu);
     pipeCv.wait(lk, [&] {
       auto it = reconState.find(p);
       return it == reconState.end() || it->second == 2;
+    });
+  }
+
+  void drainParse() {
+    if (parseWorkers.empty()) return;
+    std::unique_lock<std::mutex> lk(pipeMu);
+    pipeCv.wait(lk, [&] {
+      if (!parseQ.empty()) return false;
+      for (auto& kv : parseState)
+        if (kv.second != 2) return false;
+      return true;
     });
   }
 
@@ -270,22 +412,47 @@ struct Decoder {
   }
 
   ~Decoder() {
-    if (!workers.empty()) {
+    if (!workers.empty() || !parseWorkers.empty()) {
       {
         std::lock_guard<std::mutex> lk(pipeMu);
         pipeStop = true;
       }
       pipeCv.notify_all();
+      for (auto& w : parseWorkers) w.join();
       for (auto& w : workers) w.join();
     }
   }
 
   void finishPicture() {
     if (!cur) return;
-    if (reconEnabled) {
-      Picture* p = cur.get();
-      const SPS& sps = spsMap[p->sps_id];
-      const PPS& pps = ppsMap[p->pps_id];
+    Picture* p = cur.get();
+    const SPS& sps = spsMap[p->sps_id];
+    const PPS& pps = ppsMap[p->pps_id];
+    if (!pendingSlices.empty()) {
+      // frame-threaded parse: submit the whole picture's slice work
+      ParseTask t;
+      t.pic = p;
+      t.parser = std::move(parser);
+      t.sps = &sps;
+      t.pps = &pps;
+      t.slices = std::move(pendingSlices);
+      pendingSlices.clear();
+      {
+        std::lock_guard<std::mutex> lk(pipeMu);
+        if (parseWorkers.empty()) {
+          int n = parseThreads();
+          for (int i = 0; i < n; i++)
+            parseWorkers.emplace_back([this] { parseLoop(); });
+        }
+        if (reconEnabled) startReconPool();
+        parseState[p] = 1;
+        // recon registered before any later picture's readiness check can
+        // mistake a missing entry for "done"
+        if (reconEnabled) reconState[p] = 1;
+        parseQ.push_back(std::move(t));
+      }
+      pipeCv.notify_all();
+    } else if (reconEnabled) {
       if (pipelineThreads() > 1) {
         queueRecon(p, sps, pps);
       } else {
@@ -312,11 +479,17 @@ struct Decoder {
     std::vector<int> epbPos;
     std::vector<uint8_t> rbsp = stripEp(ebsp + 2, n - 2, &epbPos);
     if (nalType == 33) {
+      // pipeline workers hold SPS/PPS pointers into the maps; a re-sent
+      // parameter set overwrites the mapped value in place, so quiesce
+      drainParse();
+      drainRecon();
       SPS s = parseSps(rbsp.data(), rbsp.size());
       spsMap[s.sps_id] = s;
       return;
     }
     if (nalType == 34) {
+      drainParse();
+      drainRecon();
       PPS p = parsePps(rbsp.data(), rbsp.size());
       ppsMap[p.pps_id] = p;
       return;
@@ -419,10 +592,27 @@ struct Decoder {
         }
       }
     }
-    if (!sh.first_slice_in_pic)
-      dropProductsFromCtu(sps, pps, sh.segment_address);
-    if (!sh.dependent) curSliceId = sliceCount++;
-    parser->decodeSlice(rbsp.data(), rbsp.size(), *shp, curSliceId);
+    if (!parsePipelined()) {
+      if (!sh.first_slice_in_pic)
+        dropProductsFromCtu(cur.get(), parser.get(), sps, pps,
+                            sh.segment_address);
+      if (!sh.dependent) curSliceId = sliceCount++;
+      parser->decodeSlice(rbsp.data(), rbsp.size(), *shp, curSliceId);
+    } else {
+      // frame-threaded parse: defer slice data to the parse pool with a
+      // snapshot of the per-slice motion-derivation context
+      if (!sh.dependent) curSliceId = sliceCount++;
+      SliceWork w;
+      w.rbsp = std::move(rbsp);
+      w.sh = shp;
+      w.sliceId = curSliceId;
+      w.firstInPic = sh.first_slice_in_pic != 0;
+      for (int l = 0; l < 2; l++) w.refList[l] = parser->refList[l];
+      w.allRefsBefore = parser->allRefsBefore;
+      w.colPic = parser->colPic;
+      w.colPoc = parser->colPoc;
+      pendingSlices.push_back(std::move(w));
+    }
   }
 
   // Drop parse products at CTU raster addresses >= firstCtu before a later
@@ -433,23 +623,24 @@ struct Decoder {
   // (plus the per-CTU re-init in decodeSlice); the append-only product lists
   // must discard the earlier pass's overlap entries.  IntraMeta.tu_index is
   // remapped (coeff/sample pools keep orphaned data; offsets stay valid).
-  void dropProductsFromCtu(const SPS& sps, const PPS& pps, int firstCtu) {
-    if (!cur) return;
+  void dropProductsFromCtu(Picture* pic, SliceParser* sp, const SPS& sps,
+                           const PPS& pps, int firstCtu) {
+    if (!pic) return;
     int lg = sps.log2_ctb, wc = sps.picWCtbs();
     int ssx = sps.ssx(), ssy = sps.ssy();
     // compare in DECODE (tile-scan) order: with tiles a later slice's
     // raster addresses can precede an earlier slice's
     std::vector<int> scanPos;
-    if (pps.tiles_enabled && parser) {
+    if (pps.tiles_enabled && sp) {
       scanPos.assign(size_t(wc) * sps.picHCtbs(), 0);
       int nctu = wc * sps.picHCtbs();
       int ntiles = 0;
       for (int a = 0; a < nctu; a++)
-        ntiles = std::max(ntiles, parser->tileMap[a] + 1);
+        ntiles = std::max(ntiles, sp->tileMap[a] + 1);
       int posCtr = 0;
       for (int t = 0; t < ntiles; t++)
         for (int a = 0; a < nctu; a++)
-          if (parser->tileMap[a] == t) scanPos[a] = posCtr++;
+          if (sp->tileMap[a] == t) scanPos[a] = posCtr++;
     }
     auto pos = [&](int addr) {
       return scanPos.empty() ? addr : scanPos[addr];
@@ -460,32 +651,32 @@ struct Decoder {
       int ly = comp ? (y << ssy) : y;
       return pos((ly >> lg) * wc + (lx >> lg)) < firstPos;
     };
-    std::vector<int32_t> remap(cur->tu_list.size(), -1);
+    std::vector<int32_t> remap(pic->tu_list.size(), -1);
     std::vector<TuMeta> tus;
-    for (size_t i = 0; i < cur->tu_list.size(); i++) {
-      const TuMeta& t = cur->tu_list[i];
+    for (size_t i = 0; i < pic->tu_list.size(); i++) {
+      const TuMeta& t = pic->tu_list[i];
       if (keep(t.x, t.y, t.comp)) {
         remap[i] = int32_t(tus.size());
         tus.push_back(t);
       }
     }
-    cur->tu_list.swap(tus);
+    pic->tu_list.swap(tus);
     std::vector<IntraMeta> ib;
-    for (const IntraMeta& b : cur->intra_list)
+    for (const IntraMeta& b : pic->intra_list)
       if (keep(b.x, b.y, b.comp)) {
         IntraMeta nb = b;
         if (nb.tu_index >= 0) nb.tu_index = remap[nb.tu_index];
         ib.push_back(nb);
       }
-    cur->intra_list.swap(ib);
+    pic->intra_list.swap(ib);
     std::vector<PuMeta> pus;
-    for (const PuMeta& p : cur->inter_list)
+    for (const PuMeta& p : pic->inter_list)
       if (keep(p.x, p.y, 0)) pus.push_back(p);
-    cur->inter_list.swap(pus);
+    pic->inter_list.swap(pus);
     std::vector<PcmMeta> pcms;
-    for (const PcmMeta& p : cur->pcm_list)
+    for (const PcmMeta& p : pic->pcm_list)
       if (keep(p.x, p.y, p.comp)) pcms.push_back(p);
-    cur->pcm_list.swap(pcms);
+    pic->pcm_list.swap(pcms);
   }
   std::vector<std::unique_ptr<SliceHeader>> shStore;
 
@@ -514,10 +705,12 @@ struct Decoder {
       }
     }
     finishPicture();
+    drainParse();
     drainRecon();
     if (getenv("HEVCDEC_TIMING"))
-      fprintf(stderr, "hevcdec timing: parse(+recon@finish) %.3fs recon %.3fs\n",
-              tParse - tRecon, tRecon);
+      fprintf(stderr,
+              "hevcdec timing: main %.3fs parse-workers %.3fs recon %.3fs\n",
+              tParse - tRecon, tParseW, tRecon);
     (void)i;
   }
 };
@@ -552,6 +745,7 @@ int hevcdec_feed(void* h, const uint8_t* ebsp, size_t n) {
 int hevcdec_flush(void* h) {
   auto* d = static_cast<hevc::Decoder*>(h);
   d->finishPicture();
+  d->drainParse();
   d->drainRecon();
   return int(d->doneOrder.size());
 }
