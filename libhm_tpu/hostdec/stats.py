@@ -14,10 +14,13 @@ import sys
 from collections import defaultdict
 
 
-def collect(data: bytes):
+def collect(data: bytes, per_component=False):
     """Decode `data` (Annex-B) counting bins per syntax-element class.
 
-    Returns {name: {"bins": n, "bypass": n}} plus "__total__".
+    Returns {name: {"bins": n, "bypass": n}} plus "__total__".  With
+    per_component, residual-coding elements split into ":c0" (luma) /
+    ":c1" (chroma) rows — the attribution that localized the encoder's
+    chroma allocation gap vs HM.
     """
     from . import cabac as cabac_mod
     from . import residual as res_mod
@@ -56,7 +59,8 @@ def collect(data: bytes):
         if sd is not None:
             for k, v in sd.bank.items():
                 if v is ctx:
-                    if cur_comp[0] is not None and k in _RES:
+                    if per_component and cur_comp[0] is not None \
+                            and k in _RES:
                         return f"{k}:c{min(cur_comp[0], 1)}"
                     return k
         return "?"
@@ -115,7 +119,7 @@ def main(argv=None):
     if not argv:
         print(__doc__)
         return 2
-    table = collect(open(argv[0], "rb").read())
+    table = collect(open(argv[0], "rb").read(), per_component=True)
     total = table.pop("__total__")
     tot_all = max(1, total["bins"] + total["bypass"])
     print(f"{'syntax element':24s} {'ctx bins':>10s} {'bypass':>10s} {'share':>7s}")
