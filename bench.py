@@ -86,6 +86,19 @@ def bench_parse_only(runs=3):
 def bench_hm(runs=5):
     exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
     if not os.path.exists(exe):
+        # fresh host: untracked binaries are gone but the build script is
+        # committed — rebuild the reference decoder so vs_baseline is real
+        script = os.path.join(ROOT, ".refbuild", "build_ref.sh")
+        if os.path.exists(script):
+            print("building HM reference apps (fresh host)...",
+                  file=sys.stderr)
+            try:
+                subprocess.run(["bash", script], timeout=3000,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+            except Exception as e:
+                print(f"HM rebuild failed: {e}", file=sys.stderr)
+    if not os.path.exists(exe):
         return None
     tmp = "/tmp/bench_hm_stream.bin"
     with open(tmp, "wb") as f:
@@ -130,7 +143,12 @@ def main():
     tpu = None
     if not os.environ.get("BENCH_SKIP_TPU") and _device_reachable():
         try:
-            tpu, tpu_best = bench_ours(recon="tpu", runs=2)
+            # one probe run first: a tunnel-bound device pipeline can be
+            # 100x slower than the CPU path, so only spend more runs on a
+            # stable median when the probe is actually competitive
+            tpu, _ = bench_ours(recon="tpu", runs=1)
+            if tpu > 0.5 * ours:
+                tpu, _ = bench_ours(recon="tpu", runs=3)
             print(f"recon=tpu pipeline: median {tpu:.2f} fps (bit-exact; "
                   f"tunnel-bound on this host)", file=sys.stderr)
         except Exception as e:  # no device / tunnel down
