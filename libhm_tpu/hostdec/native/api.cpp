@@ -16,6 +16,9 @@
 #include <map>
 #include <mutex>
 #include <thread>
+#ifdef __GLIBC__
+#include <malloc.h>
+#endif
 
 namespace hevc {
 
@@ -50,6 +53,10 @@ static bool isSubNonRef(int t) {
 
 struct Decoder {
   bool reconEnabled = false;
+  // free per-picture parse products right after that picture's recon
+  // (hevcdec bridge mode: callers read only pic_info counts + output
+  // planes).  libhmdec keeps this off — its internals API reads the maps.
+  bool lowmem = false;
   std::map<int, SPS> spsMap;
   std::map<int, PPS> ppsMap;
   // DPB of parse-plane pictures (kept alive for TMVP + ref poc bookkeeping)
@@ -460,6 +467,15 @@ struct Decoder {
         reconstructPicture(*p, sps, pps,
                            [this](int poc) { return findDpbPoc(poc); });
         tRecon += now() - t0;
+        size_t hc = g_coefHiWater.load(std::memory_order_relaxed);
+        if (p->coeffs.size() > hc)
+          g_coefHiWater.store(p->coeffs.size(), std::memory_order_relaxed);
+        size_t ht = g_tuHiWater.load(std::memory_order_relaxed);
+        if (p->tu_list.size() > ht)
+          g_tuHiWater.store(p->tu_list.size(), std::memory_order_relaxed);
+        // serial mode only: with worker pools a later picture's parse may
+        // still be reading this picture's arrays
+        if (lowmem) p->shrinkAfterRecon();
       }
     }
     // keep a raw pointer in the DPB list for TMVP / ref bookkeeping;
@@ -721,9 +737,20 @@ struct Decoder {
 // C API
 extern "C" {
 
-void* hevcdec_create() { return new hevc::Decoder(); }
+void* hevcdec_create() {
+#ifdef __GLIBC__
+  // the per-picture pools and maps run to megabytes: above glibc's default
+  // mmap threshold every one is mmap'd fresh (kernel-zeroed pages) and
+  // munmap'd on free.  Keep them on the heap so freed buffers recycle warm
+  // from picture to picture.
+  mallopt(M_MMAP_THRESHOLD, 64 << 20);
+  mallopt(M_TRIM_THRESHOLD, 32 << 20);
+#endif
+  return new hevc::Decoder();
+}
 void hevcdec_enable_recon(void* h, int on) {
   static_cast<hevc::Decoder*>(h)->reconEnabled = on != 0;
+  static_cast<hevc::Decoder*>(h)->lowmem = on != 0;
 }
 void hevcdec_destroy(void* h) { delete static_cast<hevc::Decoder*>(h); }
 
@@ -764,12 +791,17 @@ void hevcdec_pic_info(void* h, int idx, int32_t* out) {
   out[0] = p->poc; out[1] = p->nal_type; out[2] = p->temporal_id;
   out[3] = p->output_flag; out[4] = p->sps_id; out[5] = p->pps_id;
   out[6] = p->w4; out[7] = p->h4; out[8] = p->nctu;
-  out[9] = int32_t(p->tu_list.size());
-  out[10] = int32_t(p->coeffs.size());
-  out[11] = int32_t(p->intra_list.size());
-  out[12] = int32_t(p->inter_list.size());
-  out[13] = int32_t(p->pcm_list.size());
-  out[14] = int32_t(p->pcm_samples.size());
+  out[9] = int32_t(p->cnt_tu >= 0 ? p->cnt_tu : (long long)p->tu_list.size());
+  out[10] = int32_t(p->cnt_coef >= 0 ? p->cnt_coef
+                                     : (long long)p->coeffs.size());
+  out[11] = int32_t(p->cnt_intra >= 0 ? p->cnt_intra
+                                      : (long long)p->intra_list.size());
+  out[12] = int32_t(p->cnt_inter >= 0 ? p->cnt_inter
+                                      : (long long)p->inter_list.size());
+  out[13] = int32_t(p->cnt_pcm >= 0 ? p->cnt_pcm
+                                    : (long long)p->pcm_list.size());
+  out[14] = int32_t(p->cnt_pcm_samp >= 0 ? p->cnt_pcm_samp
+                                         : (long long)p->pcm_samples.size());
 }
 
 #define COPY8(name) \

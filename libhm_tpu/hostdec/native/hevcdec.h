@@ -10,8 +10,10 @@
 // merge/AMVP/TMVP derivation) — re-architected as a picture-at-a-time
 // tensor emitter.
 #pragma once
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <type_traits>
 #include <vector>
 #include <memory>
 #include <array>
@@ -258,10 +260,20 @@ struct PuMeta {
 };
 struct PcmMeta { int32_t comp, x, y, w, h, bits, sample_off; };
 
+// coefficient/TU-pool high-water marks across pictures: fresh pictures
+// reserve the previous peak so the parse never pays incremental
+// reallocation+copy growth on the pools (they reach megabytes at 1080p)
+inline std::atomic<size_t> g_coefHiWater{0};
+inline std::atomic<size_t> g_tuHiWater{0};
+
 struct Picture {
   int poc = 0, nal_type = 0, temporal_id = 0, output_flag = 1;
   int sps_id = 0, pps_id = 0;
   int w4 = 0, h4 = 0, nctu = 0;
+  // product-list sizes recorded before a lowmem decode frees the lists
+  // (hevcdec_pic_info keeps reporting the true counts)
+  long long cnt_tu = -1, cnt_coef = -1, cnt_intra = -1, cnt_inter = -1;
+  long long cnt_pcm = -1, cnt_pcm_samp = -1;
   // 4x4 maps [h4*w4]
   std::vector<int8_t> depth, pred_mode, part_size, skip, pcm, tq_bypass;
   std::vector<int8_t> intra_y, intra_c, chroma_dm, qp, cbf_y, inter_dir;
@@ -310,6 +322,29 @@ struct Picture {
     sao_type.assign(size_t(nctu) * 3, -1);
     sao_band.assign(size_t(nctu) * 3, 0);
     sao_offsets.assign(size_t(nctu) * 12, 0);
+    coeffs.reserve(g_coefHiWater.load(std::memory_order_relaxed));
+    tu_list.reserve(g_tuHiWater.load(std::memory_order_relaxed));
+  }
+
+  // Free everything only this picture's own parse/recon consumes.  Kept
+  // alive: plane[] (MC reference + output) and the five TMVP source maps
+  // (pred_mode, inter_dir, mv, ref_poc, ref_is_lt) read by later
+  // pictures' collocated-motion derivation until DPB retirement.
+  void shrinkAfterRecon() {
+    cnt_tu = (long long)tu_list.size();
+    cnt_coef = (long long)coeffs.size();
+    cnt_intra = (long long)intra_list.size();
+    cnt_inter = (long long)inter_list.size();
+    cnt_pcm = (long long)pcm_list.size();
+    cnt_pcm_samp = (long long)pcm_samples.size();
+    auto drop = [](auto& v) { typename std::decay<decltype(v)>::type().swap(v); };
+    drop(depth); drop(part_size); drop(skip); drop(pcm); drop(tq_bypass);
+    drop(intra_y); drop(intra_c); drop(chroma_dm); drop(qp); drop(cbf_y);
+    drop(root_cbf); drop(ref_idx); drop(slice_idx); drop(edge_flags);
+    drop(deblock_disable); drop(beta_offset); drop(tc_offset);
+    drop(lf_across); drop(sao_type); drop(sao_band); drop(sao_offsets);
+    drop(tu_list); drop(coeffs); drop(intra_list); drop(inter_list);
+    drop(pcm_list); drop(pcm_samples);
   }
 };
 

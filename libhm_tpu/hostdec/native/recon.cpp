@@ -175,6 +175,11 @@ struct ReconCtx {
   std::vector<int32_t> tileMap;  // [nctu]
   std::vector<int16_t> resPool;  // residuals, same layout/offsets as coeffs
                                  // (every residual path clips to int16)
+  // geometry caches: the ctx is reused across pictures (thread_local in
+  // reconstructPicture), and zmap/tileMap only depend on these keys — a
+  // 1080p zmap is a 1 MB fill per picture otherwise
+  int zKeyW4 = -1, zKeyH4 = -1, zKeyLg = -1;
+  std::vector<int32_t> tKey;     // tile geometry fingerprint
   // dequant scaling matrices [sizeId][matrixId] upsampled to full size
   bool useScaling = false;
   std::vector<int32_t> scalMat[4][6];
@@ -198,26 +203,38 @@ struct ReconCtx {
     Wp = wCtbs << log2Ctb;
     Hp = hCtbs << log2Ctb;
     int n = log2Ctb - 2, m = 1 << n;
-    std::vector<int64_t> zin(size_t(m) * m);
-    for (int yy = 0; yy < m; yy++)
-      for (int xx = 0; xx < m; xx++) {
-        int64_t z = 0;
-        for (int b = 0; b < n; b++) {
-          z |= int64_t((xx >> b) & 1) << (2 * b);
-          z |= int64_t((yy >> b) & 1) << (2 * b + 1);
+    if (zKeyW4 != pic->w4 || zKeyH4 != pic->h4 || zKeyLg != log2Ctb) {
+      zKeyW4 = pic->w4; zKeyH4 = pic->h4; zKeyLg = log2Ctb;
+      std::vector<int64_t> zin(size_t(m) * m);
+      for (int yy = 0; yy < m; yy++)
+        for (int xx = 0; xx < m; xx++) {
+          int64_t z = 0;
+          for (int b = 0; b < n; b++) {
+            z |= int64_t((xx >> b) & 1) << (2 * b);
+            z |= int64_t((yy >> b) & 1) << (2 * b + 1);
+          }
+          zin[size_t(yy) * m + xx] = z;
         }
-        zin[size_t(yy) * m + xx] = z;
-      }
-    zmap.assign(size_t(pic->h4) * pic->w4, 0);
-    int64_t parts = int64_t(m) * m;
-    for (int cy = 0; cy < pic->h4; cy += m)
-      for (int cx = 0; cx < pic->w4; cx += m) {
-        int64_t base = (int64_t(cy / m) * wCtbs + cx / m) * parts;
-        for (int yy = 0; yy < m; yy++)
-          for (int xx = 0; xx < m; xx++)
-            zmap[size_t(cy + yy) * pic->w4 + cx + xx] =
-                base + zin[size_t(yy) * m + xx];
-      }
+      zmap.assign(size_t(pic->h4) * pic->w4, 0);
+      int64_t parts = int64_t(m) * m;
+      for (int cy = 0; cy < pic->h4; cy += m)
+        for (int cx = 0; cx < pic->w4; cx += m) {
+          int64_t base = (int64_t(cy / m) * wCtbs + cx / m) * parts;
+          for (int yy = 0; yy < m; yy++)
+            for (int xx = 0; xx < m; xx++)
+              zmap[size_t(cy + yy) * pic->w4 + cx + xx] =
+                  base + zin[size_t(yy) * m + xx];
+        }
+    }
+    std::vector<int32_t> tk = {wCtbs, hCtbs, pps->tiles_enabled,
+                               pps->num_tile_cols, pps->num_tile_rows,
+                               pps->uniform_spacing};
+    tk.insert(tk.end(), pps->tile_col_widths.begin(),
+              pps->tile_col_widths.end());
+    tk.insert(tk.end(), pps->tile_row_heights.begin(),
+              pps->tile_row_heights.end());
+    if (tk == tKey) return;
+    tKey = std::move(tk);
     tileMap.assign(size_t(wCtbs) * hCtbs, 0);
     if (pps->tiles_enabled) {
       int nc = pps->num_tile_cols, nr = pps->num_tile_rows;
@@ -745,7 +762,11 @@ struct ReconCtx {
 
   void buildResiduals() {
     buildScalingMatrices();
-    resPool.resize(pic->coeffs.size());
+    // grow-only: every TU's slot is fully written below before any read,
+    // so the zero-fill only ever runs when the pool grows past its
+    // high-water mark (the ctx is reused across pictures)
+    if (resPool.size() < pic->coeffs.size())
+      resPool.resize(pic->coeffs.size());
     static thread_local int32_t scratch[32 * 32];
     for (size_t i = 0; i < pic->tu_list.size(); i++) {
       const TuMeta& t = pic->tu_list[i];
@@ -1772,8 +1793,6 @@ struct ReconCtx {
     }
     for (const IntraMeta& b : pic->intra_list) reconIntraBlock(b);
     if (timing) { tIntra += now() - t0; t0 = now(); }
-    resPool.clear();
-    resPool.shrink_to_fit();
     // in-loop filters with PCM / lossless restoration
     bool needPre = pps->transquant_bypass_enabled ||
                    (sps->pcm_enabled && sps->pcm_loop_filter_disabled);
@@ -1797,12 +1816,15 @@ struct ReconCtx {
 
 inline void reconstructPicture(Picture& pic, const SPS& sps, const PPS& pps,
                                std::function<Picture*(int)> findRef) {
-  ReconCtx ctx;
+  // reused across pictures (per recon thread): keeps resPool at its
+  // high-water capacity and the zmap/tileMap geometry caches warm
+  static thread_local ReconCtx ctx;
   ctx.sps = &sps;
   ctx.pps = &pps;
   ctx.pic = &pic;
   ctx.findRef = std::move(findRef);
   ctx.run();
+  ctx.findRef = nullptr;  // drop the DPB closure; pictures may be freed
 }
 
 }  // namespace hevc

@@ -3,6 +3,7 @@
 // Compiled as part of api.cpp (single translation unit).
 #include "hevcdec.h"
 #include <atomic>
+#include <memory>
 #include <thread>
 #include <cstdlib>
 
@@ -41,7 +42,10 @@ struct SliceParser {
 
   int W, H, ctb, log2Ctb, wCtbs;
   int sliceIdx;
-  std::vector<int64_t> zmap;     // per 4x4
+  // z-scan map, shared+cached across parsers of the same geometry (a
+  // 1080p zmap is a 1 MB fill per picture otherwise); shared_ptr so a
+  // geometry change can't invalidate it under a frame-threaded parser
+  std::shared_ptr<const std::vector<int64_t>> zmapP;
   std::vector<int32_t> tileMap;  // per CTU
   std::vector<int> tileColBounds, tileRowBounds;
 
@@ -98,25 +102,39 @@ struct SliceParser {
     W = sps->width; H = sps->height;
     ctb = sps->ctbSize(); log2Ctb = sps->log2_ctb; wCtbs = sps->picWCtbs();
     int n = log2Ctb - 2, m = 1 << n;
-    std::vector<int64_t> zInCtu(size_t(m) * m);
-    for (int yy = 0; yy < m; yy++)
-      for (int xx = 0; xx < m; xx++) {
-        int64_t z = 0;
-        for (int b = 0; b < n; b++) {
-          z |= int64_t((xx >> b) & 1) << (2 * b);
-          z |= int64_t((yy >> b) & 1) << (2 * b + 1);
-        }
-        zInCtu[size_t(yy) * m + xx] = z;
-      }
-    zmap.assign(size_t(pic->h4) * pic->w4, 0);
-    int64_t parts = int64_t(m) * m;
-    for (int cy = 0; cy < pic->h4; cy += m)
-      for (int cx = 0; cx < pic->w4; cx += m) {
-        int64_t base = (int64_t(cy / m) * wCtbs + cx / m) * parts;
+    {
+      struct ZCache {
+        int w4 = -1, h4 = -1, lg = -1;
+        std::shared_ptr<const std::vector<int64_t>> map;
+      };
+      static thread_local ZCache zc;
+      if (zc.w4 != pic->w4 || zc.h4 != pic->h4 || zc.lg != log2Ctb) {
+        std::vector<int64_t> zInCtu(size_t(m) * m);
         for (int yy = 0; yy < m; yy++)
-          for (int xx = 0; xx < m; xx++)
-            zmap[size_t(cy + yy) * pic->w4 + cx + xx] = base + zInCtu[size_t(yy) * m + xx];
+          for (int xx = 0; xx < m; xx++) {
+            int64_t z = 0;
+            for (int b = 0; b < n; b++) {
+              z |= int64_t((xx >> b) & 1) << (2 * b);
+              z |= int64_t((yy >> b) & 1) << (2 * b + 1);
+            }
+            zInCtu[size_t(yy) * m + xx] = z;
+          }
+        auto zm = std::make_shared<std::vector<int64_t>>(
+            size_t(pic->h4) * pic->w4);
+        int64_t parts = int64_t(m) * m;
+        for (int cy = 0; cy < pic->h4; cy += m)
+          for (int cx = 0; cx < pic->w4; cx += m) {
+            int64_t base = (int64_t(cy / m) * wCtbs + cx / m) * parts;
+            for (int yy = 0; yy < m; yy++)
+              for (int xx = 0; xx < m; xx++)
+                (*zm)[size_t(cy + yy) * pic->w4 + cx + xx] =
+                    base + zInCtu[size_t(yy) * m + xx];
+          }
+        zc.w4 = pic->w4; zc.h4 = pic->h4; zc.lg = log2Ctb;
+        zc.map = std::move(zm);
       }
+      zmapP = zc.map;
+    }
     // tiles
     int hCtbs = sps->picHCtbs();
     tileMap.assign(size_t(wCtbs) * hCtbs, 0);
@@ -147,7 +165,8 @@ struct SliceParser {
   bool available(int x, int y, int cx, int cy, bool checkZ = true) {
     if (x < 0 || y < 0 || x >= W || y >= H) return false;
     int x4 = x >> 2, y4 = y >> 2, cx4 = cx >> 2, cy4 = cy >> 2;
-    if (checkZ && zmap[size_t(y4) * w4() + x4] >= zmap[size_t(cy4) * w4() + cx4]) return false;
+    if (checkZ && (*zmapP)[size_t(y4) * w4() + x4] >=
+                      (*zmapP)[size_t(cy4) * w4() + cx4]) return false;
     if (pic->slice_idx[size_t(y4) * w4() + x4] != pic->slice_idx[size_t(cy4) * w4() + cx4]) return false;
     if (tileMap[size_t(y >> log2Ctb) * wCtbs + (x >> log2Ctb)] !=
         tileMap[size_t(cy >> log2Ctb) * wCtbs + (cx >> log2Ctb)]) return false;
