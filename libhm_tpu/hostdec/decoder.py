@@ -224,7 +224,7 @@ class Decoder:
                     nalu.nal_type == N.NAL_CRA
                 self._flush_dpb_for_irap(no_output)
             self._apply_rps_retirement(sh, sps)
-            pic = PicSyntax(sps, pps)
+            pic = PicSyntax(sps, pps, alloc_maps=(self.parse != "native"))
             sd = SliceDecoder(sps, pps, pic)
             if sh.slice_type != I_SLICE:
                 from .motion import MotionDeriver

@@ -898,9 +898,10 @@ void hevcdec_get_output(void* h, int idx, int comp, uint8_t* dst) {
   } else {
     uint16_t* o16 = reinterpret_cast<uint16_t*>(dst);
     for (int y = 0; y < hh; y++) {
-      const hevc::Pel* r = src + (int64_t(y0) + y) * stride + x0;
-      uint16_t* o = o16 + int64_t(y) * w;
-      for (int x = 0; x < w; x++) o[x] = uint16_t(r[x]);
+      // Pel is int16 with non-negative sample values: bitwise-identical
+      // to the uint16 output rows
+      memcpy(o16 + int64_t(y) * w, src + (int64_t(y0) + y) * stride + x0,
+             size_t(w) * 2);
     }
   }
 }

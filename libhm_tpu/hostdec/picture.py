@@ -75,12 +75,20 @@ class InterPU:
 class PicSyntax:
     """Everything the reconstruction stages need for one picture."""
 
-    def __init__(self, sps, pps):
+    def __init__(self, sps, pps, alloc_maps=True):
         self.sps = sps
         self.pps = pps
         w4 = (sps.pic_width_ctbs << sps.log2_ctb) >> 2
         h4 = (sps.pic_height_ctbs << sps.log2_ctb) >> 2
         self.w4, self.h4 = w4, h4
+        if not alloc_maps:
+            # parse="native" placeholder: the native parser's materialized
+            # PicSyntax replaces this object at _finish_picture, so the map
+            # tensors (several MB at 1080p) are never read
+            self.tu_list, self.intra_list = [], []
+            self.inter_list, self.pcm_list = [], []
+            self.slice_headers = []
+            return
         shape = (h4, w4)
         self.depth = np.zeros(shape, np.int8)
         self.pred_mode = np.full(shape, MODE_INTRA, np.int8)
