@@ -5,11 +5,11 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric: 1080p Main10 random-access decode fps, full pipeline, bit-exact vs
 the HM decoded-picture-hash oracle.  The stream is the 17-frame golden
-repeated 3x (51 frames) to reduce shared-host timing noise; both sides are
-measured as the MEDIAN of several runs (plus best, reported on stderr).
+repeated 3x (51 frames) to reduce shared-host timing noise.
 vs_baseline = our fps / HM single-threaded TAppDecoder fps measured locally
-on the same stream (the reference publishes no numbers; BASELINE.md anchors
-the ratio to a local run).
+on the same stream, as the MEDIAN of per-pair ratios over interleaved
+ours/HM runs (the shared host's absolute speed swings >1.5x between
+minutes; pairing cancels the drift out of the ratio).
 
 Two pipelines are measured and reported:
  - native:  C++ host CABAC parse + AVX2 reconstruction (the wall-clock
@@ -44,25 +44,82 @@ def _data():
     return open(STREAM, "rb").read() * REPEAT
 
 
-def bench_ours(recon="native", runs=RUNS):
+def _run_ours_once(recon="native"):
     from libhm_tpu.hostdec.decoder import Decoder
     data = _data()
-    gold = json.load(open(GOLDEN))[NAME]["decoded_yuv_md5"]
     n = NFRAMES * REPEAT
-    times = []
-    outs = None
-    for _ in range(runs):
-        t0 = time.monotonic()
-        outs = Decoder(parse="native", recon=recon).decode_annexb(data)
-        times.append(time.monotonic() - t0)
-        assert len(outs) == n
+    t0 = time.monotonic()
+    outs = Decoder(parse="native", recon=recon).decode_annexb(data)
+    dt = time.monotonic() - t0
+    assert len(outs) == n
+    return dt, outs
+
+
+def _check_exact(outs):
+    gold = json.load(open(GOLDEN))[NAME]["decoded_yuv_md5"]
     # bit-exactness: every 17-frame repetition must match the golden MD5
     for r in range(REPEAT):
         buf = b"".join(p.tobytes()
                        for pic in outs[r * NFRAMES:(r + 1) * NFRAMES]
                        for p in pic)
         assert hashlib.md5(buf).hexdigest() == gold, "decode is not bit-exact"
+
+
+def bench_ours(recon="native", runs=RUNS):
+    times = []
+    outs = None
+    for _ in range(runs):
+        dt, outs = _run_ours_once(recon)
+        times.append(dt)
+    _check_exact(outs)
+    n = NFRAMES * REPEAT
     return n / statistics.median(times), n / min(times)
+
+
+def _run_hm_once(exe, tmp):
+    t0 = time.monotonic()
+    subprocess.run([exe, "-b", tmp, "-o", "/dev/null"],
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                   check=True)
+    return time.monotonic() - t0
+
+
+def bench_paired(runs=RUNS):
+    """Interleave ours/HM runs and take the median of per-pair ratios.
+
+    The shared host's absolute throughput swings well over 1.5x between
+    minutes; pairing each of our runs with an adjacent HM run of the same
+    stream cancels the drift out of the headline vs_baseline ratio.
+    Returns (ours_median_fps, hm_median_fps, median_pair_ratio) or None
+    when the HM binary is unavailable.
+    """
+    exe = _hm_exe()
+    if exe is None:
+        return None
+    tmp = "/tmp/bench_hm_stream.bin"
+    with open(tmp, "wb") as f:
+        f.write(_data())
+    n = NFRAMES * REPEAT
+    ours_t, hm_t, ratios = [], [], []
+    outs = None
+    for i in range(runs):
+        # alternate order within the pair so neither side systematically
+        # lands on the colder phase of the machine
+        if i % 2 == 0:
+            dt, outs = _run_ours_once()
+            ht = _run_hm_once(exe, tmp)
+        else:
+            ht = _run_hm_once(exe, tmp)
+            dt, outs = _run_ours_once()
+        ours_t.append(dt)
+        hm_t.append(ht)
+        ratios.append(ht / dt)
+    _check_exact(outs)
+    os.unlink(tmp)
+    print("paired ratios: " + " ".join(f"{r:.2f}" for r in ratios),
+          file=sys.stderr)
+    return (n / statistics.median(ours_t), n / statistics.median(hm_t),
+            statistics.median(ratios))
 
 
 def bench_parse_only(runs=3):
@@ -83,7 +140,7 @@ def bench_parse_only(runs=3):
     return n / statistics.median(times)
 
 
-def bench_hm(runs=5):
+def _hm_exe():
     exe = os.path.join(ROOT, ".refbuild", "TAppDecoder")
     if not os.path.exists(exe):
         # fresh host: untracked binaries are gone but the build script is
@@ -98,21 +155,7 @@ def bench_hm(runs=5):
                                stderr=subprocess.DEVNULL)
             except Exception as e:
                 print(f"HM rebuild failed: {e}", file=sys.stderr)
-    if not os.path.exists(exe):
-        return None
-    tmp = "/tmp/bench_hm_stream.bin"
-    with open(tmp, "wb") as f:
-        f.write(_data())
-    n = NFRAMES * REPEAT
-    times = []
-    for _ in range(runs):
-        t0 = time.monotonic()
-        subprocess.run([exe, "-b", tmp, "-o", "/dev/null"],
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                       check=True)
-        times.append(time.monotonic() - t0)
-    os.unlink(tmp)
-    return n / statistics.median(times)
+    return exe if os.path.exists(exe) else None
 
 
 def _device_reachable(timeout_s=90):
@@ -134,12 +177,17 @@ def _device_reachable(timeout_s=90):
 
 
 def main():
-    ours, ours_best = bench_ours()
-    hm = bench_hm()
+    paired = bench_paired()
+    if paired is not None:
+        ours, hm, ratio = paired
+    else:
+        ours, _ = bench_ours()
+        hm, ratio = None, 0.0
     parse_fps = bench_parse_only()
     print(f"breakdown: parse-only {parse_fps:.2f} fps; "
-          f"full native median {ours:.2f} (best {ours_best:.2f}) fps; "
-          f"HM median {hm or 0:.2f} fps", file=sys.stderr)
+          f"full native median {ours:.2f} fps; "
+          f"HM median {hm or 0:.2f} fps; "
+          f"median paired ratio {ratio:.3f}", file=sys.stderr)
     tpu = None
     if not os.environ.get("BENCH_SKIP_TPU") and _device_reachable():
         try:
@@ -155,9 +203,10 @@ def main():
             print(f"recon=tpu pipeline unavailable: {e}", file=sys.stderr)
     best = ours
     pipeline = "native-cpu"
+    vs = ratio
     if tpu is not None and tpu > ours:
         best, pipeline = tpu, "host-parse+tpu-recon"
-    vs = (best / hm) if hm else 0.0
+        vs = (best / hm) if hm else 0.0
     print(json.dumps({
         "metric": "1080p Main10 RA decode fps (bit-exact)",
         "value": round(best, 3),
