@@ -133,9 +133,19 @@ struct Decoder {
     }
   }
 
+  bool lowmemSerial() {
+    return lowmem && pipelineThreads() <= 1 && !parsePipelined();
+  }
+  void retire(Picture* p) {
+    if (p->is_reference) {
+      p->is_reference = false;
+      if (lowmemSerial()) p->shrinkAtRetirement();
+    }
+  }
+
   void applyRpsRetirement(const SliceHeader& sh, const SPS& sps) {
     if (isIdr(sh.nal_type) || isBla(sh.nal_type)) {
-      for (auto& p : dpb) p->is_reference = false;
+      for (auto& p : dpb) retire(p.get());
       return;
     }
     std::vector<int> keep;
@@ -153,7 +163,7 @@ struct Decoder {
     for (auto& p : dpb) {
       bool found = false;
       for (int k : keep) if (p->poc == k) { found = true; break; }
-      if (!found) p->is_reference = false;
+      if (!found) retire(p.get());
     }
   }
 

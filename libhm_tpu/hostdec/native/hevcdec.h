@@ -346,6 +346,15 @@ struct Picture {
     drop(tu_list); drop(coeffs); drop(intra_list); drop(inter_list);
     drop(pcm_list); drop(pcm_samples);
   }
+
+  // Retired from the DPB (not a reference for any later picture): the
+  // TMVP source maps are dead too.  plane[] stays — the output API reads
+  // it, and lost-reference fabrication may still MC-gather from it.
+  void shrinkAtRetirement() {
+    auto drop = [](auto& v) { typename std::decay<decltype(v)>::type().swap(v); };
+    drop(pred_mode); drop(inter_dir); drop(mv); drop(ref_poc);
+    drop(ref_is_lt);
+  }
 };
 
 }  // namespace hevc

@@ -8,6 +8,9 @@ bool SliceParser::tmvp(int x, int y, int w, int h, int targetList,
                        int targetRefIdx, int out[2]) {
   if (!colPic) return false;
   Picture* cp = colPic;
+  // lost-reference fallback can hand out a retired picture whose motion
+  // maps a lowmem decode already freed: no TMVP candidate then
+  if (cp->pred_mode.empty()) return false;
   int candPos[2][2];
   int nCand = 0;
   int brX = x + w, brY = y + h;
