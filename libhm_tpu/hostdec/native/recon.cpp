@@ -180,6 +180,28 @@ struct ReconCtx {
   // 1080p zmap is a 1 MB fill per picture otherwise
   int zKeyW4 = -1, zKeyH4 = -1, zKeyLg = -1;
   std::vector<int32_t> tKey;     // tile geometry fingerprint
+
+  // per-block scratch.  Members rather than function-level
+  // `static thread_local`: the ctx is the single thread_local object, so
+  // __tls_get_addr runs once per picture instead of once per block/row
+  // (it showed up at ~5% of decode CPU).
+  int16_t s_cp[32 * 34] = {}, s_t16[32 * 32] = {};      // itx16
+  int16_t s_c16[32 * 33] = {}, s_o16[32 * 32] = {};     // itxAvx2/residualFast
+  int32_t s_t32[32 * 32] = {}, s_acc[32 * 32] = {};     // inverseTransform
+  int32_t s_arow[32] = {};
+  int32_t s_scratch[32 * 32] = {};                      // buildResiduals
+  int32_t s_acc32[64 + 16] = {};                        // interpBlockT
+  std::vector<int16_t> s_tmp =
+      std::vector<int16_t>((64 + 8) * 64);              // interpBlockT 2-stage
+  std::vector<int16_t> s_p0 = std::vector<int16_t>(64 * 64);   // interStage
+  std::vector<int16_t> s_p1 = std::vector<int16_t>(64 * 64);
+  int32_t s_vals[4 * 64 + 1] = {};                      // reconIntraBlock
+  uint8_t s_av[4 * 64 + 1] = {};
+  int32_t s_leftBuf[2 * 64 + 1] = {}, s_topBuf[2 * 64 + 1] = {};
+  int32_t s_nlBuf[2 * 64 + 1] = {}, s_ntBuf[2 * 64 + 1] = {};
+  int32_t s_full[4 * 64 + 1] = {}, s_sm[4 * 64 + 1] = {};
+  int32_t s_pred[64 * 64] = {};
+  int32_t s_refBuf[2 * 64 + 1] = {};
   // dequant scaling matrices [sizeId][matrixId] upsampled to full size
   bool useScaling = false;
   std::vector<int32_t> scalMat[4][6];
@@ -377,7 +399,7 @@ struct ReconCtx {
   void itx16(int h, int w, bool dstY, bool dstX, int shift2,
              const int16_t* c16, int lastRow, int lastCol, int16_t* outp) {
     int lgW = 0; while ((1 << lgW) < w) lgW++;
-    static thread_local int16_t cp[32 * 34], t1[32 * 32];
+    int16_t* cp = s_cp; int16_t* t1 = s_t16;
     const int shift1 = 7;
     if (lastRow == 0 && lastCol == 0 && !dstY && !dstX) {
       // DC-only: both stages reduce to scalar constants
@@ -517,7 +539,7 @@ struct ReconCtx {
   // int32 interface wrapper (scaling-list dequant path): narrow, transform,
   // widen back
   void itxAvx2(int h, int w, bool dstY, bool dstX, int shift2, int32_t* buf) {
-    static thread_local int16_t c16[32 * 33], o16[32 * 32];
+    int16_t* c16 = s_c16; int16_t* o16 = s_o16;
     int lastRow = 0, lastCol = 0;
     for (int i = 0; i < h; i++) {
       bool nz = false;
@@ -550,7 +572,7 @@ struct ReconCtx {
     int scale = kInvQuantScales[rem];
     int shift2 = 20 - bd;
     const int32_t* c = &pic->coeffs[t.coeff_off];
-    static thread_local int16_t c16[32 * 33];
+    int16_t* c16 = s_c16;
     // scan the last nonzero row of raw coeffs (zero rows dequant to zero)
     int lastRow = h - 1;
     for (; lastRow > 0; lastRow--) {
@@ -637,12 +659,12 @@ struct ReconCtx {
       if (!z) break;
       lastRow--;
     }
-    static thread_local int32_t t1[32 * 32];
+    int32_t* t1 = s_t32;
     if (maxDyn <= 15) {
       // int32 fast path: |coeff| <= 2^15, |tap| <= 90, <=32 terms -> acc
       // fits int32 (< 2^27.5).  k-outer loops keep the inner j loop
       // contiguous so the compiler vectorizes the multiply-accumulate.
-      static thread_local int32_t acc[32 * 32];
+      int32_t* acc = s_acc;
       memset(acc, 0, sizeof(int32_t) * size_t(h) * w);
       for (int k = 0; k <= lastRow; k++) {
         const int32_t* bk = buf + size_t(k) * w;
@@ -660,7 +682,7 @@ struct ReconCtx {
         t1[n] = v < I16MIN ? I16MIN : (v > I16MAX ? I16MAX : v);
       }
       int rnd2 = 1 << (shift2 - 1);
-      static thread_local int32_t arow[32];
+      int32_t* arow = s_arow;
       for (int i = 0; i < h; i++) {
         memset(arow, 0, sizeof(int32_t) * w);
         const int32_t* ti = t1 + size_t(i) * w;
@@ -767,7 +789,7 @@ struct ReconCtx {
     // high-water mark (the ctx is reused across pictures)
     if (resPool.size() < pic->coeffs.size())
       resPool.resize(pic->coeffs.size());
-    static thread_local int32_t scratch[32 * 32];
+    int32_t* scratch = s_scratch;
     for (size_t i = 0; i < pic->tu_list.size(); i++) {
       const TuMeta& t = pic->tu_list[i];
 #if defined(__AVX2__)
@@ -871,7 +893,7 @@ struct ReconCtx {
       return;
     }
     int hr = std::max(2, headroom);
-    static thread_local int32_t acc32[64 + 16];
+    int32_t* acc32 = s_acc32;
     if (fy == 0) {
       // single horizontal stage
       int shift = 6, offset;
@@ -956,7 +978,7 @@ struct ReconCtx {
     // buffers).
     int sh1 = 6 - hr;
     int32_t off1 = -(kIfOffs << sh1);
-    static thread_local std::vector<int16_t> tmp((64 + 8) * 64);
+    std::vector<int16_t>& tmp = s_tmp;
     for (int j = 0; j < h + taps - 1; j++) {
       if (interior) {
         const Pel* row = ref + int64_t(iy + j - half) * stride + ix - half;
@@ -1010,7 +1032,7 @@ struct ReconCtx {
 
   void interStage() {
     if (pic->inter_list.empty()) return;
-    static thread_local std::vector<int16_t> p0(64 * 64), p1(64 * 64);
+    std::vector<int16_t>& p0 = s_p0; std::vector<int16_t>& p1 = s_p1;
     // flat poc -> picture lookup (avoids the std::function DPB scan per PU)
     std::array<Picture*, 64> refCache{};
     std::array<int, 64> refCachePoc;
@@ -1201,8 +1223,8 @@ struct ReconCtx {
     // fill reference samples (Rec. 8.4.4.2.2); fixed thread-local buffers
     // (max n = 64), no per-block heap traffic
     int total = 4 * n + 1;
-    static thread_local int32_t vals[4 * 64 + 1];
-    static thread_local uint8_t av[4 * 64 + 1];
+    int32_t* vals = s_vals;
+    uint8_t* av = s_av;
     int x = blk.x, y = blk.y;
     bool anyAvail = false;
     for (int i = 0; i < total; i++) {
@@ -1228,8 +1250,8 @@ struct ReconCtx {
         if (!av[i]) vals[i] = vals[i - 1];
     }
     // left[0..2n]: corner then downwards; top[0..2n]: corner then rightwards
-    static thread_local int32_t leftBuf[2 * 64 + 1], topBuf[2 * 64 + 1];
-    static thread_local int32_t nlBuf[2 * 64 + 1], ntBuf[2 * 64 + 1];
+    int32_t* leftBuf = s_leftBuf; int32_t* topBuf = s_topBuf;
+    int32_t* nlBuf = s_nlBuf; int32_t* ntBuf = s_ntBuf;
     int32_t* left = leftBuf;
     int32_t* top = topBuf;
     for (int i = 0; i <= 2 * n; i++) left[i] = vals[2 * n - i];
@@ -1269,7 +1291,7 @@ struct ReconCtx {
       }
       if (!strongDone) {
         // [1 2 1] over the full border
-        static thread_local int32_t full[4 * 64 + 1], sm[4 * 64 + 1];
+        int32_t* full = s_full; int32_t* sm = s_sm;
         for (int i = 0; i < 2 * n; i++) full[i] = left[2 * n - i];
         full[2 * n] = top[0];
         for (int i = 1; i <= 2 * n; i++) full[2 * n + i] = top[i];
@@ -1283,7 +1305,7 @@ struct ReconCtx {
     }
 
     // predict (Rec. 8.4.4.2.4-6)
-    static thread_local int32_t pred[64 * 64];
+    int32_t* pred = s_pred;
     if (mode == 0) {  // planar
       int tr = top[n + 1], bl = left[n + 1];
       int log2n = 0; while ((1 << log2n) < n) log2n++;
@@ -1310,7 +1332,7 @@ struct ReconCtx {
       bool vertical = mode >= 18;
       const int32_t* main = vertical ? top : left;
       const int32_t* side = vertical ? left : top;
-      static thread_local int32_t refBuf[2 * 64 + 1];
+      int32_t* refBuf = s_refBuf;
       const int32_t* ref;
       int baseIdx;
       if (ang < 0) {
