@@ -747,6 +747,34 @@ struct Decoder {
 // C API
 extern "C" {
 
+// Self-contained SIMD calibration: run the decode hot loops (8-tap MC
+// filters) over a synthetic block and return elapsed seconds.  The bridge
+// times the AVX2 and AVX-512 builds of this same function and loads the
+// faster library: some virtualized hosts advertise AVX-512 but execute
+// 512-bit code several times slower, so the choice must be measured, not
+// detected (Makefile note).
+double hevcdec_simd_probe(int iters) {
+  static int16_t src[72 * 72];
+  static int32_t mid[64 * 72];
+  static int16_t dst[64 * 64];
+  for (int i = 0; i < 72 * 72; i++) src[i] = int16_t((i * 1103 + 7) & 1023);
+  const int f[8] = {-1, 4, -11, 40, 40, -11, 4, -1};
+  struct timespec a, b;
+  clock_gettime(CLOCK_MONOTONIC, &a);
+  for (int it = 0; it < iters; it++) {
+    for (int j = 0; j < 72; j++)
+      hevc::simd::hfilt<8>(src + j * 72, 64, f, mid + (j % 72) * 64);
+    for (int j = 0; j < 64; j++)
+      hevc::simd::vfilt<8>(src + j * 72, 72, 64, f, mid + j * 64);
+    // fold so the work isn't dead-code-eliminated
+    dst[it & 4095] = int16_t(mid[it & 4095]);
+  }
+  clock_gettime(CLOCK_MONOTONIC, &b);
+  volatile int16_t sink = dst[0];
+  (void)sink;
+  return (b.tv_sec - a.tv_sec) + (b.tv_nsec - a.tv_nsec) * 1e-9;
+}
+
 void* hevcdec_create() {
 #ifdef __GLIBC__
   // the per-picture pools and maps run to megabytes: above glibc's default

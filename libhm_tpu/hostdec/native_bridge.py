@@ -17,6 +17,40 @@ _DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _LIB = None
 
 
+def _pick_variant(so_v3):
+    """Prefer the AVX-512 build when this host actually runs it faster.
+
+    Virtualized hosts disagree wildly (one ran 512-bit code 8x slower than
+    AVX2, another 8% faster), so the choice is measured: each variant's
+    hevcdec_simd_probe (the 8-tap MC filter hot loop) is timed in a tiny
+    subprocess (python -I -S: no site/jax import) and the faster library
+    wins.  Any failure falls back to the portable AVX2 build.
+    """
+    so_v4 = os.path.join(_DIR, "libhevcdec_v4.so")
+    if not os.path.exists(so_v4):
+        return so_v3
+    try:
+        if "avx512bw" not in open("/proc/cpuinfo").read():
+            return so_v3
+        import sys
+        snippet = ("import ctypes,sys;lib=ctypes.CDLL(sys.argv[1]);"
+                   "lib.hevcdec_simd_probe.restype=ctypes.c_double;"
+                   "lib.hevcdec_simd_probe(2000);"
+                   "print(min(lib.hevcdec_simd_probe(20000) "
+                   "for _ in range(3)))")
+        t = {}
+        for so in (so_v3, so_v4):
+            r = subprocess.run([sys.executable, "-I", "-S", "-c", snippet,
+                                so], capture_output=True, text=True,
+                               timeout=60)
+            if r.returncode != 0:
+                return so_v3
+            t[so] = float(r.stdout.strip())
+        return so_v4 if t[so_v4] < t[so_v3] else so_v3
+    except Exception:
+        return so_v3
+
+
 def _load():
     global _LIB
     if _LIB is not None:
@@ -27,7 +61,7 @@ def _load():
         for f in os.listdir(_DIR) if f.endswith((".cpp", ".h")))
     if src_newer:
         subprocess.check_call(["make", "-s", "-C", _DIR])
-    lib = C.CDLL(so)
+    lib = C.CDLL(_pick_variant(so))
     lib.hevcdec_create.restype = C.c_void_p
     lib.hevcdec_decode.argtypes = [C.c_void_p, C.c_char_p, C.c_size_t]
     lib.hevcdec_feed.argtypes = [C.c_void_p, C.c_char_p, C.c_size_t]
