@@ -102,6 +102,10 @@ def bench_paired(runs=RUNS):
     n = NFRAMES * REPEAT
     ours_t, hm_t, ratios = [], [], []
     outs = None
+    # untimed warmup pair: first-run import/page-cache effects hit whichever
+    # side goes first
+    _run_ours_once()
+    _run_hm_once(exe, tmp)
     for i in range(runs):
         # alternate order within the pair so neither side systematically
         # lands on the colder phase of the machine
