@@ -409,6 +409,9 @@ class IntraEncoder:
                 elif pic_qp is not None:
                     self.cur_qp = pic_qp
                 self.cur_qp_factor = item[9] if len(item) > 9 else None
+                # GOP-entry #ref_pics_active (TEncSlice::initEncSlice
+                # clips to the RPS picture count per slice)
+                self.cur_num_active = item[10] if len(item) > 10 else None
                 slices, recon = self.encode_picture(
                     frames[poc], poc - idr_base, nal_type, slice_type,
                     rps=rps)
@@ -434,6 +437,7 @@ class IntraEncoder:
             return bytes(out)
         inter_gop = cfg.gop in ("lowdelayP", "lowdelayB")
         self.cur_qp_factor = None
+        self.cur_num_active = None
         refs = []                                # newest first
         for src_idx, frame in enumerate(frames):
             poc = src_idx
@@ -640,7 +644,7 @@ class IntraEncoder:
                 # variants: leading pictures reference each other)
                 yield (poc, nal, stype, l0, l1 if stype == 0 else [],
                        rps, cfg.qp + e.qp_offset, e.temporal_id, idr_base,
-                       e.qp_factor)
+                       e.qp_factor, e.num_ref_pics_active)
             if pending_idr is not None:
                 coded.add(pending_idr)
                 last_irap = idr_base = pending_idr
@@ -734,6 +738,18 @@ class IntraEncoder:
             else:
                 lists = [[self._prev_ref],
                          [self._prev_ref] if slice_type == 0 else []]
+            # per-picture num_ref_idx_active from the GOP entry, clipped to
+            # the RPS picture count (TEncSlice::initEncSlice:
+            # min(m_numRefPicsActive, RPS->getNumberOfPictures())) — the
+            # reference does NOT search/signal the whole RPS as active refs
+            na = getattr(self, "cur_num_active", None)
+            if na:
+                n_rps = (len(rps[0]) + len(rps[1])) if rps else \
+                    max(len(lists[0]), 1)
+                n_act = max(1, min(na, n_rps))
+                self.sh.num_ref_idx[0] = n_act
+                if self.sh.num_ref_idx[1]:
+                    self.sh.num_ref_idx[1] = n_act
             # the decoder's default list construction repeats entries up to
             # num_ref_idx_active (def[i % len]); mirror that
             full = []
@@ -781,9 +797,12 @@ class IntraEncoder:
                 if wp_b and lists[1]:
                     self.cur_wp_l1 = analyse_picture(
                         crops, croplist(lists[1]), cfg.bit_depth)
+        nr = (self.sh.num_ref_idx[0], self.sh.num_ref_idx[1]) \
+            if slice_type in (0, 1) else None
         w = write_slice_header(cfg, nal_type, poc, slice_type, qp_pic,
                                rps=rps, wp=self.cur_wp,
-                               wp_l1=getattr(self, "cur_wp_l1", None))
+                               wp_l1=getattr(self, "cur_wp_l1", None),
+                               num_ref=nr)
         self.enc = CabacEncoder(w)
         self.bank = make_context_bank(slice_type, qp_pic, self._cabac_init())
 
@@ -1011,7 +1030,9 @@ class IntraEncoder:
                     segment_address=scan[start] if start
                     else 0, entry_points=eps if rbsp_offs else None,
                     dependent=dep and start > 0,
-                    sao_flags=(enabled[0], enabled[1])).data()
+                    sao_flags=(enabled[0], enabled[1]),
+                    num_ref=(self.sh.num_ref_idx[0], self.sh.num_ref_idx[1])
+                    if slice_type in (0, 1) else None).data()
                 from .hls_writer import epb_positions
                 epb = epb_positions(hdr + data)
                 new_eps = []
@@ -1392,6 +1413,58 @@ class IntraEncoder:
                 d <<= 1
         return best_mv, best
 
+    def _bi_window_search(self, px, py, w, h, target, start_mv, pred_mv,
+                          l, r):
+        """One bi-refinement pass: integer SAD scan over HM's
+        bipredSearchRange (+-4) around the current MV against the
+        2*orig - predOther template, then HAD fractional refine
+        (xMotionEstimation with bBi, TEncSearch.cpp:4003-4021).
+        Returns the refined quarter-pel MV."""
+        plane = self._ref_plane(0, l, r)
+        tab = self.cur_wp if l == 0 else getattr(self, "cur_wp_l1", None)
+        wp = tab[min(r, len(tab) - 1)] if tab else None
+        if wp is not None:
+            # same hoisted plane-weighting as _motion_search_rect
+            bd = self.cfg.bit_depth
+            cache = getattr(self, "_wplane_cache", None)
+            if cache is None:
+                cache = self._wplane_cache = {}
+            key = (id(plane), l, r)
+            hit = cache.get(key)
+            if hit is not None and hit[0] is plane:
+                plane = hit[1]
+            else:
+                wgt, dn = wp["w"][0], wp["denom"]
+                off = wp["o"][0] * (1 << (bd - 8))
+                rnd = (1 << (dn - 1)) if dn > 0 else 0
+                wpl = np.clip(((wgt * plane.astype(np.int64) + rnd)
+                               >> dn) + off, 0, (1 << bd) - 1)
+                wpl = wpl.astype(plane.dtype)
+                cache[key] = (plane, wpl)
+                plane = wpl
+        H, W = plane.shape
+        lam_m = self._lam_motion
+        dsh = self.cfg.bit_depth - 8
+        cx, cy = start_mv[0] >> 2, start_mv[1] >> 2
+        t32 = target.astype(np.int32)
+        best, bmv = None, (cx, cy)
+        for dy in range(-4, 5):
+            ys = np.clip(np.arange(py + cy + dy, py + cy + dy + h), 0, H - 1)
+            rows = plane[ys]
+            for dx in range(-4, 5):
+                xs = np.clip(np.arange(px + cx + dx, px + cx + dx + w),
+                             0, W - 1)
+                sad = int(np.abs(rows[:, xs].astype(np.int32)
+                                 - t32).sum()) >> dsh
+                mvq = ((cx + dx) << 2, (cy + dy) << 2)
+                c = sad + lam_m * self._mv_bits(mvq[0] - pred_mv[0],
+                                                mvq[1] - pred_mv[1])
+                if best is None or c < best:
+                    best, bmv = c, (cx + dx, cy + dy)
+        mv, _ = self._frac_refine((bmv[0] << 2, bmv[1] << 2), px, py, w, h,
+                                  t32, pred_mv, l, r)
+        return mv
+
     def _frac_refine(self, best_mv, px, py, w, h, orig, pred_mv, l, r):
         """Two-stage half- then quarter-pel refinement over the 8
         neighbours of the running best, Hadamard-costed (reference
@@ -1584,19 +1657,28 @@ class IntraEncoder:
             mvds = [u0[3], u1[3]]
             mvps = [u0[4], u1[4]]
             amvps = [u0[5], u1[5]]
-            # one template round: re-search each list against
-            # 2*orig - predOther (the reference's iterative bi ME)
-            for l in (0, 1):
+            # iterative template refinement (TEncSearch.cpp:3349-3436):
+            # re-search one list at a time against 2*orig - predOther,
+            # alternating lists until no change (<=4 passes).  The window
+            # is HM's bipredSearchRange (+-4 integer) around the current
+            # MV — a full TZ on the template overfits its doubled noise
+            # and was measurably worse than the reference here.
+            mvs = list(mvs)
+            for it in range(4):
+                l = it % 2
                 other = 1 - l
                 p_other = self._pred_from_cand(
                     0, px, py, w, h, other + 1, mvs, refs).astype(np.int32)
                 target = 2 * orig - p_other
-                mv2, _ = self._motion_search_rect(
-                    px, py, w, h, amvps[l][mvps[l]], l, refs[l], target)
-                mvs = list(mvs)
-                mvs[l] = mv2
-                mvds[l] = (mv2[0] - amvps[l][mvps[l]][0],
-                           mv2[1] - amvps[l][mvps[l]][1])
+                pred_mv = amvps[l][mvps[l]]
+                mv2 = self._bi_window_search(px, py, w, h, target, mvs[l],
+                                             pred_mv, l, refs[l])
+                if mv2 == tuple(mvs[l]):
+                    if it > 0:
+                        break
+                else:
+                    mvs[l] = mv2
+                    mvds[l] = (mv2[0] - pred_mv[0], mv2[1] - pred_mv[1])
             pred_bi = self._pred_from_cand(0, px, py, w, h, 3, mvs, refs)
             bits = (blk[2] +
                     self._mv_bits(*mvds[0]) + self._mv_bits(*mvds[1]) + 2 +

@@ -341,7 +341,8 @@ def _write_pred_weight_table(w, cfg, wp, wp_l1=None):
 def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
                        rps_idx=0, rps=None, wp=None, segment_address=0,
                        entry_points=None, wp_l1=None,
-                       dependent=False, sao_flags=None) -> BitWriter:
+                       dependent=False, sao_flags=None,
+                       num_ref=None) -> BitWriter:
     """Returns the writer positioned after the header (byte-aligned).
 
     rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
@@ -413,7 +414,18 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         if cfg.chroma_format_idc != 0:
             w.put(1 if sc else 0)   # slice_sao_chroma_flag
     if slice_type in (0, 1):
-        w.put(0)        # num_ref_idx_active_override
+        # per-slice active ref counts (GOP-entry #ref_pics_active); the
+        # PPS carries cfg.num_ref_l0/l1 as defaults
+        n0 = num_ref[0] if num_ref else cfg.num_ref_l0
+        n1 = (num_ref[1] if num_ref else cfg.num_ref_l1) \
+            if slice_type == 0 else 0
+        override = n0 != cfg.num_ref_l0 or \
+            (slice_type == 0 and n1 != cfg.num_ref_l1)
+        w.put(1 if override else 0)  # num_ref_idx_active_override
+        if override:
+            w.ue(n0 - 1)
+            if slice_type == 0:
+                w.ue(n1 - 1)
         if slice_type == 0:
             w.put(0)    # mvd_l1_zero
         if getattr(cfg, "cabac_init", False):
@@ -421,13 +433,13 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         if cfg.tmvp:
             if slice_type == 0:
                 w.put(1)            # collocated_from_l0_flag
-            if cfg.num_ref_l0 > 1:  # collocated_ref_idx (from_l0 path)
+            if n0 > 1:  # collocated_ref_idx (from_l0 path)
                 w.ue(0)
         if getattr(cfg, "weighted_pred", False) and slice_type == 1:
-            _write_pred_weight_table(w, cfg, wp or [None] * cfg.num_ref_l0)
+            _write_pred_weight_table(w, cfg, wp or [None] * n0)
         elif getattr(cfg, "weighted_bipred", False) and slice_type == 0:
-            _write_pred_weight_table(w, cfg, wp or [None] * cfg.num_ref_l0,
-                                     wp_l1 or [None] * cfg.num_ref_l1)
+            _write_pred_weight_table(w, cfg, wp or [None] * n0,
+                                     wp_l1 or [None] * n1)
         w.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
     w.se(slice_qp - cfg.qp)
     # deblocking control (none: pps says disabled/enabled w/o override)
