@@ -558,7 +558,12 @@ struct ReconCtx {
 
   // dequant (flat scale) + inverse transform straight into the int16
   // residual pool.  Covers the dominant path: no scaling lists, no
-  // transform-skip / bypass, standard dynamic range, right-shift dequant.
+  // transform-skip / bypass, standard dynamic range.  Handles both dequant
+  // directions: right-shift-with-rounding (low QP / large TU) and the
+  // left-shift form (6 - transformShift - qp/6 <= 0, the common case for
+  // small TUs at mid/high QP) — scalar semantics per dequantTu: clip input
+  // to int16, (v*scale) << lsh, clip to int16 (targetBits stays 16 down to
+  // right = -9; the int32 product (v*scale) << lsh < 2^31 there).
   bool residualFast(const TuMeta& t, int16_t* outp) {
     if (t.bypass || t.tskip || useScaling) return false;
     int bd = bitDepth(t.comp);
@@ -568,7 +573,7 @@ struct ReconCtx {
     int per = t.qp / 6, rem = t.qp % 6;
     int tshift = 15 - bd - log2w;
     int right = 6 - (tshift + per);
-    if (right <= 0) return false;  // rare: fall back to the scalar path
+    if (right < -9) return false;  // keeps targetBits at 16 / product in i32
     int scale = kInvQuantScales[rem];
     int shift2 = 20 - bd;
     const int32_t* c = &pic->coeffs[t.coeff_off];
@@ -588,8 +593,10 @@ struct ReconCtx {
     }
     // dequant rows 0..lastRow into int16, OR-accumulating a per-column
     // nonzero mask as we go
+    bool rsh = right > 0;
+    int lsh = rsh ? 0 : -right;
     __m256i vscale = _mm256_set1_epi32(scale);
-    __m256i vadd = _mm256_set1_epi32(1 << (right - 1));
+    __m256i vadd = _mm256_set1_epi32(rsh ? 1 << (right - 1) : 0);
     __m256i lo16 = _mm256_set1_epi32(-32768), hi16 = _mm256_set1_epi32(32767);
     alignas(32) int16_t colOr[32] = {0};
     for (int i = 0; i <= lastRow; i++) {
@@ -599,8 +606,9 @@ struct ReconCtx {
         for (int j = 0; j < w; j += 8) {
           __m256i v = _mm256_loadu_si256((const __m256i*)(row + j));
           v = _mm256_min_epi32(_mm256_max_epi32(v, lo16), hi16);
-          v = _mm256_srai_epi32(
-              _mm256_add_epi32(_mm256_mullo_epi32(v, vscale), vadd), right);
+          v = _mm256_mullo_epi32(v, vscale);
+          v = rsh ? _mm256_srai_epi32(_mm256_add_epi32(v, vadd), right)
+                  : _mm256_slli_epi32(v, lsh);
           v = _mm256_min_epi32(_mm256_max_epi32(v, lo16), hi16);
           __m128i pk = _mm_packs_epi32(_mm256_castsi256_si128(v),
                                        _mm256_extracti128_si256(v, 1));
@@ -613,7 +621,8 @@ struct ReconCtx {
         for (int j = 0; j < 4; j++) {
           int32_t v = row[j];
           v = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
-          int32_t q = (v * scale + (1 << (right - 1))) >> right;
+          int32_t q = rsh ? (v * scale + (1 << (right - 1))) >> right
+                          : (v * scale) << lsh;
           q = q < -32768 ? -32768 : (q > 32767 ? 32767 : q);
           dst[j] = int16_t(q);
           colOr[j] = int16_t(colOr[j] | q);
