@@ -26,6 +26,23 @@ namespace hevc {
 // twice the SIMD lanes of the round-1 int32 planes.
 using Pel = int16_t;
 
+// Vector whose elements are NOT value-initialized on resize.  Picture
+// planes are fully written by reconstruction (every real-area sample is
+// covered by a pred/PCM block before the filters read it); zeroing 6+ MB
+// per 1080p picture was a measurable share of single-thread decode time.
+// The CTU-alignment padding strips are zeroed explicitly in ReconCtx::run
+// so stride-sized rows exposed through the C ABI stay deterministic.
+template <class T>
+struct NoInitAlloc : std::allocator<T> {
+  template <class U> struct rebind { using other = NoInitAlloc<U>; };
+  template <class U, class... A>
+  void construct(U* p, A&&... a) {
+    if constexpr (sizeof...(A) > 0)
+      ::new (static_cast<void*>(p)) U(std::forward<A>(a)...);
+  }
+};
+using PelBuf = std::vector<Pel, NoInitAlloc<Pel>>;
+
 // ---------------------------------------------------------------------------
 struct BitReader {
   const uint8_t* data = nullptr;
@@ -297,7 +314,7 @@ struct Picture {
   std::vector<int32_t> pcm_samples;
   // reconstructed planes (filled by recon.cpp when recon is enabled),
   // padded to CTU multiples like the reference picture buffers
-  std::vector<Pel> plane[3];
+  PelBuf plane[3];
   // long-term flag for this picture while in DPB (decoder-side)
   bool is_long_term = false;
   bool is_reference = true;

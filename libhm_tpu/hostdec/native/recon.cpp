@@ -1655,7 +1655,7 @@ struct ReconCtx {
     static const int eoDx2[5] = {0, 1, 0, 1, -1};
     // copy of deblocked planes as SAO source (only for components that
     // actually run SAO in this picture)
-    std::vector<Pel> srcs[3];
+    PelBuf srcs[3];
     for (int c = 0; c < ncomp; c++) {
       bool any = false;
       for (int addr = 0; addr < wCtbs * hCtbs && !any; addr++)
@@ -1774,7 +1774,7 @@ struct ReconCtx {
   }
 
   // -------------------------------------------------------------------------
-  void restoreUnfiltered(const std::vector<Pel> pre[3]) {
+  void restoreUnfiltered(const PelBuf pre[3]) {
     bool pcmRestore = sps->pcm_enabled && sps->pcm_loop_filter_disabled;
     if (!pps->transquant_bypass_enabled && !pcmRestore) return;
     for (int y4v = 0; y4v < pic->h4; y4v++)
@@ -1807,8 +1807,20 @@ struct ReconCtx {
     bool timing = getenv("HEVCDEC_TIMING") != nullptr;
     double t0 = now();
     buildGeometry();
-    for (int c = 0; c < ncomp; c++)
-      pic->plane[c].assign(size_t(planeW(c)) * planeH(c), 0);
+    for (int c = 0; c < ncomp; c++) {
+      int64_t pw = planeW(c), ph = planeH(c);
+      // NoInitAlloc: no value-init — prediction/PCM writes every sample of
+      // the real picture area before anything reads it; zero only the
+      // CTU-alignment padding strips (visible through stride-sized rows)
+      pic->plane[c].resize(size_t(pw) * ph);
+      Pel* pl = pic->plane[c].data();
+      int rw = compW(c), rh = compH(c);
+      if (rw < pw)
+        for (int j = 0; j < rh; j++)
+          memset(pl + int64_t(j) * pw + rw, 0, size_t(pw - rw) * sizeof(Pel));
+      if (rh < ph)
+        memset(pl + int64_t(rh) * pw, 0, size_t((ph - rh) * pw) * sizeof(Pel));
+    }
     buildResiduals();
     if (timing) { tRes += now() - t0; t0 = now(); }
     interStage();
@@ -1827,7 +1839,7 @@ struct ReconCtx {
     // in-loop filters with PCM / lossless restoration
     bool needPre = pps->transquant_bypass_enabled ||
                    (sps->pcm_enabled && sps->pcm_loop_filter_disabled);
-    std::vector<Pel> pre[3];
+    PelBuf pre[3];
     if (needPre)
       for (int c = 0; c < ncomp; c++) pre[c] = pic->plane[c];
     if (!pps->deblocking_disabled || true) {
