@@ -913,6 +913,26 @@ void hevcdec_output_info(void* h, int idx, int comp, int32_t* out) {
   int bd = comp ? s.bit_depth_chroma : s.bit_depth_luma;
   out[0] = w; out[1] = hh; out[2] = bd <= 8 ? 1 : 2;
 }
+// zero-copy variant for >8-bit output: the conformance-cropped picture is
+// a strided view straight into the Picture's int16 plane (samples are
+// non-negative, bit-identical to uint16; libHMDecoder.h exposes plane
+// pointers the same way).  out: [ptr, stride_in_samples].
+// The view stays valid until hevcdec_destroy — planes are never freed
+// before that (see Picture::shrinkAtRetirement).
+void hevcdec_output_view(void* h, int idx, int comp, int64_t* out) {
+  auto* d = static_cast<hevc::Decoder*>(h);
+  hevc::Picture* p = P(h, idx);
+  const hevc::SPS& s = d->spsMap[p->sps_id];
+  int sx = comp ? s.ssx() : 0, sy = comp ? s.ssy() : 0;
+  int mulx = comp ? 1 : (1 << s.ssx());
+  int muly = comp ? 1 : (1 << s.ssy());
+  int x0 = s.conf_win[0] * mulx, y0 = s.conf_win[2] * muly;
+  int64_t stride = (int64_t(s.picWCtbs()) << s.log2_ctb) >> sx;
+  const hevc::Pel* base = p->plane[comp].data() + int64_t(y0) * stride + x0;
+  out[0] = reinterpret_cast<int64_t>(base);
+  out[1] = stride;
+}
+
 void hevcdec_get_output(void* h, int idx, int comp, uint8_t* dst) {
   auto* d = static_cast<hevc::Decoder*>(h);
   hevc::Picture* p = P(h, idx);

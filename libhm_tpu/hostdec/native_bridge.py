@@ -123,7 +123,34 @@ def _get(lib, fn, h, idx, shape, dtype):
 class NativeParsedPicture:
     """PicSyntax-compatible view over the native parser output."""
 
-def _materialize(lib, h, i, recon):
+class _NativeHandle:
+    """Owns a native decoder handle; freed when the last referent dies.
+
+    Zero-copy output views (below) keep a reference, so decoded-plane
+    memory stays valid for as long as any returned array is alive."""
+
+    def __init__(self, lib, h):
+        self.lib, self.h = lib, h
+
+    def __del__(self):
+        try:
+            self.lib.hevcdec_destroy(C.c_void_p(self.h))
+        except Exception:
+            pass
+
+
+class _PlaneView:
+    """__array_interface__ adapter over a native plane pointer; holds the
+    _NativeHandle so np.asarray(view).base keeps the memory alive."""
+
+    def __init__(self, ptr, shape, strides, holder):
+        self.__array_interface__ = dict(
+            shape=shape, typestr="<u2", data=(ptr, False),
+            strides=strides, version=3)
+        self._holder = holder
+
+
+def _materialize(lib, h, i, recon, view_holder=None):
     """Materialize decoded picture i from the native handle as (meta, pic)."""
     info = np.zeros(16, I32)
     lib.hevcdec_pic_info(C.c_void_p(h), C.c_int(i),
@@ -150,6 +177,17 @@ def _materialize(lib, h, i, recon):
                                     C.c_int(comp),
                                     oi.ctypes.data_as(C.c_void_p))
             ow, oh, bps = int(oi[0]), int(oi[1]), int(oi[2])
+            if bps == 2 and view_holder is not None:
+                # zero-copy: strided uint16 view straight into the native
+                # plane (Pel is int16 with non-negative samples); the view
+                # pins the handle via _PlaneView._holder
+                vi = np.zeros(2, np.int64)
+                lib.hevcdec_output_view(C.c_void_p(h), C.c_int(i),
+                                        C.c_int(comp),
+                                        vi.ctypes.data_as(C.c_void_p))
+                outs.append(np.asarray(_PlaneView(
+                    int(vi[0]), (oh, ow), (int(vi[1]) * 2, 2), view_holder)))
+                continue
             a = np.empty((oh, ow), np.uint8 if bps == 1 else np.uint16)
             lib.hevcdec_get_output(C.c_void_p(h), C.c_int(i),
                                    C.c_int(comp),
@@ -280,10 +318,9 @@ def parse_stream(data: bytes, recon: bool = False):
     """
     lib = _load()
     h = lib.hevcdec_create()
-    try:
-        if recon:
-            lib.hevcdec_enable_recon(C.c_void_p(h), 1)
-        npic = lib.hevcdec_decode(h, data, len(data))
-        return [_materialize(lib, h, i, recon) for i in range(npic)]
-    finally:
-        lib.hevcdec_destroy(C.c_void_p(h))
+    holder = _NativeHandle(lib, h)   # destroys h when the last view dies
+    if recon:
+        lib.hevcdec_enable_recon(C.c_void_p(h), 1)
+    npic = lib.hevcdec_decode(h, data, len(data))
+    return [_materialize(lib, h, i, recon, view_holder=holder)
+            for i in range(npic)]
