@@ -1050,6 +1050,7 @@ class IntraEncoder:
 
     # ------------------------------------------------------------------
     _ENC_NATIVE = ("unset",)
+    _tufwd_cache = None  # per-bank enc_tu_fwd argument cache (_tu_fwd)
 
     def _enc_native(self):
         """ctypes handle to the native search kernels, or None."""
@@ -1093,6 +1094,33 @@ class IntraEncoder:
         plane = rp.planes[comp][:sps.height >> ssy, :sps.width >> ssx]
         cache[key] = plane
         return plane
+
+    def _search_plane(self, l, r):
+        """Luma reference plane for motion search, pre-weighted under WP
+        (reference TComRdCostWeightPrediction xGetSADw weights candidate
+        pixels; weighting the plane once hoists the same affine map out of
+        the search loop).  Cached per (plane, list, ref)."""
+        plane = self._ref_plane(0, l, r)
+        tab = self.cur_wp if l == 0 else getattr(self, "cur_wp_l1", None)
+        wp = tab[min(r, len(tab) - 1)] if tab else None
+        if wp is None:
+            return plane
+        bd = self.cfg.bit_depth
+        cache = getattr(self, "_wplane_cache", None)
+        if cache is None:
+            cache = self._wplane_cache = {}
+        key = (id(plane), l, r)
+        hit = cache.get(key)
+        if hit is not None and hit[0] is plane:
+            return hit[1]
+        wgt, dn = wp["w"][0], wp["denom"]
+        off = wp["o"][0] * (1 << (bd - 8))
+        rnd = (1 << (dn - 1)) if dn > 0 else 0
+        wpl = np.clip(((wgt * plane.astype(np.int64) + rnd)
+                       >> dn) + off, 0, (1 << bd) - 1)
+        wpl = wpl.astype(plane.dtype)
+        cache[key] = (plane, wpl)
+        return wpl
 
     def _pred_from_cand(self, comp, x, y, w, h, dir_, mvs, ref_idx=(0, 0)):
         """Prediction for a merge candidate (uni L0/L1 or bi)."""
@@ -1420,28 +1448,22 @@ class IntraEncoder:
         2*orig - predOther template, then HAD fractional refine
         (xMotionEstimation with bBi, TEncSearch.cpp:4003-4021).
         Returns the refined quarter-pel MV."""
-        plane = self._ref_plane(0, l, r)
-        tab = self.cur_wp if l == 0 else getattr(self, "cur_wp_l1", None)
-        wp = tab[min(r, len(tab) - 1)] if tab else None
-        if wp is not None:
-            # same hoisted plane-weighting as _motion_search_rect
-            bd = self.cfg.bit_depth
-            cache = getattr(self, "_wplane_cache", None)
-            if cache is None:
-                cache = self._wplane_cache = {}
-            key = (id(plane), l, r)
-            hit = cache.get(key)
-            if hit is not None and hit[0] is plane:
-                plane = hit[1]
-            else:
-                wgt, dn = wp["w"][0], wp["denom"]
-                off = wp["o"][0] * (1 << (bd - 8))
-                rnd = (1 << (dn - 1)) if dn > 0 else 0
-                wpl = np.clip(((wgt * plane.astype(np.int64) + rnd)
-                               >> dn) + off, 0, (1 << bd) - 1)
-                wpl = wpl.astype(plane.dtype)
-                cache[key] = (plane, wpl)
-                plane = wpl
+        plane = self._search_plane(l, r)
+        cfg = self.cfg
+        lib = self._enc_native()
+        if lib is not None:
+            # native window SAD + HAD frac refine (encsearch.cpp biRefine)
+            R = cfg.search_range
+            padded = self._padded_i16(plane, R)
+            t16 = np.ascontiguousarray(target, np.int16)  # fits for bd<=14
+            out = np.zeros(2, np.int64)
+            lib.enc_bi_refine(
+                padded.ctypes.data, padded.shape[1], padded.shape[0],
+                R + 8, t16.ctypes.data, px, py, w, h, R,
+                int(pred_mv[0]), int(pred_mv[1]),
+                float(self._lam_motion), cfg.bit_depth,
+                int(start_mv[0]), int(start_mv[1]), out.ctypes.data)
+            return (int(out[0]), int(out[1]))
         H, W = plane.shape
         lam_m = self._lam_motion
         dsh = self.cfg.bit_depth - 8
@@ -1818,39 +1840,16 @@ class IntraEncoder:
         cfg = self.cfg
         orig = target if target is not None else \
             self.orig[0][py:py + h, px:px + w].astype(np.int32)
-        plane = self._ref_plane(0, l, r)
+        plane = self._search_plane(l, r)
         H, W = plane.shape
         R = cfg.search_range
         lib = self._enc_native()
         if lib is not None:
             # native TZ + HAD frac (encsearch.cpp), exact mirror of the
-            # Python fallback below.  Weighted prediction searches run on a
-            # pre-weighted reference plane (reference
-            # TComRdCostWeightPrediction xGetSADw weights the candidate
-            # block per pixel; weighting the plane once is the same affine
-            # map hoisted out of the search loop — interpolation is linear
-            # and the 8-tap kernels sum to 64, so the offset passes through
-            # the fractional stages unchanged up to rounding)
-            tab = self.cur_wp if l == 0 else getattr(self, "cur_wp_l1", None)
-            wp = tab[min(r, len(tab) - 1)] if tab else None
-            if wp is not None:
-                bd = cfg.bit_depth
-                cache = getattr(self, "_wplane_cache", None)
-                if cache is None:
-                    cache = self._wplane_cache = {}
-                key = (id(plane), l, r)
-                hit = cache.get(key)
-                if hit is not None and hit[0] is plane:
-                    plane = hit[1]
-                else:
-                    wgt, dn = wp["w"][0], wp["denom"]
-                    off = wp["o"][0] * (1 << (bd - 8))
-                    rnd = (1 << (dn - 1)) if dn > 0 else 0
-                    wpl = np.clip(((wgt * plane.astype(np.int64) + rnd)
-                                   >> dn) + off, 0, (1 << bd) - 1)
-                    wpl = wpl.astype(plane.dtype)
-                    cache[key] = (plane, wpl)
-                    plane = wpl
+            # Python fallback below.  WP searches run on a pre-weighted
+            # reference plane (see _search_plane) — interpolation is linear
+            # and the 8-tap kernels sum to 64, so the affine map passes
+            # through the fractional stages unchanged up to rounding.
             padded = self._padded_i16(plane, R)
             o16 = np.ascontiguousarray(orig, np.int16)
             out = np.zeros(3, np.int64)
@@ -3948,25 +3947,32 @@ class IntraEncoder:
             lib = self._enc_native()
             if lib is not None:
                 # native whole-TU forward path (enc_tu_fwd, bit-identical
-                # mirror of the Python body below — tests/test_encsearch.py)
-                from .rdoq import _addr
+                # mirror of the Python body below — tests/test_encsearch.py).
+                # The 6 context-bank addresses and per-(comp, lambda)
+                # constants are cached: this is the hottest encoder call
+                # site (hundreds of thousands of TU trials per picture).
                 cfg, bank = self.cfg, self.bank
-                ts_en = 1 if (getattr(cfg, "transform_skip", False) and
-                              n == 4) else 0
-                norm = 1 << (2 * (bd - 8))
+                ent = self._tufwd_cache
+                if ent is None or ent[0] is not bank:
+                    from .rdoq import _addr
+                    ent = self._tufwd_cache = (
+                        bank, _addr(bank["sig"]), _addr(bank["sig_cg"]),
+                        _addr(bank["gt1"]), _addr(bank["gt2"]),
+                        _addr(bank["last_x"]), _addr(bank["last_y"]),
+                        1 if cfg.rdoq else 0,
+                        1 if cfg.sign_hiding else 0,
+                        1 if getattr(cfg, "transform_skip", False) else 0,
+                        1 << (2 * (bd - 8)))
+                ts_en = ent[9] if n == 4 else 0
+                lam = self.rd_lambda / self.chroma_weight[comp]
                 r32 = np.ascontiguousarray(resi, np.int32)
                 lev = np.empty((n, n), np.int32)
                 rec = np.empty((n, n), np.int32)
                 flags = lib.enc_tu_fwd(
                     r32.ctypes.data, n, 1 if use_dst else 0,
                     1 if comp > 0 else 0, qp, bd, 1 if is_intra else 0,
-                    int(scan), 1 if cfg.rdoq else 0,
-                    float(self.rd_lambda / self.chroma_weight[comp]),
-                    1 if cfg.sign_hiding else 0, ts_en,
-                    float(self.rd_lambda / self.chroma_weight[comp] * norm),
-                    _addr(bank["sig"]), _addr(bank["sig_cg"]),
-                    _addr(bank["gt1"]), _addr(bank["gt2"]),
-                    _addr(bank["last_x"]), _addr(bank["last_y"]),
+                    int(scan), ent[7], lam, ent[8], ts_en, lam * ent[10],
+                    ent[1], ent[2], ent[3], ent[4], ent[5], ent[6],
                     lev.ctypes.data, rec.ctypes.data)
                 cbf = flags & 1
                 ts = (flags >> 1) - 1

@@ -313,6 +313,54 @@ void meSearch(const MeArgs& a, int64_t out[3]) {
   out[2] = bestDistHad;
 }
 
+// Bi-prediction refinement pass (reference TEncSearch.cpp:4003-4021 /
+// encoder.py _bi_window_search): +-4 integer SAD window around the
+// current MV against the 2*orig - predOther template, then the same
+// two-stage Hadamard fractional refine as meSearch.  orig holds the
+// template (fits int16 for bit depths <= 14).
+void biRefine(const MeArgs& a, int startMvX, int startMvY, int64_t out[2]) {
+  int dsh = a.bd - 8;
+  // clamp the window center into the padded plane's safe range (the MV
+  // can drift past R over repeated template passes; sadAt doesn't clamp)
+  int cx = clip3(-a.R, a.R, startMvX >> 2);
+  int cy = clip3(-a.R, a.R, startMvY >> 2);
+  double best = -1.0;
+  int bx = cx, by = cy;
+  for (int dy = -4; dy <= 4; dy++)
+    for (int dx = -4; dx <= 4; dx++) {
+      double c = (double)(sadAt(a, cx + dx, cy + dy) >> dsh) +
+                 a.lam * mvBits(((cx + dx) << 2) - a.pmx,
+                                ((cy + dy) << 2) - a.pmy);
+      if (best < 0 || c < best) { best = c; bx = cx + dx; by = cy + dy; }
+    }
+  static thread_local std::vector<int16_t> pred;
+  pred.resize((size_t)a.w * a.h);
+  static thread_local std::vector<int32_t> diff;
+  diff.resize((size_t)a.w * a.h);
+  auto had = [&](int mvx, int mvy) -> long long {
+    interpLuma(a.padded, a.pw, a.ph, a.pw, a.px + a.pad, a.py + a.pad,
+               a.w, a.h, mvx, mvy, a.bd, true, pred.data());
+    for (int i = 0; i < a.w * a.h; i++)
+      diff[i] = (int32_t)pred[i] - (int32_t)a.orig[i];
+    return satdBlock(diff.data(), a.w, a.h) >> dsh;
+  };
+  int mvx = bx << 2, mvy = by << 2;
+  double bestC = (double)had(mvx, mvy) +
+                 a.lam * mvBits(mvx - a.pmx, mvy - a.pmy);
+  for (int step = 2; step >= 1; step--) {
+    int ccx = mvx, ccy = mvy;
+    for (int k = 0; k < 8; k++) {
+      int nx = ccx + kDiamond[k][0] * step;
+      int ny = ccy + kDiamond[k][1] * step;
+      double c = (double)had(nx, ny) +
+                 a.lam * mvBits(nx - a.pmx, ny - a.pmy);
+      if (c < bestC) { bestC = c; mvx = nx; mvy = ny; }
+    }
+  }
+  out[0] = mvx;
+  out[1] = mvy;
+}
+
 }  // namespace enc
 }  // namespace hevc
 
@@ -340,6 +388,15 @@ void enc_me_search(const int16_t* padded, int pw, int ph, int pad,
   hevc::enc::MeArgs a{padded, pw, ph, pad, orig, px, py, w, h,
                       R, pmx, pmy, lam, bd, fast};
   hevc::enc::meSearch(a, out);
+}
+
+void enc_bi_refine(const int16_t* padded, int pw, int ph, int pad,
+                   const int16_t* target, int px, int py, int w, int h,
+                   int R, int pmx, int pmy, double lam, int bd,
+                   int startMvX, int startMvY, int64_t* out) {
+  hevc::enc::MeArgs a{padded, pw, ph, pad, target, px, py, w, h,
+                      R, pmx, pmy, lam, bd, 1};
+  hevc::enc::biRefine(a, startMvX, startMvY, out);
 }
 
 void enc_interp_luma(const int16_t* plane, int W, int H, long long stride,

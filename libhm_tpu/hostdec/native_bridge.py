@@ -77,6 +77,10 @@ def _load():
         C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_void_p,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
         C.c_double, C.c_int, C.c_int, C.c_void_p]
+    lib.enc_bi_refine.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_void_p,
+        C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_double, C.c_int, C.c_int, C.c_int, C.c_void_p]
     lib.enc_interp_luma.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_longlong,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
