@@ -42,6 +42,9 @@ struct NoInitAlloc : std::allocator<T> {
   }
 };
 using PelBuf = std::vector<Pel, NoInitAlloc<Pel>>;
+// coefficient pool: slots are explicitly memset by the parser (fully, or
+// only up to the scan bound in native-recon mode) before levels scatter in
+using CoefBuf = std::vector<int32_t, NoInitAlloc<int32_t>>;
 
 // ---------------------------------------------------------------------------
 struct BitReader {
@@ -264,6 +267,11 @@ struct Cabac {
 // Per-picture parsed output (flat tensors)
 struct TuMeta {  // one residual block
   int32_t comp, x, y, w, h, qp, use_dst, tskip, bypass, rdpcm, alpha, coeff_off;
+  // exact nonzero extent of the coefficient block (raster row/col of the
+  // furthest significant coefficient; -1,-1 when all-zero).  Lets the
+  // reconstruction skip its row scan, and — in native-recon mode — lets
+  // the parser skip zero-filling the slot beyond the covered rows.
+  int32_t last_row, last_col;
 };
 struct IntraMeta { int32_t comp, x, y, w, h, mode, tu_index; };
 struct PuMeta {
@@ -307,7 +315,7 @@ struct Picture {
   std::vector<int32_t> sao_offsets;  // [nctu*3*4]
   // lists
   std::vector<TuMeta> tu_list;
-  std::vector<int32_t> coeffs;       // concatenated w*h blocks
+  CoefBuf coeffs;                    // concatenated w*h blocks
   std::vector<IntraMeta> intra_list;
   std::vector<PuMeta> inter_list;
   std::vector<PcmMeta> pcm_list;

@@ -506,7 +506,9 @@ std::vector<libHMDec_BlockValue>* libHMDEC_get_internal_info(
       case LIBHMDEC_TU_COEFF_ENERGY_CR: {
         int64_t e = 0;
         const int32_t* co = &p->coeffs[t.coeff_off];
-        for (int k = 0; k < t.w * t.h; k++)
+        // rows past last_row are semantically zero (and may be
+        // uninitialized pool memory in native-recon mode)
+        for (int k = 0; k < t.w * (t.last_row + 1); k++)
           e += int64_t(co[k]) * co[k];
         push(lx, ly, lw, lh, int(std::min<int64_t>(e, INT32_MAX)));
         break;

@@ -578,27 +578,17 @@ struct ReconCtx {
     int shift2 = 20 - bd;
     const int32_t* c = &pic->coeffs[t.coeff_off];
     int16_t* c16 = s_c16;
-    // scan the last nonzero row of raw coeffs (zero rows dequant to zero)
-    int lastRow = h - 1;
-    for (; lastRow > 0; lastRow--) {
-      const int32_t* row = c + size_t(lastRow) * w;
-      __m256i acc = _mm256_setzero_si256();
-      int j = 0;
-      for (; j + 8 <= w; j += 8)
-        acc = _mm256_or_si256(acc,
-                              _mm256_loadu_si256((const __m256i*)(row + j)));
-      bool nz = !_mm256_testz_si256(acc, acc);
-      for (; j < w && !nz; j++) nz = row[j] != 0;
-      if (nz) break;
-    }
-    // dequant rows 0..lastRow into int16, OR-accumulating a per-column
-    // nonzero mask as we go
+    // exact nonzero extent recorded by the parser (dequant of a nonzero
+    // level is never zero: |v|*scale >= 40 survives every legal shift, so
+    // the raw extent equals the dequantized extent).  Rows past last_row
+    // may be UNINITIALIZED in native-recon mode — never read them.
+    int lastRow = t.last_row;
+    // dequant rows 0..lastRow into int16
     bool rsh = right > 0;
     int lsh = rsh ? 0 : -right;
     __m256i vscale = _mm256_set1_epi32(scale);
     __m256i vadd = _mm256_set1_epi32(rsh ? 1 << (right - 1) : 0);
     __m256i lo16 = _mm256_set1_epi32(-32768), hi16 = _mm256_set1_epi32(32767);
-    alignas(32) int16_t colOr[32] = {0};
     for (int i = 0; i <= lastRow; i++) {
       const int32_t* row = c + size_t(i) * w;
       int16_t* dst = c16 + size_t(i) * w;
@@ -613,9 +603,6 @@ struct ReconCtx {
           __m128i pk = _mm_packs_epi32(_mm256_castsi256_si128(v),
                                        _mm256_extracti128_si256(v, 1));
           _mm_storeu_si128((__m128i*)(dst + j), pk);
-          _mm_store_si128(
-              (__m128i*)(colOr + j),
-              _mm_or_si128(_mm_load_si128((const __m128i*)(colOr + j)), pk));
         }
       } else {  // w == 4
         for (int j = 0; j < 4; j++) {
@@ -625,17 +612,13 @@ struct ReconCtx {
                           : (v * scale) << lsh;
           q = q < -32768 ? -32768 : (q > 32767 ? 32767 : q);
           dst[j] = int16_t(q);
-          colOr[j] = int16_t(colOr[j] | q);
         }
       }
     }
-    if (lastRow + 1 < h)
+    if (lastRow + 1 < h)   // itx16's pair interleave reads row lastRow+1
       memset(c16 + size_t(lastRow + 1) * w, 0, size_t(w) * 2);
-    int lastCol = 0;
-    for (int j = w - 1; j > 0; j--)
-      if (colOr[j]) { lastCol = j; break; }
     itx16(h, w, t.use_dst && h == 4, t.use_dst && w == 4, shift2, c16,
-          lastRow, lastCol, outp);
+          lastRow, t.last_col, outp);
     return true;
   }
 #endif

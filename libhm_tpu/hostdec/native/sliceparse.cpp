@@ -75,7 +75,10 @@ struct SliceParser {
   // WPP row workers swap in private buffers that are concatenated in row
   // order afterwards, so the lists keep exact sequential parse order
   std::vector<TuMeta>* tuSink = nullptr;
-  std::vector<int32_t>* coefSink = nullptr;
+  CoefBuf* coefSink = nullptr;
+  // native-recon mode: transform-path slots are only zeroed up to the
+  // diagonal-scan row bound (see parseResidual)
+  bool noZeroCoefSlots = false;
   std::vector<IntraMeta>* intraSink = nullptr;
   std::vector<PcmMeta>* pcmSink = nullptr;
   std::vector<int32_t>* pcmSampSink = nullptr;
@@ -1175,11 +1178,11 @@ void SliceParser::parseResidual(int comp, int x, int y, int log2w, int log2h) {
   TuMeta meta{comp, x, y, w, h, qpForComp(comp),
               (comp == 0 && isIntra && w == 4 && h == 4) ? 1 : 0,
               tskip, cuTqBypass, rdpcmMode, comp ? crossCompAlpha : 0,
-              int32_t(coefSink->size())};
+              int32_t(coefSink->size()), 0, 0};
   tuSink->push_back(meta);
   crossCompAlpha = 0;
   size_t coefBase = coefSink->size();
-  coefSink->resize(coefBase + size_t(w) * h, 0);
+  coefSink->resize(coefBase + size_t(w) * h);  // NoInitAlloc: no zero-fill
   int32_t* coeff = coefSink->data() + coefBase;
 
   int ch = comp ? 1 : 0;
@@ -1193,6 +1196,29 @@ void SliceParser::parseResidual(int comp, int x, int y, int log2w, int log2h) {
 
   int scanPosLast = g_scans.getGroupedInv(w, h, scanType)[blkLast];
 
+  // Zero the slot before scattering nonzero levels into it.  The
+  // native-recon path reads only rows 0..last_row of the dominant
+  // (transform) path, so there it suffices to zero the rows the scan can
+  // touch: >=16-wide TUs always use the grouped diagonal scan, whose CG
+  // subsets <= lastScanSet stay within cgy+cgx <= cgxL+cgyL.  Every other
+  // consumer (Python/TPU bridge export, transform-skip / bypass rotation,
+  // scaling lists, extended precision, internals API) reads the full
+  // block and gets a fully zeroed slot.
+  bool partialZero = noZeroCoefSlots && w >= 16 && !tskip && !cuTqBypass &&
+                     !sps->scaling_list_enabled && !sps->extended_precision;
+#if !defined(__AVX2__)
+  // the partial-extent contract is honoured by the AVX2 residualFast path;
+  // the scalar fallback reads full slots
+  partialZero = false;
+#endif
+  if (partialZero) {
+    int cgxL = (posX >> 2) + (posY >> 2);  // max CG diagonal
+    int rowBound = std::min(h - 1, 4 * std::min(hg - 1, cgxL) + 3);
+    memset(coeff, 0, sizeof(int32_t) * size_t(rowBound + 1) * w);
+  } else {
+    memset(coeff, 0, sizeof(int32_t) * size_t(w) * h);
+  }
+
   int firstSigCtx;
   if (singleCtx) firstSigCtx = kSigSetStart[ch][3];
   else if (w == 4 && h == 4) firstSigCtx = kSigSetStart[ch][0];
@@ -1204,6 +1230,7 @@ void SliceParser::parseResidual(int comp, int x, int y, int log2w, int log2h) {
 
   int lastScanSet = scanPosLast >> 4;
   int c1 = 1;
+  int maxRow = 0, maxCol = 0;  // exact nonzero extent (for TuMeta)
   uint8_t sigCg[64] = {0};
   bool useRice = sps->persistent_rice_adaptation != 0;
   bool extPrec = sps->extended_precision != 0;
@@ -1326,9 +1353,15 @@ void SliceParser::parseResidual(int comp, int x, int y, int log2w, int log2h) {
         if (signs & 0x80000000u) v = -v;
         signs <<= 1;
       }
-      coeff[pos[idx]] = v;
+      int p = pos[idx];
+      int row = p >> log2w, col = p - (row << log2w);
+      if (row > maxRow) maxRow = row;
+      if (col > maxCol) maxCol = col;
+      coeff[p] = v;
     }
   }
+  tuSink->back().last_row = maxRow;
+  tuSink->back().last_col = maxCol;
 }
 
 
@@ -1360,7 +1393,7 @@ bool SliceParser::decodeSliceWpp(const uint8_t* data, size_t len,
   struct Row {
     SliceParser p;                    // clone: own engine/contexts/sinks
     std::vector<TuMeta> tus;
-    std::vector<int32_t> coefs;
+    CoefBuf coefs;
     std::vector<IntraMeta> intras;
     std::vector<PcmMeta> pcms;
     std::vector<int32_t> pcmSamps;

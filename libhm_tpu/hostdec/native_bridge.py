@@ -226,12 +226,14 @@ def _materialize(lib, h, i, recon, view_holder=None):
     pic.sao_band_pos = g("hevcdec_get_sao_band", (nctu, 3), I8)
     pic.sao_offsets = g("hevcdec_get_sao_offsets", (nctu, 3, 4), I32)
 
-    tu_meta = g("hevcdec_get_tu_meta", (max(ntu, 1), 12), I32)
+    tu_meta = g("hevcdec_get_tu_meta", (max(ntu, 1), 14), I32)
     coeffs = g("hevcdec_get_coeffs", (max(ncoef, 1),), I32)
     pic.tu_list = []
     for t in range(ntu):
+        # trailing last_row/last_col are native-recon hints; slots exported
+        # here are always fully zeroed
         (comp, x, y, w, hh, qp, use_dst, ts, byp, rdpcm, alpha,
-         off) = [int(v) for v in tu_meta[t]]
+         off) = [int(v) for v in tu_meta[t][:12]]
         blk = coeffs[off:off + w * hh].reshape(hh, w)
         pic.tu_list.append(TransformUnit(
             comp, x, y, w, hh, blk, qp, bool(use_dst), ts, byp,
