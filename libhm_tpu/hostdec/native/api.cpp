@@ -591,6 +591,7 @@ struct Decoder {
       cur->sps_id = sps.sps_id;
       cur->pps_id = pps.pps_id;
       parser = std::make_unique<SliceParser>();
+      parser->noZeroCoefSlots = reconEnabled;
       parser->sps = &sps;
       parser->pps = &pps;
       parser->pic = cur.get();
