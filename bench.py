@@ -14,9 +14,13 @@ minutes; pairing cancels the drift out of the ratio).
 Two pipelines are measured and reported:
  - native:  C++ host CABAC parse + AVX2 reconstruction (the wall-clock
    headline on hosts where the TPU sits behind a slow tunnel)
- - tpu:     C++ host CABAC parse + device reconstruction (bit-exact on all
-   47 goldens; see tests/test_recon_tpu.py) — skipped with BENCH_SKIP_TPU=1
-   or when no device is reachable
+ - tpu:     C++ host CABAC parse + DEVICE-RESIDENT reference-DAG batched
+   reconstruction (parallel/dag_decode: residual scatter, MC, intra
+   wavefront, fused deblock+SAO all on device; only coeffs+syntax maps go
+   up and final YUV comes down) — skipped with BENCH_SKIP_TPU=1 or when no
+   device is reachable.  H2D/D2H bytes per frame are reported alongside.
+   BENCH_TPU_STREAMS (e.g. "1,2,4") additionally measures aggregate
+   multi-stream decode throughput per chip (BASELINE.md ladder item 5).
 
 The headline JSON line carries the fastest bit-exact pipeline; the stderr
 breakdown always carries both plus the parse-only rate.
@@ -53,6 +57,49 @@ def _run_ours_once(recon="native"):
     dt = time.monotonic() - t0
     assert len(outs) == n
     return dt, outs
+
+
+def _run_dag_once():
+    """Device-resident reference-DAG batched decode (the TPU pipeline)."""
+    from libhm_tpu.parallel.dag_decode import decode_batch
+    from libhm_tpu.utils import xfer
+    data = _data()
+    n = NFRAMES * REPEAT
+    xfer.reset()
+    t0 = time.monotonic()
+    outs = decode_batch(data, parse="native")
+    dt = time.monotonic() - t0
+    assert len(outs) == n
+    return dt, outs, xfer.H2D / n, xfer.D2H / n
+
+
+def bench_dag(runs=3):
+    times = []
+    outs = h2d = d2h = None
+    for _ in range(runs):
+        dt, outs, h2d, d2h = _run_dag_once()
+        times.append(dt)
+    _check_exact(outs)
+    n = NFRAMES * REPEAT
+    return n / statistics.median(times), h2d, d2h
+
+
+def bench_multistream(counts=(1, 2, 4)):
+    """Aggregate fps decoding N independent 1080p streams in one merged
+    device schedule (the stream axis of SURVEY §2.5)."""
+    from libhm_tpu.parallel.dag_decode import decode_streams
+    data = _data()
+    n = NFRAMES * REPEAT
+    out = {}
+    for N in counts:
+        t0 = time.monotonic()
+        res = decode_streams([data] * N, parse="native", threads=min(N, 4))
+        dt = time.monotonic() - t0
+        for o in res:
+            assert len(o) == n
+            _check_exact(o)
+        out[N] = N * n / dt
+    return out
 
 
 def _check_exact(outs):
@@ -192,31 +239,54 @@ def main():
           f"full native median {ours:.2f} fps; "
           f"HM median {hm or 0:.2f} fps; "
           f"median paired ratio {ratio:.3f}", file=sys.stderr)
-    tpu = None
+    tpu = h2d = d2h = None
+    multi = {}
     if not os.environ.get("BENCH_SKIP_TPU") and _device_reachable():
         try:
-            # one probe run first: a tunnel-bound device pipeline can be
-            # 100x slower than the CPU path, so only spend more runs on a
-            # stable median when the probe is actually competitive
-            tpu, _ = bench_ours(recon="tpu", runs=1)
-            if tpu > 0.5 * ours:
-                tpu, _ = bench_ours(recon="tpu", runs=3)
-            print(f"recon=tpu pipeline: median {tpu:.2f} fps (bit-exact; "
-                  f"tunnel-bound on this host)", file=sys.stderr)
+            # one probe run first (includes XLA compiles): only spend more
+            # runs on a stable median when the probe is competitive
+            tpu, h2d, d2h = bench_dag(runs=1)
+            if tpu > 0.25 * ours:
+                tpu, h2d, d2h = bench_dag(runs=3)
+            print(f"device-resident tpu pipeline: median {tpu:.2f} fps "
+                  f"(bit-exact; H2D {h2d/1e6:.2f} MB/frame, "
+                  f"D2H {d2h/1e6:.2f} MB/frame)", file=sys.stderr)
+            streams = os.environ.get("BENCH_TPU_STREAMS")
+            if streams is None and tpu > 0.25 * ours:
+                streams = "2,4"
+            if streams:
+                multi = bench_multistream(
+                    tuple(int(x) for x in streams.split(",")))
+                for N, fps in multi.items():
+                    print(f"multi-stream x{N}: aggregate {fps:.2f} fps/chip",
+                          file=sys.stderr)
         except Exception as e:  # no device / tunnel down
-            print(f"recon=tpu pipeline unavailable: {e}", file=sys.stderr)
+            print(f"tpu pipeline unavailable: {e}", file=sys.stderr)
     best = ours
     pipeline = "native-cpu"
     vs = ratio
-    if tpu is not None and tpu > ours:
+    agg = max(multi.values()) if multi else None
+    if agg is not None and agg > max(ours, tpu or 0):
+        best, pipeline = agg, "tpu-multistream"
+        vs = (best / hm) if hm else 0.0
+    elif tpu is not None and tpu > ours:
         best, pipeline = tpu, "host-parse+tpu-recon"
         vs = (best / hm) if hm else 0.0
+    extras = {}
+    if tpu is not None:
+        extras["tpu_fps"] = round(tpu, 3)
+        extras["h2d_mb_per_frame"] = round(h2d / 1e6, 3)
+        extras["d2h_mb_per_frame"] = round(d2h / 1e6, 3)
+    if multi:
+        extras["multistream_fps"] = {str(k): round(v, 2)
+                                     for k, v in multi.items()}
     print(json.dumps({
         "metric": "1080p Main10 RA decode fps (bit-exact)",
         "value": round(best, 3),
         "unit": "fps",
         "vs_baseline": round(vs, 4),
         "pipeline": pipeline,
+        **extras,
     }))
 
 

@@ -74,8 +74,9 @@ def sao_component(plane, valid_mask, ctu_type, ctu_band, ctu_offsets,
         def pair_ok(nyc, nxc):
             ok = (slice_map == slice_map[nyc, nxc]) | \
                  (lf_map & lf_map[nyc, nxc])
-            if not lf_across_tiles:
-                ok &= tile_map == tile_map[nyc, nxc]
+            if tile_map is not None:
+                # lf_across_tiles may be a traced per-picture bool
+                ok &= (tile_map == tile_map[nyc, nxc]) | lf_across_tiles
             return ok
         ok = inb & pair_ok(n1yc, n1xc) & pair_ok(n2yc, n2xc)
     else:

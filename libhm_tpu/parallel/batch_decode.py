@@ -33,24 +33,17 @@ from ..ops import intra as IK
 
 
 # ---------------------------------------------------------------------------
-def _residual_planes_batch(items):
-    """Cross-picture TU bucketing -> per-picture residual planes."""
-    from ..recon_tpu import _residual_fn, _pad_pow2
+def _tu_bucket_entries(items):
+    """Shared TU bucketing over a picture set.
+
+    Returns {(n, use_dst, path, bd, rotate, scal, max_dyn):
+             [(b, i, scal_mats), ...]}.
+    """
     from ..hostdec.tables import build_scaling_matrices
-    res_all = []
     buckets = {}
     mats_cache = {}
     for b, it in enumerate(items):
         sps, pic = it["sps"], it["pic"]
-        Wp = sps.pic_width_ctbs << sps.log2_ctb
-        Hp = sps.pic_height_ctbs << sps.log2_ctb
-        ncomp = 3 if sps.chroma_format_idc else 1
-        planes = []
-        for c in range(ncomp):
-            sx = sps.chroma_shift_x() if c else 0
-            sy = sps.chroma_shift_y() if c else 0
-            planes.append(np.zeros((Hp >> sy, Wp >> sx), np.int32))
-        res_all.append(planes)
         scal_mats = None
         if sps.scaling_list_enabled:
             data = getattr(it["pps"], "scaling_list_data", None)
@@ -80,30 +73,56 @@ def _residual_planes_batch(items):
             max_dyn = 15 if not sps.extended_precision else max(15, bd + 6)
             key = (tu.w, bool(tu.use_dst), path, bd, rotate, scal, max_dyn)
             buckets.setdefault(key, []).append((b, i, scal_mats))
+    return buckets
+
+
+def _bucket_inputs(items, entries, n, scal, P):
+    """Host-side padded input tensors for one TU bucket."""
+    from ..hostdec.picture import MODE_INTRA
+    coeffs = np.zeros((P, n, n), np.int32)
+    qp = np.zeros(P, np.int32)
+    rdpcm = np.zeros(P, np.int32)
+    mat = np.ones((P, n, n), np.int32) * 16 if scal else \
+        np.zeros((1, 1, 1), np.int32)
+    for k, (b, i, scal_mats) in enumerate(entries):
+        pic = items[b]["pic"]
+        sps = items[b]["sps"]
+        tu = pic.tu_list[i]
+        coeffs[k] = tu.coeffs
+        qp[k] = tu.qp
+        rdpcm[k] = tu.rdpcm_mode
+        if scal:
+            sxr = sps.chroma_shift_x() if tu.comp else 0
+            syr = sps.chroma_shift_y() if tu.comp else 0
+            intra = np.asarray(pic.pred_mode)[(tu.y << syr) >> 2,
+                                              (tu.x << sxr) >> 2] \
+                == MODE_INTRA
+            size_id = tu.w.bit_length() - 3
+            mat[k] = scal_mats[(size_id, (0 if intra else 3) + tu.comp)]
+    return coeffs, qp, rdpcm, mat
+
+
+def _residual_planes_batch(items):
+    """Cross-picture TU bucketing -> per-picture residual planes (host)."""
+    from ..recon_tpu import _residual_fn, _pad_pow2
+    res_all = []
+    for it in items:
+        sps = it["sps"]
+        Wp = sps.pic_width_ctbs << sps.log2_ctb
+        Hp = sps.pic_height_ctbs << sps.log2_ctb
+        ncomp = 3 if sps.chroma_format_idc else 1
+        planes = []
+        for c in range(ncomp):
+            sx = sps.chroma_shift_x() if c else 0
+            sy = sps.chroma_shift_y() if c else 0
+            planes.append(np.zeros((Hp >> sy, Wp >> sx), np.int32))
+        res_all.append(planes)
+    buckets = _tu_bucket_entries(items)
     for (n, use_dst, path, bd, rotate, scal, max_dyn), entries \
             in buckets.items():
         N = len(entries)
         P = _pad_pow2(N)
-        coeffs = np.zeros((P, n, n), np.int32)
-        qp = np.zeros(P, np.int32)
-        rdpcm = np.zeros(P, np.int32)
-        mat = np.ones((P, n, n), np.int32) * 16 if scal else \
-            np.zeros((1, 1, 1), np.int32)
-        for k, (b, i, scal_mats) in enumerate(entries):
-            pic = items[b]["pic"]
-            sps = items[b]["sps"]
-            tu = pic.tu_list[i]
-            coeffs[k] = tu.coeffs
-            qp[k] = tu.qp
-            rdpcm[k] = tu.rdpcm_mode
-            if scal:
-                sxr = sps.chroma_shift_x() if tu.comp else 0
-                syr = sps.chroma_shift_y() if tu.comp else 0
-                intra = np.asarray(pic.pred_mode)[(tu.y << syr) >> 2,
-                                                  (tu.x << sxr) >> 2] \
-                    == MODE_INTRA
-                size_id = tu.w.bit_length() - 3
-                mat[k] = scal_mats[(size_id, (0 if intra else 3) + tu.comp)]
+        coeffs, qp, rdpcm, mat = _bucket_inputs(items, entries, n, scal, P)
         fn = _residual_fn(n, use_dst, path, bd, max_dyn, rotate, scal)
         out = np.asarray(fn(jnp.asarray(coeffs), jnp.asarray(qp),
                             jnp.asarray(rdpcm), jnp.asarray(mat)))
@@ -126,37 +145,175 @@ def _residual_planes_batch(items):
 
 
 # ---------------------------------------------------------------------------
+# device-resident residual planes (the dag_decode path)
 @functools.lru_cache(maxsize=None)
-def _scan_fn_batched(sizes, comp_is_luma, bd, W, H):
-    """The intra_wavefront scan vmapped over a leading picture axis."""
+def _scatter_tu_fn(n):
+    @jax.jit
+    def f(stacked, out, ksel, bsel, ysel, xsel):
+        vals = out[ksel]                                   # [Pm, n, n]
+        iy = ysel[:, None, None] + jnp.arange(n)[None, :, None]
+        ix = xsel[:, None, None] + jnp.arange(n)[None, None, :]
+        ib = jnp.broadcast_to(bsel[:, None, None], vals.shape)
+        return stacked.at[ib, jnp.broadcast_to(iy, vals.shape),
+                          jnp.broadcast_to(ix, vals.shape)].set(
+                              vals, mode="drop")
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _ccp_fn(n):
+    """Cross-component prediction adjust on device residual planes."""
+    @jax.jit
+    def f(res_c, res_l, bsel, ysel, xsel, alpha):
+        iy = ysel[:, None, None] + jnp.arange(n)[None, :, None]
+        ix = xsel[:, None, None] + jnp.arange(n)[None, None, :]
+        shp = (bsel.shape[0], n, n)
+        ib = jnp.broadcast_to(bsel[:, None, None], shp)
+        iy = jnp.broadcast_to(iy, shp)
+        ix = jnp.broadcast_to(ix, shp)
+        lr = res_l[ib, iy, ix]
+        r = res_c[ib, iy, ix]
+        r = jnp.clip(r + ((alpha[:, None, None] * lr) >> 3), -32768, 32767)
+        return res_c.at[ib, iy, ix].set(r, mode="drop")
+    return f
+
+
+def _residual_planes_batch_device(items, Bp):
+    """Device-resident residual build: scatter TU outputs straight into
+    stacked [Bp, Hc, Wc] device planes; CCP applied on device.
+
+    Only the (irreducible) coefficient buckets are uploaded; residual
+    pixels never exist on the host.
+    """
+    from ..recon_tpu import _residual_fn, _pad_pow2
+    from ..utils import xfer
+    sps0 = items[0]["sps"]
+    Wp = sps0.pic_width_ctbs << sps0.log2_ctb
+    Hp = sps0.pic_height_ctbs << sps0.log2_ctb
+    ncomp = 3 if sps0.chroma_format_idc else 1
+    res_stacked = []
+    for c in range(ncomp):
+        sx = sps0.chroma_shift_x() if c else 0
+        sy = sps0.chroma_shift_y() if c else 0
+        res_stacked.append(jnp.zeros((Bp, Hp >> sy, Wp >> sx), jnp.int32))
+    buckets = _tu_bucket_entries(items)
+    for (n, use_dst, path, bd, rotate, scal, max_dyn), entries \
+            in buckets.items():
+        N = len(entries)
+        P = _pad_pow2(N)
+        coeffs, qp, rdpcm, mat = _bucket_inputs(items, entries, n, scal, P)
+        fn = _residual_fn(n, use_dst, path, bd, max_dyn, rotate, scal)
+        # halve the coefficient upload when levels fit int16 (they almost
+        # always do below extended precision); widen back on device
+        if np.abs(coeffs).max(initial=0) < 32768:
+            coeffs = coeffs.astype(np.int16)
+        cdev = xfer.up(coeffs, "coeff").astype(jnp.int32)
+        qdev = xfer.up(qp.astype(np.int8), "coeff").astype(jnp.int32)
+        rdev = xfer.up(rdpcm.astype(np.int8), "coeff").astype(jnp.int32)
+        mdev = xfer.up(mat if mat.dtype == np.int32 and not scal
+                       else mat.astype(np.uint8), "coeff").astype(jnp.int32)
+        out = fn(cdev, qdev, rdev, mdev)                             # [P, n, n] device
+        comp_arr = np.asarray([items[b]["pic"].tu_list[i].comp
+                               for b, i, _ in entries], np.int32)
+        for c in range(ncomp):
+            sel = np.nonzero(comp_arr == c)[0]
+            if not len(sel):
+                continue
+            M = len(sel)
+            Pm = _pad_pow2(M, 16)
+            ksel = np.zeros(Pm, np.int32)
+            bsel = np.full(Pm, Bp, np.int32)               # pad -> dropped
+            ysel = np.zeros(Pm, np.int32)
+            xsel = np.zeros(Pm, np.int32)
+            ksel[:M] = sel
+            for j, k in enumerate(sel):
+                b, i, _ = entries[k]
+                tu = items[b]["pic"].tu_list[i]
+                bsel[j] = b
+                ysel[j] = tu.y
+                xsel[j] = tu.x
+            res_stacked[c] = _scatter_tu_fn(n)(
+                res_stacked[c], out, xfer.up(ksel, "idx"),
+                xfer.up(bsel, "idx"), xfer.up(ysel, "idx"),
+                xfer.up(xsel, "idx"))
+    # cross-component prediction (4:4:4) on device
+    groups = {}
+    for b, it in enumerate(items):
+        if it["sps"].chroma_format_idc != 3:
+            continue
+        for tu in it["pic"].tu_list:
+            if tu.comp and tu.cross_comp_alpha:
+                groups.setdefault((tu.comp, tu.w), []).append(
+                    (b, tu.y, tu.x, tu.cross_comp_alpha))
+    for (c, n), ents in groups.items():
+        from ..recon_tpu import _pad_pow2
+        M = len(ents)
+        Pm = _pad_pow2(M, 16)
+        bsel = np.full(Pm, Bp, np.int32)
+        ysel = np.zeros(Pm, np.int32)
+        xsel = np.zeros(Pm, np.int32)
+        alpha = np.zeros(Pm, np.int32)
+        for j, (b, y, x, a) in enumerate(ents):
+            bsel[j], ysel[j], xsel[j], alpha[j] = b, y, x, a
+        res_stacked[c] = _ccp_fn(n)(
+            res_stacked[c], res_stacked[0], xfer.up(bsel), xfer.up(ysel),
+            xfer.up(xsel), xfer.up(alpha))
+    return res_stacked
+
+
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _scan_fn_batched(sizes, comp_is_luma, bd, W, H, res_gather=False):
+    """The intra_wavefront scan vmapped over a leading picture axis.
+
+    res_gather: residual blocks are gathered on device from a per-picture
+    residual plane (device-resident path) instead of shipped per level
+    slot from the host.
+    """
     maxv = (1 << bd) - 1
 
-    def step(plane, data):
-        for n in sizes:
-            d = data[n]
-            xs, ys = d["xs"], d["ys"]
-            cx, cy = IK.border_coords(xs, ys, n, W, H)
-            g = plane[cy, cx]
-            vals = IK.substitute(g, d["av"], bd)
-            vals = IK.filter_refs(vals, n, bd, d["filt"], d["strong"])
-            pred = IK.predict(vals, d["mode"], n, comp_is_luma, bd, d["dbf"])
-            out = jnp.clip(pred + d["res"], 0, maxv)
-            oy = jnp.arange(n)
-            iy = ys[:, None, None] + oy[None, :, None]
-            ix = xs[:, None, None] + oy[None, None, :]
-            iy = jnp.broadcast_to(iy, out.shape)
-            ix = jnp.broadcast_to(ix, out.shape)
-            plane = plane.at[iy, ix].set(out, mode="drop")
-        return plane, None
+    from .intra_wavefront import unpack_block_meta
 
-    def run_one(plane, data):
-        plane, _ = jax.lax.scan(step, plane, data)
-        return plane
+    def step_factory(res_plane):
+        def step(plane, data):
+            for n in sizes:
+                d = data[n]
+                xs, ys, mode, filt, strong, dbf, av = \
+                    unpack_block_meta(d, n)
+                cx, cy = IK.border_coords(xs, ys, n, W, H)
+                g = plane[cy, cx]
+                vals = IK.substitute(g, av, bd)
+                vals = IK.filter_refs(vals, n, bd, filt, strong)
+                pred = IK.predict(vals, mode, n, comp_is_luma, bd, dbf)
+                oy = jnp.arange(n)
+                iy = ys[:, None, None] + oy[None, :, None]
+                ix = xs[:, None, None] + oy[None, None, :]
+                shp = pred.shape
+                iy = jnp.broadcast_to(iy, shp)
+                ix = jnp.broadcast_to(ix, shp)
+                if res_gather:
+                    res = res_plane[iy, ix]
+                else:
+                    res = d["res"]
+                out = jnp.clip(pred + res, 0, maxv)
+                plane = plane.at[iy, ix].set(out, mode="drop")
+            return plane, None
+        return step
+
+    if res_gather:
+        def run_one(plane, res_plane, data):
+            plane, _ = jax.lax.scan(step_factory(res_plane), plane, data)
+            return plane
+    else:
+        def run_one(plane, data):
+            plane, _ = jax.lax.scan(step_factory(None), plane, data)
+            return plane
 
     return jax.jit(jax.vmap(run_one))
 
 
-def _intra_batch(items, comp, planes_all, res_all, mesh=None, stacked=None):
+def _intra_batch(items, comp, planes_all, res_all, mesh=None, stacked=None,
+                 res_stacked=None):
     """Batched wavefront over all pictures for one component.
 
     With a mesh, the picture axis is sharded over its first axis (pure
@@ -166,31 +323,37 @@ def _intra_batch(items, comp, planes_all, res_all, mesh=None, stacked=None):
 
     stacked: optional device [B, Hp, Wp] planes (e.g. holding MC output).
     When given, the scan starts from it and the updated DEVICE array is
-    returned without a host round trip; planes_all is not written."""
+    returned without a host round trip; planes_all is not written.
+
+    res_stacked: optional device [B', Hc, Wc] residual planes (B' >= B).
+    When given, residual blocks are GATHERED on device (the fully
+    device-resident path) and res_all is ignored."""
+    from ..utils import xfer
     sps = items[0]["sps"]
     ssx = sps.chroma_shift_x() if comp else 0
     ssy = sps.chroma_shift_y() if comp else 0
     W = sps.width >> ssx
     H = sps.height >> ssy
     bd = sps.bit_depth_luma if comp == 0 else sps.bit_depth_chroma
+    res_gather = res_stacked is not None
     preps = []
     for b, it in enumerate(items):
         constrained = bool(it["pps"].constrained_intra_pred)
-        levels, L = prepare_component(it["sps"], it["pic"], it["zmap"],
-                                      it["tile_map"], comp, res_all[b],
-                                      constrained)
+        levels, L = prepare_component(
+            it["sps"], it["pic"], it["zmap"], it["tile_map"], comp,
+            None if res_gather else res_all[b], constrained)
         preps.append((levels, L))
     if all(lv is None for lv, _ in preps):
         return stacked
     sizes = tuple(sorted({n for lv, _ in preps if lv for n in lv}))
     Lmax = _pow2(max(max(L, 1) for _, L in preps))
     B = len(items)
-    Bp = B
+    Bp = B if stacked is None else int(stacked.shape[0])
     shard = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         m = int(mesh.devices.size)
-        Bp = -(-B // m) * m
+        Bp = max(Bp, -(-B // m) * m)
         axis = mesh.axis_names[0]
 
         def shard(a):
@@ -205,42 +368,57 @@ def _intra_batch(items, comp, planes_all, res_all, mesh=None, stacked=None):
         def alloc(shape_tail, fill, dtype):
             return np.full((Bp, Lmax) + shape_tail, fill, dtype)
 
-        d = dict(xs=alloc((Kmax,), W + 1024, np.int32),
-                 ys=alloc((Kmax,), H + 1024, np.int32),
-                 mode=alloc((Kmax,), 1, np.int32),
-                 filt=alloc((Kmax,), False, bool),
-                 strong=alloc((Kmax,), False, bool),
-                 dbf=alloc((Kmax,), False, bool),
-                 res=alloc((Kmax, n, n), 0, np.int32),
-                 av=alloc((Kmax, T), False, bool))
+        d = dict(xs=alloc((Kmax,), W + 1024, np.int16),
+                 ys=alloc((Kmax,), H + 1024, np.int16),
+                 mode=alloc((Kmax,), 1, np.int8),
+                 flags=alloc((Kmax,), 0, np.uint8),
+                 av=alloc((Kmax, (T + 7) >> 3), 0, np.uint8))
+        if not res_gather:
+            d["res"] = alloc((Kmax, n, n), 0, np.int32)
         for b, (lv, _) in enumerate(preps):
             if not lv or n not in lv:
                 continue
             src = lv[n]
             L0, K0 = src["xs"].shape[:2]
             for k, v in src.items():
-                d[k][b, :L0, :K0] = v
-        batched[n] = {k: shard(jnp.asarray(v)) if shard else jnp.asarray(v)
+                if k in d:
+                    d[k][b, :L0, :K0] = v
+        batched[n] = {k: shard(xfer.up(v, "intra_" + k)) if shard
+                      else xfer.up(v, "intra_" + k)
                       for k, v in d.items()}
-    run = _scan_fn_batched(sizes, comp == 0, bd, W, H)
+    run = _scan_fn_batched(sizes, comp == 0, bd, W, H, res_gather)
     if stacked is None:
         pl = [planes_all[b][comp] for b in range(B)]
         pl += [np.zeros_like(pl[0])] * (Bp - B)
         base = jnp.asarray(np.stack(pl))
         if shard:
             base = shard(base)
-        out = np.asarray(run(base, batched))
+        if res_gather:
+            out = np.asarray(run(base, res_stacked[:Bp], batched))
+        else:
+            out = np.asarray(run(base, batched))
         for b in range(B):
             planes_all[b][comp][:, :] = out[b]
         return None
     base = stacked
-    if Bp > B:
+    if Bp > int(base.shape[0]):
         base = jnp.concatenate(
-            [base, jnp.zeros((Bp - B,) + base.shape[1:], base.dtype)])
+            [base, jnp.zeros((Bp - int(base.shape[0]),) + base.shape[1:],
+                             base.dtype)])
     if shard:
         base = shard(base)
-    out = run(base, batched)
-    return out[:B]
+    if res_gather:
+        rs = res_stacked
+        if int(rs.shape[0]) < Bp:
+            rs = jnp.concatenate(
+                [rs, jnp.zeros((Bp - int(rs.shape[0]),) + rs.shape[1:],
+                               rs.dtype)])
+        if shard:
+            rs = shard(rs)
+        out = run(base, rs[:Bp], batched)
+    else:
+        out = run(base, batched)
+    return out[:Bp]
 
 
 # ---------------------------------------------------------------------------

@@ -1,22 +1,30 @@
-"""Reference-DAG batched TPU decode for general (inter) streams.
+"""Reference-DAG batched, fully device-resident TPU decode.
 
 The reference decodes strictly one picture at a time (TDecTop.cpp:729).
 Reconstruction, however, only depends on the *reference pictures* being
 done: pictures whose refs are all reconstructed are data-independent and
 can batch into one device dispatch.  Grouping decode order by longest
 reference-chain depth ("DAG level") turns a hierarchical-B random-access
-GOP of 16 pictures into ~5 batched dispatol groups instead of 16 serial
+GOP of 16 pictures into ~5 batched dispatch groups instead of 16 serial
 ones:
 
     level 0: all IDR/CRA + I pictures              (no refs)
     level 1: pictures referencing only level 0     (e.g. POC16)
     level 2: POC8 (refs 0,16) ...                  and so on.
 
-Within a level the existing cross-picture batching applies: TU residual
-buckets over the union of tu_lists, one MC gather/scatter dispatch per
-component over every inter 4x4 block of the level, and the vmapped intra
-wavefront.  Reference planes live on device between levels (DecodedPicture
-._device_planes), so inter-picture data never round-trips the host.
+Pixels live on device for the WHOLE decode (the round-4 re-architecture):
+
+    coeff buckets ──upload──> residual planes (device scatter)
+    MC gather + residual add + intra wavefront      (device, per level)
+    deblock V/H + SAO + PCM/lossless restore        (one fused vmapped jit,
+                                                     fed by compact int8
+                                                     syntax maps)
+    filtered planes ──(stay on device)──> next level's reference stack
+    final planes ──async download──> output YUV (narrow dtype)
+
+Host->device traffic is coefficients + per-4x4 syntax maps only;
+device->host is the final pictures once.  Byte counts are tracked in
+utils/xfer for the bench.
 
 Output order, DPB bumping, hashes and the libHMDec bumping rules are
 unchanged — the host Decoder runs its normal control plane in collect
@@ -29,8 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from ..hostdec.picture import MODE_INTER
-from .batch_decode import _residual_planes_batch, _intra_batch
 from ..ops import interp as IK
+from ..utils import xfer
 
 
 # ---------------------------------------------------------------------------
@@ -63,10 +71,10 @@ def reference_levels(items):
 # ---------------------------------------------------------------------------
 @functools.lru_cache(maxsize=None)
 def _mc_scatter_fn(blkx, blky, taps, fbx, fby, bd, epi):
-    """MC for a batch of 4x4 blocks across pictures + residual add +
-    scatter into the stacked [B, H, W] planes — one dispatch."""
+    """MC for a batch of 4x4 blocks across pictures + device residual
+    gather + scatter into the stacked [Bp, H, W] planes — one dispatch."""
     @jax.jit
-    def fn(stacked, refs, sel0, sel1, bidx, bx, by, mv, dirm, resblk,
+    def fn(stacked, resplane, refs, sel0, sel1, bidx, bx, by, mv, dirm,
            wpw, wpo, denom, W, H):
         p0 = IK.mc_blocks(refs, sel0, bx, by, mv[:, 0, 0], mv[:, 0, 1],
                           blkx, taps, fbx, fby, bd, is_last=False, W=W, H=H,
@@ -88,14 +96,15 @@ def _mc_scatter_fn(blkx, blky, taps, fbx, fby, bd, epi):
             bi = IK.bi_average(p0, p1, bd)
         d = dirm[:, None, None]
         pred = jnp.where(d == 3, bi, jnp.where(d == 1, uni0, uni1))
-        out = jnp.clip(pred + resblk, 0, (1 << bd) - 1)
         oy = jnp.arange(blky)
         ox = jnp.arange(blkx)
         iy = by[:, None, None] + oy[None, :, None]
         ix = bx[:, None, None] + ox[None, None, :]
-        iy = jnp.broadcast_to(iy, out.shape)
-        ix = jnp.broadcast_to(ix, out.shape)
-        ib = jnp.broadcast_to(bidx[:, None, None], out.shape)
+        iy = jnp.broadcast_to(iy, pred.shape)
+        ix = jnp.broadcast_to(ix, pred.shape)
+        ib = jnp.broadcast_to(bidx[:, None, None], pred.shape)
+        res = resplane[ib, iy, ix]          # device residual gather
+        out = jnp.clip(pred + res, 0, (1 << bd) - 1)
         return stacked.at[ib, iy, ix].set(out, mode="drop")
     return fn
 
@@ -107,15 +116,162 @@ def _pad_pow2(n, lo=64):
     return p
 
 
-def _inter_level(items, stacked_all, res_all):
-    """Batched MC + residual add for every inter block of one DAG level.
+_MC_CHUNK = 1 << 16
 
-    stacked_all: list per component of device [B, H, W] planes (updated).
-    """
+
+@functools.lru_cache(maxsize=None)
+def _mc_grid_fn(blkx, blky, taps, fbx, fby, bd, sx, sy, h4, w4, W, H):
+    """Full-grid MC: every 4x4 of every picture of a level, driven by the
+    per-4x4 syntax MAPS (MV/dir/ref-sel) instead of host-gathered
+    per-block arrays — the upload is ~12 bytes per 4x4 and the block
+    coordinates are derived from iota on device.  A lax.scan over
+    fixed-size chunks bounds the gather-window working set."""
+    npp = h4 * w4
+
+    @jax.jit
+    def fn(stacked, resplane, refs, mv, dirm, sel):
+        Bp = stacked.shape[0]
+        n = Bp * npp
+        nch = -(-n // _MC_CHUNK)
+        npad = nch * _MC_CHUNK
+
+        def chunked(a, tail):
+            a = a.reshape((n,) + tail)
+            if npad > n:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((npad - n,) + tail, a.dtype)])
+            return a.reshape((nch, _MC_CHUNK) + tail)
+        mvf = chunked(mv.astype(jnp.int32), (2, 2))
+        dirf = chunked(dirm.astype(jnp.int32), ())
+        self_self = chunked(sel.astype(jnp.int32), (2,))
+        pos = jnp.arange(npad, dtype=jnp.int32).reshape(nch, _MC_CHUNK)
+        headroom = max(2, IK.IF_PREC - bd)
+        maxs = (1 << bd) - 1
+
+        def step(carry, inp):
+            mv_c, dir_c, sel_c, pos_c = inp
+            bidx = pos_c // npp
+            rem = pos_c - bidx * npp
+            by = ((rem // w4) << 2) >> sy
+            bx = ((rem % w4) << 2) >> sx
+            p0 = IK.mc_blocks(refs, sel_c[:, 0], bx, by, mv_c[:, 0, 0],
+                              mv_c[:, 0, 1], blkx, taps, fbx, fby, bd,
+                              is_last=False, W=W, H=H, blkh=blky)
+            p1 = IK.mc_blocks(refs, sel_c[:, 1], bx, by, mv_c[:, 1, 0],
+                              mv_c[:, 1, 1], blkx, taps, fbx, fby, bd,
+                              is_last=False, W=W, H=H, blkh=blky)
+            off = 1 << (headroom - 1)
+            uni0 = jnp.clip((p0 + IK.IF_OFFS + off) >> headroom, 0, maxs)
+            uni1 = jnp.clip((p1 + IK.IF_OFFS + off) >> headroom, 0, maxs)
+            bi = IK.bi_average(p0, p1, bd)
+            d = dir_c[:, None, None]
+            pred = jnp.where(d == 3, bi, jnp.where(d == 1, uni0, uni1))
+            oy = jnp.arange(blky)
+            ox = jnp.arange(blkx)
+            iy = by[:, None, None] + oy[None, :, None]
+            ix = bx[:, None, None] + ox[None, None, :]
+            iy = jnp.broadcast_to(iy, pred.shape)
+            ix = jnp.broadcast_to(ix, pred.shape)
+            # non-inter 4x4s (dir 0) and chunk padding scatter-drop via an
+            # out-of-range picture index
+            ib = jnp.broadcast_to(
+                jnp.where(dir_c > 0, bidx, Bp)[:, None, None], pred.shape)
+            res = resplane[ib, iy, ix]
+            out = jnp.clip(pred + res, 0, maxs)
+            return carry.at[ib, iy, ix].set(out, mode="drop"), None
+
+        out, _ = jax.lax.scan(step, stacked,
+                              (mvf, dirf, self_self, pos))
+        return out
+    return fn
+
+
+def _inter_level_grid(items, stacked_all, res_all):
+    """Map-driven MC for a level with no weighted prediction."""
     from ..recon_tpu import _device_plane
     sps0 = items[0]["sps"]
     ncomp = 3 if sps0.chroma_format_idc else 1
-    B = len(items)
+    Bp = int(stacked_all[0].shape[0])
+    pic0 = items[0]["pic"]
+    h4, w4 = pic0.h4, pic0.w4
+
+    ref_index = {}
+    ref_objs = []
+    mv_maps = np.zeros((Bp, h4, w4, 2, 2), np.int16)
+    dir_maps = np.zeros((Bp, h4, w4), np.int8)
+    sel_maps = np.zeros((Bp, h4, w4, 2), np.int16)
+    any_inter = False
+    for b, it in enumerate(items):
+        pic = it["pic"]
+        if not pic.inter_list:
+            continue
+        dirm = np.where(np.asarray(pic.pred_mode) == MODE_INTER,
+                        np.asarray(pic.inter_dir), 0)
+        if not dirm.any():
+            continue
+        any_inter = True
+        pocs = {}
+        for pu in pic.inter_list:
+            for l in range(2):
+                rp = pu.ref_poc[l]
+                if rp is not None and rp.poc not in pocs:
+                    pocs[rp.poc] = rp
+        for rp in pocs.values():
+            if id(rp) not in ref_index:
+                ref_index[id(rp)] = len(ref_objs)
+                ref_objs.append(rp)
+        mv_maps[b] = np.asarray(pic.mv).astype(np.int16)
+        dir_maps[b] = dirm
+        local = np.asarray(sorted(pocs), np.int64)
+        l2g = np.asarray([ref_index[id(pocs[int(p)])] for p in local],
+                         np.int16)
+        rpm = np.asarray(pic.ref_poc)
+        posn = np.clip(np.searchsorted(local, rpm), 0, len(local) - 1)
+        sel_maps[b] = l2g[posn]
+    if not any_inter:
+        return
+
+    for c in range(ncomp):
+        sps = sps0
+        sx = sps.chroma_shift_x() if c else 0
+        sy = sps.chroma_shift_y() if c else 0
+        bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+        W = sps.width >> sx
+        H = sps.height >> sy
+        planes_dev = [_device_plane(rp, c, H, W) for rp in ref_objs]
+        R = _pad_pow2(len(planes_dev), 4)
+        planes_dev += [planes_dev[-1]] * (R - len(planes_dev))
+        refs = jnp.stack(planes_dev)
+        fn = _mc_grid_fn(4 >> sx, 4 >> sy, 8 if c == 0 else 4,
+                         2 + (sx if c else 0), 2 + (sy if c else 0),
+                         bd, sx, sy, h4, w4, W, H)
+        stacked_all[c] = fn(stacked_all[c], res_all[c], refs,
+                            xfer.up(mv_maps, "mc"),
+                            xfer.up(dir_maps, "mc"),
+                            xfer.up(sel_maps, "mc"))
+
+
+def _inter_level(items, stacked_all, res_all):
+    """Batched MC + residual add for every inter block of one DAG level.
+
+    stacked_all: list per component of device [Bp, H, W] planes (updated).
+    res_all: list per component of device [Bp, H, W] residual planes.
+
+    Levels without weighted prediction take the map-driven full-grid path
+    (lean uploads); WP levels fall back to gathered per-block arrays with
+    the WP epilogue.
+    """
+    if not any(getattr(pu, "wp", None) is not None
+               for it in items for pu in it["pic"].inter_list):
+        return _inter_level_grid(items, stacked_all, res_all)
+    return _inter_level_gathered(items, stacked_all, res_all)
+
+
+def _inter_level_gathered(items, stacked_all, res_all):
+    from ..recon_tpu import _device_plane
+    sps0 = items[0]["sps"]
+    ncomp = 3 if sps0.chroma_format_idc else 1
+    Bp = int(stacked_all[0].shape[0])
 
     # combined reference stack (object identity; POCs repeat across IRAPs)
     ref_index = {}
@@ -180,7 +336,12 @@ def _inter_level(items, stacked_all, res_all):
         fbx = 2 + (sx if c else 0)
         fby = 2 + (sy if c else 0)
         if ref_objs:
-            refs = jnp.stack([_device_plane(rp, c, H, W) for rp in ref_objs])
+            planes_dev = [_device_plane(rp, c, H, W) for rp in ref_objs]
+            # pad the stack depth to pow2 (repeat the last plane) so the
+            # MC kernel's shape key is shared across levels
+            R = _pad_pow2(len(planes_dev), 4)
+            planes_dev += [planes_dev[-1]] * (R - len(planes_dev))
+            refs = jnp.stack(planes_dev)
         else:
             refs = jnp.zeros((1, H, W), jnp.int32)
         # dispatch groups keyed by WP epilogue + denom (per-slice values)
@@ -213,21 +374,6 @@ def _inter_level(items, stacked_all, res_all):
             else:
                 w_arr = np.zeros((N, 2), np.int32)
                 o_arr = np.zeros((N, 2), np.int32)
-            # residual gather (host; residual planes are host tensors)
-            resblk = np.zeros((N, blky, blkx), np.int32)
-            off = 0
-            for b in bs:
-                pp = per_pic[b]
-                n_b = len(pp["ys4"])
-                res = res_all[b][c]
-                byy = (pp["ys4"] << 2) >> sy
-                bxx = (pp["xs4"] << 2) >> sx
-                iy = byy[:, None, None] + np.arange(blky)[None, :, None]
-                ix = bxx[:, None, None] + np.arange(blkx)[None, None, :]
-                resblk[off:off + n_b] = res[
-                    np.broadcast_to(iy, (n_b, blky, blkx)),
-                    np.broadcast_to(ix, (n_b, blky, blkx))]
-                off += n_b
             P = _pad_pow2(N)
 
             def pad(a, fill=0):
@@ -236,30 +382,115 @@ def _inter_level(items, stacked_all, res_all):
                 return out
             fn = _mc_scatter_fn(blkx, blky, taps, fbx, fby, bd, epi)
             stacked_all[c] = fn(
-                stacked_all[c], refs,
-                jnp.asarray(pad(sel[:, 0])), jnp.asarray(pad(sel[:, 1])),
-                jnp.asarray(pad(bidx, B + 1)),  # padded blocks scatter-drop
-                jnp.asarray(pad(bx)), jnp.asarray(pad(by)),
-                jnp.asarray(pad(mv)), jnp.asarray(pad(dirm, 1)),
-                jnp.asarray(pad(resblk)),
-                jnp.asarray(pad(w_arr)), jnp.asarray(pad(o_arr)),
+                stacked_all[c], res_all[c], refs,
+                xfer.up(pad(sel[:, 0]), "mc"), xfer.up(pad(sel[:, 1]), "mc"),
+                xfer.up(pad(bidx, Bp), "mc"),  # padded blocks scatter-drop
+                xfer.up(pad(bx), "mc"), xfer.up(pad(by), "mc"),
+                xfer.up(pad(mv), "mc"), xfer.up(pad(dirm, 1), "mc"),
+                xfer.up(pad(w_arr), "mc"), xfer.up(pad(o_arr), "mc"),
                 denom, W, H)
 
 
 # ---------------------------------------------------------------------------
-def decode_batch(data, parse="native", check_sei_hash=False, mesh=None):
-    """Decode any Annex-B stream with reference-DAG cross-picture batching.
+def _recon_levels(items, mesh=None):
+    """Device-resident reconstruction of collect items grouped into
+    reference-DAG levels.  Returns [(dp, item, small_planes)] where
+    small_planes are narrow-dtype device arrays with downloads in flight.
+    """
+    from .batch_decode import _residual_planes_batch_device, _intra_batch
+    from .device_filters import filter_level
 
-    Bit-exact vs Decoder(recon="tpu") / the HM hash oracle.  All pictures
-    of a DAG level reconstruct in shared device dispatches; reference
-    planes stay device-resident across levels.  `mesh` shards the
-    picture axis of the intra wavefront (data parallelism within a level).
+    sps0 = items[0]["sps"]
+    ncomp = 3 if sps0.chroma_format_idc else 1
+    mesh_m = int(mesh.devices.size) if mesh is not None else 1
+    pending = []
+    for lv_items in reference_levels(items):
+        B = len(lv_items)
+        # picture-axis bucket: pow2 multiples of the mesh size, so levels
+        # of nearby size share compiles AND the axis shards evenly
+        Bp = mesh_m * _pad_pow2(-(-B // mesh_m), lo=1)
+        res_stacked = _residual_planes_batch_device(lv_items, Bp)
+        stacked = [jnp.zeros(r.shape, jnp.int32) for r in res_stacked]
+        # PCM samples (rare): small per-block device scatters
+        for b, it in enumerate(lv_items):
+            sps = it["sps"]
+            for (c, x, y, w, h, samples, bits) in it["pic"].pcm_list:
+                bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+                blk = np.asarray(samples, np.int32) << (bd - bits)
+                stacked[c] = stacked[c].at[b, y:y + h, x:x + w].set(
+                    xfer.up(blk))
+        _inter_level(lv_items, stacked, res_stacked)
+        for c in range(ncomp):
+            stacked[c] = _intra_batch(lv_items, c, None, None, mesh=mesh,
+                                      stacked=stacked[c],
+                                      res_stacked=res_stacked[c])
+        stacked = filter_level(lv_items, stacked, sps0)
+        for b, it in enumerate(lv_items):
+            dp = it["dp"]
+            sps = it["sps"]
+            cache = {}
+            small = []
+            for c in range(ncomp):
+                sx = sps.chroma_shift_x() if c else 0
+                sy = sps.chroma_shift_y() if c else 0
+                Hc = sps.height >> sy
+                Wc = sps.width >> sx
+                cache[(c, Hc, Wc)] = stacked[c][b, :Hc, :Wc]
+                bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+                dt = jnp.uint8 if bd == 8 else jnp.uint16
+                small.append(stacked[c][b].astype(dt))
+            # filtered planes feed the next level's MC straight from HBM
+            dp._device_planes = cache
+            for s in small:
+                try:
+                    s.copy_to_host_async()
+                except Exception:
+                    pass
+            pending.append((dp, it, small))
+    return pending
+
+
+def _materialize(dec, pending, check_sei_hash):
+    """Download pending planes, run hash checks, rebuild dec.outputs."""
+    for dp, it, small in pending:
+        planes = []
+        for s in small:
+            a = np.asarray(s)
+            xfer.count_d2h(a.nbytes)
+            planes.append(a.astype(np.int32))
+        dp.planes = planes
+        dp.cropped_planes = None
+        if check_sei_hash and it["pending_hash"] is not None:
+            dec._pending_hash = it["pending_hash"]
+            dec._verify_hash(dp)
+    # rebuild the output list now that pixels exist (bumping order was
+    # already decided by the control plane during parsing)
+    dec.outputs = [dp.cropped() for dp in dec.output_records]
+    return dec.outputs
+
+
+def _check_geometry(items, what):
+    sps0 = items[0]["sps"]
+    for it in items:
+        if (it["sps"].width, it["sps"].height,
+                it["sps"].chroma_format_idc) != \
+                (sps0.width, sps0.height, sps0.chroma_format_idc):
+            raise ValueError(f"{what}: mixed picture geometry")
+
+
+def decode_batch(data, parse="native", check_sei_hash=False, mesh=None):
+    """Decode any Annex-B stream with reference-DAG cross-picture batching
+    and a fully device-resident pixel path.
+
+    Bit-exact vs Decoder(recon="numpy"/"native") / the HM hash oracle.
+    All pictures of a DAG level reconstruct in shared device dispatches;
+    reconstructed planes stay device-resident for the whole decode and
+    feed the next level's MC directly.  `mesh` shards the picture axis
+    (data parallelism within a level).
 
     Returns the cropped pictures in output order (Decoder.outputs shape).
     """
     from ..hostdec.decoder import Decoder
-    from ..recon_tpu import deblock_picture_tpu, sao_picture_tpu
-    from ..hostdec.loopfilter_np import _restore_unfiltered
 
     dec = Decoder(parse=parse, recon="collect",
                   check_sei_hash=check_sei_hash)
@@ -267,52 +498,51 @@ def decode_batch(data, parse="native", check_sei_hash=False, mesh=None):
     items = getattr(dec, "collected", [])
     if not items:
         return []
-    sps0 = items[0]["sps"]
-    for it in items:
-        if (it["sps"].width, it["sps"].height,
-                it["sps"].chroma_format_idc) != \
-                (sps0.width, sps0.height, sps0.chroma_format_idc):
-            raise ValueError("decode_batch: mixed picture geometry")
+    _check_geometry(items, "decode_batch")
+    pending = _recon_levels(items, mesh=mesh)
+    return _materialize(dec, pending, check_sei_hash)
 
-    ncomp = 3 if sps0.chroma_format_idc else 1
-    for lv_items in reference_levels(items):
-        res_all = _residual_planes_batch(lv_items)
-        planes_all = [[np.zeros_like(p) for p in res] for res in res_all]
-        for b, it in enumerate(lv_items):
-            sps = it["sps"]
-            for (c, x, y, w, h, samples, bits) in it["pic"].pcm_list:
-                bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
-                planes_all[b][c][y:y + h, x:x + w] = samples << (bd - bits)
-        # stacked device planes per component
-        stacked_all = [jnp.asarray(np.stack([planes_all[b][c]
-                                             for b in range(len(lv_items))]))
-                       for c in range(ncomp)]
-        _inter_level(lv_items, stacked_all, res_all)
-        for c in range(ncomp):
-            out = _intra_batch(lv_items, c, planes_all, res_all, mesh=mesh,
-                               stacked=stacked_all[c])
-            stacked_all[c] = out
-        # back to host once per level for the (per-picture) loop filters
-        host = [np.asarray(s) for s in stacked_all]
-        for b, it in enumerate(lv_items):
-            sps, pps, pic = it["sps"], it["pps"], it["pic"]
-            planes = planes_all[b]
-            for c in range(ncomp):
-                planes[c][:, :] = host[c][b]
-            if pps.transquant_bypass_enabled or \
-                    (sps.pcm_enabled and sps.pcm_loop_filter_disabled):
-                pic.prefilter_planes = [p.copy() for p in planes]
-            deblock_picture_tpu(planes, pic, sps, pps, it["tile_map"])
-            if sps.sao_enabled:
-                sao_picture_tpu(planes, pic, sps, pps, it["tile_map"])
-            _restore_unfiltered(planes, None, pic, sps)
-            dp = it["dp"]
-            dp.planes = planes
-            dp.cropped_planes = None
-            if check_sei_hash and it["pending_hash"] is not None:
-                dec._pending_hash = it["pending_hash"]
-                dec._verify_hash(dp)
-    # rebuild the output list now that pixels exist (bumping order was
-    # already decided by the control plane during parsing)
-    dec.outputs = [dp.cropped() for dp in dec.output_records]
-    return dec.outputs
+
+def decode_streams(datas, parse="native", check_sei_hash=False, mesh=None,
+                   threads=0):
+    """Decode N INDEPENDENT Annex-B streams with the picture/stream axis
+    batched into shared device dispatches (BASELINE.md ladder item 5).
+
+    The control planes parse independently (optionally in host threads);
+    reconstruction merges every stream's reference-DAG levels, so level i
+    of all streams reconstructs in one set of device dispatches.  With a
+    mesh, the merged picture axis shards over its first axis — the
+    multi-chip story: independent streams ride separate devices with no
+    collectives (SURVEY.md §2.5 distributed row).
+
+    Returns a list of per-stream output lists (each = decode_batch(data)).
+    """
+    from ..hostdec.decoder import Decoder
+
+    decs = [Decoder(parse=parse, recon="collect",
+                    check_sei_hash=check_sei_hash) for _ in datas]
+    if threads and len(datas) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(lambda p: p[0].decode_annexb(p[1]),
+                        zip(decs, datas)))
+    else:
+        for dec, data in zip(decs, datas):
+            dec.decode_annexb(data)
+    items_all = []
+    for dec in decs:
+        items_all.extend(getattr(dec, "collected", []))
+    if not items_all:
+        return [[] for _ in datas]
+    _check_geometry(items_all, "decode_streams")
+    pending = _recon_levels(items_all, mesh=mesh)
+    # split the pending downloads back to their owning stream
+    own = {}
+    for si, dec in enumerate(decs):
+        for it in getattr(dec, "collected", []):
+            own[id(it["dp"])] = si
+    per_stream = [[] for _ in decs]
+    for entry in pending:
+        per_stream[own[id(entry[0])]].append(entry)
+    return [_materialize(dec, pend, check_sei_hash)
+            for dec, pend in zip(decs, per_stream)]

@@ -103,7 +103,9 @@ def prepare_component(sps, pic, zmap, tile_map, comp, res_planes,
         strong = bool(sps.strong_intra_smoothing) and comp == 0 and n == 32
         bypass = bool(tq_bypass[ly_a >> 2, lx_a >> 2])
         dbf = bool(sps.implicit_rdpcm) and bypass
-        if blk.tu_index >= 0:
+        if res_planes is None:
+            res = None      # device-resident: gathered from the res plane
+        elif blk.tu_index >= 0:
             res = res_planes[comp][blk.y:blk.y + n, blk.x:blk.x + n]
         else:
             res = np.zeros((n, n), np.int32)
@@ -125,13 +127,14 @@ def prepare_component(sps, pic, zmap, tile_map, comp, res_planes,
             counts[it[0]] += 1
         K = _pow2(int(counts.max()), lo=_K_FLOOR.get(n, 1))
         T = 4 * n + 1
-        xs = np.full((L, K), W + 1024, np.int32)   # dummy: scatter-dropped
-        ys = np.full((L, K), H + 1024, np.int32)
-        mode = np.ones((L, K), np.int32)
-        filt = np.zeros((L, K), bool)
-        strong = np.zeros((L, K), bool)
-        dbf = np.zeros((L, K), bool)
-        res = np.zeros((L, K, n, n), np.int32)
+        # compact upload layout: int16 coords, int8 mode, bit-packed
+        # filter flags and availability (unpacked on device)
+        xs = np.full((L, K), W + 1024, np.int16)   # dummy: scatter-dropped
+        ys = np.full((L, K), H + 1024, np.int16)
+        mode = np.ones((L, K), np.int8)
+        flags = np.zeros((L, K), np.uint8)         # 1 filt, 2 strong, 4 dbf
+        res = None if res_planes is None else \
+            np.zeros((L, K, n, n), np.int32)
         av = np.zeros((L, K, T), bool)
         fill = np.zeros(L + 1, np.int64)
         for (lvl, x, y, m, f, s, d, r, a) in items:
@@ -140,18 +143,34 @@ def prepare_component(sps, pic, zmap, tile_map, comp, res_planes,
             xs[li, ki] = x
             ys[li, ki] = y
             mode[li, ki] = m
-            filt[li, ki] = f
-            strong[li, ki] = s
-            dbf[li, ki] = d
-            res[li, ki] = r
+            flags[li, ki] = (1 if f else 0) | (2 if s else 0) | (4 if d else 0)
+            if res is not None:
+                res[li, ki] = r
             av[li, ki] = a
-        levels_data[n] = dict(xs=xs, ys=ys, mode=mode, filt=filt,
-                              strong=strong, dbf=dbf, res=res, av=av)
+        levels_data[n] = dict(xs=xs, ys=ys, mode=mode, flags=flags,
+                              av=np.packbits(av, axis=-1, bitorder="little"))
+        if res is not None:
+            levels_data[n]["res"] = res
     return levels_data, L
 
 
 # ---------------------------------------------------------------------------
 # device scan
+def unpack_block_meta(d, n):
+    """Device-side unpack of the compact upload layout."""
+    xs = d["xs"].astype(jnp.int32)
+    ys = d["ys"].astype(jnp.int32)
+    mode = d["mode"].astype(jnp.int32)
+    flags = d["flags"]
+    filt = (flags & 1) != 0
+    strong = (flags & 2) != 0
+    dbf = (flags & 4) != 0
+    T = 4 * n + 1
+    t = jnp.arange(T)
+    av = ((d["av"][..., t >> 3] >> (t & 7).astype(jnp.uint8)) & 1) != 0
+    return xs, ys, mode, filt, strong, dbf, av
+
+
 @functools.lru_cache(maxsize=None)
 def _scan_fn(sizes, comp_is_luma, bd, W, H):
     """jitted scan over levels; `sizes` is a sorted tuple of block sizes."""
@@ -160,12 +179,12 @@ def _scan_fn(sizes, comp_is_luma, bd, W, H):
     def step(plane, data):
         for n in sizes:
             d = data[n]
-            xs, ys = d["xs"], d["ys"]
+            xs, ys, mode, filt, strong, dbf, av = unpack_block_meta(d, n)
             cx, cy = IK.border_coords(xs, ys, n, W, H)
             g = plane[cy, cx]
-            vals = IK.substitute(g, d["av"], bd)
-            vals = IK.filter_refs(vals, n, bd, d["filt"], d["strong"])
-            pred = IK.predict(vals, d["mode"], n, comp_is_luma, bd, d["dbf"])
+            vals = IK.substitute(g, av, bd)
+            vals = IK.filter_refs(vals, n, bd, filt, strong)
+            pred = IK.predict(vals, mode, n, comp_is_luma, bd, dbf)
             out = jnp.clip(pred + d["res"], 0, maxv)
             oy = jnp.arange(n)
             iy = ys[:, None, None] + oy[None, :, None]

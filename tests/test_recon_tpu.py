@@ -16,9 +16,9 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLD = json.load(open(os.path.join(ROOT, "testdata", "golden.json")))
 
-# the 1080p streams run in the (slower) full-suite marker below
-FAST = sorted(n for n in GOLD if "1080p" not in n)
-SLOW = sorted(n for n in GOLD if "1080p" in n)
+# the 1080p/4K streams run in the (slower) full-suite marker below
+FAST = sorted(n for n in GOLD if "1080p" not in n and "4k" not in n)
+SLOW = sorted(n for n in GOLD if "1080p" in n or "4k" in n)
 
 # XLA's CPU backend (LLVM ORC JIT) can segfault after enough programs
 # accumulate in one process — a backend bug, not a kernel bug (the same

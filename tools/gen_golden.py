@@ -71,6 +71,10 @@ SEQS = {
     # 1080p for benching (more frames for a stable fps number)
     "intra_main10_1080p": ("encoder_intra_main10.cfg", 1920, 1080, 5, 10, "420", []),
     "randomaccess_main10_1080p": ("encoder_randomaccess_main10.cfg", 1920, 1080, 17, 10, "420", []),
+    # 4K Main10 (BASELINE.md ladder item 5: batched multi-stream decode);
+    # small search range keeps the one-time HM encode tractable
+    "lowdelayP_main10_4k": ("encoder_lowdelay_P_main10.cfg", 3840, 2160, 3, 10,
+                            "420", ["-sr", "16"]),
 }
 
 
