@@ -27,84 +27,7 @@ from .residual_enc import encode_residual
 from .transforms import forward_transform, quantize
 
 
-class RateControl:
-    """Simplified R-lambda rate control (reference TEncRateCtrl.cpp:629-
-    1119): lambda = alpha * bpp^beta, QP = 4.2005 ln(lambda) + 13.7122,
-    with LMS updates of (alpha, beta) from the achieved bits per picture.
-    Operates at picture granularity (no per-LCU budget this round)."""
-
-    # HM model seeds (TEncRateCtrl ALPHA/BETA, intra variants)
-    def __init__(self, target_kbps, fps, width, height):
-        import math
-        self.math = math
-        self.target_bpp = target_kbps * 1000.0 / fps / (width * height)
-        self.alpha = 3.2003
-        self.beta = -1.367
-        self.alpha_i = 6.7542
-        self.beta_i = -1.7860
-        self.lr_a = 0.25
-        self.lr_b = 0.08
-        self.np = width * height
-        self.debt = 0.0   # virtual buffer: accumulated excess bits
-
-    def pic_qp(self, is_intra=False):
-        m = self.math
-        a, b = (self.alpha_i, self.beta_i) if is_intra else             (self.alpha, self.beta)
-        lam = a * self.target_bpp ** b
-        qp = 4.2005 * m.log(max(lam, 1e-3)) + 13.7122
-        # virtual-buffer feedback: spend down accumulated overshoot
-        target_bits = self.np * self.target_bpp
-        if self.debt > 0:
-            qp += min(8.0, 2.0 * m.log2(1.0 + self.debt / (4 * target_bits)))
-        else:
-            qp -= min(4.0, 2.0 * m.log2(1.0 - self.debt / (8 * target_bits)))
-        self._is_intra = is_intra
-        self._lam_used = max(lam, 1e-3)
-        return min(51, max(0, int(round(qp))))
-
-    # ---- per-LCU targeting (reference TEncRateCtrl.cpp:761-868, 1119:
-    # per-LCU target bpp from the remaining picture budget, QP clipped to
-    # the picture QP +/- 2 and the previous LCU QP +/- 1) ----
-    lcu_level = True
-
-    def begin_picture(self, pic_qp, nctu):
-        self._pic_qp = pic_qp
-        self._nctu = max(1, nctu)
-        self._pic_target = self.np * self.target_bpp
-        self._prev_ctu_qp = pic_qp
-
-    def ctu_qp(self, ctu_index, bits_so_far):
-        if ctu_index == 0:
-            self._prev_ctu_qp = self._pic_qp
-            return self._pic_qp
-        m = self.math
-        target_so_far = self._pic_target * ctu_index / self._nctu
-        ratio = (bits_so_far + 1.0) / (target_so_far + 1.0)
-        adj = int(round(2.0 * m.log2(max(0.25, min(4.0, ratio)))))
-        qp = self._pic_qp + max(-2, min(2, adj))
-        qp = max(self._prev_ctu_qp - 1, min(self._prev_ctu_qp + 1, qp))
-        qp = max(0, min(51, qp))
-        self._prev_ctu_qp = qp
-        return qp
-
-    def update(self, actual_bits):
-        m = self.math
-        self.debt += actual_bits - self.np * self.target_bpp
-        bpp = max(actual_bits / self.np, 1e-6)
-        if self._is_intra:
-            lam_comp = self.alpha_i * bpp ** self.beta_i
-            delta = m.log(self._lam_used) - m.log(max(lam_comp, 1e-6))
-            self.alpha_i = min(500.0, max(0.05,
-                                          self.alpha_i * m.exp(self.lr_a * delta)))
-            self.beta_i = min(-0.1, max(-3.0,
-                                        self.beta_i + self.lr_b * delta * m.log(bpp)))
-            return
-        lam_comp = self.alpha * bpp ** self.beta
-        delta = m.log(self._lam_used) - m.log(max(lam_comp, 1e-6))
-        self.alpha *= m.exp(self.lr_a * delta)
-        self.alpha = min(500.0, max(0.05, self.alpha))
-        self.beta += self.lr_b * delta * m.log(bpp)
-        self.beta = min(-0.1, max(-3.0, self.beta))
+from .rate_ctrl import RateControl  # noqa: E402  (full R-lambda model)
 
 
 class _RecordingCabac:
@@ -387,9 +310,21 @@ class IntraEncoder:
         self._prev_ref = None
         self._dpb = {}
         self._rc = None
+        self._rc_pic_lambda = None
         if cfg.rate_kbps:
-            self._rc = RateControl(cfg.rate_kbps, cfg.fps, cfg.width,
-                                   cfg.height)
+            self._rc = RateControl(
+                getattr(cfg, "rate_bps", 0) or cfg.rate_kbps * 1000,
+                cfg.fps, cfg.width, cfg.height, len(frames),
+                gop_entries=getattr(cfg, "gop_entries", None),
+                gop_size=getattr(cfg, "gop_size", 1) or 1,
+                ctb=cfg.cu_size, bit_depth=cfg.bit_depth,
+                keep_hier=getattr(cfg, "rc_keep_hier", 0),
+                lcu_rc=bool(getattr(cfg, "rc_lcu_level", True)),
+                lcu_separate=bool(getattr(cfg, "rc_lcu_separate", True)),
+                initial_qp=getattr(cfg, "rc_initial_qp", 0),
+                force_intra_qp=bool(getattr(cfg, "rc_force_intra_qp",
+                                            False)),
+                intra_period=getattr(cfg, "intra_period", -1))
         if cfg.gop in ("randomaccess", "table"):
             schedule = self._table_schedule(len(frames)) \
                 if cfg.gop == "table" else self._ra_schedule(len(frames))
@@ -405,7 +340,10 @@ class IntraEncoder:
                 if l0:
                     self._prev_ref = self._ref_lists_pics[0][0]
                 if self._rc:
-                    self.cur_qp = self._rc.pic_qp(slice_type == 2)
+                    gid = item[11] if len(item) > 11 else 0
+                    self.cur_qp, self._rc_pic_lambda = \
+                        self._rc.start_picture(gid, slice_type == 2,
+                                               frames[poc][0])
                 elif pic_qp is not None:
                     self.cur_qp = pic_qp
                 self.cur_qp_factor = item[9] if len(item) > 9 else None
@@ -417,7 +355,9 @@ class IntraEncoder:
                     rps=rps)
                 nbits = sum(len(s) for s in slices) * 8
                 if self._rc:
-                    self._rc.update(nbits)
+                    self._rc.end_picture(
+                        getattr(self, "_hdr_bits_last", 0), nbits)
+                    self._rc_pic_lambda = None
                 self.stats.append((slice_type, nbits, poc, recon))
                 out += self._prefix_sei(nal_type, tid)
                 for slice_rbsp in slices:
@@ -454,12 +394,17 @@ class IntraEncoder:
                 nal_type, slice_type = 19, 2     # IDR_W_RADL, I
                 poc = poc if inter_gop else 0
             if self._rc:
-                self.cur_qp = self._rc.pic_qp(slice_type == 2)
+                gid = 0 if slice_type == 2 else \
+                    (poc - 1) % self._rc.seq.gop_size
+                self.cur_qp, self._rc_pic_lambda = \
+                    self._rc.start_picture(gid, slice_type == 2, frame[0])
             slices, recon = self.encode_picture(frame, poc, nal_type,
                                                 slice_type, rps=rps)
             nbits = sum(len(s) for s in slices) * 8
             if self._rc:
-                self._rc.update(nbits)
+                self._rc.end_picture(
+                    getattr(self, "_hdr_bits_last", 0), nbits)
+                self._rc_pic_lambda = None
             # stats carry the SOURCE index, not the signalled POC (all-
             # intra IDRs all have POC 0 — keying the Analyze source
             # lookup by POC would compare every recon against frame 0)
@@ -579,7 +524,7 @@ class IntraEncoder:
         base = 0
         while base + 1 < n:
             pending_idr = None
-            for e in entries:
+            for gi, e in enumerate(entries):
                 poc = base + e.poc
                 if poc >= n or poc in coded:
                     continue
@@ -644,7 +589,7 @@ class IntraEncoder:
                 # variants: leading pictures reference each other)
                 yield (poc, nal, stype, l0, l1 if stype == 0 else [],
                        rps, cfg.qp + e.qp_offset, e.temporal_id, idr_base,
-                       e.qp_factor, e.num_ref_pics_active)
+                       e.qp_factor, e.num_ref_pics_active, gi)
             if pending_idr is not None:
                 coded.add(pending_idr)
                 last_irap = idr_base = pending_idr
@@ -716,6 +661,10 @@ class IntraEncoder:
         lam = factor * 2.0 ** (qp_temp / 3.0)
         if gop_size > 1 and _hm_gop_depth(poc, gop_size) > 0:
             lam *= min(4.0, max(2.0, qp_temp / 6.0))
+        if getattr(self, "_rc_pic_lambda", None) is not None:
+            # rate control drives the slice lambda directly (reference
+            # TEncSlice::resetQP from TEncGOP.cpp:1117)
+            lam = self._rc_pic_lambda
         self.rd_lambda = lam
         # sqrt-lambda for SAD/SATD-domain costs (reference TComRdCost
         # m_dLambdaMotionSAD / setCbDistortionWeight)
@@ -803,6 +752,9 @@ class IntraEncoder:
                                rps=rps, wp=self.cur_wp,
                                wp_l1=getattr(self, "cur_wp_l1", None),
                                num_ref=nr)
+        # slice-header bits for the rate controller's header-bit model
+        # (TEncRCPic::xEstPicHeaderBits averages these per frame level)
+        self._hdr_bits_last = len(w.buf) * 8 + w.nbits
         self.enc = CabacEncoder(w)
         self.bank = make_context_bank(slice_type, qp_pic, self._cabac_init())
 
@@ -817,10 +769,9 @@ class IntraEncoder:
         self._dqp_coded = True
         self._cu_delta_enc = 0
         rc = getattr(self, "_rc", None)
-        lcu_rc = rc is not None and getattr(rc, "lcu_level", False)
+        lcu_rc = rc is not None and getattr(rc, "lcu_level", False) and \
+            getattr(rc, "lcu_rc", True)
         self._dqp_enabled = bool(cfg.adaptive_qp or lcu_rc)
-        if lcu_rc:
-            self._rc.begin_picture(qp_base, nctu)
         if cfg.adaptive_qp:
             from .preanalyze import qp_offsets
             offs = qp_offsets(self.orig[0], 1 << sps.log2_ctb,
@@ -828,6 +779,30 @@ class IntraEncoder:
             self._qp_map = [max(0, min(51, qp_base + o)) for o in offs]
 
         ctu_counter = [0]
+        # per-LCU rate control state (TEncSlice.cpp:873-975: estimate
+        # lambda/QP before each LCU, update the model with its actual
+        # bits after); lambda is restored to the slice value afterwards
+        rc_prev = {"addr": None, "qp": 0, "lam": None, "lo": 0}
+        pic_lambda = self.rd_lambda
+        pic_lam_motion = self._lam_motion
+        m4c = sps.ctb_size >> 2
+
+        def _rc_lcu_close():
+            if rc_prev["addr"] is None:
+                return
+            if isinstance(self.enc, CabacEncoder):
+                bits = len(self.enc.bw.buf) * 8 - rc_prev["lo"]
+            else:
+                bits = int(self._est_ops_bits(rc_prev["lo"]) + 0.5)
+            addr = rc_prev["addr"]
+            x4 = (addr % nctu_x) * m4c
+            y4 = (addr // nctu_x) * m4c
+            sk = self.pic.skip[y4:y4 + m4c, x4:x4 + m4c]
+            effective = bool((sk == 0).any())
+            lam = rc_prev["lam"] if rc_prev["lam"] is not None \
+                else pic_lambda
+            self._rc.lcu_end(max(1, bits), rc_prev["qp"], lam, effective)
+            rc_prev["addr"] = None
 
         def ctu_qg_start(addr):
             # quantization-group reset (diff_cu_qp_delta_depth == 0: one
@@ -835,13 +810,20 @@ class IntraEncoder:
             if cfg.adaptive_qp:
                 self.cur_qp = self._qp_map[addr]
             elif lcu_rc:
-                # bits-so-far proxy: real CABAC bytes on the direct path,
-                # recorded symbol count on the two-pass path
-                if isinstance(self.enc, CabacEncoder):
-                    bits = len(self.enc.bw.buf) * 8
-                else:
-                    bits = len(self.enc.ops)
-                self.cur_qp = self._rc.ctu_qp(ctu_counter[0], bits)
+                _rc_lcu_close()
+                qp, lam = self._rc.lcu_start(
+                    forced_fixed=(slice_type == 2 and
+                                  self._rc.force_intra_qp))
+                self.cur_qp = qp
+                if lam is not None:
+                    self.rd_lambda = lam
+                    self._lam_motion = lam ** 0.5
+                rc_prev["addr"] = addr
+                rc_prev["qp"] = qp
+                rc_prev["lam"] = lam
+                rc_prev["lo"] = len(self.enc.bw.buf) * 8 \
+                    if isinstance(self.enc, CabacEncoder) \
+                    else len(self.enc.ops)
                 ctu_counter[0] += 1
             else:
                 return
@@ -872,6 +854,10 @@ class IntraEncoder:
                 cy = (addr // nctu_x) << sps.log2_ctb
                 self.encode_cqt(cx, cy, sps.log2_ctb, 0)
             rec.mark()
+            if lcu_rc:
+                _rc_lcu_close()
+                self.rd_lambda = pic_lambda
+                self._lam_motion = pic_lam_motion
             if cfg.deblock:
                 from ..hostdec.loopfilter_np import deblock_picture
                 deblock_picture(self.recon, self.pic, sps, pps)
@@ -889,6 +875,10 @@ class IntraEncoder:
                 cy = (addr // nctu_x) << sps.log2_ctb
                 self.encode_cqt(cx, cy, sps.log2_ctb, 0)
                 self.enc.encode_terminate(1 if addr == last else 0)
+            if lcu_rc:
+                _rc_lcu_close()
+                self.rd_lambda = pic_lambda
+                self._lam_motion = pic_lam_motion
             # the CABAC flush's final bit doubles as the rbsp stop bit
             w.align_zero()
             if cfg.deblock:

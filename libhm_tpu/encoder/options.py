@@ -91,6 +91,9 @@ _BOOL_KEYS = {
     "WaveFrontSynchro": "wpp", "ECU": None, "CFM": None, "ESD": None,
     "FEN": None, "FDM": None, "AdaptiveQP": "adaptive_qp",
     "CabacInitFlag": "cabac_init",
+    "LCULevelRateControl": "rc_lcu_level",
+    "RCLCUSeparateModel": "rc_lcu_separate",
+    "RCForceIntraQP": "rc_force_intra_qp",
     "FieldCoding": "field_coding",
     "VuiParametersPresent": "vui_enabled",
     "SEIActiveParameterSets": "sei_aps",
@@ -117,6 +120,7 @@ _INT_KEYS = {
     "BipredSearchRange": "bipred_search_range",
     "MaxNumMergeCand": "max_merge_cand",
     "TargetBitrate": "rate_bps", "RateControl": "rate_control",
+    "KeepHierarchicalBit": "rc_keep_hier", "InitialQP": "rc_initial_qp",
     "SliceMode": "slice_mode", "SliceArgument": "slice_argument",
     "NumTileColumnsMinus1": "tile_cols_minus1",
     "NumTileRowsMinus1": "tile_rows_minus1",
@@ -238,6 +242,12 @@ class HmConfig:
                 0, v.get("tu_depth_inter", 1) - 1)
         if v.get("rate_control"):
             cfg.rate_kbps = v.get("rate_bps", 0) // 1000
+            cfg.rate_bps = v.get("rate_bps", 0)
+            cfg.rc_keep_hier = v.get("rc_keep_hier", 0)
+            cfg.rc_lcu_level = v.get("rc_lcu_level", True)
+            cfg.rc_lcu_separate = v.get("rc_lcu_separate", True)
+            cfg.rc_initial_qp = v.get("rc_initial_qp", 0)
+            cfg.rc_force_intra_qp = v.get("rc_force_intra_qp", False)
         if cfg.gop_entries:
             cfg.tmvp = 1
             cfg.max_dec_pic_buffering = 8

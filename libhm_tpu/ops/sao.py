@@ -35,31 +35,35 @@ def sao_component(plane, valid_mask, ctu_type, ctu_band, ctu_offsets,
     if log2_ctb_cy is None:
         log2_ctb_cy = log2_ctb_c
     Hp, Wp = plane.shape
+    hc, wc = ctu_type.shape
     yy = jnp.arange(Hp) >> log2_ctb_cy
     xx = jnp.arange(Wp) >> log2_ctb_c
     ptype = ctu_type[yy[:, None], xx[None, :]]
     pband = ctu_band[yy[:, None], xx[None, :]]
-    poffs = ctu_offsets[yy[:, None], xx[None, :]]        # [Hp, Wp, 4]
-    poffs = poffs << offset_scale
+    # NO per-pixel [Hp, Wp, 4] offset tensor: a trailing size-4 axis gets
+    # lane-padded 32x on TPU (a 1080p 16-picture batch would need ~16 GB
+    # of HLO temp).  Instead keep a per-CTU 5-entry LUT (slot 4 = zero)
+    # and gather per-pixel with a computed scalar slot index.
+    offs5 = jnp.concatenate(
+        [ctu_offsets << offset_scale,
+         jnp.zeros((hc, wc, 1), ctu_offsets.dtype)], axis=-1)
+    offs5_flat = offs5.reshape(-1)
+    pctu_lin = (yy[:, None] * wc + xx[None, :]) * 5      # [Hp, Wp]
 
     maxv = (1 << bit_depth) - 1
     src = plane
 
-    # ---- band offset -----------------------------------------------------
+    # ---- band offset: LUT slot -------------------------------------------
     band = src >> (bit_depth - 5)
     rel = (band - pband) % 32
-    bo_delta = jnp.where(rel < 4,
-                         jnp.take_along_axis(
-                             poffs, jnp.clip(rel, 0, 3)[..., None], axis=-1)[..., 0],
-                         0)
+    bo_slot = jnp.where(rel < 4, rel, 4)
 
     # ---- edge offset -----------------------------------------------------
     eo_idx = jnp.clip(ptype - 1, 0, 3)
-    nb = EO_NB[eo_idx]                                   # [Hp, Wp, 4]
     ys = jnp.arange(Hp)[:, None]
     xs = jnp.arange(Wp)[None, :]
-    n1y, n1x = ys + nb[..., 0], xs + nb[..., 1]
-    n2y, n2x = ys + nb[..., 2], xs + nb[..., 3]
+    n1y, n1x = ys + EO_NB[:, 0][eo_idx], xs + EO_NB[:, 1][eo_idx]
+    n2y, n2x = ys + EO_NB[:, 2][eo_idx], xs + EO_NB[:, 3][eo_idx]
     inb = (n1y >= 0) & (n1y < H) & (n1x >= 0) & (n1x < W) & \
           (n2y >= 0) & (n2y < H) & (n2x >= 0) & (n2x < W)
     n1yc, n1xc = jnp.clip(n1y, 0, Hp - 1), jnp.clip(n1x, 0, Wp - 1)
@@ -83,13 +87,13 @@ def sao_component(plane, valid_mask, ctu_type, ctu_band, ctu_offsets,
         ok = inb & valid_mask[n1yc, n1xc] & valid_mask[n2yc, n2xc]
     sgn = jnp.sign(src - v1) + jnp.sign(src - v2)        # -2..2
     cat = jnp.clip(sgn + 2, 0, 4)
-    # offsets index: cat 0->o0, 1->o1, 2->none, 3->o2, 4->o3
-    eo_map = jnp.asarray([0, 1, 0, 2, 3], jnp.int32)
-    eo_val = jnp.take_along_axis(poffs, eo_map[cat][..., None], axis=-1)[..., 0]
-    eo_delta = jnp.where((cat != 2) & ok, eo_val, 0)
+    # LUT slot: cat 0->o0, 1->o1, 2->none, 3->o2, 4->o3
+    eo_map = jnp.asarray([0, 1, 4, 2, 3], jnp.int32)
+    eo_slot = jnp.where(ok, eo_map[cat], 4)
 
-    delta = jnp.where(ptype == 0, bo_delta,
-                      jnp.where(ptype > 0, eo_delta, 0))
+    slot = jnp.where(ptype == 0, bo_slot,
+                     jnp.where(ptype > 0, eo_slot, 4))
+    delta = offs5_flat[pctu_lin + slot]
     inside = (ys < H) & (xs < W)
     out = jnp.where(inside & (ptype >= 0),
                     jnp.clip(src + delta, 0, maxv), src)

@@ -231,6 +231,10 @@ def _inter_level_grid(items, stacked_all, res_all):
     if not any_inter:
         return
 
+    # one upload of the per-4x4 syntax maps, shared by all components
+    mv_dev = xfer.up(mv_maps, "mc")
+    dir_dev = xfer.up(dir_maps, "mc")
+    sel_dev = xfer.up(sel_maps, "mc")
     for c in range(ncomp):
         sps = sps0
         sx = sps.chroma_shift_x() if c else 0
@@ -246,9 +250,7 @@ def _inter_level_grid(items, stacked_all, res_all):
                          2 + (sx if c else 0), 2 + (sy if c else 0),
                          bd, sx, sy, h4, w4, W, H)
         stacked_all[c] = fn(stacked_all[c], res_all[c], refs,
-                            xfer.up(mv_maps, "mc"),
-                            xfer.up(dir_maps, "mc"),
-                            xfer.up(sel_maps, "mc"))
+                            mv_dev, dir_dev, sel_dev)
 
 
 def _inter_level(items, stacked_all, res_all):

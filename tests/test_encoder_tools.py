@@ -325,3 +325,44 @@ def test_custom_scaling_list_file(tmp_path):
         r = subprocess.run([HM_DEC, "-b", str(out), "-o", "/dev/null"],
                            capture_output=True, text=True)
         assert r.stdout.count("(OK)") == 2, r.stdout[-400:]
+
+
+def test_rate_control_target_accuracy(tmp_path):
+    """Full R-lambda rate control hits target bitrates (reference
+    TEncRateCtrl: GOP window allocation + picture/LCU lambda estimation +
+    LMS model adaptation).  Encodes the same clip at two targets and
+    asserts the achieved VCL rate lands within 8% of each, that the two
+    streams actually differ in size proportionally, and that the per-LCU
+    controller produced non-degenerate QP maps."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec import nal as N
+
+    rng = np.random.RandomState(3)
+    ys, xs = np.mgrid[0:96, 0:160]
+    frames = []
+    for t in range(20):
+        y = (xs * 3 + ys * 2 + t * 7) % 220 + rng.randint(0, 12, (96, 160))
+        u = ((xs[::2, ::2] + t * 3) % 200) + 10
+        v = ((ys[::2, ::2] * 2 + t * 5) % 200) + 20
+        frames.append((np.clip(y, 0, 255).astype(np.uint8),
+                       u.astype(np.uint8), v.astype(np.uint8)))
+
+    achieved = {}
+    for target in (300, 800):
+        cfg = EncoderConfig(160, 96, qp=32, gop="lowdelayP",
+                            rate_kbps=target, fps=30.0)
+        enc = IntraEncoder(cfg)
+        stream = enc.encode_stream(frames)
+        _verify(stream, tmp_path, nframes=len(frames))
+        vcl_bits = sum(len(e) * 8 for e in N.split_annexb(stream)
+                       if (e[0] >> 1) & 0x3F < 32)
+        kbps = vcl_bits * 30.0 / len(frames) / 1000.0
+        achieved[target] = kbps
+        assert abs(kbps - target) / target < 0.08, \
+            f"target {target} kbps, achieved {kbps:.1f}"
+        # non-degenerate per-LCU QP maps: some inter picture varies QP
+        # across its LCUs (TEncRCPic::getLCUEstQP clips, not pins)
+        qp_sets = [sorted({l["qp"] for l in p.lcus if l["qp"] > 0})
+                   for p in enc._rc.pic_list if p.frame_level > 0]
+        assert any(len(s) > 1 for s in qp_sets), qp_sets
+    assert achieved[300] < 0.6 * achieved[800]

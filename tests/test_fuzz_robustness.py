@@ -1,0 +1,97 @@
+"""Corrupt-stream robustness: truncated and bit-flipped goldens through
+the Python decoder, the native parse path, and the libHMDec C ABI.
+
+The reference tolerates junk input without undefined behavior — unknown
+NAL types are skipped and malformed payloads stop the decode with an
+error, never a crash (TDecTop::decode NAL dispatch,
+reference source/Lib/TLibDecoder/TDecTop.cpp:729-857; the app simply
+stops at stream end).  This fuzz corpus asserts the same contract here:
+every corruption either decodes (possibly to different pixels — the
+corruption may be in coefficients) or raises a catchable Python
+exception / returns an error code from the C ABI.  No process death, no
+native UB (the native decoder is UBSan-clean; see README tooling).
+
+Deterministic corpus (seeded): truncations at byte boundaries including
+mid-NAL, single-bit flips in headers and slice data, and random garbage
+with start codes.
+"""
+import ctypes
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = json.load(open(os.path.join(ROOT, "testdata", "golden.json")))
+
+# small, feature-dense goldens: RA hierarchical-B + tiles/WPP + RExt
+NAMES = ["tids4_ra_160x96", "randomaccess_416x240"]
+
+
+def _data(name):
+    return open(os.path.join(ROOT, "testdata",
+                             GOLD[name]["bitstream"]), "rb").read()
+
+
+def _corpus(name):
+    data = _data(name)
+    rng = np.random.RandomState(hash(name) & 0xFFFF)
+    cases = []
+    # truncations: header region, mid-stream, tail-minus-a-few
+    for frac in (0.02, 0.1, 0.35, 0.7, 0.98):
+        cases.append(("trunc%.2f" % frac, data[:int(len(data) * frac)]))
+    # bit flips: 24 random positions (headers land in the early bytes)
+    for i in range(24):
+        pos = int(rng.randint(4, len(data)))
+        bit = 1 << int(rng.randint(0, 8))
+        b = bytearray(data)
+        b[pos] ^= bit
+        cases.append((f"flip@{pos}", bytes(b)))
+    # garbage with a valid start code prefix
+    cases.append(("garbage", b"\x00\x00\x00\x01" +
+                  rng.randint(0, 256, 512).astype(np.uint8).tobytes()))
+    # empty and start-code-only
+    cases.append(("empty", b""))
+    cases.append(("sc-only", b"\x00\x00\x01"))
+    return cases
+
+
+@pytest.mark.parametrize("name", NAMES[:1])   # python parse: small golden
+def test_fuzz_python_decoder(name):
+    from libhm_tpu.hostdec.decoder import Decoder
+    survived = 0
+    for tag, blob in _corpus(name):
+        dec = Decoder(parse="python", recon="numpy")
+        try:
+            dec.decode_annexb(blob)
+            survived += 1
+        except Exception:
+            pass         # graceful: any catchable error is acceptable
+    assert survived >= 1  # at least the benign cases decode
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_fuzz_native_parse(name):
+    """The C++ parser must never kill the process.  Each case runs
+    in-process (a segfault would fail the whole test run loudly, which is
+    the assertion)."""
+    from libhm_tpu.hostdec.decoder import Decoder
+    for tag, blob in _corpus(name):
+        dec = Decoder(parse="native", recon="native")
+        try:
+            dec.decode_annexb(blob)
+        except Exception:
+            pass
+
+
+def test_fuzz_c_abi_subprocess():
+    """Drive the libHMDec C ABI with the fuzz corpus in a subprocess and
+    assert a clean exit (no signal): push errors must surface as return
+    codes (LIBHMDEC_ERROR), not crashes."""
+    script = os.path.join(ROOT, "tests", "_fuzz_cabi_child.py")
+    r = subprocess.run([sys.executable, script], cwd=ROOT,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
