@@ -47,6 +47,21 @@ static bool isIdr(int t) { return t == 19 || t == 20; }
 static bool isBla(int t) { return t >= 16 && t <= 18; }
 static bool isRasl(int t) { return t == 8 || t == 9; }
 static bool isRadl(int t) { return t == 6 || t == 7; }
+// corrupt-stream guard: reject a parsed SPS whose geometry is junk before
+// it can drive allocations (the reference asserts; a library must not)
+static bool spsSane(const SPS& s) {
+  return s.sps_id >= 0 && s.sps_id <= 15 &&
+         s.width >= 8 && s.width <= 16384 &&
+         s.height >= 8 && s.height <= 16384 &&
+         s.chroma_format_idc >= 0 && s.chroma_format_idc <= 3 &&
+         s.bit_depth_luma >= 8 && s.bit_depth_luma <= 16 &&
+         s.bit_depth_chroma >= 8 && s.bit_depth_chroma <= 16 &&
+         s.log2_min_cb >= 3 && s.log2_ctb >= s.log2_min_cb &&
+         s.log2_ctb <= 6 &&
+         s.log2_min_tb >= 2 && s.log2_max_tb >= s.log2_min_tb &&
+         s.log2_max_tb <= 5 && s.log2_max_poc_lsb <= 16;
+}
+
 static bool isSubNonRef(int t) {
   return t == 0 || t == 2 || t == 4 || t == 6 || t == 8 || t == 10 || t == 12 || t == 14;
 }
@@ -510,14 +525,16 @@ struct Decoder {
       drainParse();
       drainRecon();
       SPS s = parseSps(rbsp.data(), rbsp.size());
-      spsMap[s.sps_id] = s;
+      if (spsSane(s)) spsMap[s.sps_id] = s;
       return;
     }
     if (nalType == 34) {
       drainParse();
       drainRecon();
       PPS p = parsePps(rbsp.data(), rbsp.size());
-      ppsMap[p.pps_id] = p;
+      if (p.pps_id >= 0 && p.pps_id <= 63 &&
+          p.sps_id >= 0 && p.sps_id <= 15)
+        ppsMap[p.pps_id] = p;
       return;
     }
     if (nalType == 36) {  // EOS
@@ -533,8 +550,15 @@ struct Decoder {
     pr.bit();
     if (isIrap(nalType)) pr.bit();
     int ppsId = int(pr.ue());
-    const PPS& pps = ppsMap[ppsId];
-    const SPS& sps = spsMap[pps.sps_id];
+    // corrupt-stream guards: a slice referencing an unseen parameter set
+    // is dropped (the reference tolerates junk NALs the same way,
+    // TDecTop.cpp:729-857)
+    auto itp = ppsMap.find(ppsId);
+    if (itp == ppsMap.end()) return;
+    const PPS& pps = itp->second;
+    auto its = spsMap.find(pps.sps_id);
+    if (its == spsMap.end()) return;
+    const SPS& sps = its->second;
     SliceHeader sh = parseSliceHeader(rbsp.data(), rbsp.size(), nalType, tid, sps, pps);
     if (sh.dependent) {
       // dependent segments inherit everything (incl. poc_lsb for the POC
@@ -601,6 +625,11 @@ struct Decoder {
       curSliceId = 0;
       curSh = sh;
     }
+    // non-first slice arriving with no open picture (corrupt stream or
+    // mid-stream start before any first-slice): drop it
+    if (!parser || !cur) return;
+    if (sh.segment_address < 0 ||
+        sh.segment_address >= sps.picSizeCtbs()) return;
     shStore.push_back(std::make_unique<SliceHeader>(sh));
     SliceHeader* shp = shStore.back().get();
     parser->poc = poc;

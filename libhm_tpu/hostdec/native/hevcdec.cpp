@@ -182,6 +182,9 @@ static ShortTermRPS parseStRps(BitReader& r, int idx,
   int interPred = (idx != 0) ? r.bit() : 0;
   if (interPred) {
     int deltaIdx = (idx == numSt) ? int(r.ue()) + 1 : 1;
+    // corrupt-stream guard: a junk delta_idx would index out of range
+    if (deltaIdx < 1 || deltaIdx > idx || idx > int(list.size()))
+      return rps;
     const ShortTermRPS& ref = list[idx - deltaIdx];
     int sign = r.bit();
     int absd = int(r.ue()) + 1;
@@ -218,8 +221,10 @@ static ShortTermRPS parseStRps(BitReader& r, int idx,
     for (auto& p : neg) { rps.delta_poc.push_back(p.first); rps.used.push_back(p.second); }
     for (auto& p : pos) { rps.delta_poc.push_back(p.first); rps.used.push_back(p.second); }
   } else {
-    rps.num_negative = int(r.ue());
-    rps.num_positive = int(r.ue());
+    // clamp to the spec bound (MAX_NUM_REF_PICS); junk values would
+    // otherwise drive unbounded vector growth on corrupt streams
+    rps.num_negative = std::min(int(r.ue()), 16);
+    rps.num_positive = std::min(int(r.ue()), 16);
     int prev = 0;
     for (int i = 0; i < rps.num_negative; i++) {
       prev -= int(r.ue()) + 1;
@@ -388,12 +393,12 @@ SPS parseSps(const uint8_t* rbsp, size_t n) {
     s.log2_max_ipcm = s.log2_min_ipcm + int(r.ue());
     s.pcm_loop_filter_disabled = r.bit();
   }
-  int numSt = int(r.ue());
+  int numSt = std::min(int(r.ue()), 64);   // spec max 64 candidate RPSs
   for (int i = 0; i < numSt; i++)
     s.st_rps.push_back(parseStRps(r, i, s.st_rps, numSt));
   s.long_term_ref_pics_present = r.bit();
   if (s.long_term_ref_pics_present) {
-    int nlt = int(r.ue());
+    int nlt = std::min(int(r.ue()), 32);   // spec max 32
     for (int i = 0; i < nlt; i++) {
       s.lt_poc_lsb_sps.push_back(int(r.u(s.log2_max_poc_lsb)));
       s.lt_used_sps.push_back(r.bit());
@@ -447,8 +452,9 @@ PPS parsePps(const uint8_t* rbsp, size_t n) {
   p.tiles_enabled = r.bit();
   p.entropy_coding_sync = r.bit();
   if (p.tiles_enabled) {
-    p.num_tile_cols = int(r.ue()) + 1;
-    p.num_tile_rows = int(r.ue()) + 1;
+    // clamp: junk counts would drive unbounded loops on corrupt input
+    p.num_tile_cols = std::min(int(r.ue()), 1022) + 1;
+    p.num_tile_rows = std::min(int(r.ue()), 1022) + 1;
     p.uniform_spacing = r.bit();
     if (!p.uniform_spacing) {
       for (int i = 0; i < p.num_tile_cols - 1; i++) p.tile_col_widths.push_back(int(r.ue()) + 1);
@@ -479,7 +485,7 @@ PPS parsePps(const uint8_t* rbsp, size_t n) {
       p.chroma_qp_offset_list_enabled = r.bit();
       if (p.chroma_qp_offset_list_enabled) {
         p.diff_cu_chroma_qp_offset_depth = int(r.ue());
-        int nn = int(r.ue()) + 1;
+        int nn = std::min(int(r.ue()), 5) + 1;   // spec max 6 entries
         for (int i = 0; i < nn; i++) {
           int cb = r.se(), cr = r.se();
           p.chroma_qp_offset_list.push_back({cb, cr});
@@ -525,16 +531,20 @@ SliceHeader parseSliceHeader(const uint8_t* rbsp, size_t n, int nalType,
       else {
         int idx = 0;
         if (sps.st_rps.size() > 1) idx = int(r.u(ceilLog2(int(sps.st_rps.size()))));
-        sh.rps = sps.st_rps[idx];
+        if (idx < int(sps.st_rps.size())) sh.rps = sps.st_rps[idx];
+        // (else: junk index into an empty/short SPS RPS list — keep the
+        // default empty RPS rather than reading out of range)
       }
       if (sps.long_term_ref_pics_present) {
-        int numLtSps = sps.lt_poc_lsb_sps.size() ? int(r.ue()) : 0;
-        int numLtPics = int(r.ue());
+        int numLtSps = sps.lt_poc_lsb_sps.size() ?
+            std::min(int(r.ue()), int(sps.lt_poc_lsb_sps.size())) : 0;
+        int numLtPics = std::min(int(r.ue()), 32);
         int prevDelta = 0;
         for (int i = 0; i < numLtSps + numLtPics; i++) {
           if (i < numLtSps) {
             int lt = 0;
             if (sps.lt_poc_lsb_sps.size() > 1) lt = int(r.u(ceilLog2(int(sps.lt_poc_lsb_sps.size()))));
+            lt = std::min(lt, int(sps.lt_poc_lsb_sps.size()) - 1);
             sh.lt_poc_lsb.push_back(sps.lt_poc_lsb_sps[lt]);
             sh.lt_used.push_back(sps.lt_used_sps[lt]);
           } else {
@@ -561,8 +571,8 @@ SliceHeader parseSliceHeader(const uint8_t* rbsp, size_t n, int nalType,
       sh.num_ref_idx[0] = pps.num_ref_l0_default;
       sh.num_ref_idx[1] = pps.num_ref_l1_default;
       if (r.bit()) {
-        sh.num_ref_idx[0] = int(r.ue()) + 1;
-        if (sh.slice_type == 0) sh.num_ref_idx[1] = int(r.ue()) + 1;
+        sh.num_ref_idx[0] = std::min(int(r.ue()), 15) + 1;
+        if (sh.slice_type == 0) sh.num_ref_idx[1] = std::min(int(r.ue()), 15) + 1;
       }
       if (sh.slice_type != 0) sh.num_ref_idx[1] = 0;
       int numPicTotal = 0;
@@ -653,14 +663,15 @@ SliceHeader parseSliceHeader(const uint8_t* rbsp, size_t n, int nalType,
       sh.loop_filter_across_slices = r.bit();
   }
   if (pps.tiles_enabled || pps.entropy_coding_sync) {
-    int nep = int(r.ue());
+    // bound by the remaining payload: each entry point needs >=1 bit
+    int nep = std::min(int(r.ue()), int(r.nbits - std::min(r.pos, r.nbits)));
     if (nep > 0) {
-      int len = int(r.ue()) + 1;
+      int len = std::min(int(r.ue()), 31) + 1;
       for (int i = 0; i < nep; i++) sh.entry_points.push_back(int(r.u(len)) + 1);
     }
   }
   if (pps.slice_header_extension_present) {
-    int len = int(r.ue());
+    int len = std::min(int(r.ue()), 4096);   // spec max 256 bytes
     for (int i = 0; i < len; i++) r.u(8);
   }
   r.bit();       // byte_alignment: alignment_bit_equal_to_one
