@@ -231,7 +231,10 @@ def _mk_sps_pps(cfg):
         pps.num_tile_cols = tc
         pps.num_tile_rows = tr
         pps.uniform_spacing = 1
-        pps.loop_filter_across_tiles = 1
+        pps.loop_filter_across_tiles = \
+            1 if getattr(cfg, "lf_cross_tiles", True) else 0
+    pps.loop_filter_across_slices = \
+        1 if getattr(cfg, "lf_cross_slices", True) else 0
     return sps, pps
 
 
@@ -620,6 +623,10 @@ class IntraEncoder:
             # dependent slice segments all belong to ONE slice
             self.pic.slice_idx[cy4:cy4 + m4, cx4:cx4 + m4] = \
                 0 if dep_slices else pos // slice_ctus
+        if not getattr(cfg, "lf_cross_slices", True):
+            # the shared loop filters key slice-crossing off this per-4x4
+            # map, same as the decode side
+            self.pic.loopfilter_across_slice[:] = 0
         self.recon = []
         self.orig = []
         self.ncomp = 3 if sps.chroma_format_idc else 1
@@ -858,6 +865,9 @@ class IntraEncoder:
                 _rc_lcu_close()
                 self.rd_lambda = pic_lambda
                 self._lam_motion = pic_lam_motion
+            pcm_nofilt = getattr(cfg, "pcm_filter_disabled", False) and \
+                getattr(cfg, "pcm_enabled", False)
+            pre = [p.copy() for p in self.recon] if pcm_nofilt else None
             if cfg.deblock:
                 from ..hostdec.loopfilter_np import deblock_picture
                 deblock_picture(self.recon, self.pic, sps, pps)
@@ -866,6 +876,21 @@ class IntraEncoder:
                 self._estimate_sao()
                 from ..hostdec.loopfilter_np import sao_picture
                 sao_picture(self.recon, self.pic, sps, pps)
+            if pcm_nofilt:
+                # pcm_loop_filter_disabled: PCM samples pass through the
+                # loop filters unchanged (Rec. 8.7; decode side mirrors
+                # this in _restore_unfiltered)
+                pcm4 = np.asarray(self.pic.pcm) != 0
+                for c in range(self.ncomp):
+                    sx = sps.chroma_shift_x() if c else 0
+                    sy = sps.chroma_shift_y() if c else 0
+                    Hc, Wc = self.recon[c].shape
+                    ys = np.minimum((np.arange(Hc) << sy) >> 2,
+                                    pcm4.shape[0] - 1)
+                    xs = np.minimum((np.arange(Wc) << sx) >> 2,
+                                    pcm4.shape[1] - 1)
+                    m = pcm4[ys[:, None], xs[None, :]]
+                    self.recon[c][m] = pre[c][m]
             payloads = self._emit_slices(rec, scan, slice_starts, nal_type,
                                          poc, slice_type, qp_base, rps)
         else:

@@ -39,10 +39,21 @@ def nal_unit(nal_type: int, rbsp: bytes, temporal_id: int = 0) -> bytes:
     return b"\x00\x00\x00\x01" + add_emulation_prevention(hdr + rbsp)
 
 
+def _level_idc(cfg):
+    """general_level_idc = 30 * level (Rec. A.4); cfg 'Level' strings like
+    '4', '4.1', '6.2' (reference TAppEncCfg Level option)."""
+    try:
+        return int(round(float(getattr(cfg, "level", "4") or "4") * 30))
+    except (TypeError, ValueError):
+        return 120
+
+
 def write_ptl(w: BitWriter, profile_idc=1, cfg=None):
     # profile_idc: 1 = Main, 2 = Main10, 4 = RExt
+    high_tier = cfg is not None and \
+        str(getattr(cfg, "tier", "main")).lower() == "high"
     w.put_bits(0, 2)            # profile_space
-    w.put(0)                    # tier
+    w.put(1 if high_tier else 0)   # tier
     w.put_bits(profile_idc, 5)
     for i in range(32):
         w.put(1 if i == profile_idc else 0)
@@ -60,7 +71,7 @@ def write_ptl(w: BitWriter, profile_idc=1, cfg=None):
         w.put(1 if fmt <= 2 else 0)   # max_422chroma
         w.put(1 if fmt <= 1 else 0)   # max_420chroma
         w.put(1 if fmt == 0 else 0)   # max_monochrome
-        w.put(0)                      # intra only
+        w.put(1 if getattr(cfg, "intra_constraint", False) else 0)
         w.put(0)                      # one_picture_only
         w.put(0)                      # lower_bit_rate
         w.put_bits(0, 32)
@@ -68,7 +79,7 @@ def write_ptl(w: BitWriter, profile_idc=1, cfg=None):
     else:
         w.put_bits(0, 32)
         w.put_bits(0, 12)             # 44 reserved bits
-    w.put_bits(120, 8)          # level 4.0
+    w.put_bits(_level_idc(cfg) if cfg is not None else 120, 8)
 
 
 def _profile_idc(cfg):
@@ -176,7 +187,8 @@ def write_sps(cfg) -> bytes:
         w.ue(getattr(cfg, "log2_min_ipcm", 3) - 3)
         w.ue(getattr(cfg, "log2_max_ipcm", 5) -
              getattr(cfg, "log2_min_ipcm", 3))
-        w.put(0)        # pcm_loop_filter_disabled (filters apply normally)
+        # filters apply normally unless the cfg disables them over PCM
+        w.put(1 if getattr(cfg, "pcm_filter_disabled", False) else 0)
     else:
         w.put(0)        # pcm_enabled
     w.ue(len(cfg.st_rps))   # num_short_term_ref_pic_sets
@@ -287,8 +299,8 @@ def write_pps(cfg) -> bytes:
         w.ue(tile_cols - 1)
         w.ue(tile_rows - 1)
         w.put(1)        # uniform_spacing
-        w.put(1)        # loop_filter_across_tiles
-    w.put(1)            # loop_filter_across_slices
+        w.put(1 if getattr(cfg, "lf_cross_tiles", True) else 0)
+    w.put(1 if getattr(cfg, "lf_cross_slices", True) else 0)
     w.put(1)            # deblocking_filter_control_present
     w.put(0)            # deblocking_override_enabled
     w.put(0 if cfg.deblock else 1)  # pps_deblocking_disabled
@@ -443,8 +455,10 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         w.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
     w.se(slice_qp - cfg.qp)
     # deblocking control (none: pps says disabled/enabled w/o override)
-    # loop_filter_across_slices present iff sao or deblock on
-    if cfg.sao or cfg.deblock:
+    # loop_filter_across_slices present iff sao or deblock on (and only
+    # when the PPS default says 1: slice_loop_filter_across_slices is
+    # conditioned on pps_loop_filter_across_slices_enabled_flag)
+    if (cfg.sao or cfg.deblock) and getattr(cfg, "lf_cross_slices", True):
         w.put(1)
     tiles = getattr(cfg, "tile_cols", 1) > 1 or \
         getattr(cfg, "tile_rows", 1) > 1

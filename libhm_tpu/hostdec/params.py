@@ -12,14 +12,25 @@ from .bitstream import BitReader
 from . import nal as nalmod
 
 
+@dataclass
+class ProfileTierLevel:
+    """general_* PTL fields (Rec. 7.3.3; reference ProfileTierLevel,
+    TComSlice.h:181)."""
+    general_profile_space: int = 0
+    general_tier_flag: int = 0
+    general_profile_idc: int = 1
+    general_level_idc: int = 0
+
+
 def _parse_ptl(r: BitReader, max_sub_layers_minus1: int):
-    r.u(2)   # general_profile_space
-    r.u(1)   # general_tier_flag
-    r.u(5)   # general_profile_idc
+    p = ProfileTierLevel()
+    p.general_profile_space = r.u(2)
+    p.general_tier_flag = r.u(1)
+    p.general_profile_idc = r.u(5)
     r.u(32)  # profile_compatibility_flags
     r.u(4)   # progressive/interlaced/non_packed/frame_only
     r.u(32); r.u(12)  # 44 bits: constraint flags / reserved
-    r.u(8)   # general_level_idc
+    p.general_level_idc = r.u(8)
     sub_profile = []
     sub_level = []
     for _ in range(max_sub_layers_minus1):
@@ -33,6 +44,7 @@ def _parse_ptl(r: BitReader, max_sub_layers_minus1: int):
             r.u(2); r.u(1); r.u(5); r.u(32); r.u(4); r.u(32); r.u(12)
         if sub_level[i]:
             r.u(8)
+    return p
 
 
 @dataclass
@@ -432,7 +444,7 @@ def parse_sps(rbsp: bytes) -> SPS:
     r.u(4)  # sps_video_parameter_set_id
     sps.max_sub_layers_minus1 = r.u(3)
     r.flag()  # temporal_id_nesting
-    _parse_ptl(r, sps.max_sub_layers_minus1)
+    sps.ptl = _parse_ptl(r, sps.max_sub_layers_minus1)
     sps.sps_id = r.ue()
     sps.chroma_format_idc = r.ue()
     if sps.chroma_format_idc == 3:

@@ -137,3 +137,50 @@ def test_cra_open_gop_hm_verifies(tmp_path):
         r = subprocess.run([hm, "-b", out, "-o", "/dev/null"],
                            capture_output=True, text=True)
         assert r.stdout.count("(OK)") == 17, r.stdout[-400:]
+
+
+ALL_REF_CFGS = sorted(glob.glob(os.path.join(REF_CFG, "**", "*.cfg"),
+                                recursive=True))
+
+
+@pytest.mark.skipif(not ALL_REF_CFGS, reason="reference cfgs not mounted")
+def test_every_reference_cfg_key_classified():
+    """Every option in the FULL reference cfg corpus (cfg/**, incl. misc/
+    field-coding and temporal-ID cfgs and per-sequence files) is
+    classified: honoured, accepted-inert with a documented reason, or
+    explicitly rejected — never an unknown key (strict parse raises on
+    those)."""
+    from libhm_tpu.encoder.options import UnsupportedToolError
+    n_inert = 0
+    for path in ALL_REF_CFGS:
+        opts = parse_cfg_files([path])
+        hm = HmConfig(opts, strict=True)   # KeyError on unknown keys
+        assert not hm.ignored
+        n_inert += len(hm.inert)
+        # per-sequence cfgs have no GOP/size completeness; only profile
+        # cfgs must build a full encoder config
+        if os.path.dirname(path) == REF_CFG and "encoder_" in path:
+            try:
+                hm.to_encoder_config()
+            except UnsupportedToolError:
+                pytest.fail(f"profile cfg rejected: {path}")
+    assert n_inert > 0   # the classification actually exercised
+
+
+def test_level_tier_signalled(tmp_path):
+    """Level/Tier cfg options drive general_level_idc / tier flag in the
+    written PTL (reference TAppEncCfg Level/Tier -> ProfileTierLevel)."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    from libhm_tpu.hostdec.decoder import Decoder
+    frames = [(np.full((64, 64), 100, np.uint8),
+               np.full((32, 32), 110, np.uint8),
+               np.full((32, 32), 120, np.uint8))]
+    cfg = EncoderConfig(64, 64, qp=32)
+    cfg.level = "5.1"
+    cfg.tier = "high"
+    stream = IntraEncoder(cfg).encode_stream(frames)
+    d = Decoder()
+    d.decode_annexb(stream)
+    sps = next(iter(d.sps_map.values()))
+    assert sps.ptl.general_level_idc == 153
+    assert sps.ptl.general_tier_flag == 1
