@@ -1,9 +1,11 @@
 """Utility-app tests: bitrate targeting, byte counting, bit-depth convert."""
+import json
 import os
 import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -163,3 +165,29 @@ def test_envvar_force_modes(tmp_path, monkeypatch):
     assert (ic[pcm == 0] == 10).all()
     from libhm_tpu.utils.envvar import print_env_vars
     print_env_vars()
+
+
+@pytest.mark.parametrize("name", ["tids4_ra_160x96", "wpp_416x240",
+                                  "tiles_832x480"])
+def test_bit_statistics_exact(name):
+    """Analyser-grade bit accounting (reference TComCodingStatistics.h:47+):
+    per-syntax-element EXACT bit counts whose grand total — including NAL
+    headers, start codes, emulation prevention, non-VCL payloads, slice
+    headers and the per-engine CABAC init/rounding residue — equals the
+    byte size of the stream, with the residue at the 9-bit-preload scale
+    (proving the per-element attribution is real, not estimated)."""
+    from libhm_tpu.hostdec.stats import collect_bits
+    gold = json.load(open(os.path.join(ROOT, "testdata", "golden.json")))
+    if name not in gold:
+        pytest.skip(name)
+    data = open(os.path.join(ROOT, "testdata",
+                             gold[name]["bitstream"]), "rb").read()
+    t = collect_bits(data, per_component=True, per_tu_size=True)
+    n_eng = t.pop("__n_engines__")
+    total = t.pop("__total__")
+    assert sum(t.values()) == total == len(data) * 8
+    fudge = t["cabac_init_and_rounding"]
+    assert 0 < fudge <= 32 * n_eng, (fudge, n_eng)
+    # per-component AND per-TU-size residual rows materialized
+    assert any(k.startswith("sig:") and ":c" in k for k in t)
+    assert any(":n4" in k or ":n8" in k for k in t)
