@@ -63,6 +63,43 @@ class PictureRecon:
                 return mats[(size_id, (0 if intra else 3) + tu.comp)]
         return _SL()
 
+    _dump_fh = None
+
+    def _debug_hooks(self, residuals):
+        """EnvVar-driven debug output (reference Debug.h:97-110
+        DebugOptionList: DebugRQT / DebugPred / DEBUG_STRING dumps)."""
+        from ..utils import envvar as EV
+        pic = self.pic
+        poc = getattr(pic, "poc", "?")
+        if EV.DEBUG_RQT.is_set():
+            for i, tu in enumerate(pic.tu_list):
+                print(f"RQT poc={poc} tu={i} c={tu.comp} x={tu.x} y={tu.y} "
+                      f"n={tu.w} ts={int(bool(tu.transform_skip))} "
+                      f"qp={tu.qp} nz={int(np.count_nonzero(tu.coeffs))}")
+        if EV.DEBUG_PRED.is_set():
+            for blk in pic.intra_list:
+                print(f"PRED poc={poc} intra c={blk.comp} x={blk.x} "
+                      f"y={blk.y} n={blk.w} mode={blk.mode}")
+            for pu in pic.inter_list:
+                mvs = " ".join(
+                    f"L{l}=({pu.mv[l][0]},{pu.mv[l][1]})" for l in range(2)
+                    if pu.ref_poc[l] is not None)
+                print(f"PRED poc={poc} inter x={pu.x} y={pu.y} "
+                      f"w={pu.w} h={pu.h} {mvs}")
+        path = EV.DUMP_BLOCKS.get_str()
+        self._dump_fh = open(path, "a") if path else None
+
+    def _dump_block(self, blk, mode, pred, res, reco):
+        fh = self._dump_fh
+        poc = getattr(self.pic, "poc", "?")
+        print(f"BLK poc={poc} c={blk.comp} x={blk.x} y={blk.y} "
+              f"n={blk.w} mode={mode}", file=fh)
+        for tag, a in (("pred", pred), ("resi", res), ("reco", reco)):
+            rows = np.asarray(a, np.int64).reshape(blk.h, -1) \
+                if np.ndim(a) else np.zeros((1, 1), np.int64)
+            print(f" {tag}: " + ";".join(
+                ",".join(str(v) for v in row) for row in rows), file=fh)
+
     def reconstruct(self, ref_pics=None, mc_fn=None):
         sps, pic = self.sps, self.pic
         # 1. residuals for every TU
@@ -77,6 +114,7 @@ class PictureRecon:
                      for tu in pic.tu_list]
         # cross-component prediction (RExt 4:4:4)
         self._apply_cross_component(residuals)
+        self._debug_hooks(residuals)
         # 2. inter blocks: MC + residual add (decode-order independent)
         if pic.inter_list:
             mc_fn(self, ref_pics, residuals)
@@ -87,6 +125,9 @@ class PictureRecon:
         # 4. intra blocks in decode order
         for blk in pic.intra_list:
             self._recon_intra_block(blk, residuals)
+        if self._dump_fh is not None:
+            self._dump_fh.close()
+            self._dump_fh = None
         return self.planes
 
     # ------------------------------------------------------------------
@@ -165,5 +206,8 @@ class PictureRecon:
                                      disable_boundary_filters=disable_bf)
         if blk.tu_index >= 0:
             pred = pred + residuals[blk.tu_index]
-        plane[blk.y:blk.y + blk.h, blk.x:blk.x + blk.w] = \
-            np.clip(pred, 0, (1 << bd) - 1)
+        reco = np.clip(pred, 0, (1 << bd) - 1)
+        plane[blk.y:blk.y + blk.h, blk.x:blk.x + blk.w] = reco
+        if self._dump_fh is not None:
+            res = residuals[blk.tu_index] if blk.tu_index >= 0 else 0
+            self._dump_block(blk, mode, pred - res, res, reco)

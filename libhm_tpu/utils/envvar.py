@@ -54,7 +54,21 @@ FORCE_CHROMA_MODE = EnvVar(
     "force intra chroma to this mode index (0-34), or 'DM'")
 TRACE = EnvVar(
     "HEVC_TRACE", "",
-    "write the CABAC symbol trace to this path (utils/trace.py)")
+    "write the CABAC symbol trace to this path (utils/trace.py; the "
+    "DebugSBAC equivalent)")
+DEBUG_RQT = EnvVar(
+    "HEVC_DEBUG_RQT", "",
+    "print each picture's transform-tree leaves (comp/x/y/size/skip/cbf) "
+    "during numpy reconstruction (DebugRQT equivalent)")
+DEBUG_PRED = EnvVar(
+    "HEVC_DEBUG_PRED", "",
+    "print per-block prediction info (intra modes, MVs) during numpy "
+    "reconstruction (DebugPred equivalent)")
+DUMP_BLOCKS = EnvVar(
+    "HEVC_DUMP_BLOCKS", "",
+    "append per-intra-block pred/resi/reco sample dumps to this path "
+    "(DEBUG_STRING Structure/Pred/Resi/Reco equivalent) — diff two runs "
+    "to localize the first diverging block")
 
 
 def print_env_vars():

@@ -191,3 +191,30 @@ def test_bit_statistics_exact(name):
     # per-component AND per-TU-size residual rows materialized
     assert any(k.startswith("sig:") and ":c" in k for k in t)
     assert any(":n4" in k or ":n8" in k for k in t)
+
+
+def test_debug_envvars(tmp_path, capsys, monkeypatch):
+    """DebugOptionList breadth (reference Debug.h:97-110): DebugRQT /
+    DebugPred console dumps and the DEBUG_STRING-style per-block
+    pred/resi/reco dump, all EnvVar-driven; two identical runs produce
+    identical dumps (the divergence-hunting contract)."""
+    from libhm_tpu.hostdec.decoder import Decoder
+    gold = json.load(open(os.path.join(ROOT, "testdata", "golden.json")))
+    data = open(os.path.join(ROOT, "testdata",
+                             gold["tids4_ra_160x96"]["bitstream"]),
+                "rb").read()
+    dump1 = tmp_path / "d1.txt"
+    monkeypatch.setenv("HEVC_DEBUG_RQT", "1")
+    monkeypatch.setenv("HEVC_DEBUG_PRED", "1")
+    monkeypatch.setenv("HEVC_DUMP_BLOCKS", str(dump1))
+    Decoder(parse="python", recon="numpy").decode_annexb(data)
+    out = capsys.readouterr().out
+    assert "RQT poc=" in out and "PRED poc=" in out
+    t1 = dump1.read_text()
+    assert t1.count("BLK poc=") > 10 and " reco: " in t1
+    dump2 = tmp_path / "d2.txt"
+    monkeypatch.setenv("HEVC_DUMP_BLOCKS", str(dump2))
+    monkeypatch.delenv("HEVC_DEBUG_RQT")
+    monkeypatch.delenv("HEVC_DEBUG_PRED")
+    Decoder(parse="python", recon="numpy").decode_annexb(data)
+    assert dump2.read_text() == t1
