@@ -25,6 +25,21 @@ from .hls_writer import (write_vps, write_sps, write_pps, write_slice_header,
                          hash_sei_md5, nal_unit)
 from .residual_enc import encode_residual
 from .transforms import forward_transform, quantize
+from .rd_cost import satd
+from .rdoq import (FRAC, _EST_MPS, _EST_LPS, _addr, residual_bits,
+                   rdoq as _rdoq_fn)
+from ..hostdec.picture import (SIZE_2Nx2N, SIZE_NxN, SIZE_2NxN, SIZE_Nx2N,
+                               SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N,
+                               SIZE_nRx2N, MODE_INTER)
+from ..hostdec.slicedec import (pu_partitions, EDGE_PU_LEFT, EDGE_PU_TOP,
+                                EDGE_TU_LEFT, EDGE_TU_TOP, EDGE_CU_LEFT,
+                                EDGE_CU_TOP, CHROMA422_ANGLE_MAP,
+                                PLANAR_IDX, DC_IDX, HOR_IDX, VER_IDX)
+from ..hostdec.tables import (SCAN_DIAG, SCAN_HOR, SCAN_VER,
+                              build_scaling_matrices)
+from ..hostdec.motion import (_interp, LUMA_FILTER, CHROMA_FILTER,
+                              MotionDeriver, IF_INTERNAL_PREC, IF_OFFS)
+_SD, _SH, _SV = SCAN_DIAG, SCAN_HOR, SCAN_VER
 
 
 from .rate_ctrl import RateControl  # noqa: E402  (full R-lambda model)
@@ -688,7 +703,6 @@ class IntraEncoder:
         self.cur_wp = None
         if slice_type in (0, 1):
             self.sh = _PSliceHeader(poc, cfg, slice_type)
-            from ..hostdec.motion import MotionDeriver
             if getattr(self, "_ref_lists_pics", None) is not None:
                 lists = self._ref_lists_pics
             else:
@@ -1139,8 +1153,6 @@ class IntraEncoder:
 
     def _pred_from_cand(self, comp, x, y, w, h, dir_, mvs, ref_idx=(0, 0)):
         """Prediction for a merge candidate (uni L0/L1 or bi)."""
-        from ..hostdec.motion import (_interp, LUMA_FILTER, CHROMA_FILTER,
-                                      IF_INTERNAL_PREC, IF_OFFS)
         sps = self.sps
         ssx = sps.chroma_shift_x() if comp else 0
         ssy = sps.chroma_shift_y() if comp else 0
@@ -1507,7 +1519,6 @@ class IntraEncoder:
         neighbours of the running best, Hadamard-costed (reference
         xPatternSearchFracDIF, TEncSearch.cpp:4563, which uses HAD for
         the fractional stage).  Returns (mv, pure SATD distortion)."""
-        from .rd_cost import satd
         lam_m = self._lam_motion
         dsh = self.cfg.bit_depth - 8
         mvs = [(0, 0), (0, 0)]
@@ -1614,8 +1625,6 @@ class IntraEncoder:
         """Inter-mode signalling bit estimate [uniL0, uniL1, bi] for the
         motion-cost model (reference TEncSearch::xGetBlkBits,
         TEncSearch.cpp:3823-3870)."""
-        from ..hostdec.picture import (SIZE_2Nx2N, SIZE_NxN, SIZE_2NxN,
-                                       SIZE_2NxnU, SIZE_2NxnD)
         if part in (SIZE_2Nx2N, SIZE_NxN):
             return (1, 3, 5) if p_slice else (3, 3, 5)
         if p_slice:
@@ -1639,8 +1648,6 @@ class IntraEncoder:
         SATD (8-bit domain) + sqrt-lambda * motion bits, with the
         reference's xGetBlkBits mode-bit charges.
         """
-        from .rd_cost import satd
-        from ..hostdec.picture import SIZE_2Nx2N
         lam_m = self._lam_motion
         dshift = 2 * (self.cfg.bit_depth - 8)
         nl = 2 if (self.slice_type == 0 and self.sh.num_ref_idx[1]) else 1
@@ -1734,7 +1741,6 @@ class IntraEncoder:
         ("amvp", dir, ref_idx[2], mv[2], mvd[2], mvp_idx[2]).  Does NOT
         write the motion maps.
         """
-        from .rd_cost import satd
         orig = self.orig[0][py:py + h, px:px + w].astype(np.int32)
         lam_m = self._lam_motion
         dshift = 2 * (self.cfg.bit_depth - 8)
@@ -1831,7 +1837,6 @@ class IntraEncoder:
         enc.encode_bin(bank["merge_flag"], 0, 0)
         if self.slice_type == 0:
             # inter_pred_idc (mirror of _parse_inter_dir)
-            from ..hostdec.picture import SIZE_2Nx2N
             if part_size == SIZE_2Nx2N or cu_size != 8:
                 enc.encode_bin(bank["inter_dir"], self._cur_depth,
                                1 if dir_ == 3 else 0)
@@ -1907,9 +1912,6 @@ class IntraEncoder:
         """
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
-        from ..hostdec.picture import (MODE_INTER, MODE_INTRA, SIZE_2Nx2N,
-                                       SIZE_2NxN, SIZE_Nx2N)
-        from ..hostdec.slicedec import pu_partitions
         size = 1 << log2size
         self._cur_depth = depth
         pic.set_rect(pic.depth, x, y, size, size, depth)
@@ -1923,8 +1925,6 @@ class IntraEncoder:
         if log2size >= 4:
             parts += [SIZE_2NxN, SIZE_Nx2N]
             if cfg.amp and log2size > sps.log2_min_cb:
-                from ..hostdec.picture import (SIZE_2NxnU, SIZE_2NxnD,
-                                               SIZE_nLx2N, SIZE_nRx2N)
                 parts += [SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N, SIZE_nRx2N]
         best_part = None
         merge_2nx2n_all = []
@@ -1954,7 +1954,6 @@ class IntraEncoder:
                 best_part = (total, part, descs)
 
         # ---- intra candidate (SATD preselect; full-RD arbitrated below)
-        from .rd_cost import satd
         all_preds = self._intra_all_preds(0, x, y, size)
         costs = np.abs(all_preds - orig[None]).sum(axis=(1, 2))
         best_mode = int(np.argmin(costs))
@@ -1970,7 +1969,6 @@ class IntraEncoder:
 
         def apply_and_preds(part, cur_descs):
             """Write maps + PU edge flags, return per-comp predictions."""
-            from ..hostdec.slicedec import EDGE_PU_LEFT, EDGE_PU_TOP
             pus = pu_partitions(part, size)
             for pu_idx, (dx, dy, w, h) in enumerate(pus):
                 self._apply_pu(cur_descs[pu_idx], x + dx, y + dy, w, h,
@@ -2126,7 +2124,6 @@ class IntraEncoder:
         """2Nx2N: single TU (the skip path lives here too)."""
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
-        from ..hostdec.tables import SCAN_DIAG
         size = 1 << log2size
         use_merge = desc[0] == "merge"
         is422 = sps.chroma_format_idc == 2
@@ -2184,7 +2181,6 @@ class IntraEncoder:
 
         enc.encode_bin(bank["pred_mode"], 0, 0)
         enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
-        from ..hostdec.picture import SIZE_2Nx2N
         self._write_pu_syntax(desc, size, SIZE_2Nx2N)
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
@@ -2260,7 +2256,6 @@ class IntraEncoder:
             return
         enc.encode_bin(bank["pred_mode"], 0, 0)
         enc.encode_bin(bank["part_size"], 0, 1)          # 2Nx2N
-        from ..hostdec.picture import SIZE_2Nx2N
         self._write_pu_syntax(desc, size, SIZE_2Nx2N)
         if not use_merge:
             enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
@@ -2281,7 +2276,6 @@ class IntraEncoder:
         Trial syntax (subdiv + cbf_luma + coeffs) is recorded for bit
         estimation and discarded by the caller; no picture state is
         touched."""
-        from ..hostdec.tables import SCAN_DIAG
         sps, enc, bank = self.sps, self.enc, self.bank
         size = 1 << l2
         sub = resi_l[oy:oy + size, ox:ox + size]
@@ -2344,7 +2338,6 @@ class IntraEncoder:
     def _inter_tt_chroma(self, node, preds, cu_x, cu_y):
         """Chroma TUs on the decided inter luma tree (Rec. 7.3.8.8
         placement rules, as in the intra tree), any chroma format."""
-        from ..hostdec.tables import SCAN_DIAG
         sps = self.sps
         idc = sps.chroma_format_idc
         l2 = node["l2"]
@@ -2397,8 +2390,6 @@ class IntraEncoder:
                        parent_chroma, preds, cu_x, cu_y):
         """Write one inter transform_tree node in decoder order and
         reconstruct as it goes."""
-        from ..hostdec.tables import SCAN_DIAG
-        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
         enc, bank, sps, pic = self.enc, self.bank, self.sps, self.pic
         idc = sps.chroma_format_idc
         l2, depth = node["l2"], node["depth"]
@@ -2472,9 +2463,6 @@ class IntraEncoder:
     def _write_inter_part_size(self, part, log2size):
         """part_mode bins for an inter CU (mirror of the decoder's
         _parse_inter_part_size incl. the AMP refinement bins)."""
-        from ..hostdec.picture import (SIZE_2Nx2N, SIZE_2NxN, SIZE_Nx2N,
-                                       SIZE_2NxnU, SIZE_2NxnD, SIZE_nLx2N,
-                                       SIZE_nRx2N)
         enc, bank, sps = self.enc, self.bank, self.sps
         at_min = log2size == sps.log2_min_cb
         base = part
@@ -2503,8 +2491,6 @@ class IntraEncoder:
         interSplitFlag).  Requires CU size >= 16."""
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
-        from ..hostdec.tables import SCAN_DIAG
-        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
         size = 1 << log2size
         half = size >> 1
         bd = cfg.bit_depth
@@ -2780,9 +2766,6 @@ class IntraEncoder:
                                  sps)
 
     def _mark_edges(self, x, y, size):
-        from ..hostdec.slicedec import (EDGE_CU_LEFT, EDGE_CU_TOP,
-                                        EDGE_PU_LEFT, EDGE_PU_TOP,
-                                        EDGE_TU_LEFT, EDGE_TU_TOP)
         ef = self.pic.edge_flags
         ef[y >> 2:(y + size) >> 2, x >> 2] |= \
             EDGE_CU_LEFT | EDGE_PU_LEFT | EDGE_TU_LEFT
@@ -2835,7 +2818,6 @@ class IntraEncoder:
         pic.set_rect(pic.intra_y, x, y, size, size, 1)   # DC
         pic.set_rect(pic.intra_c, x, y, size, size, 1)
         pic.set_rect(pic.cbf_y, x, y, size, size, 0)
-        from ..hostdec.picture import SIZE_2Nx2N
         pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
         self._mark_edges(x, y, size)
         if log2size == sps.log2_min_cb:
@@ -2896,11 +2878,6 @@ class IntraEncoder:
             self.bank
         size = 1 << log2size
         half = size >> 1
-        from ..hostdec.picture import SIZE_NxN
-        from ..hostdec.slicedec import (CHROMA422_ANGLE_MAP, EDGE_TU_LEFT,
-                                        EDGE_TU_TOP)
-        from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
-        from .rd_cost import satd
         bd = cfg.bit_depth
         is422 = sps.chroma_format_idc == 2
         lam_pred = self.rd_lambda ** 0.5
@@ -3067,7 +3044,6 @@ class IntraEncoder:
             return self._encode_cu_intra_2nx2n_rqt(x, y, log2size)
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, self.bank
         size = 1 << log2size
-        from ..hostdec.picture import SIZE_2Nx2N
         pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
 
         # --- luma mode decision: Hadamard preselection + full-RD over the
@@ -3109,7 +3085,6 @@ class IntraEncoder:
         # sequentially (the lower one from the upper one's recon) with the
         # DM angle remapped (reference TComTU sections + TComPrediction's
         # g_chroma422IntraAngleMappingTable)
-        from ..hostdec.slicedec import CHROMA422_ANGLE_MAP
         is422 = sps.chroma_format_idc == 2
         resids = []   # per comp: list of sub-TU level arrays
         cbfs = []     # per comp: list of sub-TU cbfs
@@ -3124,8 +3099,6 @@ class IntraEncoder:
                 cmode = CHROMA422_ANGLE_MAP[c_real]
             bd = cfg.bit_depth
             levs, cbf_subs = [], []
-            from ..hostdec.tables import SCAN_DIAG as _SD, SCAN_HOR as _SH, \
-                SCAN_VER as _SV
             tu_scan = _SD
             if n <= (8 >> ssx) and n <= (8 >> ssy):
                 if abs(cmode - 26) <= 4:
@@ -3162,7 +3135,6 @@ class IntraEncoder:
             enc.encode_bin(bank["qt_cbf"], 5 + 0, v)
         enc.encode_bin(bank["qt_cbf"], 1, cbfs[0][0])
         self._maybe_write_dqp(cbfs[0][0] or any(cbfs[1]) or any(cbfs[2]))
-        from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
         for comp in range(self.ncomp):
             ssx = sps.chroma_shift_x() if comp else 0
             ssy = sps.chroma_shift_y() if comp else 0
@@ -3198,9 +3170,6 @@ class IntraEncoder:
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
         size = 1 << log2size
-        from ..hostdec.picture import SIZE_2Nx2N
-        from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
-        from ..hostdec.slicedec import CHROMA422_ANGLE_MAP
         pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
 
@@ -3260,7 +3229,6 @@ class IntraEncoder:
         min_tu = self._intra_min_tu_log2(log2size)
         bd = cfg.bit_depth
         ef = pic.edge_flags
-        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
 
         def chroma_tus(bx, by, n):
             """Code the two components' sub-TUs of one chroma-holding
@@ -3361,7 +3329,6 @@ class IntraEncoder:
 
     def _mdcs_scan(self, n, mode, comp):
         """Mode-dependent coefficient scan (Rec. 8.4.4.2.1 MDCS)."""
-        from ..hostdec.tables import SCAN_DIAG, SCAN_HOR, SCAN_VER
         sx = self.sps.chroma_shift_x() if comp else 0
         if n <= (8 >> sx):
             if abs(mode - 26) <= 4:
@@ -3414,7 +3381,6 @@ class IntraEncoder:
         available, falling back to record-then-price.  Bit-identical to
         recording encode_residual and pricing everything with
         _est_ops_bits (same accumulation order)."""
-        from .rdoq import residual_bits, FRAC
         if ts == "auto":
             ts = self._ts_of(lev)
         sh = self.cfg.sign_hiding
@@ -3452,7 +3418,6 @@ class IntraEncoder:
         MPMs), optionally followed by a joint (mode, tree) RD pass over
         the top candidates when the CU carries a multi-level RQT
         (tree_min_tu set).  Returns the chosen mode."""
-        from .rd_cost import satd
         from ..utils.envvar import FORCE_LUMA_MODE
         forced = FORCE_LUMA_MODE.get_int()
         if forced is not None and 0 <= forced <= 34:
@@ -3521,8 +3486,6 @@ class IntraEncoder:
         angular-34, Rec. 8.4.3), each fully coded at the CU-level chroma
         TB; cost = chroma-weighted SSE + lambda * (signal + residual)
         bits.  Returns (real_mode, dm_flag, list_idx)."""
-        from ..hostdec.slicedec import (PLANAR_IDX, DC_IDX, HOR_IDX,
-                                        VER_IDX, CHROMA422_ANGLE_MAP)
         sps, cfg, enc, bank = self.sps, self.cfg, self.enc, self.bank
         if sps.chroma_format_idc == 0 or \
                 not isinstance(enc, _RecordingCabac):
@@ -3630,7 +3593,6 @@ class IntraEncoder:
         Trial syntax (subdiv + cbf_luma + luma coeffs only) is recorded
         for bit estimation and later discarded by the caller; on return
         the luma recon / cbf_y / edge maps hold the chosen tree."""
-        from ..hostdec.slicedec import EDGE_TU_LEFT, EDGE_TU_TOP
         sps, enc, bank = self.sps, self.enc, self.bank
         size = 1 << l2
 
@@ -3692,7 +3654,6 @@ class IntraEncoder:
         (children inherit; Rec. 7.3.8.8); 4:2:2 codes two square sub-TUs
         stacked vertically with the DM angle remapped.  4:4:4: chroma
         follows every luma split (same-size TBs at every leaf)."""
-        from ..hostdec.slicedec import CHROMA422_ANGLE_MAP
         sps = self.sps
         idc = sps.chroma_format_idc
         l2 = node["l2"]
@@ -3805,8 +3766,6 @@ class IntraEncoder:
         (QuadtreeTUMaxDepthIntra levels; reference xRecurIntraCodingQT)."""
         sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
             self.bank
-        from ..hostdec.picture import SIZE_2Nx2N
-        from .rd_cost import satd
         size = 1 << log2size
         pic.set_rect(pic.part_size, x, y, size, size, SIZE_2Nx2N)
         pic.set_rect(pic.pred_mode, x, y, size, size, MODE_INTRA)
@@ -3897,7 +3856,6 @@ class IntraEncoder:
         """Estimated bits of recorded CABAC ops [lo:] using the live
         context probabilities (reference RD uses the same fractional-bit
         model)."""
-        from .rdoq import FRAC
         return self._est_ops_raw(lo) / FRAC
 
     def _est_ops_raw(self, lo):
@@ -3906,7 +3864,6 @@ class IntraEncoder:
         at the per-op PRE-adaptation state each op carries (trial-coder
         semantics: the state each bin was actually coded at, reference
         TEncBinCABACCounter fractional-bit accumulation)."""
-        from .rdoq import _EST_MPS, _EST_LPS, FRAC
         tot = 0.0
         for op in self.enc.ops[lo:]:
             k = op[0]
@@ -3969,7 +3926,6 @@ class IntraEncoder:
                 cfg, bank = self.cfg, self.bank
                 ent = self._tufwd_cache
                 if ent is None or ent[0] is not bank:
-                    from .rdoq import _addr
                     ent = self._tufwd_cache = (
                         bank, _addr(bank["sig"]), _addr(bank["sig_cg"]),
                         _addr(bank["gt1"]), _addr(bank["gt2"]),
@@ -4046,7 +4002,6 @@ class IntraEncoder:
         if not getattr(self.cfg, "scaling_list", False) or log2n < 2:
             return None
         if not hasattr(self, "_scal_mats"):
-            from ..hostdec.tables import build_scaling_matrices
             self._scal_mats = build_scaling_matrices(
                 getattr(self.cfg, "scaling_list_data", None))
         return self._scal_mats[(log2n - 2, (0 if is_intra else 3) + comp)]
@@ -4066,11 +4021,10 @@ class IntraEncoder:
         sign-data-hiding parity fix-up when SDH is on."""
         bd = self.cfg.bit_depth
         if self.cfg.rdoq:
-            from .rdoq import rdoq
             # RDOQ chroma lambda = lambda / distortion weight
             # (RDOQ_CHROMA_LAMBDA, TEncSlice::setUpLambda)
             lam = self.rd_lambda / self.chroma_weight[comp]
-            lev = rdoq(coef, qp, log2n, bd, comp, scan_type, self.bank,
+            lev = _rdoq_fn(coef, qp, log2n, bd, comp, scan_type, self.bank,
                        lam)
         else:
             lev = quantize(coef, qp, log2n, bd, is_intra)
