@@ -252,8 +252,11 @@ def main():
                   f"(bit-exact; H2D {h2d/1e6:.2f} MB/frame, "
                   f"D2H {d2h/1e6:.2f} MB/frame)", file=sys.stderr)
             streams = os.environ.get("BENCH_TPU_STREAMS")
-            if streams is None and tpu > 0.25 * ours:
-                streams = "2,4"
+            if streams is None:
+                # always record at least one multi-stream aggregate
+                # (BASELINE.md ladder item 5); spend the larger sweep only
+                # when the device pipeline is competitive on this host
+                streams = "2,4" if tpu > 0.25 * ours else "2"
             if streams:
                 multi = bench_multistream(
                     tuple(int(x) for x in streams.split(",")))

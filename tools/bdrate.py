@@ -137,12 +137,18 @@ def bd_rate(rate_anchor, psnr_anchor, rate_test, psnr_test):
 
 
 # ---------------------------------------------------------------------------
+# Two sequences per config (VERDICT r3 methodology hardening): the
+# structured-gradient source and a content-like source (pan + edges +
+# texture + noise, gen_golden.synth_yuv_natural).  Inter configs run 17
+# frames; sizes chosen so the full 2x4x4-QP ladder stays tractable on the
+# 1-core host (~3 h with our encoder).
+SOURCES = ("grad", "nat")
 LADDER = [
     # name, cfg, w, h, frames
-    ("intra", "encoder_intra_main.cfg", 416, 240, 3),
-    ("lowdelayP", "encoder_lowdelay_P_main.cfg", 160, 96, 9),
-    ("lowdelayB", "encoder_lowdelay_main.cfg", 160, 96, 9),
-    ("randomaccess", "encoder_randomaccess_main.cfg", 160, 96, 9),
+    ("intra", "encoder_intra_main.cfg", 416, 240, 5),
+    ("lowdelayP", "encoder_lowdelay_P_main.cfg", 256, 128, 17),
+    ("lowdelayB", "encoder_lowdelay_main.cfg", 256, 128, 17),
+    ("randomaccess", "encoder_randomaccess_main.cfg", 256, 128, 17),
 ]
 
 
@@ -153,42 +159,55 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "BDRATE.md"))
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
-    from gen_golden import synth_yuv
+    from gen_golden import synth_yuv, synth_yuv_natural
 
     qps = QPS[1:3] if args.quick else QPS
     rows = []
     for name, cfg, w, h, n in LADDER:
         if args.only and name not in args.only:
             continue
-        src = f"/tmp/bd_src_{w}x{h}.yuv"
-        if not os.path.exists(src):
-            synth_yuv(src, w, h, max(n, 9), 8, "420")
-        pts = {"hm": ([], []), "ours": ([], [])}
-        for qp in qps:
-            for side, ours in (("hm", False), ("ours", True)):
-                out = f"/tmp/bd_{name}_{side}_{qp}.bin"
-                t0 = time.time()
-                bits = run_encoder(ours, cfg, src, w, h, n, qp, out)
-                p = psnr_stream(out, src, w, h, n)
-                ypsnr = p[0]
-                comb = (6 * p[0] + p[1] + p[2]) / 8
-                pts[side][0].append(bits)
-                pts[side][1].append((ypsnr, comb))
-                print(f"{name:13s} qp{qp} {side:4s}: {bits:8d} bits  "
-                      f"Y {ypsnr:6.3f} dB  ({time.time()-t0:.0f}s)",
-                      flush=True)
-        bdy = bd_rate(pts["hm"][0], [v[0] for v in pts["hm"][1]],
-                      pts["ours"][0], [v[0] for v in pts["ours"][1]])
-        bdc = bd_rate(pts["hm"][0], [v[1] for v in pts["hm"][1]],
-                      pts["ours"][0], [v[1] for v in pts["ours"][1]])
-        rows.append((name, cfg, f"{w}x{h}", n, qps, bdy, bdc, pts))
-        print(f"==> {name}: BD-rate Y {bdy:+.2f}%  YUV {bdc:+.2f}%",
-              flush=True)
+        for sname in SOURCES:
+            src = f"/tmp/bd_{sname}_{w}x{h}.yuv"
+            if not os.path.exists(src):
+                gen = synth_yuv if sname == "grad" else synth_yuv_natural
+                gen(src, w, h, max(n, 9), 8, "420")
+            pts = {"hm": ([], []), "ours": ([], [])}
+            for qp in qps:
+                for side, ours in (("hm", False), ("ours", True)):
+                    out = f"/tmp/bd_{name}_{sname}_{side}_{qp}.bin"
+                    t0 = time.time()
+                    bits = run_encoder(ours, cfg, src, w, h, n, qp, out)
+                    p = psnr_stream(out, src, w, h, n)
+                    ypsnr = p[0]
+                    comb = (6 * p[0] + p[1] + p[2]) / 8
+                    pts[side][0].append(bits)
+                    pts[side][1].append((ypsnr, comb))
+                    print(f"{name:13s} {sname:4s} qp{qp} {side:4s}: "
+                          f"{bits:8d} bits  Y {ypsnr:6.3f} dB  "
+                          f"({time.time()-t0:.0f}s)", flush=True)
+            bdy = bd_rate(pts["hm"][0], [v[0] for v in pts["hm"][1]],
+                          pts["ours"][0], [v[0] for v in pts["ours"][1]])
+            bdc = bd_rate(pts["hm"][0], [v[1] for v in pts["hm"][1]],
+                          pts["ours"][0], [v[1] for v in pts["ours"][1]])
+            rows.append((f"{name}/{sname}", cfg, f"{w}x{h}", n, qps,
+                         bdy, bdc, pts))
+            print(f"==> {name}/{sname}: BD-rate Y {bdy:+.2f}%  "
+                  f"YUV {bdc:+.2f}%", flush=True)
+        pair = [r for r in rows if r[0].startswith(name + "/")]
+        if len(pair) == len(SOURCES):
+            avg_y = sum(r[5] for r in pair) / len(pair)
+            avg_c = sum(r[6] for r in pair) / len(pair)
+            rows.append((f"{name}/avg", cfg,
+                         f"{pair[0][2]}", n, qps, avg_y, avg_c, None))
+            print(f"==> {name}/avg: BD-rate Y {avg_y:+.2f}%  "
+                  f"YUV {avg_c:+.2f}%", flush=True)
 
     with open(args.out, "w") as f:
         f.write("# BD-rate vs HM 16.0 (TAppEncoder)\n\n")
-        f.write("Same HM cfg files, same synthetic sources "
-                "(tools/gen_golden.synth_yuv), QPs "
+        f.write("Same HM cfg files, two synthetic sources per config "
+                "(structured gradients `grad` = gen_golden.synth_yuv; "
+                "content-like `nat` = gen_golden.synth_yuv_natural: pan + "
+                "edges + texture + noise), QPs "
                 f"{qps}; both sides decoded with the HM-verified native "
                 "decoder and PSNR measured identically; PCHIP BD-rate "
                 "(tools/bdrate.py).  Positive = our encoder spends that "
@@ -200,6 +219,8 @@ def main():
                     f"{bdc:+.2f}% |\n")
         f.write("\n## Raw points (bits, Y-PSNR dB)\n\n")
         for (name, cfg, sz, n, qq, bdy, bdc, pts) in rows:
+            if pts is None:
+                continue
             f.write(f"### {name}\n\n| QP | HM bits | HM Y | ours bits | "
                     "ours Y |\n|---|---|---|---|---|\n")
             for i, qp in enumerate(qq):

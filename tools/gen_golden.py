@@ -119,3 +119,66 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def synth_yuv_natural(path, w, h, frames, bitdepth=8, chroma="420", seed=11):
+    """Content-like synthetic video for the BD-rate ladder: smooth sky
+    gradient, strong structural edges (buildings), textured ground, a
+    global pan plus an independently moving object, and mild sensor
+    noise.  Statistically closer to camera content than synth_yuv's
+    modular gradients (less synthetic periodicity; motion is sub-pel)."""
+    rng = np.random.RandomState(seed)
+    sx = 2 if chroma in ("420", "422") else 1
+    sy = 2 if chroma == "420" else 1
+    cw, ch = w // sx, h // sy
+    maxv = (1 << bitdepth) - 1
+    dtype = np.uint8 if bitdepth == 8 else np.uint16
+    yy, xx = np.mgrid[0:h, 0:w]
+    # static world, larger than the frame so panning reveals new area
+    WW, WH = w * 2, h * 2
+    wy, wx = np.mgrid[0:WH, 0:WW]
+    world = 60 + 90 * (wy / WH)                         # sky->ground ramp
+    # "buildings": rectangles with distinct flat luma + hard edges
+    for _ in range(14):
+        bx = rng.randint(0, WW - 24)
+        by = rng.randint(WH // 4, WH - 24)
+        bw = rng.randint(16, WW // 4)
+        bh = rng.randint(16, WH // 3)
+        world[by:by + bh, bx:bx + bw] = rng.randint(40, 215)
+    # textured ground band
+    tex = rng.randint(-18, 19, size=(WH, WW))
+    mask = (wy > WH * 0.7)
+    world = world + tex * mask
+    # low-amplitude global texture (film-grain-ish, static in world space)
+    world = world + rng.randint(-4, 5, size=(WH, WW))
+    world = np.clip(world, 0, 255)
+    cworld_u = np.clip(118 + (world - 128) * 0.15 +
+                       rng.randint(-3, 4, (WH, WW)), 0, 255)
+    cworld_v = np.clip(134 - (world - 128) * 0.10 +
+                       rng.randint(-3, 4, (WH, WW)), 0, 255)
+    obj_r = max(6, h // 10)
+    with open(path, "wb") as f:
+        for t in range(frames):
+            # global pan: 2.75 px/frame horizontal, 0.5 px/frame vertical
+            px = int(round(2.75 * t * 4)) / 4.0
+            py = int(round(0.5 * t * 4)) / 4.0
+            x0i, y0i = int(px), int(py)
+            fx, fy = px - x0i, py - y0i
+            # bilinear fetch = sub-pel global motion
+            a = world[y0i:y0i + h + 1, x0i:x0i + w + 1].astype(np.float64)
+            Y = ((1 - fy) * (1 - fx) * a[:h, :w] + (1 - fy) * fx * a[:h, 1:w + 1] +
+                 fy * (1 - fx) * a[1:h + 1, :w] + fy * fx * a[1:h + 1, 1:w + 1])
+            # moving object (opaque disc, its own velocity)
+            ox = (w // 5 + 4.5 * t) % (w - 2 * obj_r) + obj_r
+            oy = h // 3 + (h // 4) * np.sin(t * 0.35)
+            d2 = (xx - ox) ** 2 + (yy - oy) ** 2
+            Y = np.where(d2 < obj_r * obj_r, 200 - d2 / (obj_r * obj_r) * 120, Y)
+            # per-frame sensor noise (uncompressible floor)
+            Y = Y + rng.randint(-2, 3, (h, w))
+            U = cworld_u[y0i:y0i + h:sy, x0i:x0i + w:sx][:ch, :cw]
+            V = cworld_v[y0i:y0i + h:sy, x0i:x0i + w:sx][:ch, :cw]
+            U = np.where(d2[::sy, ::sx][:ch, :cw] < obj_r * obj_r, 90, U)
+            V = np.where(d2[::sy, ::sx][:ch, :cw] < obj_r * obj_r, 160, V)
+            for plane in (Y, U, V):
+                np.clip(plane * (maxv / 255.0), 0,
+                        maxv).astype(dtype).tofile(f)
