@@ -135,6 +135,45 @@ class _RecordingCabac:
                 enc.encode_eg_k(op[1], op[2])
 
 
+# context-bank key order shared with the native CTU compressor
+# (native/encctu.cpp BankSet) — op 'b' entries carry (set_id << 8) | idx
+_NATIVE_BANK_KEYS = (
+    "transquant_bypass", "split_cu", "skip", "merge_flag", "merge_idx",
+    "part_size", "pred_mode", "intra_luma_mpm", "intra_chroma_mode",
+    "inter_dir", "mvd", "ref_idx", "dqp", "qt_cbf", "qt_root_cbf",
+    "sig_cg", "sig", "gt1", "gt2", "mvp_idx", "trans_subdiv",
+    "transform_skip", "last_x", "last_y")
+
+
+class _NativeRecOps:
+    """CU symbol stream recorded by the native CTU compressor
+    (hostdec/native/encctu.cpp), exposing the same marks/replay surface
+    the emission pass uses on _RecordingCabac."""
+
+    def __init__(self, kind, a, b, marks, banks):
+        self.kind = kind
+        self.a = a
+        self.b = b
+        self.marks = marks
+        self._banks = banks
+
+    def replay(self, enc, lo, hi):
+        kind, a, b, banks = self.kind, self.a, self.b, self._banks
+        for i in range(lo, hi):
+            k = kind[i]
+            if k == 0:
+                ai = int(a[i])
+                enc.encode_bin(banks[ai >> 8], ai & 255, int(b[i]))
+            elif k == 1:
+                enc.encode_bypass(int(b[i]))
+            elif k == 2:
+                enc.encode_bypass_bins(int(b[i]), int(a[i]))
+            elif k == 4:
+                enc.encode_terminate(int(b[i]))
+            else:
+                enc.encode_eg_k(int(b[i]), int(a[i]))
+
+
 class _RefPic:
     """Reference picture entry in the encoder DPB."""
     def __init__(self, poc, planes, sps, pic_syntax=None):
@@ -858,7 +897,24 @@ class IntraEncoder:
         # default for SAO-less configs, which silently degraded them to
         # SATD-only decisions (-23% rate efficiency on the AI ladder).
         multi = os.environ.get("HEVC_ENC_1PASS", "0") != "1"
-        if multi:
+        if multi and self._native_ctu_eligible():
+            # native CTU compressor (hostdec/native/encctu.cpp): the whole
+            # decide+record pass runs in C++, byte-identical to the Python
+            # path below (tests/test_enc_native.py)
+            rec = self._native_compress(scan)
+            self.enc = rec
+            pcm_nofilt = False
+            if cfg.deblock:
+                from ..hostdec.loopfilter_np import deblock_picture
+                deblock_picture(self.recon, self.pic, sps, pps)
+            if cfg.sao:
+                self._sao_decide_pic_enabled(poc)
+                self._estimate_sao()
+                from ..hostdec.loopfilter_np import sao_picture
+                sao_picture(self.recon, self.pic, sps, pps)
+            payloads = self._emit_slices(rec, scan, slice_starts, nal_type,
+                                         poc, slice_type, qp_base, rps)
+        elif multi:
             # pass 1: decide + record the CU symbol stream in decode order
             rec = _RecordingCabac()
             self.enc = rec
@@ -1087,6 +1143,126 @@ class IntraEncoder:
             from ..hostdec.native_bridge import try_load
             IntraEncoder._ENC_NATIVE = (try_load(),)
         return IntraEncoder._ENC_NATIVE[0]
+
+    def _native_ctu_eligible(self):
+        """True when the per-CTU compress pass can run in the native CTU
+        compressor (encctu.cpp) — the standard Main-profile toolset the
+        port covers; anything else falls back to the Python reference
+        path (which stays the oracle for byte-identity tests)."""
+        cfg, sps = self.cfg, self.sps
+        if os.environ.get("HEVC_ENC_NATIVE", "1") == "0":
+            return False
+        if self.slice_type != 2:
+            return False            # inter port lands separately
+        if sps.chroma_format_idc != 1:
+            return False
+        if getattr(cfg, "lossless", False) or \
+                getattr(cfg, "pcm_enabled", False):
+            return False
+        if getattr(cfg, "scaling_list", False):
+            return False
+        if getattr(self, "_dqp_enabled", False):
+            return False
+        if cfg.bit_depth > 12:
+            return False
+        if getattr(sps, "extended_precision", 0):
+            return False
+        for v in ("HEVC_FORCE_LUMA_MODE", "HEVC_FORCE_CHROMA_MODE",
+                  "HEVC_FORCE_PART", "HEVC_DEBUG_RQT", "HEVC_DEBUG_PRED",
+                  "HEVC_DUMP_BLOCKS", "HEVC_DBG_SKIPRD"):
+            if os.environ.get(v):
+                return False
+        lib = self._enc_native()
+        return lib is not None and hasattr(lib, "enc_ctu_create")
+
+    def _native_compress(self, scan):
+        """Run the whole decide+record pass in native code; returns a
+        _NativeRecOps with per-CTU marks for the emission pass."""
+        lib = self._enc_native()
+        sps, cfg, pic, sd = self.sps, self.cfg, self.pic, self.sd
+        inter = self.slice_type in (0, 1)
+        sh = getattr(self, "sh", None) if inter else None
+        all_before = 1
+        if inter and getattr(self, "ref_pics", None):
+            all_before = 1 if all(
+                p is not None and p.poc <= sh.poc
+                for lst in self.ref_pics for p in lst) else 0
+        ia = np.array([
+            sps.width, sps.height, cfg.bit_depth, sps.chroma_format_idc,
+            sps.log2_ctb, sps.log2_min_cb, sps.log2_min_tb, sps.log2_max_tb,
+            sps.max_tr_hierarchy_intra, sps.max_tr_hierarchy_inter,
+            1 if sps.amp_enabled else 0,
+            1 if sps.strong_intra_smoothing else 0,
+            1 if getattr(sps, "intra_smoothing_disabled", 0) else 0,
+            1 if cfg.sign_hiding else 0, 1 if cfg.rdoq else 0,
+            1 if getattr(cfg, "transform_skip", False) else 0,
+            self.slice_type, self.cur_qp,
+            sh.num_ref_idx[0] if inter else 0,
+            sh.num_ref_idx[1] if inter else 0,
+            cfg.max_merge_cand, cfg.search_range,
+            1 if getattr(cfg, "fast_search", 1) else 0,
+            sh.temporal_mvp if inter else 0,
+            sh.collocated_from_l0 if inter else 1,
+            sh.collocated_ref_idx if inter else 0,
+            sh.poc if inter else 0,
+            1 if cfg.rdo_cu else 0, cfg.cu_size,
+            int(os.environ.get("HEVC_INTRA_RD_CANDS", "2")),
+            int(os.environ.get("HEVC_RD_PARTS", "0")),
+            0 if os.environ.get("HEVC_RD_UNI", "1") == "0" else 1,
+            pic.depth.shape[1], pic.depth.shape[0],
+            sps.pic_width_ctbs, all_before,
+            getattr(sd.pps, "log2_parallel_merge_level", 2)],
+            np.int64)
+        da = np.array([self.rd_lambda, self._lam_motion,
+                       self.rd_lambda ** 0.5, self.chroma_weight[1],
+                       self.chroma_weight[2]], np.float64)
+        from ..hostdec.tables import NEXT_STATE_MPS as _NM, \
+            NEXT_STATE_LPS as _NL
+        ncomp = self.ncomp
+        mp = np.array([
+            pic.depth.ctypes.data, pic.pred_mode.ctypes.data,
+            pic.part_size.ctypes.data, pic.skip.ctypes.data,
+            pic.pcm.ctypes.data, pic.intra_y.ctypes.data,
+            pic.intra_c.ctypes.data, pic.chroma_dm.ctypes.data,
+            pic.qp.ctypes.data, pic.cbf_y.ctypes.data,
+            pic.edge_flags.ctypes.data, pic.inter_dir.ctypes.data,
+            pic.mv.ctypes.data, pic.ref_idx.ctypes.data,
+            pic.ref_poc.ctypes.data, pic.ref_is_lt.ctypes.data,
+            pic.slice_idx.ctypes.data, sd._zmap.ctypes.data,
+            sd.tile_map.ctypes.data,
+            self.orig[0].ctypes.data,
+            self.orig[1].ctypes.data if ncomp > 1 else 0,
+            self.orig[2].ctypes.data if ncomp > 1 else 0,
+            self.recon[0].ctypes.data,
+            self.recon[1].ctypes.data if ncomp > 1 else 0,
+            self.recon[2].ctypes.data if ncomp > 1 else 0,
+            _NM.ctypes.data, _NL.ctypes.data,
+            self.recon[0].shape[1], self.recon[0].shape[0],
+            self.recon[1].shape[1] if ncomp > 1 else 0,
+            self.recon[1].shape[0] if ncomp > 1 else 0],
+            np.int64)
+        bp = np.array([_addr(self.bank[k]) for k in _NATIVE_BANK_KEYS],
+                      np.int64)
+        h = lib.enc_ctu_create(ia.ctypes.data, da.ctypes.data,
+                               mp.ctypes.data, bp.ctypes.data)
+        try:
+            marks = [0]
+            wc = sps.pic_width_ctbs
+            for addr in scan:
+                cx = (addr % wc) << sps.log2_ctb
+                cy = (addr // wc) << sps.log2_ctb
+                marks.append(int(lib.enc_ctu_compress(h, cx, cy)))
+            n = marks[-1]
+            kind = np.empty(n, np.uint8)
+            a = np.empty(n, np.int32)
+            b = np.empty(n, np.int32)
+            if n:
+                lib.enc_ctu_fetch_ops(h, kind.ctypes.data, a.ctypes.data,
+                                      b.ctypes.data)
+        finally:
+            lib.enc_ctu_destroy(h)
+        banks = [self.bank[k] for k in _NATIVE_BANK_KEYS]
+        return _NativeRecOps(kind, a, b, marks, banks)
 
     def _padded_i16(self, plane, R):
         """Edge-padded int16 copy of a reference plane (pad = R + 8),

@@ -6,6 +6,7 @@
 #include "recon.cpp"
 #include "encsearch.cpp"
 #include "rdoq.cpp"
+#include "encctu.cpp"
 
 #include <atomic>
 #include <condition_variable>

@@ -1,0 +1,2041 @@
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <functional>
+#include <limits>
+#include <utility>
+#include <vector>
+
+// Native CU/mode RD orchestration: the per-CTU compress pass of the
+// encoder (encoder.py encode_cqt and everything below it), ported 1:1 so
+// the emitted CABAC op stream is byte-identical to the Python reference
+// implementation.  Reference anchor: TEncCu::xCompressCU
+// (/root/reference/source/Lib/TLibEncoder/TEncCu.cpp:363-680) and
+// TEncSearch (estIntraPredQT, predInterSearch, xEstimateInterResidualQT).
+//
+// Shares the live Python context-bank arrays (int32, state = 2*pState+MPS)
+// exactly like rdoq.cpp; decisions record (context, idx, value, pre-state)
+// ops with trial-coder semantics: recording adapts the shared state, ops
+// are priced at their pre-adaptation states, truncate() rolls states back
+// and reinstate() re-advances them (encoder.py _RecordingCabac).
+//
+// Compiled into libhevcdec.so via api.cpp (after rdoq.cpp, whose
+// residualBits / EstBits / scanOrder and the enc_tu_fwd kernel it reuses).
+
+namespace hevc {
+namespace encctu {
+
+using rdoq::kFrac;
+using rdoq::kEst;
+using rdoq::kGroupIdx;
+using rdoq::kMinInGroup;
+using rdoq::scanOrder;
+
+// context-bank set ids — MUST match encoder.py _NATIVE_BANK_KEYS order
+enum BankSet {
+  B_TQB = 0, B_SPLIT, B_SKIP, B_MERGE_FLAG, B_MERGE_IDX, B_PART,
+  B_PREDMODE, B_MPM, B_CHROMA_MODE, B_INTER_DIR, B_MVD, B_REF_IDX, B_DQP,
+  B_QT_CBF, B_ROOT_CBF, B_SIG_CG, B_SIG, B_GT1, B_GT2, B_MVP, B_SUBDIV,
+  B_TSKIP, B_LAST_X, B_LAST_Y, NSETS
+};
+
+enum { OP_B = 0, OP_P = 1, OP_PN = 2, OP_EG = 3, OP_T = 4 };
+
+enum { MODE_INTER = 0, MODE_INTRA = 1 };
+enum { SIZE_2Nx2N = 0, SIZE_2NxN = 1, SIZE_Nx2N = 2, SIZE_NxN = 3,
+       SIZE_2NxnU = 4, SIZE_2NxnD = 5, SIZE_nLx2N = 6, SIZE_nRx2N = 7 };
+enum { EDGE_TU_LEFT = 1, EDGE_TU_TOP = 2, EDGE_PU_LEFT = 4, EDGE_PU_TOP = 8,
+       EDGE_CU_LEFT = 16, EDGE_CU_TOP = 32 };
+enum { SCAN_DIAG = 0, SCAN_HOR = 1, SCAN_VER = 2 };
+enum { PLANAR_IDX = 0, DC_IDX = 1, HOR_IDX = 10, VER_IDX = 26 };
+
+static const int kChroma422AngleMap[35] = {
+    0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19, 20,
+    21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29, 29, 30, 31};
+
+static const int kAngTable[35] = {0, 0, 32, 26, 21, 17, 13, 9, 5, 2, 0, -2,
+                                  -5, -9, -13, -17, -21, -26, -32, -26, -21,
+                                  -17, -13, -9, -5, -2, 0, 2, 5, 9, 13, 17,
+                                  21, 26, 32};
+
+static inline int invAngleOf(int ang) {
+  switch (ang) {
+    case -2: return 4096;
+    case -5: return 1638;
+    case -9: return 910;
+    case -13: return 630;
+    case -17: return 482;
+    case -21: return 390;
+    case -26: return 315;
+    default: return 256;  // -32
+  }
+}
+
+static inline int bitLength(unsigned long long v) {
+  int n = 0;
+  while (v) { n++; v >>= 1; }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// recording trial coder (encoder.py _RecordingCabac)
+// ---------------------------------------------------------------------------
+struct Ops {
+  std::vector<uint8_t> kind;
+  std::vector<int32_t> a;    // OP_B: (set<<8)|idx; OP_PN: n; OP_EG: k
+  std::vector<int32_t> b;    // value
+  std::vector<uint8_t> pre;  // OP_B: pre-adaptation state
+  size_t size() const { return kind.size(); }
+};
+
+struct OpsSlice {
+  std::vector<uint8_t> kind;
+  std::vector<int32_t> a, b;
+  std::vector<uint8_t> pre;
+};
+
+struct PartTrial;  // fwd (inter)
+
+struct Ctx {
+  // --- config ---
+  int width, height, bd, cfmt;
+  int log2Ctb, log2MinCb, log2MinTb, log2MaxTb;
+  int maxTrIntra, maxTrInter;
+  int ampEnabled, strongSmoothing, smoothingDisabled;
+  int sdh, rdoqOn, tsEnabled;
+  int sliceType, qp;
+  int numRef[2], maxMerge, searchRange, fastSearch;
+  int tmvp, colFromL0, colRefIdx, poc;
+  int rdoCu, cuSizeTarget, intraRdCands, rdParts, rdUni;
+  int w4, h4, nctbX;
+  int allRefsBefore;
+  int log2ParMrg;
+  double rdLambda, lamMotion, lamPred, cw[3];
+
+  // --- map pointers (4x4 granularity, row stride w4) ---
+  int8_t *depth, *predMode, *partSize, *skip, *pcm, *intraY, *intraC,
+      *chromaDm, *qpMap, *cbfY, *interDir, *refIdx, *refIsLt;
+  uint8_t *edgeFlags;
+  int32_t *mv, *refPocM, *sliceIdx;
+  int64_t *zmap;
+  int32_t *tileMap;
+
+  // --- planes (int32, stride = planeW[c]) ---
+  int32_t *orig[3], *recon[3];
+  int planeW[3], planeH[3];
+  int compW[3], compH[3];  // true component dims (sps.width >> ssx, ...)
+
+  int32_t *bank[NSETS];
+  const int32_t *nextMps, *nextLps;
+
+  // --- reference pictures (inter) ---
+  struct Ref {
+    const int16_t* plane[3];  // unpadded int16 copies, stride compW
+    const int16_t* padded;    // luma edge-padded (pad = R + 8) for ME
+    int padW, padH;
+    int planeId;              // dedup id (same picture in both lists)
+    int poc, isLt;
+    // collocated syntax maps (TMVP), may be null
+    const int8_t *colPredMode, *colInterDir, *colRefIsLt;
+    const int32_t *colMv, *colRefPoc;
+    int colW4, colH4;
+  };
+  std::vector<Ref> refs[2];
+  int colList() const { return 1 - colFromL0; }
+
+  Ops ops;
+  int curQp;
+  int ctuX, ctuY;
+
+  // inter helper state (mirrors transient attrs on IntraEncoder)
+  int puLastMode;
+
+  ~Ctx();
+
+  // ---- recording coder ----
+  void recBin(int set, int idx, int v) {
+    int32_t* arr = bank[set];
+    int state = arr[idx];
+    arr[idx] = (v == (state & 1)) ? nextMps[state] : nextLps[state];
+    ops.kind.push_back(OP_B);
+    ops.a.push_back((set << 8) | idx);
+    ops.b.push_back(v);
+    ops.pre.push_back((uint8_t)state);
+  }
+  void recBypass(int v) {
+    ops.kind.push_back(OP_P);
+    ops.a.push_back(0);
+    ops.b.push_back(v);
+    ops.pre.push_back(0);
+  }
+  void recBypassBins(int v, int n) {
+    ops.kind.push_back(OP_PN);
+    ops.a.push_back(n);
+    ops.b.push_back(v);
+    ops.pre.push_back(0);
+  }
+  void recEg(int v, int k) {
+    ops.kind.push_back(OP_EG);
+    ops.a.push_back(k);
+    ops.b.push_back(v);
+    ops.pre.push_back(0);
+  }
+  void recTerm(int v) {
+    ops.kind.push_back(OP_T);
+    ops.a.push_back(0);
+    ops.b.push_back(v);
+    ops.pre.push_back(0);
+  }
+  void truncate(size_t lo) {
+    for (size_t i = ops.size(); i-- > lo;) {
+      if (ops.kind[i] == OP_B)
+        bank[ops.a[i] >> 8][ops.a[i] & 255] = ops.pre[i];
+    }
+    ops.kind.resize(lo);
+    ops.a.resize(lo);
+    ops.b.resize(lo);
+    ops.pre.resize(lo);
+  }
+  OpsSlice saveOps(size_t lo) const {
+    OpsSlice s;
+    s.kind.assign(ops.kind.begin() + lo, ops.kind.end());
+    s.a.assign(ops.a.begin() + lo, ops.a.end());
+    s.b.assign(ops.b.begin() + lo, ops.b.end());
+    s.pre.assign(ops.pre.begin() + lo, ops.pre.end());
+    return s;
+  }
+  void reinstate(const OpsSlice& s) {
+    for (size_t i = 0; i < s.kind.size(); i++) {
+      if (s.kind[i] == OP_B) {
+        int set = s.a[i] >> 8, idx = s.a[i] & 255;
+        int32_t* arr = bank[set];
+        int state = arr[idx];
+        arr[idx] = (s.b[i] == (state & 1)) ? nextMps[state] : nextLps[state];
+      }
+      ops.kind.push_back(s.kind[i]);
+      ops.a.push_back(s.a[i]);
+      ops.b.push_back(s.b[i]);
+      ops.pre.push_back(s.pre[i]);
+    }
+  }
+  // fractional-bit pricing (encoder.py _est_ops_raw): context bins priced
+  // at the per-op pre-adaptation state, FRAC-scaled, accumulation order
+  // matches the recording order exactly.
+  double estOpsRaw(size_t lo) const {
+    double tot = 0.0;
+    for (size_t i = lo; i < ops.size(); i++) {
+      switch (ops.kind[i]) {
+        case OP_B: {
+          int state = ops.pre[i];
+          tot += (ops.b[i] == (state & 1)) ? kEst.mps[state >> 1]
+                                           : kEst.lps[state >> 1];
+          break;
+        }
+        case OP_P: tot += kFrac; break;
+        case OP_PN: tot += (double)ops.a[i] * kFrac; break;
+        case OP_T: tot += kFrac; break;
+        default: {  // OP_EG
+          int k = ops.a[i];
+          long long v = ops.b[i];
+          tot += (double)(2 * bitLength((unsigned long long)((v >> k) + 1)) -
+                          1 + k) * kFrac;
+        }
+      }
+    }
+    return tot;
+  }
+  double estOpsBits(size_t lo) const { return estOpsRaw(lo) / kFrac; }
+
+  // ---- map helpers ----
+  int m4(int v) const { return v >> 2; }
+  size_t mi(int x, int y) const { return (size_t)(y >> 2) * w4 + (x >> 2); }
+  void setRect8(int8_t* m, int x, int y, int w, int h, int v) {
+    for (int j = y >> 2; j < (y + h) >> 2; j++)
+      for (int i = x >> 2; i < (x + w) >> 2; i++) m[(size_t)j * w4 + i] = v;
+  }
+  void markEdges(int x, int y, int size) {
+    for (int j = y >> 2; j < (y + size) >> 2; j++)
+      edgeFlags[(size_t)j * w4 + (x >> 2)] |=
+          EDGE_CU_LEFT | EDGE_PU_LEFT | EDGE_TU_LEFT;
+    for (int i = x >> 2; i < (x + size) >> 2; i++)
+      edgeFlags[(size_t)(y >> 2) * w4 + i] |=
+          EDGE_CU_TOP | EDGE_PU_TOP | EDGE_TU_TOP;
+  }
+  void markTuEdges(int x, int y, int size) {
+    for (int j = y >> 2; j < (y + size) >> 2; j++)
+      edgeFlags[(size_t)j * w4 + (x >> 2)] |= EDGE_TU_LEFT;
+    for (int i = x >> 2; i < (x + size) >> 2; i++)
+      edgeFlags[(size_t)(y >> 2) * w4 + i] |= EDGE_TU_TOP;
+  }
+
+  // availability (slicedec.SliceDecoder.available)
+  bool available(int x, int y, int curX, int curY, bool checkZ = true) const {
+    if (x < 0 || y < 0 || x >= width || y >= height) return false;
+    int x4 = x >> 2, y4 = y >> 2, cx4 = curX >> 2, cy4 = curY >> 2;
+    if (checkZ && zmap[(size_t)y4 * w4 + x4] >= zmap[(size_t)cy4 * w4 + cx4])
+      return false;
+    if (sliceIdx[(size_t)y4 * w4 + x4] !=
+        sliceIdx[(size_t)cy4 * w4 + cx4])
+      return false;
+    return tileMap[(y >> log2Ctb) * nctbX + (x >> log2Ctb)] ==
+           tileMap[(curY >> log2Ctb) * nctbX + (curX >> log2Ctb)];
+  }
+
+  int chromaShiftX() const { return cfmt == 1 || cfmt == 2 ? 1 : 0; }
+  int chromaShiftY() const { return cfmt == 1 ? 1 : 0; }
+  int ncomp() const { return cfmt ? 3 : 1; }
+};
+
+Ctx::~Ctx() {
+  for (int l = 0; l < 2; l++)
+    for (auto& r : refs[l]) {
+      // planes/padded owned only by the first (l, idx) holding the id
+      (void)r;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// intra prediction oracle (hostdec/refimpl.py) over int32 planes
+// ---------------------------------------------------------------------------
+struct IntraRefs {
+  int32_t top[129], left[129];  // [2n+1] each, n <= 64
+};
+
+// fill_reference_samples (refimpl.py:132) for component comp at component
+// coords (x, y), block size n.  Availability mirrors encoder.py
+// _intra_pred's closure: anchored at the block's luma position.
+static void fillRefSamples(const Ctx& E, int comp, int x, int y, int n,
+                           IntraRefs* out) {
+  int ssx = comp ? E.chromaShiftX() : 0;
+  int ssy = comp ? E.chromaShiftY() : 0;
+  int W = E.compW[comp], H = E.compH[comp];
+  int lxA = x << ssx, lyA = y << ssy;
+  long long zCur = E.zmap[(size_t)(lyA >> 2) * E.w4 + (lxA >> 2)];
+  int32_t sliceCur = E.sliceIdx[(size_t)(lyA >> 2) * E.w4 + (lxA >> 2)];
+  int32_t tileCur =
+      E.tileMap[(lyA >> E.log2Ctb) * E.nctbX + (lxA >> E.log2Ctb)];
+  auto avail = [&](int cx, int cy) -> bool {
+    if (cx < 0 || cy < 0 || cx >= W || cy >= H) return false;
+    int lx = cx << ssx, ly = cy << ssy;
+    if (E.zmap[(size_t)(ly >> 2) * E.w4 + (lx >> 2)] >= zCur) return false;
+    if (E.sliceIdx[(size_t)(ly >> 2) * E.w4 + (lx >> 2)] != sliceCur)
+      return false;
+    return E.tileMap[(ly >> E.log2Ctb) * E.nctbX + (lx >> E.log2Ctb)] ==
+           tileCur;
+  };
+  const int total = 4 * n + 1;
+  int cxs[257], cys[257];
+  bool av[257];
+  for (int i = 0; i < 2 * n; i++) { cxs[i] = x - 1; cys[i] = y + 2 * n - 1 - i; }
+  cxs[2 * n] = x - 1; cys[2 * n] = y - 1;
+  for (int i = 0; i < 2 * n; i++) { cxs[2 * n + 1 + i] = x + i; cys[2 * n + 1 + i] = y - 1; }
+  bool any = false;
+  for (int i = 0; i < total; i++) {
+    av[i] = avail(cxs[i], cys[i]);
+    any = any || av[i];
+  }
+  int32_t vals[257];
+  const int32_t* plane = E.recon[comp];
+  const int stride = E.planeW[comp];
+  if (!any) {
+    int32_t dc = 1 << (E.bd - 1);
+    for (int i = 0; i < total; i++) vals[i] = dc;
+  } else {
+    for (int i = 0; i < total; i++)
+      vals[i] = av[i] ? plane[(size_t)cys[i] * stride + cxs[i]] : 0;
+    if (!av[0]) {
+      int j = 1;
+      while (j < total && !av[j]) j++;
+      vals[0] = vals[j];
+    }
+    for (int i = 1; i < total; i++)
+      if (!av[i]) vals[i] = vals[i - 1];
+  }
+  // left[0] = corner, left[1..2n] downwards; top[0] = corner, rightwards
+  for (int i = 0; i <= 2 * n; i++) out->left[i] = vals[2 * n - i];
+  for (int i = 0; i <= 2 * n; i++) out->top[i] = vals[2 * n + i];
+}
+
+// filter_reference_samples (refimpl.py:172)
+static void filterRefSamples(const IntraRefs& in, int n, int bd,
+                             bool strongEnabled, IntraRefs* out) {
+  int32_t corner = in.top[0];
+  // full = left[2n..1] reversed-ish: full[i] = left[2n - i] for i<2n;
+  // full[2n] = corner; full[2n + i] = top[i]
+  int32_t full[257];
+  for (int i = 0; i < 2 * n; i++) full[i] = in.left[2 * n - i];
+  full[2 * n] = corner;
+  for (int i = 1; i <= 2 * n; i++) full[2 * n + i] = in.top[i];
+  const int T = 4 * n + 1;
+  if (strongEnabled && n == 32) {
+    int thr = 1 << (bd - 5);
+    bool f1 = std::abs((long long)corner + in.top[2 * n] - 2LL * in.top[n]) <
+              thr;
+    bool f2 = std::abs((long long)corner + in.left[2 * n] -
+                       2LL * in.left[n]) < thr;
+    if (f1 && f2) {
+      long long bl = in.left[2 * n], tr = in.top[2 * n], c = corner;
+      out->left[0] = (int32_t)c;
+      out->top[0] = (int32_t)c;
+      for (int i = 0; i < 2 * n; i++) {
+        out->left[1 + i] =
+            (int32_t)(((2 * n - 1 - i) * c + (i + 1) * bl + n) >> 6);
+        out->top[1 + i] =
+            (int32_t)(((2 * n - 1 - i) * c + (i + 1) * tr + n) >> 6);
+      }
+      out->left[2 * n] = (int32_t)bl;
+      out->top[2 * n] = (int32_t)tr;
+      return;
+    }
+  }
+  int32_t sm[257];
+  sm[0] = full[0];
+  sm[T - 1] = full[T - 1];
+  for (int i = 1; i < T - 1; i++)
+    sm[i] = (full[i - 1] + 2 * full[i] + full[i + 1] + 2) >> 2;
+  out->left[0] = sm[2 * n];
+  for (int i = 0; i < 2 * n; i++) out->left[1 + i] = sm[2 * n - 1 - i];
+  for (int i = 0; i <= 2 * n; i++) out->top[i] = sm[2 * n + i];
+}
+
+// use_filtered_refs (refimpl.py:208)
+static bool useFilteredRefs(const Ctx& E, int comp, int n, int mode) {
+  if (E.smoothingDisabled) return false;
+  if (comp != 0 && E.cfmt != 3) return false;
+  if (mode == 1 || n == 4) return false;
+  if (mode == 0) return n >= 8;
+  int minDist = std::min(std::abs(mode - 26), std::abs(mode - 10));
+  int thr = n == 8 ? 7 : (n == 16 ? 1 : (n == 32 || n == 64 ? 0 : 10));
+  return minDist > thr;
+}
+
+// predict_intra (refimpl.py:223), full oracle incl. boundary filters
+static void predictIntra(const int32_t* top, const int32_t* left, int n,
+                         int mode, int comp, int bd, int32_t* pred) {
+  const int maxv = (1 << bd) - 1;
+  const int log2n = bitLength((unsigned)n) - 1;
+  if (mode == 0) {  // planar
+    long long tr = top[n + 1], bl = left[n + 1];
+    for (int j = 0; j < n; j++)
+      for (int i = 0; i < n; i++) {
+        long long hor =
+            (long long)(n - 1 - i) * left[1 + j] + (long long)(i + 1) * tr;
+        long long ver =
+            (long long)(n - 1 - j) * top[1 + i] + (long long)(j + 1) * bl;
+        pred[j * n + i] = (int32_t)((hor + ver + n) >> (log2n + 1));
+      }
+    return;
+  }
+  if (mode == 1) {  // DC
+    long long s = 0;
+    for (int i = 1; i <= n; i++) s += top[i] + left[i];
+    int dc = (int)((s + n) >> (log2n + 1));
+    for (int i = 0; i < n * n; i++) pred[i] = dc;
+    if (comp == 0 && n < 32) {
+      pred[0] = (left[1] + 2 * dc + top[1] + 2) >> 2;
+      for (int i = 1; i < n; i++) pred[i] = (top[1 + i] + 3 * dc + 2) >> 2;
+      for (int j = 1; j < n; j++)
+        pred[j * n] = (left[1 + j] + 3 * dc + 2) >> 2;
+    }
+    return;
+  }
+  int ang = kAngTable[mode];
+  bool vertical = mode >= 18;
+  const int32_t* main_ = vertical ? top : left;
+  const int32_t* side = vertical ? left : top;
+  int32_t ref[129 * 2];
+  int baseIdx;
+  if (ang < 0) {
+    int inv = invAngleOf(ang);
+    for (int i = 0; i <= 2 * n; i++) ref[i] = 0;
+    for (int i = 0; i <= n; i++) ref[n + i] = main_[i];
+    int lo = (n * ang) >> 5;
+    for (int i = -1; i >= lo; i--) {
+      int si = (-i * inv + 128) >> 8;
+      if (si > 2 * n) si = 2 * n;
+      ref[n + i] = side[si];
+    }
+    baseIdx = n;
+  } else {
+    for (int i = 0; i <= 2 * n; i++) ref[i] = main_[i];
+    baseIdx = 0;
+  }
+  for (int j = 0; j < n; j++) {
+    int pos = (j + 1) * ang;
+    int intOff = pos >> 5;
+    int frac = pos & 31;
+    int idx = baseIdx + 1 + intOff;
+    for (int i = 0; i < n; i++) {
+      long long v;
+      if (frac)
+        v = ((long long)(32 - frac) * ref[idx + i] +
+             (long long)frac * ref[idx + i + 1] + 16) >> 5;
+      else
+        v = ref[idx + i];
+      if (vertical) pred[j * n + i] = (int32_t)v;
+      else pred[i * n + j] = (int32_t)v;
+    }
+  }
+  if (comp == 0 && n < 32) {
+    if (mode == 26) {
+      for (int j = 0; j < n; j++) {
+        long long d = ((long long)left[1 + j] - top[0]) >> 1;
+        long long v = top[1] + d;
+        pred[j * n] = (int32_t)(v < 0 ? 0 : (v > maxv ? maxv : v));
+      }
+    } else if (mode == 10) {
+      for (int i = 0; i < n; i++) {
+        long long d = ((long long)top[1 + i] - left[0]) >> 1;
+        long long v = left[1] + d;
+        pred[i] = (int32_t)(v < 0 ? 0 : (v > maxv ? maxv : v));
+      }
+    }
+  }
+}
+
+// encoder-side full intra prediction (encoder.py _intra_pred): fill +
+// conditional smoothing + full predict.
+static void intraPredFull(const Ctx& E, int comp, int x, int y, int n,
+                          int mode, int32_t* pred) {
+  IntraRefs r;
+  fillRefSamples(E, comp, x, y, n, &r);
+  if (useFilteredRefs(E, comp, n, mode)) {
+    IntraRefs f;
+    bool strong = E.strongSmoothing && comp == 0;
+    filterRefSamples(r, n, E.bd, strong, &f);
+    predictIntra(f.top, f.left, n, mode, comp, E.bd, pred);
+  } else {
+    predictIntra(r.top, r.left, n, mode, comp, E.bd, pred);
+  }
+}
+
+// all-modes search predictions (encoder/intra_search.predict_all_modes):
+// boundary filters are SKIPPED (search-side simplification; the RD trial
+// uses these predictions too, so the skip influences decisions and must
+// be mirrored exactly).
+struct AllPreds {
+  std::vector<int32_t> buf;  // [35 * n * n]
+  int n;
+  const int32_t* at(int m) const { return buf.data() + (size_t)m * n * n; }
+  int32_t* at(int m) { return buf.data() + (size_t)m * n * n; }
+};
+
+static void predictAllModes(const Ctx& E, int comp, int x, int y, int n,
+                            AllPreds* out) {
+  out->n = n;
+  out->buf.resize((size_t)35 * n * n);
+  IntraRefs ru;
+  fillRefSamples(E, comp, x, y, n, &ru);
+  IntraRefs rf;
+  bool haveF = !E.smoothingDisabled && (comp == 0 || E.cfmt == 3) && n > 4;
+  if (haveF)
+    filterRefSamples(ru, n, E.bd, E.strongSmoothing && comp == 0, &rf);
+  const int log2n = bitLength((unsigned)n) - 1;
+  for (int m = 0; m < 35; m++) {
+    bool filt = haveF && useFilteredRefs(E, comp, n, m);
+    const IntraRefs& R = filt ? rf : ru;
+    int32_t* p = out->at(m);
+    if (m == 0) {  // planar
+      long long tr = R.top[n + 1], bl = R.left[n + 1];
+      for (int j = 0; j < n; j++)
+        for (int i = 0; i < n; i++) {
+          long long hor = (long long)(n - 1 - i) * R.left[1 + j] +
+                          (long long)(i + 1) * tr;
+          long long ver = (long long)(n - 1 - j) * R.top[1 + i] +
+                          (long long)(j + 1) * bl;
+          p[j * n + i] = (int32_t)((hor + ver + n) >> (log2n + 1));
+        }
+      continue;
+    }
+    if (m == 1) {  // DC, boundary filter skipped
+      long long s = 0;
+      for (int i = 1; i <= n; i++) s += R.top[i] + R.left[i];
+      int dc = (int)((s + n) >> (log2n + 1));
+      for (int i = 0; i < n * n; i++) p[i] = dc;
+      continue;
+    }
+    // angular without the mode-10/26 boundary filter: reuse predictIntra
+    // with comp forced chroma-like (boundary filters keyed on comp == 0)
+    predictIntra(R.top, R.left, n, m, /*comp=*/1, E.bd, p);
+  }
+}
+
+// intra MPM derivation (slicedec._intra_mpm)
+static void intraMpm(const Ctx& E, int x, int y, int preds[3]) {
+  int leftM = DC_IDX;
+  if (E.available(x - 1, y, x, y) &&
+      E.predMode[E.mi(x - 1, y)] == MODE_INTRA && !E.pcm[E.mi(x - 1, y)])
+    leftM = E.intraY[E.mi(x - 1, y)];
+  int aboveM = DC_IDX;
+  int ctb = 1 << E.log2Ctb;
+  if ((y % ctb) != 0 && E.available(x, y - 1, x, y) &&
+      E.predMode[E.mi(x, y - 1)] == MODE_INTRA && !E.pcm[E.mi(x, y - 1)])
+    aboveM = E.intraY[E.mi(x, y - 1)];
+  if (leftM == aboveM) {
+    if (leftM > 1) {
+      preds[0] = leftM;
+      preds[1] = ((leftM + 29) % 32) + 2;
+      preds[2] = ((leftM - 1) % 32) + 2;
+    } else {
+      preds[0] = PLANAR_IDX;
+      preds[1] = DC_IDX;
+      preds[2] = VER_IDX;
+    }
+    return;
+  }
+  preds[0] = leftM;
+  preds[1] = aboveM;
+  if (leftM != PLANAR_IDX && aboveM != PLANAR_IDX) preds[2] = PLANAR_IDX;
+  else if (leftM != DC_IDX && aboveM != DC_IDX) preds[2] = DC_IDX;
+  else preds[2] = VER_IDX;
+}
+
+// ---------------------------------------------------------------------------
+// SATD (encsearch satdBlock over int32 diff)
+// ---------------------------------------------------------------------------
+static long long satd32(const int32_t* a, const int32_t* b, int w, int h) {
+  static thread_local std::vector<int32_t> diff;
+  diff.resize((size_t)w * h);
+  for (int i = 0; i < w * h; i++) diff[i] = a[i] - b[i];
+  return enc::satdBlock(diff.data(), w, h);
+}
+
+// ---------------------------------------------------------------------------
+// residual_coding() emission into the recording coder
+// (encoder/residual_enc.py encode_residual, recording variant)
+// ---------------------------------------------------------------------------
+static void encodeLastSigXY(Ctx& E, int posX, int posY, int w, int h,
+                            bool isChroma, int scanType) {
+  if (scanType == SCAN_VER) {
+    std::swap(posX, posY);
+    std::swap(w, h);
+  }
+  int log2w = bitLength((unsigned)w) - 1, log2h = bitLength((unsigned)h) - 1;
+  int offX, offY, shiftX, shiftY;
+  if (isChroma) {
+    offX = offY = 15;
+    shiftX = log2w - 2;
+    shiftY = log2h - 2;
+  } else {
+    offX = 3 * (log2w - 2) + ((log2w - 1) >> 2);
+    offY = 3 * (log2h - 2) + ((log2h - 1) >> 2);
+    shiftX = (log2w + 1) >> 2;
+    shiftY = (log2h + 1) >> 2;
+  }
+  int gx = kGroupIdx[posX], gy = kGroupIdx[posY];
+  for (int i = 0; i < gx; i++) E.recBin(B_LAST_X, offX + (i >> shiftX), 1);
+  if (gx < kGroupIdx[w - 1]) E.recBin(B_LAST_X, offX + (gx >> shiftX), 0);
+  for (int i = 0; i < gy; i++) E.recBin(B_LAST_Y, offY + (i >> shiftY), 1);
+  if (gy < kGroupIdx[h - 1]) E.recBin(B_LAST_Y, offY + (gy >> shiftY), 0);
+  if (gx > 3) E.recBypassBins(posX - kMinInGroup[gx], (gx - 2) >> 1);
+  if (gy > 3) E.recBypassBins(posY - kMinInGroup[gy], (gy - 2) >> 1);
+}
+
+static void encodeCoefRemain(Ctx& E, long long v, int rice) {
+  const int RED = 3;  // COEF_REMAIN_BIN_REDUCTION
+  if ((v >> rice) < RED) {
+    int prefix = (int)(v >> rice);
+    for (int i = 0; i < prefix; i++) E.recBypass(1);
+    E.recBypass(0);
+    E.recBypassBins((int)(v & ((1 << rice) - 1)), rice);
+  } else {
+    long long vr = v >> rice;
+    int L = bitLength((unsigned long long)(vr - 2)) - 1;
+    for (int i = 0; i < RED + L; i++) E.recBypass(1);
+    E.recBypass(0);
+    long long suffix = v - (((1LL << L) + RED - 1) << rice);
+    E.recBypassBins((int)suffix, L + rice);
+  }
+}
+
+// significance context layout constants (hostdec/residual.py)
+static const int kCtxIndMap4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5,
+                                      6, 6, 8, 8, 7, 7, 8, 8};
+static const int kSigSet[2][3] = {{0, 9, 21}, {0, 9, 12}};
+static const int kNonDiag8[2] = {6, 0};
+static const int kNotFirst[2] = {3, 0};
+static const int C1FLAG_NUMBER = 8;
+
+static void encodeResidual(Ctx& E, const int32_t* coeffs, int w, int h,
+                           int comp, int scanType, int signHiding,
+                           int tsFlag) {
+  if (tsFlag >= 0) E.recBin(B_TSKIP, comp == 0 ? 0 : 1, tsFlag);
+  int log2w = bitLength((unsigned)w) - 1;
+  bool isChroma = comp > 0;
+  int ch = isChroma ? 1 : 0;
+  // grouped scan: CGs in scan order, 16 in-CG positions each
+  int wg = w >> 2, hg = h >> 2;
+  static thread_local int cgx[64], cgy[64], inx[16], iny[16];
+  scanOrder(wg, hg, scanType, cgx, cgy);
+  scanOrder(4, 4, scanType, inx, iny);
+  auto blkAt = [&](int s, int k) {
+    return (cgy[s] * 4 + iny[k]) * w + cgx[s] * 4 + inx[k];
+  };
+  int nCg = wg * hg;
+  int scanPosLast = -1, blkLast = -1;
+  for (int s = 0; s < nCg; s++)
+    for (int k = 0; k < 16; k++) {
+      int b = blkAt(s, k);
+      if (coeffs[b]) { scanPosLast = s * 16 + k; blkLast = b; }
+    }
+  int posY = blkLast / w, posX = blkLast - posY * w;
+  encodeLastSigXY(E, posX, posY, w, h, isChroma, scanType);
+
+  int firstSigCtx;
+  if (w == 4 && h == 4) firstSigCtx = kSigSet[ch][0];
+  else if (w == 8 && h == 8) {
+    firstSigCtx = kSigSet[ch][1];
+    if (scanType != SCAN_DIAG) firstSigCtx += kNonDiag8[ch];
+  } else firstSigCtx = kSigSet[ch][2];
+  int sigBase = isChroma ? 28 : 0;
+
+  int lastScanSet = scanPosLast >> 4;
+  int c1 = 1;
+  static thread_local int8_t sigCg[64];
+  for (int i = 0; i < 64; i++) sigCg[i] = 0;
+  for (int s = 0; s <= lastScanSet; s++) {
+    bool any = false;
+    for (int k = 0; k < 16; k++)
+      if (coeffs[blkAt(s, k)]) { any = true; break; }
+    sigCg[cgy[s] * wg + cgx[s]] = any ? 1 : 0;
+  }
+  sigCg[cgy[0] * wg + cgx[0]] = 1;
+  sigCg[cgy[lastScanSet] * wg + cgx[lastScanSet]] = 1;
+
+  int scanPos = scanPosLast;
+  for (int subset = lastScanSet; subset >= 0; subset--) {
+    int subPos = subset << 4;
+    int goRice = 0;
+    int cgX = cgx[subset], cgY = cgy[subset];
+    int cgBlk = cgY * wg + cgX;
+    int numNz = 0;
+    int posList[16];
+    if (scanPos == scanPosLast) {
+      posList[numNz++] = blkLast;
+      scanPos--;
+    }
+    if (subset != lastScanSet && subset != 0) {
+      int right = cgX < wg - 1 ? sigCg[cgBlk + 1] : 0;
+      int below = cgY < hg - 1 ? sigCg[cgBlk + wg] : 0;
+      int ctx = (right || below) ? 1 : 0;
+      E.recBin(B_SIG_CG, 2 * ch + ctx, sigCg[cgBlk]);
+    }
+    int pattern = 0;
+    if (!(wg <= 1 && hg <= 1)) {
+      int right = cgX < wg - 1 ? sigCg[cgBlk + 1] : 0;
+      int below = cgY < hg - 1 ? sigCg[cgBlk + wg] : 0;
+      pattern = right + (below << 1);
+    }
+    while (scanPos >= subPos) {
+      int k = scanPos - subPos;
+      int blk = blkAt(subset, k);
+      int sig = coeffs[blk] ? 1 : 0;
+      if (sigCg[cgBlk]) {
+        if (scanPos > subPos || subset == 0 || numNz) {
+          int py = blk >> log2w;
+          int px = blk - (py << log2w);
+          int ctx;
+          if (px + py == 0) ctx = 0;
+          else if (w == 4 && h == 4)
+            ctx = firstSigCtx + kCtxIndMap4x4[4 * py + px];
+          else {
+            int xin = px & 3, yin = py & 3, cnt;
+            if (pattern == 0) {
+              int t = xin + yin;
+              cnt = t >= 3 ? 0 : (t >= 1 ? 1 : 2);
+            } else if (pattern == 1) cnt = yin >= 2 ? 0 : (yin >= 1 ? 1 : 2);
+            else if (pattern == 2) cnt = xin >= 2 ? 0 : (xin >= 1 ? 1 : 2);
+            else cnt = 2;
+            bool notFirst = ((px >> 2) + (py >> 2)) > 0;
+            ctx = firstSigCtx + cnt + (notFirst ? kNotFirst[ch] : 0);
+          }
+          E.recBin(B_SIG, sigBase + ctx, sig);
+        }
+      }
+      if (sig) posList[numNz++] = blk;
+      scanPos--;
+    }
+    if (numNz == 0) continue;
+    int ctxSet = isChroma ? (4 + (c1 == 0 ? 1 : 0))
+                          : ((subset > 0 ? 2 : 0) + (c1 == 0 ? 1 : 0));
+    c1 = 1;
+    int baseGt1 = 4 * ctxSet;
+    long long absVals[16];
+    for (int i = 0; i < numNz; i++) {
+      long long v = coeffs[posList[i]];
+      absVals[i] = v < 0 ? -v : v;
+    }
+    int numC1 = numNz < C1FLAG_NUMBER ? numNz : C1FLAG_NUMBER;
+    int firstC2 = -1;
+    for (int i = 0; i < numC1; i++) {
+      int b = absVals[i] > 1 ? 1 : 0;
+      E.recBin(B_GT1, baseGt1 + c1, b);
+      if (b) {
+        c1 = 0;
+        if (firstC2 == -1) firstC2 = i;
+      } else if (c1 > 0 && c1 < 3) c1++;
+    }
+    if (c1 == 0 && firstC2 != -1)
+      E.recBin(B_GT2, ctxSet, absVals[firstC2] > 2 ? 1 : 0);
+    bool hide = false;
+    if (signHiding && numNz) {
+      int first = -1, last = -1;
+      int top = (subPos + 16 <= w * h) ? 16 : (w * h - subPos);
+      for (int sp = 0; sp < top; sp++)
+        if (coeffs[blkAt(subset, sp)]) {
+          if (first < 0) first = sp;
+          last = sp;
+        }
+      hide = (last - first) >= 4;  // SBH_THRESHOLD
+    }
+    int nSigns = hide ? numNz - 1 : numNz;
+    for (int i = 0; i < nSigns; i++)
+      E.recBypass(coeffs[posList[i]] < 0 ? 1 : 0);
+    int firstCoeff2 = 1;
+    for (int i = 0; i < numNz; i++) {
+      long long baseLevel = i < C1FLAG_NUMBER ? (2 + firstCoeff2) : 1;
+      if (absVals[i] >= baseLevel) {
+        encodeCoefRemain(E, absVals[i] - baseLevel, goRice);
+        if (absVals[i] > (3LL << goRice))
+          goRice = goRice + 1 < 4 ? goRice + 1 : 4;
+      }
+      if (absVals[i] >= 2) firstCoeff2 = 0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// TU forward path wrapper (encoder.py _tu_fwd native branch)
+// ---------------------------------------------------------------------------
+static const int kChromaScale420[58] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 29, 30, 31, 32, 33, 33, 34, 34,
+    35, 35, 36, 36, 37, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49,
+    50, 51};
+
+static int qpForComp(const Ctx& E, int comp) {
+  if (comp == 0) return E.curQp + 6 * (E.bd - 8);
+  int offBd = 6 * (E.bd - 8);
+  int qpi = std::max(-offBd, std::min(57, E.curQp));
+  if (qpi >= 0) {
+    if (E.cfmt == 1) qpi = kChromaScale420[qpi];
+    else qpi = std::min(qpi, 51);
+  }
+  return qpi + offBd;
+}
+
+struct TuOut {
+  int32_t lev[32 * 32];
+  int32_t rec[32 * 32];
+  int cbf;
+  int ts;  // -1 = no transform_skip flag carried
+};
+
+static void tuFwd(Ctx& E, const int32_t* resi, int n, bool useDst, int comp,
+                  int scan, bool isIntra, TuOut* out) {
+  int qp = qpForComp(E, comp);
+  double lam = E.rdLambda / E.cw[comp];
+  int tsEn = (E.tsEnabled && n == 4) ? 1 : 0;
+  double norm = (double)(1 << (2 * (E.bd - 8)));
+  int flags = enc_tu_fwd(
+      resi, n, useDst ? 1 : 0, comp > 0 ? 1 : 0, qp, E.bd, isIntra ? 1 : 0,
+      scan, E.rdoqOn, lam, E.sdh, tsEn, lam * norm, E.bank[B_SIG],
+      E.bank[B_SIG_CG], E.bank[B_GT1], E.bank[B_GT2], E.bank[B_LAST_X],
+      E.bank[B_LAST_Y], out->lev, out->rec);
+  out->cbf = flags & 1;
+  out->ts = (flags >> 1) - 1;
+}
+
+// estimated trial bits of ops[mark:] plus one NOT-recorded residual block
+// (encoder.py _residual_trial_bits; the native pricer enc_residual_bits is
+// bit-identical to record-then-price in the same accumulation order)
+static double residualTrialBits(Ctx& E, const int32_t* lev, int n, int comp,
+                                int scan, size_t mark, int ts) {
+  double nb = rdoq::residualBits(
+      lev, n, n, comp, scan, E.sdh, ts, E.bank[B_SIG], E.bank[B_SIG_CG],
+      E.bank[B_GT1], E.bank[B_GT2], E.bank[B_LAST_X], E.bank[B_LAST_Y],
+      E.bank[B_TSKIP], E.estOpsRaw(mark));
+  return nb / kFrac;
+}
+
+// ---------------------------------------------------------------------------
+// CU state snapshot (encoder.py _save_cu_state / _restore_cu_state; the
+// context rollback rides on ops.truncate, exactly like the Python)
+// ---------------------------------------------------------------------------
+struct CuSnap {
+  int x, y, size, m;
+  std::vector<int8_t> i8[11];   // depth,pred,part,skip,intraY,intraC,
+                                // chromaDm,qp,cbfY,interDir x .. see order
+  std::vector<uint8_t> edge;
+  std::vector<int32_t> mvS, refPocS;
+  std::vector<int8_t> refIdxS, refLtS;
+  std::vector<int32_t> rec[3];
+  size_t nops;
+};
+
+static void saveCu(Ctx& E, int x, int y, int size, CuSnap* s) {
+  s->x = x; s->y = y; s->size = size;
+  int m = size >> 2;
+  s->m = m;
+  int8_t* maps8[11] = {E.depth, E.predMode, E.partSize, E.skip, E.intraY,
+                       E.intraC, E.chromaDm, E.qpMap, E.cbfY, E.interDir,
+                       nullptr};
+  for (int k = 0; k < 10; k++) {
+    s->i8[k].resize((size_t)m * m);
+    for (int j = 0; j < m; j++)
+      std::memcpy(&s->i8[k][(size_t)j * m],
+                  maps8[k] + (size_t)((y >> 2) + j) * E.w4 + (x >> 2), m);
+  }
+  s->edge.resize((size_t)m * m);
+  s->mvS.resize((size_t)m * m * 4);
+  s->refPocS.resize((size_t)m * m * 2);
+  s->refIdxS.resize((size_t)m * m * 2);
+  s->refLtS.resize((size_t)m * m * 2);
+  for (int j = 0; j < m; j++) {
+    size_t row = (size_t)((y >> 2) + j) * E.w4 + (x >> 2);
+    std::memcpy(&s->edge[(size_t)j * m], E.edgeFlags + row, m);
+    std::memcpy(&s->mvS[(size_t)j * m * 4], E.mv + row * 4,
+                (size_t)m * 4 * sizeof(int32_t));
+    std::memcpy(&s->refPocS[(size_t)j * m * 2], E.refPocM + row * 2,
+                (size_t)m * 2 * sizeof(int32_t));
+    std::memcpy(&s->refIdxS[(size_t)j * m * 2], E.refIdx + row * 2, m * 2);
+    std::memcpy(&s->refLtS[(size_t)j * m * 2], E.refIsLt + row * 2, m * 2);
+  }
+  for (int c = 0; c < E.ncomp(); c++) {
+    int ssx = c ? E.chromaShiftX() : 0;
+    int ssy = c ? E.chromaShiftY() : 0;
+    int wC = size >> ssx, hC = size >> ssy;
+    s->rec[c].resize((size_t)wC * hC);
+    for (int j = 0; j < hC; j++)
+      std::memcpy(&s->rec[c][(size_t)j * wC],
+                  E.recon[c] + (size_t)((y >> ssy) + j) * E.planeW[c] +
+                      (x >> ssx),
+                  (size_t)wC * sizeof(int32_t));
+  }
+  s->nops = E.ops.size();
+}
+
+static void applyMapsRecon(Ctx& E, const CuSnap& s) {
+  int x = s.x, y = s.y, size = s.size, m = s.m;
+  int8_t* maps8[11] = {E.depth, E.predMode, E.partSize, E.skip, E.intraY,
+                       E.intraC, E.chromaDm, E.qpMap, E.cbfY, E.interDir,
+                       nullptr};
+  for (int k = 0; k < 10; k++)
+    for (int j = 0; j < m; j++)
+      std::memcpy(maps8[k] + (size_t)((y >> 2) + j) * E.w4 + (x >> 2),
+                  &s.i8[k][(size_t)j * m], m);
+  for (int j = 0; j < m; j++) {
+    size_t row = (size_t)((y >> 2) + j) * E.w4 + (x >> 2);
+    std::memcpy(E.edgeFlags + row, &s.edge[(size_t)j * m], m);
+    std::memcpy(E.mv + row * 4, &s.mvS[(size_t)j * m * 4],
+                (size_t)m * 4 * sizeof(int32_t));
+    std::memcpy(E.refPocM + row * 2, &s.refPocS[(size_t)j * m * 2],
+                (size_t)m * 2 * sizeof(int32_t));
+    std::memcpy(E.refIdx + row * 2, &s.refIdxS[(size_t)j * m * 2], m * 2);
+    std::memcpy(E.refIsLt + row * 2, &s.refLtS[(size_t)j * m * 2], m * 2);
+  }
+  for (int c = 0; c < E.ncomp(); c++) {
+    int ssx = c ? E.chromaShiftX() : 0;
+    int ssy = c ? E.chromaShiftY() : 0;
+    int wC = size >> ssx, hC = size >> ssy;
+    for (int j = 0; j < hC; j++)
+      std::memcpy(E.recon[c] + (size_t)((y >> ssy) + j) * E.planeW[c] +
+                      (x >> ssx),
+                  &s.rec[c][(size_t)j * wC], (size_t)wC * sizeof(int32_t));
+  }
+}
+
+static void restoreCu(Ctx& E, const CuSnap& s) {
+  applyMapsRecon(E, s);
+  E.truncate(s.nops);
+}
+
+// ---------------------------------------------------------------------------
+// RD costs
+// ---------------------------------------------------------------------------
+static double sseRect(const Ctx& E, int comp, int x, int y, int w, int h) {
+  int ssx = comp ? E.chromaShiftX() : 0;
+  int ssy = comp ? E.chromaShiftY() : 0;
+  const int32_t* o = E.orig[comp];
+  const int32_t* r = E.recon[comp];
+  int stride = E.planeW[comp];
+  long long sse = 0;
+  for (int j = y >> ssy; j < (y + h) >> ssy; j++)
+    for (int i = x >> ssx; i < (x + w) >> ssx; i++) {
+      long long d = (long long)o[(size_t)j * stride + i] -
+                    r[(size_t)j * stride + i];
+      sse += d * d;
+    }
+  return (double)sse;
+}
+
+static double lumaRdCost(const Ctx& E, int x, int y, int size, size_t lo) {
+  double norm = (double)(1 << (2 * (E.bd - 8)));
+  return sseRect(E, 0, x, y, size, size) / norm +
+         E.rdLambda * E.estOpsBits(lo);
+}
+
+static double cuRdCost(const Ctx& E, int x, int y, int size, size_t lo) {
+  double norm = (double)(1 << (2 * (E.bd - 8)));
+  double sse = 0.0;
+  for (int c = 0; c < E.ncomp(); c++)
+    sse += E.cw[c] * (sseRect(E, c, x, y, size, size) / norm);
+  return sse + E.rdLambda * E.estOpsBits(lo);
+}
+
+static int mdcsScan(const Ctx& E, int n, int mode, int comp) {
+  int sx = comp ? E.chromaShiftX() : 0;
+  if (n <= (8 >> sx)) {
+    if (std::abs(mode - 26) <= 4) return SCAN_HOR;
+    if (std::abs(mode - 10) <= 4) return SCAN_VER;
+  }
+  return SCAN_DIAG;
+}
+
+// NxN pick_scan (encoder.py _encode_cu_intra_nxn.pick_scan): checks both
+// subsampled axes
+static int pickScanNxN(int n, int mode, int sx, int sy) {
+  if (n <= (8 >> sx) && n <= (8 >> sy)) {
+    if (std::abs(mode - 26) <= 4) return SCAN_HOR;
+    if (std::abs(mode - 10) <= 4) return SCAN_VER;
+  }
+  return SCAN_DIAG;
+}
+
+static int ttMinTu(const Ctx& E, int log2size, bool isIntra, int extra = 0) {
+  int hier = isIntra ? E.maxTrIntra : E.maxTrInter;
+  int maxTrDepth = 1 + hier;
+  int lo = E.log2MinTb + maxTrDepth - 1 + extra;
+  if (log2size < lo) return E.log2MinTb;
+  return std::min(log2size - (maxTrDepth - 1 + extra), E.log2MaxTb);
+}
+
+static bool subdivCoded(const Ctx& E, int l2, int minTu) {
+  return l2 <= E.log2MaxTb && l2 != E.log2MinTb && l2 != minTu;
+}
+
+// ---------------------------------------------------------------------------
+// intra luma mode signalling (encoder.py _intra_mode_rd_trial_bits)
+// ---------------------------------------------------------------------------
+static int mpmIndex(const int mpm[3], int mode) {
+  for (int i = 0; i < 3; i++)
+    if (mpm[i] == mode) return i;
+  return -1;
+}
+
+static void recordLumaModeBins(Ctx& E, int mode, const int mpm[3]) {
+  int idx = mpmIndex(mpm, mode);
+  if (idx >= 0) {
+    E.recBin(B_MPM, 0, 1);
+    if (idx == 0) E.recBypass(0);
+    else {
+      E.recBypass(1);
+      E.recBypass(idx - 1);
+    }
+  } else {
+    E.recBin(B_MPM, 0, 0);
+    int rem = mode;
+    int sorted3[3] = {mpm[0], mpm[1], mpm[2]};
+    std::sort(sorted3, sorted3 + 3, std::greater<int>());
+    for (int p : sorted3)
+      if (rem > p) rem--;
+    E.recBypassBins(rem, 5);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// intra transform-tree decide / chroma / emit (encoder.py _intra_tt_*)
+// ---------------------------------------------------------------------------
+struct TtNode {
+  bool split;
+  int l2, x, y, depth;
+  int32_t lev[32 * 32];
+  int cbf, ts, scan;
+  TtNode* kids[4];
+  int cb[2], cr[2];
+  bool hasChroma;
+  struct CTu {
+    int32_t lev[32 * 32];
+    int cbf, ts, scan;
+  };
+  CTu* ch[3];  // [comp] -> array of nSub entries (comp 1, 2)
+  int nSub;
+  TtNode() : split(false), cbf(0), ts(-1), scan(SCAN_DIAG),
+             hasChroma(false), nSub(0) {
+    kids[0] = kids[1] = kids[2] = kids[3] = nullptr;
+    ch[0] = ch[1] = ch[2] = nullptr;
+    cb[0] = cb[1] = cr[0] = cr[1] = 0;
+  }
+  ~TtNode() {
+    for (int i = 0; i < 4; i++) delete kids[i];
+    delete[] ch[1];
+    delete[] ch[2];
+  }
+};
+
+static thread_local int curCuLog2ForTt;  // encoder.py cu_log2_for_tt (per-thread single)
+
+static TtNode* intraTtDecide(Ctx& E, int x, int y, int l2, int depth,
+                             int mode, int minTu);
+
+static TtNode* intraTtLeafTry(Ctx& E, int x, int y, int l2, int depth,
+                              int mode, int minTu) {
+  int size = 1 << l2;
+  TtNode* node = new TtNode();
+  node->split = false;
+  node->l2 = l2; node->x = x; node->y = y; node->depth = depth;
+  static thread_local int32_t pred[32 * 32], resi[32 * 32];
+  intraPredFull(E, 0, x, y, size, mode, pred);
+  const int stride = E.planeW[0];
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++)
+      resi[j * size + i] =
+          E.orig[0][(size_t)(y + j) * stride + x + i] - pred[j * size + i];
+  int scan = mdcsScan(E, size, mode, 0);
+  TuOut tu;
+  tuFwd(E, resi, size, size == 4, 0, scan, true, &tu);
+  int maxv = (1 << E.bd) - 1;
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++) {
+      int v = pred[j * size + i] + tu.rec[j * size + i];
+      E.recon[0][(size_t)(y + j) * stride + x + i] =
+          v < 0 ? 0 : (v > maxv ? maxv : v);
+    }
+  E.setRect8(E.cbfY, x, y, size, size, tu.cbf);
+  E.markTuEdges(x, y, size);
+  if (subdivCoded(E, l2, minTu)) E.recBin(B_SUBDIV, 5 - l2, 0);
+  E.recBin(B_QT_CBF, depth == 0 ? 1 : 0, tu.cbf);
+  if (tu.cbf)
+    encodeResidual(E, tu.lev, size, size, 0, scan, E.sdh, tu.ts);
+  std::memcpy(node->lev, tu.lev, (size_t)size * size * sizeof(int32_t));
+  node->cbf = tu.cbf;
+  node->ts = tu.ts;
+  node->scan = scan;
+  return node;
+}
+
+static TtNode* intraTtSplitTry(Ctx& E, int x, int y, int l2, int depth,
+                               int mode, int minTu) {
+  int size = 1 << l2;
+  if (subdivCoded(E, l2, minTu)) E.recBin(B_SUBDIV, 5 - l2, 1);
+  TtNode* node = new TtNode();
+  node->split = true;
+  node->l2 = l2; node->x = x; node->y = y; node->depth = depth;
+  int h = size >> 1;
+  static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+  for (int k = 0; k < 4; k++)
+    node->kids[k] = intraTtDecide(E, x + off[k][0] * h, y + off[k][1] * h,
+                                  l2 - 1, depth + 1, mode, minTu);
+  return node;
+}
+
+static TtNode* intraTtDecide(Ctx& E, int x, int y, int l2, int depth,
+                             int mode, int minTu) {
+  if (l2 > E.log2MaxTb) return intraTtSplitTry(E, x, y, l2, depth, mode,
+                                               minTu);
+  if (!(l2 > minTu && l2 > E.log2MinTb))
+    return intraTtLeafTry(E, x, y, l2, depth, mode, minTu);
+  int size = 1 << l2;
+  CuSnap st;
+  saveCu(E, x, y, size, &st);
+  size_t mark = st.nops;
+  TtNode* leaf = intraTtLeafTry(E, x, y, l2, depth, mode, minTu);
+  double costLeaf = lumaRdCost(E, x, y, size, mark);
+  CuSnap leafState;
+  saveCu(E, x, y, size, &leafState);
+  OpsSlice leafOps = E.saveOps(mark);
+  restoreCu(E, st);
+  TtNode* split = intraTtSplitTry(E, x, y, l2, depth, mode, minTu);
+  double costSplit = lumaRdCost(E, x, y, size, mark);
+  if (costLeaf <= costSplit) {
+    E.truncate(mark);
+    applyMapsRecon(E, leafState);
+    E.reinstate(leafOps);
+    delete split;
+    return leaf;
+  }
+  delete leaf;
+  return split;
+}
+
+// chroma TUs on the decided luma tree (encoder.py _intra_tt_chroma),
+// 4:2:0 / 4:4:4 / mono (4:2:2 is gated to the Python path)
+static void intraTtChroma(Ctx& E, TtNode* node, int mode) {
+  int idc = E.cfmt;
+  int l2 = node->l2;
+  if (idc == 0) {
+    node->cb[0] = node->cb[1] = node->cr[0] = node->cr[1] = 0;
+    if (node->split)
+      for (int k = 0; k < 4; k++) intraTtChroma(E, node->kids[k], mode);
+    return;
+  }
+  if (node->split && (idc == 3 || l2 > 3)) {
+    for (int k = 0; k < 4; k++) intraTtChroma(E, node->kids[k], mode);
+    int vb = 0, vr = 0;
+    for (int k = 0; k < 4; k++) {
+      if (node->kids[k]->cb[0] || node->kids[k]->cb[1]) vb = 1;
+      if (node->kids[k]->cr[0] || node->kids[k]->cr[1]) vr = 1;
+    }
+    node->cb[0] = node->cb[1] = vb;
+    node->cr[0] = node->cr[1] = vr;
+    return;
+  }
+  int x = node->x, y = node->y;
+  int ssx = E.chromaShiftX(), ssy = E.chromaShiftY();
+  int cn = 1 << (l2 - ssx);
+  int nSub = idc == 2 ? 2 : 1;
+  int cx = x >> ssx, cy0 = y >> ssy;
+  int cmode = idc == 2 ? kChroma422AngleMap[mode] : mode;
+  node->hasChroma = true;
+  node->nSub = nSub;
+  int maxv = (1 << E.bd) - 1;
+  static thread_local int32_t pred[32 * 32], resi[32 * 32];
+  for (int comp = 1; comp <= 2; comp++) {
+    node->ch[comp] = new TtNode::CTu[nSub];
+    for (int s = 0; s < nSub; s++) {
+      int cy = cy0 + s * cn;
+      intraPredFull(E, comp, cx, cy, cn, cmode, pred);
+      const int stride = E.planeW[comp];
+      for (int j = 0; j < cn; j++)
+        for (int i = 0; i < cn; i++)
+          resi[j * cn + i] = E.orig[comp][(size_t)(cy + j) * stride + cx + i] -
+                             pred[j * cn + i];
+      int cscan = mdcsScan(E, cn, cmode, comp);
+      TuOut tu;
+      tuFwd(E, resi, cn, false, comp, cscan, true, &tu);
+      for (int j = 0; j < cn; j++)
+        for (int i = 0; i < cn; i++) {
+          int v = pred[j * cn + i] + tu.rec[j * cn + i];
+          E.recon[comp][(size_t)(cy + j) * stride + cx + i] =
+              v < 0 ? 0 : (v > maxv ? maxv : v);
+        }
+      auto& e = node->ch[comp][s];
+      std::memcpy(e.lev, tu.lev, (size_t)cn * cn * sizeof(int32_t));
+      e.cbf = tu.cbf;
+      e.ts = tu.ts;
+      e.scan = cscan;
+    }
+  }
+  node->cb[0] = node->ch[1][0].cbf;
+  node->cb[1] = node->ch[1][nSub - 1].cbf;
+  node->cr[0] = node->ch[2][0].cbf;
+  node->cr[1] = node->ch[2][nSub - 1].cbf;
+  if (node->split) {
+    for (int k = 0; k < 4; k++) {
+      node->kids[k]->cb[0] = node->kids[k]->cb[1] = 0;
+      node->kids[k]->cr[0] = node->kids[k]->cr[1] = 0;
+    }
+  }
+}
+
+static void writeCbfChroma(Ctx& E, int log2size, int trDepth,
+                           int v0, int v1, int lowest) {
+  int ctx = 5 + trDepth;
+  if (E.cfmt != 2) {
+    E.recBin(B_QT_CBF, ctx, v0);
+    return;
+  }
+  bool canQuad = (log2size - 1) >= 3;
+  if (lowest || !canQuad) {
+    E.recBin(B_QT_CBF, ctx, v0);
+    E.recBin(B_QT_CBF, ctx, v1);
+  } else {
+    E.recBin(B_QT_CBF, ctx, v0);
+  }
+}
+
+static void maybeWriteDqp(Ctx& E, bool anyCbf) {
+  // dqp disabled in the native-eligible configuration (encoder.py gates
+  // adaptive-QP / LCU-rate-control pictures to the Python path)
+  (void)E; (void)anyCbf;
+}
+
+static void finishCuQp(Ctx& E, int x, int y, int size) {
+  E.setRect8(E.qpMap, x, y, size, size, E.curQp);
+}
+
+static void intraTtEmit(Ctx& E, TtNode* node, int minTu, const int parentCb[2],
+                        const int parentCr[2], int blkIdx,
+                        TtNode::CTu* const* parentChroma) {
+  int idc = E.cfmt;
+  int l2 = node->l2, depth = node->depth;
+  bool subdiv = node->split;
+  if (subdivCoded(E, l2, minTu)) E.recBin(B_SUBDIV, 5 - l2, subdiv ? 1 : 0);
+  int cb[2] = {parentCb[0], parentCb[1]};
+  int cr[2] = {parentCr[0], parentCr[1]};
+  if (idc != 0 && (l2 > 2 || idc == 3)) {
+    cb[0] = node->cb[0]; cb[1] = node->cb[1];
+    cr[0] = node->cr[0]; cr[1] = node->cr[1];
+    int lowest = subdiv ? 0 : 1;
+    if (depth == 0 || parentCb[0] || parentCb[1])
+      writeCbfChroma(E, l2, depth, cb[0], cb[1], lowest);
+    else { cb[0] = cb[1] = 0; }
+    if (depth == 0 || parentCr[0] || parentCr[1])
+      writeCbfChroma(E, l2, depth, cr[0], cr[1], lowest);
+    else { cr[0] = cr[1] = 0; }
+  }
+  if (subdiv) {
+    TtNode::CTu* const* held =
+        node->hasChroma ? node->ch : nullptr;
+    for (int i = 0; i < 4; i++)
+      intraTtEmit(E, node->kids[i], minTu, cb, cr, i, held);
+    return;
+  }
+  int size = 1 << l2;
+  int cbf = node->cbf;
+  E.recBin(B_QT_CBF, depth == 0 ? 1 : 0, cbf);
+  maybeWriteDqp(E, cbf || cb[0] || cb[1] || cr[0] || cr[1]);
+  if (cbf)
+    encodeResidual(E, node->lev, size, size, 0, node->scan, E.sdh, node->ts);
+  bool chromaHere = idc != 0 && (l2 - E.chromaShiftX()) >= 2;
+  TtNode::CTu* const* ch = nullptr;
+  if (chromaHere && node->hasChroma) ch = node->ch;
+  else if (idc != 0 && !chromaHere && blkIdx == 3) ch = parentChroma;
+  if (ch) {
+    int cn = 0;  // derive from the holder's level array use below
+    for (int comp = 1; comp <= 2; comp++) {
+      if (!ch[comp]) continue;
+      int nSub = E.cfmt == 2 ? 2 : 1;
+      for (int s = 0; s < nSub; s++) {
+        auto& e = ch[comp][s];
+        if (e.cbf) {
+          // chroma TB size: for a chroma-holding leaf it is the node's
+          // own size >> ssx; for the 4th-child inherited case it is the
+          // parent 8x8 node's chroma TB (4x4)
+          int holderL2 = chromaHere ? l2 : (l2 + 1);
+          cn = 1 << (holderL2 - E.chromaShiftX());
+          encodeResidual(E, e.lev, cn, cn, comp, e.scan, E.sdh, e.ts);
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// intra luma mode RD trial (encoder.py _intra_mode_rd_trial)
+// ---------------------------------------------------------------------------
+static double intraModeRdTrial(Ctx& E, int x, int y, int size, int mode,
+                               const int mpm[3], const int32_t* pred) {
+  size_t mark = E.ops.size();
+  recordLumaModeBins(E, mode, mpm);
+  static thread_local int32_t resi[64 * 64];
+  const int stride = E.planeW[0];
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++)
+      resi[j * size + i] =
+          E.orig[0][(size_t)(y + j) * stride + x + i] - pred[j * size + i];
+  int scan = mdcsScan(E, size, mode, 0);
+  TuOut tu;
+  tuFwd(E, resi, size, size == 4, 0, scan, true, &tu);
+  E.recBin(B_QT_CBF, 1, tu.cbf);
+  double bits;
+  if (tu.cbf)
+    bits = residualTrialBits(E, tu.lev, size, 0, scan, mark, tu.ts);
+  else
+    bits = E.estOpsBits(mark);
+  int maxv = (1 << E.bd) - 1;
+  long long sse = 0;
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++) {
+      int v = pred[j * size + i] + tu.rec[j * size + i];
+      v = v < 0 ? 0 : (v > maxv ? maxv : v);
+      long long d = (long long)E.orig[0][(size_t)(y + j) * stride + x + i] - v;
+      sse += d * d;
+    }
+  double norm = (double)(1 << (2 * (E.bd - 8)));
+  double cost = (double)sse / norm + E.rdLambda * bits;
+  E.truncate(mark);
+  return cost;
+}
+
+// encoder.py _select_intra_luma_mode.  treeMinTu < 0 means "None".
+static int selectIntraLumaMode(Ctx& E, int x, int y, int size,
+                               const int mpm[3], const AllPreds& all,
+                               int treeMinTu) {
+  const int stride = E.planeW[0];
+  static thread_local int32_t orig[64 * 64];
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++)
+      orig[j * size + i] = E.orig[0][(size_t)(y + j) * stride + x + i];
+  double lamPred = E.lamPred;
+  std::pair<double, int> ranked[35];
+  for (int m = 0; m < 35; m++) {
+    int idx = mpmIndex(mpm, m);
+    int bits = idx >= 0 ? (idx == 0 ? 2 : 3) : 6;
+    ranked[m] = {(double)satd32(all.at(m), orig, size, size) +
+                     lamPred * bits,
+                 m};
+  }
+  std::sort(ranked, ranked + 35);
+  // (native path is always the recording coder)
+  std::vector<std::pair<double, int>> scored;
+  if (size > (1 << E.log2MaxTb)) {
+    if (treeMinTu < 0) return ranked[0].second;
+    for (int i = 0; i < 3; i++)
+      scored.push_back({ranked[i].first, ranked[i].second});
+    for (int i = 0; i < 3; i++) {
+      bool have = false;
+      for (auto& s : scored)
+        if (s.second == mpm[i]) have = true;
+      if (!have)
+        scored.push_back({std::numeric_limits<double>::infinity(), mpm[i]});
+    }
+  } else {
+    std::vector<int> cand;
+    int top = size <= 8 ? 8 : 3;
+    for (int i = 0; i < top; i++) cand.push_back(ranked[i].second);
+    for (int i = 0; i < 3; i++) {
+      if (std::find(cand.begin(), cand.end(), mpm[i]) == cand.end())
+        cand.push_back(mpm[i]);
+    }
+    for (int m : cand)
+      scored.push_back({intraModeRdTrial(E, x, y, size, m, mpm, all.at(m)),
+                        m});
+    std::sort(scored.begin(), scored.end());
+    if (treeMinTu < 0 || scored.size() < 2) return scored[0].second;
+  }
+  // stage 3: joint (mode, transform-tree) RD over the top candidates
+  int log2size = bitLength((unsigned)size) - 1;
+  int bestMode = -1;
+  double bestCost = std::numeric_limits<double>::infinity();
+  size_t ncand = (size_t)E.intraRdCands;
+  if (size > (1 << E.log2MaxTb)) ncand = scored.size();
+  if (ncand > scored.size()) ncand = scored.size();
+  for (size_t i = 0; i < ncand; i++) {
+    int m = scored[i].second;
+    CuSnap st;
+    saveCu(E, x, y, size, &st);
+    size_t mark = E.ops.size();
+    recordLumaModeBins(E, m, mpm);
+    curCuLog2ForTt = log2size;
+    TtNode* t = intraTtDecide(E, x, y, log2size, 0, m, treeMinTu);
+    delete t;
+    double c = lumaRdCost(E, x, y, size, mark);
+    restoreCu(E, st);
+    if (c < bestCost) { bestCost = c; bestMode = m; }
+  }
+  return bestMode;
+}
+
+// encoder.py _select_chroma_intra_mode (4:2:0 / 4:4:4; native path never
+// runs 4:2:2).  Returns (mode, dm, idx) packed.
+struct ChromaChoice { int mode; bool dm; int idx; };
+
+static ChromaChoice selectChromaIntraMode(Ctx& E, int x, int y, int size,
+                                          int lumaMode) {
+  if (E.cfmt == 0) return {lumaMode, true, 0};
+  int allowed[4] = {PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX};
+  for (int i = 0; i < 4; i++)
+    if (allowed[i] == lumaMode) { allowed[i] = 34; break; }
+  bool is422 = E.cfmt == 2;
+  int ssx = E.chromaShiftX(), ssy = E.chromaShiftY();
+  int n = size >> ssx;
+  int nSub = is422 ? 2 : 1;
+  int cx = x >> ssx, cy0 = y >> ssy;
+  int maxv = (1 << E.bd) - 1;
+  double norm = (double)(1 << (2 * (E.bd - 8)));
+  // snapshot the chroma recon rect
+  std::vector<int32_t> snaps[2];
+  for (int c = 1; c <= 2; c++) {
+    snaps[c - 1].resize((size_t)nSub * n * n);
+    for (int j = 0; j < nSub * n; j++)
+      std::memcpy(&snaps[c - 1][(size_t)j * n],
+                  E.recon[c] + (size_t)(cy0 + j) * E.planeW[c] + cx,
+                  (size_t)n * sizeof(int32_t));
+  }
+  size_t mark = E.ops.size();
+  ChromaChoice best = {lumaMode, true, 0};
+  double bestCost = std::numeric_limits<double>::infinity();
+  static thread_local int32_t pred[64 * 64], resi[32 * 32];
+  for (int k = 0; k < 5; k++) {
+    bool dm = k == 0;
+    int cand = dm ? lumaMode : allowed[k - 1];
+    if (!dm && cand == lumaMode) continue;
+    int cmode = is422 ? kChroma422AngleMap[cand] : cand;
+    E.recBin(B_CHROMA_MODE, 0, dm ? 0 : 1);
+    if (!dm) E.recBypassBins(k - 1, 2);
+    double cost = 0.0;
+    int tb = std::min(n, 1 << E.log2MaxTb);
+    for (int comp = 1; comp <= 2; comp++) {
+      const int stride = E.planeW[comp];
+      for (int s = 0; s < nSub; s++)
+        for (int qy = 0; qy < n; qy += tb)
+          for (int qx = 0; qx < n; qx += tb) {
+            int cy = cy0 + s * n + qy;
+            int cxq = cx + qx;
+            intraPredFull(E, comp, cxq, cy, tb, cmode, pred);
+            for (int j = 0; j < tb; j++)
+              for (int i = 0; i < tb; i++)
+                resi[j * tb + i] =
+                    E.orig[comp][(size_t)(cy + j) * stride + cxq + i] -
+                    pred[j * tb + i];
+            int cscan = mdcsScan(E, tb, cmode, comp);
+            TuOut tu;
+            tuFwd(E, resi, tb, false, comp, cscan, true, &tu);
+            long long sse = 0;
+            for (int j = 0; j < tb; j++)
+              for (int i = 0; i < tb; i++) {
+                int v = pred[j * tb + i] + tu.rec[j * tb + i];
+                v = v < 0 ? 0 : (v > maxv ? maxv : v);
+                E.recon[comp][(size_t)(cy + j) * stride + cxq + i] = v;
+                long long d =
+                    (long long)E.orig[comp][(size_t)(cy + j) * stride +
+                                            cxq + i] - v;
+                sse += d * d;
+              }
+            double bits = tu.cbf
+                ? residualTrialBits(E, tu.lev, tb, comp, cscan,
+                                    E.ops.size(), tu.ts)
+                : 0.0;
+            cost += E.cw[comp] * ((double)sse / norm) + E.rdLambda * bits;
+          }
+    }
+    cost += E.rdLambda * E.estOpsBits(mark);
+    E.truncate(mark);
+    if (cost < bestCost) {
+      bestCost = cost;
+      best = {cand, dm, dm ? 0 : k - 1};
+    }
+  }
+  for (int c = 1; c <= 2; c++)
+    for (int j = 0; j < nSub * n; j++)
+      std::memcpy(E.recon[c] + (size_t)(cy0 + j) * E.planeW[c] + cx,
+                  &snaps[c - 1][(size_t)j * n], (size_t)n * sizeof(int32_t));
+  return best;
+}
+
+static void writeChromaMode(Ctx& E, int x, int y, int size, int lumaMode,
+                            const ChromaChoice& cc) {
+  if (E.cfmt == 0) return;
+  E.recBin(B_CHROMA_MODE, 0, cc.dm ? 0 : 1);
+  if (!cc.dm) E.recBypassBins(cc.idx, 2);
+  int real = cc.dm ? lumaMode : cc.mode;
+  E.setRect8(E.intraC, x, y, size, size, real);
+  E.setRect8(E.chromaDm, x, y, size, size, cc.dm ? 1 : 0);
+}
+
+// ---------------------------------------------------------------------------
+// intra CU paths (encoder.py _encode_cu_intra_*)
+// ---------------------------------------------------------------------------
+static void maybeWriteSubdiv(Ctx& E, int log2size, int value, int minTu) {
+  if (log2size > E.log2MaxTb) return;
+  if (log2size == E.log2MinTb || log2size == minTu) return;
+  E.recBin(B_SUBDIV, 5 - log2size, value);
+}
+
+static bool intraRqtEligible(const Ctx& E, int log2size) {
+  return E.maxTrIntra > 0 && log2size - 1 >= E.log2MinTb &&
+         log2size <= E.log2MaxTb;
+}
+
+static void cuIntra2N(Ctx& E, int x, int y, int log2size);
+static void cuIntra2NRqt(Ctx& E, int x, int y, int log2size);
+
+// encoder.py _encode_cu_intra_2nx2n (the no-RQT flat path)
+static void cuIntra2NPlain(Ctx& E, int x, int y, int log2size) {
+  int size = 1 << log2size;
+  E.setRect8(E.partSize, x, y, size, size, SIZE_2Nx2N);
+  int mpm[3];
+  intraMpm(E, x, y, mpm);
+  AllPreds all;
+  predictAllModes(E, 0, x, y, size, &all);
+  int mode = selectIntraLumaMode(E, x, y, size, mpm, all, -1);
+  E.setRect8(E.intraY, x, y, size, size, mode);
+  if (log2size == E.log2MinCb) E.recBin(B_PART, 0, 1);
+  recordLumaModeBins(E, mode, mpm);
+  ChromaChoice cc = selectChromaIntraMode(E, x, y, size, mode);
+  writeChromaMode(E, x, y, size, mode, cc);
+  int cReal = cc.dm ? mode : cc.mode;
+  bool is422 = E.cfmt == 2;
+  int maxv = (1 << E.bd) - 1;
+  // per-component transform + recon (sub-TU layout; 420: one sub each)
+  struct CompRes {
+    TuOut tu[2];
+    int scan[2];
+    int nSub;
+  } res[3];
+  static thread_local int32_t pred[64 * 64], resi[64 * 64];
+  for (int comp = 0; comp < E.ncomp(); comp++) {
+    int ssx = comp ? E.chromaShiftX() : 0;
+    int ssy = comp ? E.chromaShiftY() : 0;
+    int n = size >> ssx;
+    int nSub = (comp && is422) ? 2 : 1;
+    int cx = x >> ssx;
+    int cmode = comp == 0 ? mode : cReal;
+    if (comp && is422) cmode = kChroma422AngleMap[cReal];
+    res[comp].nSub = nSub;
+    int tuScan = SCAN_DIAG;
+    if (n <= (8 >> ssx) && n <= (8 >> ssy)) {
+      if (std::abs(cmode - 26) <= 4) tuScan = SCAN_HOR;
+      else if (std::abs(cmode - 10) <= 4) tuScan = SCAN_VER;
+    }
+    const int stride = E.planeW[comp];
+    for (int s = 0; s < nSub; s++) {
+      int cy = (y >> ssy) + s * n;
+      intraPredFull(E, comp, cx, cy, n, cmode, pred);
+      for (int j = 0; j < n; j++)
+        for (int i = 0; i < n; i++)
+          resi[j * n + i] =
+              E.orig[comp][(size_t)(cy + j) * stride + cx + i] -
+              pred[j * n + i];
+      bool useDst = comp == 0 && n == 4;
+      tuFwd(E, resi, n, useDst, comp, tuScan, true, &res[comp].tu[s]);
+      for (int j = 0; j < n; j++)
+        for (int i = 0; i < n; i++) {
+          int v = pred[j * n + i] + res[comp].tu[s].rec[j * n + i];
+          E.recon[comp][(size_t)(cy + j) * stride + cx + i] =
+              v < 0 ? 0 : (v > maxv ? maxv : v);
+        }
+      res[comp].scan[s] = tuScan;
+    }
+  }
+  curCuLog2ForTt = log2size;
+  maybeWriteSubdiv(E, log2size, 0, ttMinTu(E, log2size, true));
+  if (E.ncomp() > 1) {
+    for (int s = 0; s < res[1].nSub; s++)
+      E.recBin(B_QT_CBF, 5, res[1].tu[s].cbf);
+    for (int s = 0; s < res[2].nSub; s++)
+      E.recBin(B_QT_CBF, 5, res[2].tu[s].cbf);
+  }
+  E.recBin(B_QT_CBF, 1, res[0].tu[0].cbf);
+  bool anyChroma = false;
+  if (E.ncomp() > 1)
+    for (int c = 1; c <= 2; c++)
+      for (int s = 0; s < res[c].nSub; s++) anyChroma |= res[c].tu[s].cbf;
+  maybeWriteDqp(E, res[0].tu[0].cbf || anyChroma);
+  for (int comp = 0; comp < E.ncomp(); comp++) {
+    int ssx = comp ? E.chromaShiftX() : 0;
+    int ssy = comp ? E.chromaShiftY() : 0;
+    int n = size >> ssx;
+    int smode = comp == 0 ? mode : cReal;
+    if (comp && is422) smode = kChroma422AngleMap[cReal];
+    for (int s = 0; s < res[comp].nSub; s++) {
+      if (!res[comp].tu[s].cbf) continue;
+      int scan = SCAN_DIAG;
+      if (n <= (8 >> ssx) && n <= (8 >> ssy)) {
+        if (std::abs(smode - 26) <= 4) scan = SCAN_HOR;
+        else if (std::abs(smode - 10) <= 4) scan = SCAN_VER;
+      }
+      encodeResidual(E, res[comp].tu[s].lev, n, n, comp, scan, E.sdh,
+                     res[comp].tu[s].ts);
+    }
+  }
+  // the Python plain path does not write pic.cbf_y (intra deblocking
+  // strength does not consult it) — mirrored here
+  finishCuQp(E, x, y, size);
+}
+
+// encoder.py _encode_cu_intra_2nx2n_rqt
+static void cuIntra2NRqt(Ctx& E, int x, int y, int log2size) {
+  int size = 1 << log2size;
+  E.setRect8(E.partSize, x, y, size, size, SIZE_2Nx2N);
+  E.setRect8(E.predMode, x, y, size, size, MODE_INTRA);
+  int mpm[3];
+  intraMpm(E, x, y, mpm);
+  AllPreds all;
+  predictAllModes(E, 0, x, y, size, &all);
+  curCuLog2ForTt = log2size;
+  int minTu = ttMinTu(E, log2size, true);
+  int mode = selectIntraLumaMode(E, x, y, size, mpm, all, minTu);
+  E.setRect8(E.intraY, x, y, size, size, mode);
+  E.setRect8(E.intraC, x, y, size, size, mode);
+  E.markEdges(x, y, size);
+  if (log2size == E.log2MinCb) E.recBin(B_PART, 0, 1);
+  recordLumaModeBins(E, mode, mpm);
+  ChromaChoice cc = selectChromaIntraMode(E, x, y, size, mode);
+  writeChromaMode(E, x, y, size, mode, cc);
+  int cReal = cc.dm ? mode : cc.mode;
+  curCuLog2ForTt = log2size;
+  size_t mark = E.ops.size();
+  TtNode* tree = intraTtDecide(E, x, y, log2size, 0, mode, minTu);
+  E.truncate(mark);  // luma-only trial syntax
+  intraTtChroma(E, tree, cReal);
+  int zero2[2] = {0, 0};
+  intraTtEmit(E, tree, minTu, zero2, zero2, 0, nullptr);
+  delete tree;
+  finishCuQp(E, x, y, size);
+}
+
+// encoder.py _encode_cu_intra_nxn
+static void cuIntraNxN(Ctx& E, int x, int y, int log2size) {
+  int size = 1 << log2size;
+  int half = size >> 1;
+  bool is422 = E.cfmt == 2;
+  int maxv = (1 << E.bd) - 1;
+  int puPos[4][2] = {{x, y}, {x + half, y}, {x, y + half},
+                     {x + half, y + half}};
+  E.setRect8(E.partSize, x, y, size, size, SIZE_NxN);
+  E.recBin(B_PART, 0, 0);  // NxN
+  int modes[4], mpms[4][3];
+  TuOut lum[4];
+  int lumScan[4];
+  static thread_local int32_t pred[32 * 32], resi[32 * 32];
+  for (int j4 = 0; j4 < 4; j4++) {
+    int px = puPos[j4][0], py = puPos[j4][1];
+    intraMpm(E, px, py, mpms[j4]);
+    AllPreds all;
+    predictAllModes(E, 0, px, py, half, &all);
+    int mode = selectIntraLumaMode(E, px, py, half, mpms[j4], all, -1);
+    E.setRect8(E.intraY, px, py, half, half, mode);
+    intraPredFull(E, 0, px, py, half, mode, pred);
+    const int stride = E.planeW[0];
+    for (int j = 0; j < half; j++)
+      for (int i = 0; i < half; i++)
+        resi[j * half + i] =
+            E.orig[0][(size_t)(py + j) * stride + px + i] -
+            pred[j * half + i];
+    bool useDst = half == 4;
+    int scan = pickScanNxN(half, mode, 0, 0);
+    tuFwd(E, resi, half, useDst, 0, scan, true, &lum[j4]);
+    for (int j = 0; j < half; j++)
+      for (int i = 0; i < half; i++) {
+        int v = pred[j * half + i] + lum[j4].rec[j * half + i];
+        E.recon[0][(size_t)(py + j) * stride + px + i] =
+            v < 0 ? 0 : (v > maxv ? maxv : v);
+      }
+    E.setRect8(E.cbfY, px, py, half, half, lum[j4].cbf);
+    E.markTuEdges(px, py, half);
+    modes[j4] = mode;
+    lumScan[j4] = scan;
+  }
+  for (int j = 0; j < 4; j++)
+    E.recBin(B_MPM, 0, mpmIndex(mpms[j], modes[j]) >= 0 ? 1 : 0);
+  for (int j = 0; j < 4; j++) {
+    int idx = mpmIndex(mpms[j], modes[j]);
+    if (idx >= 0) {
+      if (idx == 0) E.recBypass(0);
+      else {
+        E.recBypass(1);
+        E.recBypass(idx - 1);
+      }
+    } else {
+      int rem = modes[j];
+      int s3[3] = {mpms[j][0], mpms[j][1], mpms[j][2]};
+      std::sort(s3, s3 + 3, std::greater<int>());
+      for (int p : s3)
+        if (rem > p) rem--;
+      E.recBypassBins(rem, 5);
+    }
+  }
+  bool hasChroma = E.cfmt != 0;
+  int cReal = modes[0];
+  if (hasChroma) {
+    ChromaChoice cc = selectChromaIntraMode(E, x, y, size, modes[0]);
+    writeChromaMode(E, x, y, size, modes[0], cc);
+    cReal = cc.dm ? modes[0] : cc.mode;
+  }
+  TuOut cTu[3][2];
+  int cScan = SCAN_DIAG;
+  int nSub = is422 ? 2 : 1;
+  if (hasChroma) {
+    int ssx = E.chromaShiftX(), ssy = E.chromaShiftY();
+    int n = size >> ssx;
+    int cmode = is422 ? kChroma422AngleMap[cReal] : cReal;
+    cScan = pickScanNxN(n, cmode, ssx, ssy);
+    int cx = x >> ssx, cy0 = y >> ssy;
+    for (int comp = 1; comp <= 2; comp++) {
+      const int stride = E.planeW[comp];
+      for (int s = 0; s < nSub; s++) {
+        int cy = cy0 + s * n;
+        intraPredFull(E, comp, cx, cy, n, cmode, pred);
+        for (int j = 0; j < n; j++)
+          for (int i = 0; i < n; i++)
+            resi[j * n + i] =
+                E.orig[comp][(size_t)(cy + j) * stride + cx + i] -
+                pred[j * n + i];
+        tuFwd(E, resi, n, false, comp, cScan, true, &cTu[comp][s]);
+        for (int j = 0; j < n; j++)
+          for (int i = 0; i < n; i++) {
+            int v = pred[j * n + i] + cTu[comp][s].rec[j * n + i];
+            E.recon[comp][(size_t)(cy + j) * stride + cx + i] =
+                v < 0 ? 0 : (v > maxv ? maxv : v);
+          }
+      }
+    }
+  }
+  if (hasChroma) {
+    for (int comp = 1; comp <= 2; comp++)
+      for (int s = 0; s < nSub; s++)
+        E.recBin(B_QT_CBF, 5, cTu[comp][s].cbf);
+  }
+  bool anyC = false;
+  if (hasChroma)
+    for (int comp = 1; comp <= 2; comp++)
+      for (int s = 0; s < nSub; s++) anyC |= cTu[comp][s].cbf;
+  int ssxC = E.chromaShiftX();
+  int nC = size >> ssxC;
+  for (int j = 0; j < 4; j++) {
+    E.recBin(B_QT_CBF, 0, lum[j].cbf);
+    maybeWriteDqp(E, lum[j].cbf || anyC);
+    if (lum[j].cbf)
+      encodeResidual(E, lum[j].lev, half, half, 0, lumScan[j], E.sdh,
+                     lum[j].ts);
+    if (j == 3 && hasChroma) {
+      for (int comp = 1; comp <= 2; comp++)
+        for (int s = 0; s < nSub; s++)
+          if (cTu[comp][s].cbf)
+            encodeResidual(E, cTu[comp][s].lev, nC, nC, comp, cScan, E.sdh,
+                           cTu[comp][s].ts);
+    }
+  }
+  finishCuQp(E, x, y, size);
+}
+
+// encoder.py _encode_cu_intra_2nx2n dispatch
+static void cuIntra2N(Ctx& E, int x, int y, int log2size) {
+  if (log2size > E.log2MaxTb || intraRqtEligible(E, log2size)) {
+    cuIntra2NRqt(E, x, y, log2size);
+    return;
+  }
+  cuIntra2NPlain(E, x, y, log2size);
+}
+
+// encoder.py _encode_cu_intra_body (PCM gated off in native eligibility)
+static void cuIntraBody(Ctx& E, int x, int y, int log2size, int depth) {
+  int size = 1 << log2size;
+  E.setRect8(E.depth, x, y, size, size, depth);
+  E.setRect8(E.predMode, x, y, size, size, MODE_INTRA);
+  E.setRect8(E.skip, x, y, size, size, 0);
+  E.markEdges(x, y, size);
+  if (log2size == E.log2MinCb && E.rdoCu && E.cfmt != 3) {
+    CuSnap st;
+    saveCu(E, x, y, size, &st);
+    cuIntra2N(E, x, y, log2size);
+    double cost2n = cuRdCost(E, x, y, size, st.nops);
+    restoreCu(E, st);
+    cuIntraNxN(E, x, y, log2size);
+    double costNn = cuRdCost(E, x, y, size, st.nops);
+    if (cost2n <= costNn) {
+      restoreCu(E, st);
+      cuIntra2N(E, x, y, log2size);
+    }
+    return;
+  }
+  cuIntra2N(E, x, y, log2size);
+}
+
+// encoder.py encode_cu for I slices (no bypass flag / PCM natively)
+static void encodeCuIntra(Ctx& E, int x, int y, int log2size, int depth) {
+  cuIntraBody(E, x, y, log2size, depth);
+}
+
+void encodeCuInter(Ctx& E, int x, int y, int log2size, int depth);  // fwd
+
+// encoder.py encode_cqt
+static int splitCtx(const Ctx& E, int x, int y, int depth) {
+  int ctx = 0;
+  if (E.available(x - 1, y, x, y, false) &&
+      E.depth[E.mi(x - 1, y)] > depth)
+    ctx++;
+  if (E.available(x, y - 1, x, y, false) &&
+      E.depth[E.mi(x, y - 1)] > depth)
+    ctx++;
+  return ctx;
+}
+
+static void encodeLeaf(Ctx& E, int x, int y, int log2size, int depth) {
+  if (E.sliceType == 0 || E.sliceType == 1)
+    encodeCuInter(E, x, y, log2size, depth);
+  else
+    encodeCuIntra(E, x, y, log2size, depth);
+}
+
+static void encodeCqt(Ctx& E, int x, int y, int log2size, int depth) {
+  int size = 1 << log2size;
+  bool inside = (x + size <= E.width) && (y + size <= E.height);
+  int targetLog2 = std::max(
+      E.log2MinCb,
+      std::min(log2size, bitLength((unsigned)E.cuSizeTarget) - 1));
+  bool wantSplit = log2size > targetLog2;
+
+  if (inside && !wantSplit && log2size > E.log2MinCb && E.rdoCu) {
+    CuSnap st;
+    saveCu(E, x, y, size, &st);
+    E.recBin(B_SPLIT, splitCtx(E, x, y, depth), 0);
+    encodeLeaf(E, x, y, log2size, depth);
+    double costLeaf = cuRdCost(E, x, y, size, st.nops);
+    CuSnap leafState;
+    saveCu(E, x, y, size, &leafState);
+    OpsSlice leafOps = E.saveOps(st.nops);
+    restoreCu(E, st);
+    E.recBin(B_SPLIT, splitCtx(E, x, y, depth), 1);
+    {
+      int h2 = size >> 1;
+      static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+      for (int k = 0; k < 4; k++) {
+        int nx = x + off[k][0] * h2, ny = y + off[k][1] * h2;
+        if (nx < E.width && ny < E.height)
+          encodeCqt(E, nx, ny, log2size - 1, depth + 1);
+      }
+    }
+    double costSplit = cuRdCost(E, x, y, size, st.nops);
+    if (costLeaf <= costSplit) {
+      restoreCu(E, st);
+      E.reinstate(leafOps);
+      applyMapsRecon(E, leafState);
+    }
+    return;
+  }
+  bool split;
+  if (inside && log2size > E.log2MinCb) {
+    E.recBin(B_SPLIT, splitCtx(E, x, y, depth), wantSplit ? 1 : 0);
+    split = wantSplit;
+  } else {
+    split = log2size > E.log2MinCb;  // forced at boundary
+  }
+  if (split) {
+    int h = size >> 1;
+    static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+    for (int k = 0; k < 4; k++) {
+      int nx = x + off[k][0] * h, ny = y + off[k][1] * h;
+      if (nx < E.width && ny < E.height)
+        encodeCqt(E, nx, ny, log2size - 1, depth + 1);
+    }
+    return;
+  }
+  encodeLeaf(E, x, y, log2size, depth);
+}
+
+// inter CU compress — implemented in the inter section below
+void encodeCuInter(Ctx& E, int x, int y, int log2size, int depth);
+
+}  // namespace encctu
+}  // namespace hevc
+
+// ---------------------------------------------------------------------------
+// C API (ctypes bridge: encoder.py _native_compress_*)
+// ---------------------------------------------------------------------------
+extern "C" {
+
+// iargs layout — MUST match encoder.py _native_ctx_args
+enum {
+  EI_WIDTH = 0, EI_HEIGHT, EI_BD, EI_CFMT, EI_LOG2CTB, EI_LOG2MINCB,
+  EI_LOG2MINTB, EI_LOG2MAXTB, EI_MAXTRINTRA, EI_MAXTRINTER, EI_AMP,
+  EI_STRONGSMOOTH, EI_SMOOTHDIS, EI_SDH, EI_RDOQ, EI_TSEN, EI_SLICETYPE,
+  EI_QP, EI_NUMREF0, EI_NUMREF1, EI_MAXMERGE, EI_SEARCHRANGE, EI_FASTSEARCH,
+  EI_TMVP, EI_COLFROML0, EI_COLREFIDX, EI_POC, EI_RDOCU, EI_CUSIZE,
+  EI_INTRARDCANDS, EI_RDPARTS, EI_RDUNI, EI_W4, EI_H4, EI_NCTBX,
+  EI_ALLREFSBEFORE, EI_LOG2PARMRG, EI_N_IARGS
+};
+enum { ED_RDLAMBDA = 0, ED_LAMMOTION, ED_LAMPRED, ED_CW1, ED_CW2,
+       ED_N_DARGS };
+// map pointer slots — MUST match encoder.py _native_map_ptrs
+enum {
+  EP_DEPTH = 0, EP_PREDMODE, EP_PARTSIZE, EP_SKIP, EP_PCM, EP_INTRAY,
+  EP_INTRAC, EP_CHROMADM, EP_QP, EP_CBFY, EP_EDGE, EP_INTERDIR, EP_MV,
+  EP_REFIDX, EP_REFPOC, EP_REFISLT, EP_SLICEIDX, EP_ZMAP, EP_TILEMAP,
+  EP_ORIG0, EP_ORIG1, EP_ORIG2, EP_RECON0, EP_RECON1, EP_RECON2,
+  EP_NEXTMPS, EP_NEXTLPS, EP_PLANEW0, EP_PLANEH0, EP_PLANEW1, EP_PLANEH1,
+  EP_N_PTRS
+};
+
+void* enc_ctu_create(const int64_t* ia, const double* da, const int64_t* mp,
+                     const int64_t* bankp) {
+  using namespace hevc::encctu;
+  Ctx* E = new Ctx();
+  E->width = (int)ia[EI_WIDTH]; E->height = (int)ia[EI_HEIGHT];
+  E->bd = (int)ia[EI_BD]; E->cfmt = (int)ia[EI_CFMT];
+  E->log2Ctb = (int)ia[EI_LOG2CTB]; E->log2MinCb = (int)ia[EI_LOG2MINCB];
+  E->log2MinTb = (int)ia[EI_LOG2MINTB]; E->log2MaxTb = (int)ia[EI_LOG2MAXTB];
+  E->maxTrIntra = (int)ia[EI_MAXTRINTRA];
+  E->maxTrInter = (int)ia[EI_MAXTRINTER];
+  E->ampEnabled = (int)ia[EI_AMP];
+  E->strongSmoothing = (int)ia[EI_STRONGSMOOTH];
+  E->smoothingDisabled = (int)ia[EI_SMOOTHDIS];
+  E->sdh = (int)ia[EI_SDH]; E->rdoqOn = (int)ia[EI_RDOQ];
+  E->tsEnabled = (int)ia[EI_TSEN];
+  E->sliceType = (int)ia[EI_SLICETYPE]; E->qp = (int)ia[EI_QP];
+  E->numRef[0] = (int)ia[EI_NUMREF0]; E->numRef[1] = (int)ia[EI_NUMREF1];
+  E->maxMerge = (int)ia[EI_MAXMERGE];
+  E->searchRange = (int)ia[EI_SEARCHRANGE];
+  E->fastSearch = (int)ia[EI_FASTSEARCH];
+  E->tmvp = (int)ia[EI_TMVP]; E->colFromL0 = (int)ia[EI_COLFROML0];
+  E->colRefIdx = (int)ia[EI_COLREFIDX]; E->poc = (int)ia[EI_POC];
+  E->rdoCu = (int)ia[EI_RDOCU]; E->cuSizeTarget = (int)ia[EI_CUSIZE];
+  E->intraRdCands = (int)ia[EI_INTRARDCANDS];
+  E->rdParts = (int)ia[EI_RDPARTS]; E->rdUni = (int)ia[EI_RDUNI];
+  E->w4 = (int)ia[EI_W4]; E->h4 = (int)ia[EI_H4];
+  E->nctbX = (int)ia[EI_NCTBX];
+  E->allRefsBefore = (int)ia[EI_ALLREFSBEFORE];
+  E->log2ParMrg = (int)ia[EI_LOG2PARMRG];
+  E->rdLambda = da[ED_RDLAMBDA]; E->lamMotion = da[ED_LAMMOTION];
+  E->lamPred = da[ED_LAMPRED];
+  E->cw[0] = 1.0; E->cw[1] = da[ED_CW1]; E->cw[2] = da[ED_CW2];
+  E->depth = (int8_t*)mp[EP_DEPTH];
+  E->predMode = (int8_t*)mp[EP_PREDMODE];
+  E->partSize = (int8_t*)mp[EP_PARTSIZE];
+  E->skip = (int8_t*)mp[EP_SKIP];
+  E->pcm = (int8_t*)mp[EP_PCM];
+  E->intraY = (int8_t*)mp[EP_INTRAY];
+  E->intraC = (int8_t*)mp[EP_INTRAC];
+  E->chromaDm = (int8_t*)mp[EP_CHROMADM];
+  E->qpMap = (int8_t*)mp[EP_QP];
+  E->cbfY = (int8_t*)mp[EP_CBFY];
+  E->edgeFlags = (uint8_t*)mp[EP_EDGE];
+  E->interDir = (int8_t*)mp[EP_INTERDIR];
+  E->mv = (int32_t*)mp[EP_MV];
+  E->refIdx = (int8_t*)mp[EP_REFIDX];
+  E->refPocM = (int32_t*)mp[EP_REFPOC];
+  E->refIsLt = (int8_t*)mp[EP_REFISLT];
+  E->sliceIdx = (int32_t*)mp[EP_SLICEIDX];
+  E->zmap = (int64_t*)mp[EP_ZMAP];
+  E->tileMap = (int32_t*)mp[EP_TILEMAP];
+  for (int c = 0; c < 3; c++) {
+    E->orig[c] = (int32_t*)mp[EP_ORIG0 + c];
+    E->recon[c] = (int32_t*)mp[EP_RECON0 + c];
+  }
+  E->planeW[0] = (int)mp[EP_PLANEW0];
+  E->planeH[0] = (int)mp[EP_PLANEH0];
+  E->planeW[1] = E->planeW[2] = (int)mp[EP_PLANEW1];
+  E->planeH[1] = E->planeH[2] = (int)mp[EP_PLANEH1];
+  int ssx = E->chromaShiftX(), ssy = E->chromaShiftY();
+  E->compW[0] = E->width; E->compH[0] = E->height;
+  E->compW[1] = E->compW[2] = E->width >> ssx;
+  E->compH[1] = E->compH[2] = E->height >> ssy;
+  E->nextMps = (const int32_t*)mp[EP_NEXTMPS];
+  E->nextLps = (const int32_t*)mp[EP_NEXTLPS];
+  for (int s = 0; s < NSETS; s++) E->bank[s] = (int32_t*)bankp[s];
+  E->curQp = E->qp;
+  return E;
+}
+
+void enc_ctu_destroy(void* h) {
+  delete static_cast<hevc::encctu::Ctx*>(h);
+}
+
+// compress one CTU; returns the total op count afterwards (the caller's
+// per-CTU marks)
+int64_t enc_ctu_compress(void* h, int x, int y) {
+  using namespace hevc::encctu;
+  Ctx* E = static_cast<Ctx*>(h);
+  E->ctuX = x; E->ctuY = y;
+  encodeCqt(*E, x, y, E->log2Ctb, 0);
+  return (int64_t)E->ops.size();
+}
+
+void enc_ctu_fetch_ops(void* h, uint8_t* kind, int32_t* a, int32_t* b) {
+  using namespace hevc::encctu;
+  Ctx* E = static_cast<Ctx*>(h);
+  size_t n = E->ops.size();
+  std::memcpy(kind, E->ops.kind.data(), n);
+  std::memcpy(a, E->ops.a.data(), n * sizeof(int32_t));
+  std::memcpy(b, E->ops.b.data(), n * sizeof(int32_t));
+}
+
+}  // extern "C"
+
+namespace hevc {
+namespace encctu {
+
+// placeholder — the inter section replaces this (never reached: the
+// Python eligibility gate keeps P/B pictures off the native path until
+// the inter port lands)
+void encodeCuInter(Ctx& E, int x, int y, int log2size, int depth) {
+  (void)E; (void)x; (void)y; (void)log2size; (void)depth;
+  std::abort();
+}
+
+}  // namespace encctu
+}  // namespace hevc

@@ -100,6 +100,15 @@ def _load():
         C.c_int, C.c_int, C.c_double, C.c_int, C.c_int, C.c_double,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
         C.c_void_p, C.c_void_p, C.c_void_p]
+    # native CTU compressor (encctu.cpp)
+    lib.enc_ctu_create.restype = C.c_void_p
+    lib.enc_ctu_create.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p,
+                                   C.c_void_p]
+    lib.enc_ctu_destroy.argtypes = [C.c_void_p]
+    lib.enc_ctu_compress.restype = C.c_longlong
+    lib.enc_ctu_compress.argtypes = [C.c_void_p, C.c_int, C.c_int]
+    lib.enc_ctu_fetch_ops.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p,
+                                      C.c_void_p]
     _LIB = lib
     return lib
 

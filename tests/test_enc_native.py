@@ -1,0 +1,64 @@
+"""Native CTU compressor (hostdec/native/encctu.cpp) byte-identity.
+
+The native compress pass must reproduce the Python reference path's
+bitstream EXACTLY — every RD decision, CABAC op and recon sample.  Any
+divergence is a bug in the port, so these tests byte-compare whole
+streams with the native path forced on and off.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from libhm_tpu.hostdec.native_bridge import try_load  # noqa: E402
+
+
+def _have_native():
+    lib = try_load()
+    return lib is not None and hasattr(lib, "enc_ctu_create")
+
+
+def _encode(tmp_path, native, gop="intra", w=64, h=48, n=2, qp=32,
+            **cfg_kw):
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    rng = np.random.default_rng(7)
+    base = (np.linspace(0, 200, w, dtype=np.int32)[None, :] +
+            np.linspace(0, 40, h, dtype=np.int32)[:, None])
+    frames = []
+    for t in range(n):
+        y = np.clip(base + rng.integers(-8, 9, (h, w)) + 5 * t,
+                    0, 255).astype(np.uint8)
+        u = np.clip(128 + (base[: h // 2: , : w // 2][: h // 2, : w // 2]
+                    if False else base[:: 2, :: 2] // 4), 0,
+                    255).astype(np.uint8)
+        v = np.full((h // 2, w // 2), 90, np.uint8)
+        frames.append((y, u, v))
+    os.environ["HEVC_ENC_NATIVE"] = "1" if native else "0"
+    try:
+        cfg = EncoderConfig(w, h, qp=qp, gop=gop, **cfg_kw)
+        cfg.transform_skip = True
+        enc = IntraEncoder(cfg)
+        return enc.encode_stream(frames)
+    finally:
+        os.environ.pop("HEVC_ENC_NATIVE", None)
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+@pytest.mark.parametrize("qp", [27, 37])
+def test_intra_byte_identical(tmp_path, qp):
+    a = _encode(tmp_path, native=False, qp=qp)
+    b = _encode(tmp_path, native=True, qp=qp)
+    assert a == b
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_intra_decodes_bit_exact(tmp_path):
+    from libhm_tpu.hostdec.decoder import Decoder
+    stream = _encode(tmp_path, native=True)
+    outs = Decoder(parse="native", recon="native").decode_annexb(stream)
+    assert len(outs) == 2  # hash SEI verified inside when present
