@@ -1650,7 +1650,7 @@ class IntraEncoder:
         bipredSearchRange (+-4) around the current MV against the
         2*orig - predOther template, then HAD fractional refine
         (xMotionEstimation with bBi, TEncSearch.cpp:4003-4021).
-        Returns the refined quarter-pel MV."""
+        Returns (quarter-pel MV, template-domain HAD distortion)."""
         plane = self._search_plane(l, r)
         cfg = self.cfg
         lib = self._enc_native()
@@ -1659,14 +1659,14 @@ class IntraEncoder:
             R = cfg.search_range
             padded = self._padded_i16(plane, R)
             t16 = np.ascontiguousarray(target, np.int16)  # fits for bd<=14
-            out = np.zeros(2, np.int64)
+            out = np.zeros(3, np.int64)
             lib.enc_bi_refine(
                 padded.ctypes.data, padded.shape[1], padded.shape[0],
                 R + 8, t16.ctypes.data, px, py, w, h, R,
                 int(pred_mv[0]), int(pred_mv[1]),
                 float(self._lam_motion), cfg.bit_depth,
                 int(start_mv[0]), int(start_mv[1]), out.ctypes.data)
-            return (int(out[0]), int(out[1]))
+            return (int(out[0]), int(out[1])), int(out[2])
         H, W = plane.shape
         lam_m = self._lam_motion
         dsh = self.cfg.bit_depth - 8
@@ -1686,9 +1686,9 @@ class IntraEncoder:
                                                 mvq[1] - pred_mv[1])
                 if best is None or c < best:
                     best, bmv = c, (cx + dx, cy + dy)
-        mv, _ = self._frac_refine((bmv[0] << 2, bmv[1] << 2), px, py, w, h,
-                                  t32, pred_mv, l, r)
-        return mv
+        mv, dist = self._frac_refine((bmv[0] << 2, bmv[1] << 2), px, py,
+                                     w, h, t32, pred_mv, l, r)
+        return mv, dist
 
     def _frac_refine(self, best_mv, px, py, w, h, orig, pred_mv, l, r):
         """Two-stage half- then quarter-pel refinement over the 8
@@ -1831,6 +1831,7 @@ class IntraEncoder:
                              nl == 1, pu_idx,
                              getattr(self, "_pu_last_mode", 0))
         best_uni = [None, None]  # per list: (cost, r, mv, mvd, mvp_idx, amvp)
+        uni_rec = {}             # (l, r) -> [mv, amvp, mvp_idx] for bi passes
         plane_cache = {}
         for l in range(nl):
             for r in range(self.sh.num_ref_idx[l]):
@@ -1853,6 +1854,7 @@ class IntraEncoder:
                     c = pcost + lam_m * bits
                     if best is None or c < best[0]:
                         best = (c, r, mv, mvd, mi)
+                uni_rec[(l, r)] = [mv, amvp, best[4]]
                 if best_uni[l] is None or best[0] < best_uni[l][0]:
                     best_uni[l] = best + (amvp,)
         out = []
@@ -1876,29 +1878,56 @@ class IntraEncoder:
             mvs = [u0[2], u1[2]]
             mvds = [u0[3], u1[3]]
             mvps = [u0[4], u1[4]]
-            amvps = [u0[5], u1[5]]
-            # iterative template refinement (TEncSearch.cpp:3349-3436):
-            # re-search one list at a time against 2*orig - predOther,
-            # alternating lists until no change (<=4 passes).  The window
-            # is HM's bipredSearchRange (+-4 integer) around the current
-            # MV — a full TZ on the template overfits its doubled noise
-            # and was measurably worse than the reference here.
-            mvs = list(mvs)
+            # iterative per-ref template refinement (TEncSearch.cpp:
+            # 3349-3436): up to 4 passes alternating lists (list 0
+            # first); each pass re-searches EVERY ref index of the
+            # active list against 2*orig - predOther from the current
+            # committed motion (window = HM's bipredSearchRange +-4
+            # around that ref's running MV, cMvTemp), re-picks the AMVP
+            # candidate for the refined MV (xCheckBestMVP), and keeps
+            # the (ref, mv, mvp) minimizing 0.5*templateDist +
+            # lambda * (mbBits[2] + motBits[other] + ref/mvp/mvd bits)
+            # — xMotionEstimation's fWeight=0.5 final cost.  Stops when
+            # a full pass changes nothing.
+            nref = (self.sh.num_ref_idx[0], self.sh.num_ref_idx[1])
+            mot_bits = [
+                self._mv_bits(*u0[3]) + 1 + self._ref_bits(refs[0], nref[0]),
+                self._mv_bits(*u1[3]) + 1 + self._ref_bits(refs[1], nref[1]),
+            ]
+            cost_bi = None
             for it in range(4):
                 l = it % 2
                 other = 1 - l
                 p_other = self._pred_from_cand(
                     0, px, py, w, h, other + 1, mvs, refs).astype(np.int32)
                 target = 2 * orig - p_other
-                pred_mv = amvps[l][mvps[l]]
-                mv2 = self._bi_window_search(px, py, w, h, target, mvs[l],
-                                             pred_mv, l, refs[l])
-                if mv2 == tuple(mvs[l]):
-                    if it > 0:
-                        break
-                else:
-                    mvs[l] = mv2
-                    mvds[l] = (mv2[0] - pred_mv[0], mv2[1] - pred_mv[1])
+                changed = False
+                for r in range(nref[l]):
+                    rec = uni_rec[(l, r)]
+                    pred_mv = rec[1][rec[2]]
+                    mv2, dist = self._bi_window_search(
+                        px, py, w, h, target, rec[0], pred_mv, l, r)
+                    rec[0] = mv2    # cMvTemp[l][r] updates in place
+                    mi2 = min(range(len(rec[1])),
+                              key=lambda i: self._mv_bits(
+                                  mv2[0] - rec[1][i][0],
+                                  mv2[1] - rec[1][i][1]))
+                    rec[2] = mi2
+                    mvd2 = (mv2[0] - rec[1][mi2][0], mv2[1] - rec[1][mi2][1])
+                    bits = (blk[2] + mot_bits[other] + 1 +
+                            self._ref_bits(r, nref[l]) +
+                            self._mv_bits(*mvd2))
+                    c = (dist >> 1) + lam_m * bits
+                    if cost_bi is None or c < cost_bi:
+                        changed = True
+                        cost_bi = c
+                        refs[l] = r
+                        mvs[l] = mv2
+                        mvds[l] = mvd2
+                        mvps[l] = mi2
+                        mot_bits[l] = bits - blk[2] - mot_bits[other]
+                if not changed:
+                    break
             pred_bi = self._pred_from_cand(0, px, py, w, h, 3, mvs, refs)
             bits = (blk[2] +
                     self._mv_bits(*mvds[0]) + self._mv_bits(*mvds[1]) + 2 +
@@ -2177,6 +2206,9 @@ class IntraEncoder:
             preds = apply_and_preds(part, cur_descs)
             if part == SIZE_2Nx2N:
                 self._inter_2nx2n_rd(x, y, log2size, cur_descs[0], preds)
+            elif sps.max_tr_hierarchy_inter > 0:
+                self._encode_inter_res_part_tree(x, y, log2size, cur_descs,
+                                                 part, preds)
             else:
                 self._encode_inter_res_split(x, y, log2size, cur_descs,
                                              part, preds)
@@ -2495,6 +2527,8 @@ class IntraEncoder:
             return split_try()
         if not (l2 > min_tu and l2 > sps.log2_min_tb):
             return leaf_try()
+        if os.environ.get("HEVC_TT_PROBE") == "split":
+            return split_try()
         mark = len(enc.ops)
         leaf = leaf_try()
         norm = 1 << (2 * (self.cfg.bit_depth - 8))
@@ -2660,6 +2694,51 @@ class IntraEncoder:
             else:
                 enc.encode_bin(bank["part_size"], 3, 0)
                 enc.encode_bypass(amp_bin[1])
+
+    def _encode_inter_res_part_tree(self, x, y, log2size, descs, part,
+                                    preds):
+        """Non-2Nx2N with transform hierarchy > 0: full RD-searched
+        transform tree over the whole-CU residual, exactly like the
+        2Nx2N path (inter TUs may span PU boundaries, Rec. 7.3.8.8; the
+        reference searches the complete tree in
+        TEncSearch::xEstimateInterResidualQT, TEncSearch.cpp:4612+ --
+        a one-level forced split here cost ~4% BD-rate on RA)."""
+        sps, cfg, pic, enc, bank = self.sps, self.cfg, self.pic, self.enc, \
+            self.bank
+        size = 1 << log2size
+        bd = cfg.bit_depth
+        orig_l = self.orig[0][y:y + size, x:x + size].astype(np.int32)
+        resi_l = orig_l - preds[0]
+        min_tu = self._tt_min_tu(log2size, False)
+        mark = len(enc.ops)
+        tree = self._inter_tt_decide(x, y, log2size, 0, min_tu, resi_l,
+                                     0, 0)
+        enc.truncate(mark)          # luma-only trial syntax
+        self._inter_tt_chroma(tree, preds, x, y)
+        any_cbf = bool(self._inter_tt_any_luma(tree) or any(tree["cb"]) or
+                       any(tree["cr"]))
+        self._write_bypass_flag(x, y, size)
+        enc.encode_bin(bank["skip"], self._skip_ctx(x, y), 0)
+        pic.set_rect(pic.skip, x, y, size, size, 0)
+        enc.encode_bin(bank["pred_mode"], 0, 0)
+        self._write_inter_part_size(part, log2size)
+        for desc in descs:
+            self._write_pu_syntax(desc, size, part)
+        # rqt_root_cbf always coded for non-2Nx2N (spec 7.3.8.5)
+        enc.encode_bin(bank["qt_root_cbf"], 0, 1 if any_cbf else 0)
+        if any_cbf:
+            self._inter_tt_emit(tree, min_tu, (0, 0), (0, 0), 0, None,
+                                preds, x, y)
+        else:
+            pic.set_rect(pic.cbf_y, x, y, size, size, 0)
+            for comp in range(self.ncomp):
+                ssx = sps.chroma_shift_x() if comp else 0
+                ssy = sps.chroma_shift_y() if comp else 0
+                nx, ny = size >> ssx, size >> ssy
+                self.recon[comp][y >> ssy:(y >> ssy) + ny,
+                                 x >> ssx:(x >> ssx) + nx] = np.clip(
+                    preds[comp], 0, (1 << bd) - 1)
+        self._finish_cu_qp(x, y, size)
 
     def _encode_inter_res_split(self, x, y, log2size, descs, part, preds):
         """Non-2Nx2N: forced TU quadtree (max_tr_hierarchy_inter == 0 --

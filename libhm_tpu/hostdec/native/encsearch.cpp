@@ -318,7 +318,7 @@ void meSearch(const MeArgs& a, int64_t out[3]) {
 // current MV against the 2*orig - predOther template, then the same
 // two-stage Hadamard fractional refine as meSearch.  orig holds the
 // template (fits int16 for bit depths <= 14).
-void biRefine(const MeArgs& a, int startMvX, int startMvY, int64_t out[2]) {
+void biRefine(const MeArgs& a, int startMvX, int startMvY, int64_t out[3]) {
   int dsh = a.bd - 8;
   // clamp the window center into the padded plane's safe range (the MV
   // can drift past R over repeated template passes; sadAt doesn't clamp)
@@ -345,20 +345,23 @@ void biRefine(const MeArgs& a, int startMvX, int startMvY, int64_t out[2]) {
     return satdBlock(diff.data(), a.w, a.h) >> dsh;
   };
   int mvx = bx << 2, mvy = by << 2;
-  double bestC = (double)had(mvx, mvy) +
+  long long bestDist = had(mvx, mvy);
+  double bestC = (double)bestDist +
                  a.lam * mvBits(mvx - a.pmx, mvy - a.pmy);
   for (int step = 2; step >= 1; step--) {
     int ccx = mvx, ccy = mvy;
     for (int k = 0; k < 8; k++) {
       int nx = ccx + kDiamond[k][0] * step;
       int ny = ccy + kDiamond[k][1] * step;
-      double c = (double)had(nx, ny) +
+      long long d = had(nx, ny);
+      double c = (double)d +
                  a.lam * mvBits(nx - a.pmx, ny - a.pmy);
-      if (c < bestC) { bestC = c; mvx = nx; mvy = ny; }
+      if (c < bestC) { bestC = c; mvx = nx; mvy = ny; bestDist = d; }
     }
   }
   out[0] = mvx;
   out[1] = mvy;
+  out[2] = bestDist;  // template-domain HAD distortion at the chosen MV
 }
 
 }  // namespace enc
