@@ -703,6 +703,7 @@ class IntraEncoder:
         self._pad16_cache = {}
         self._refplane_cache = {}
         self._wplane_cache = {}   # per-picture: WP weights change per slice
+        self._i16ref_cache = {}   # int16 ref-plane copies (native inter)
         qp_pic = getattr(self, "cur_qp", None)
         if qp_pic is None:
             qp_pic = cfg.qp
@@ -1152,8 +1153,8 @@ class IntraEncoder:
         cfg, sps = self.cfg, self.sps
         if os.environ.get("HEVC_ENC_NATIVE", "1") == "0":
             return False
-        if self.slice_type != 2:
-            return False            # inter port lands separately
+        if self.slice_type != 2 and not self._native_inter_eligible():
+            return False
         if sps.chroma_format_idc != 1:
             return False
         if getattr(cfg, "lossless", False) or \
@@ -1169,11 +1170,34 @@ class IntraEncoder:
             return False
         for v in ("HEVC_FORCE_LUMA_MODE", "HEVC_FORCE_CHROMA_MODE",
                   "HEVC_FORCE_PART", "HEVC_DEBUG_RQT", "HEVC_DEBUG_PRED",
-                  "HEVC_DUMP_BLOCKS", "HEVC_DBG_SKIPRD"):
+                  "HEVC_DUMP_BLOCKS", "HEVC_DBG_SKIPRD", "HEVC_TT_PROBE"):
             if os.environ.get(v):
                 return False
         lib = self._enc_native()
         return lib is not None and hasattr(lib, "enc_ctu_create")
+
+    def _native_inter_eligible(self):
+        """Extra gates for P/B pictures on the native CTU compressor:
+        no weighted prediction (the search/pred paths would need the
+        pre-weighted planes), complete reference lists, and the col-pic
+        TMVP maps when temporal MVP is on."""
+        if getattr(self, "cur_wp", None) or getattr(self, "cur_wp_l1", None):
+            return False
+        sh = getattr(self, "sh", None)
+        if sh is None or getattr(sh, "wp_luma", None) is not None:
+            return False
+        ref_pics = getattr(self, "ref_pics", None)
+        if not ref_pics:
+            return False
+        for l in range(2):
+            n = sh.num_ref_idx[l]
+            if n > 16:
+                return False
+            if n > 0 and (not ref_pics[l] or
+                          any(p is None for p in ref_pics[l])):
+                return False
+        lib = self._enc_native()
+        return lib is not None and hasattr(lib, "enc_ctu_set_ref")
 
     def _native_compress(self, scan):
         """Run the whole decide+record pass in native code; returns a
@@ -1245,6 +1269,47 @@ class IntraEncoder:
                       np.int64)
         h = lib.enc_ctu_create(ia.ctypes.data, da.ctypes.data,
                                mp.ctypes.data, bp.ctypes.data)
+        keep = []   # pin int16 ref copies + padded planes for the call
+        if inter:
+            R = cfg.search_range
+            plane_ids = {}
+            i16cache = self._i16ref_cache
+            for l in range(2):
+                for r in range(sh.num_ref_idx[l]):
+                    luma = self._ref_plane(0, l, r)
+                    pid = plane_ids.setdefault(id(luma), len(plane_ids))
+                    planes16 = []
+                    for c in range(self.ncomp):
+                        pl = self._ref_plane(c, l, r)
+                        hit = i16cache.get(id(pl))
+                        if hit is None or hit[0] is not pl:
+                            hit = (pl, np.ascontiguousarray(pl, np.int16))
+                            i16cache[id(pl)] = hit
+                        planes16.append(hit[1])
+                    while len(planes16) < 3:
+                        planes16.append(None)
+                    padded = self._padded_i16(luma, R)
+                    rp = self.ref_pics[l][min(r,
+                                              len(self.ref_pics[l]) - 1)]
+                    lib.enc_ctu_set_ref(
+                        h, l, r, planes16[0].ctypes.data,
+                        planes16[1].ctypes.data
+                        if planes16[1] is not None else 0,
+                        planes16[2].ctypes.data
+                        if planes16[2] is not None else 0,
+                        padded.ctypes.data, padded.shape[1],
+                        padded.shape[0], pid, rp.poc,
+                        1 if getattr(rp, "is_long_term", False) else 0)
+                    keep.append((planes16, padded))
+            col = getattr(self.motion, "col_pic", None) \
+                if sh.temporal_mvp else None
+            cp = getattr(col, "pic_syntax", None) if col is not None \
+                else None
+            if cp is not None:
+                lib.enc_ctu_set_col(
+                    h, cp.pred_mode.ctypes.data, cp.inter_dir.ctypes.data,
+                    cp.mv.ctypes.data, cp.ref_poc.ctypes.data,
+                    cp.ref_is_lt.ctypes.data, cp.w4, cp.h4, col.poc)
         try:
             marks = [0]
             wc = sps.pic_width_ctbs

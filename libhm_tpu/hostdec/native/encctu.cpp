@@ -137,13 +137,18 @@ struct Ctx {
     int padW, padH;
     int planeId;              // dedup id (same picture in both lists)
     int poc, isLt;
-    // collocated syntax maps (TMVP), may be null
-    const int8_t *colPredMode, *colInterDir, *colRefIsLt;
-    const int32_t *colMv, *colRefPoc;
-    int colW4, colH4;
   };
   std::vector<Ref> refs[2];
   int colList() const { return 1 - colFromL0; }
+
+  // --- collocated picture syntax maps (TMVP) ---
+  struct Col {
+    bool valid = false;
+    const int8_t *predMode = nullptr, *refIsLt = nullptr;
+    const int8_t *interDir = nullptr;
+    const int32_t *mv = nullptr, *refPoc = nullptr;
+    int w4 = 0, h4 = 0, poc = 0;
+  } col;
 
   Ops ops;
   int curQp;
@@ -151,6 +156,7 @@ struct Ctx {
 
   // inter helper state (mirrors transient attrs on IntraEncoder)
   int puLastMode;
+  int curDepth;  // _cur_depth (inter_dir context)
 
   ~Ctx();
 
@@ -2029,13 +2035,1869 @@ void enc_ctu_fetch_ops(void* h, uint8_t* kind, int32_t* a, int32_t* b) {
 namespace hevc {
 namespace encctu {
 
-// placeholder — the inter section replaces this (never reached: the
-// Python eligibility gate keeps P/B pictures off the native path until
-// the inter port lands)
+// ===========================================================================
+// Inter CU compression (encoder.py encode_cu_inter + helpers; motion
+// derivation mirrors hostdec/motion.py MotionDeriver).  WP / dqp / lossless
+// / non-4:2:0 are gated to the Python path by _native_ctu_eligible.
+// ===========================================================================
+
+// ---- chroma qpel/epel interpolation (motion.py _interp, taps=4, 4:2:0:
+// frac_bits = 3 on both axes so the eighth-pel table indexes directly) ----
+static void interpChromaE(const int16_t* ref, int W, int H, long long stride,
+                          int x, int y, int w, int h, int mvx, int mvy,
+                          int bd, bool isLast, int16_t* dst) {
+  int fx = mvx & 7, fy = mvy & 7;
+  int ix = x + (mvx >> 3), iy = y + (mvy >> 3);
+  int headroom = kIfPrec - bd;
+  int hr = headroom < 2 ? 2 : headroom;
+  int maxv = (1 << bd) - 1;
+  auto S = [&](int yy, int xx) -> int {
+    yy = clip3(0, H - 1, yy);
+    xx = clip3(0, W - 1, xx);
+    return ref[(long long)yy * stride + xx];
+  };
+  const int* fh = kChromaF[fx];
+  const int* fv = kChromaF[fy];
+  if (fx == 0 && fy == 0) {
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int v = S(iy + j, ix + i);
+        dst[j * w + i] = (int16_t)(isLast ? v : (v << headroom) - kIfOffs);
+      }
+    return;
+  }
+  if (fy == 0) {
+    int shift = 6, offset;
+    if (isLast) offset = 1 << (shift - 1);
+    else { shift -= hr; offset = -(kIfOffs << shift); }
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int acc = 0;
+        for (int k = 0; k < 4; k++) acc += fh[k] * S(iy + j, ix + i + k - 1);
+        int v = (acc + offset) >> shift;
+        dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+      }
+    return;
+  }
+  if (fx == 0) {
+    int shift = 6, offset;
+    if (isLast) offset = 1 << (shift - 1);
+    else { shift -= hr; offset = -(kIfOffs << shift); }
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int acc = 0;
+        for (int k = 0; k < 4; k++) acc += fv[k] * S(iy + j + k - 1, ix + i);
+        int v = (acc + offset) >> shift;
+        dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+      }
+    return;
+  }
+  int sh1 = 6 - hr;
+  int off1 = -(kIfOffs << sh1);
+  static thread_local std::vector<int16_t> tmp;
+  tmp.resize((size_t)(h + 3) * w);
+  for (int j = 0; j < h + 3; j++)
+    for (int i = 0; i < w; i++) {
+      int acc = 0;
+      for (int k = 0; k < 4; k++) acc += fh[k] * S(iy + j - 1, ix + i + k - 1);
+      tmp[(size_t)j * w + i] = (int16_t)((acc + off1) >> sh1);
+    }
+  int sh2, off2;
+  if (isLast) { sh2 = 6 + hr; off2 = (1 << (sh2 - 1)) + (kIfOffs << 6); }
+  else { sh2 = 6; off2 = 0; }
+  for (int j = 0; j < h; j++)
+    for (int i = 0; i < w; i++) {
+      int acc = 0;
+      for (int k = 0; k < 4; k++) acc += fv[k] * tmp[(size_t)(j + k) * w + i];
+      int v = (acc + off2) >> sh2;
+      dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+    }
+}
+
+// ---- prediction for one candidate (encoder.py _pred_from_cand, no WP) ----
+// dst: (h>>ssy) x (w>>ssx) int32, densely packed.
+static void predFromCand(Ctx& E, int comp, int x, int y, int w, int h,
+                         int dir, const int mvs[2][2], const int refIdx[2],
+                         int32_t* dst) {
+  int ssx = comp ? E.chromaShiftX() : 0;
+  int ssy = comp ? E.chromaShiftY() : 0;
+  int cw = w >> ssx, chh = h >> ssy;
+  int cx = x >> ssx, cy = y >> ssy;
+  int W = E.compW[comp], H = E.compH[comp];
+  static thread_local std::vector<int16_t> p16a, p16b;
+  p16a.resize((size_t)cw * chh);
+  auto interp1 = [&](int l, bool isLast, int16_t* out) {
+    int ri = refIdx[l] < 0 ? 0 : refIdx[l];
+    if (ri >= (int)E.refs[l].size()) ri = (int)E.refs[l].size() - 1;
+    const int16_t* plane = E.refs[l][ri].plane[comp];
+    if (comp == 0)
+      enc::interpLuma(plane, W, H, W, cx, cy, cw, chh,
+                      mvs[l][0], mvs[l][1], E.bd, isLast, out);
+    else
+      interpChromaE(plane, W, H, W, cx, cy, cw, chh,
+                    mvs[l][0], mvs[l][1], E.bd, isLast, out);
+  };
+  if (dir != 3) {
+    int l = dir == 1 ? 0 : 1;
+    interp1(l, true, p16a.data());
+    for (int i = 0; i < cw * chh; i++) dst[i] = p16a[i];
+    return;
+  }
+  p16b.resize((size_t)cw * chh);
+  interp1(0, false, p16a.data());
+  interp1(1, false, p16b.data());
+  int shift = kIfPrec + 1 - E.bd;
+  int off = (1 << (shift - 1)) + 2 * kIfOffs;
+  int maxv = (1 << E.bd) - 1;
+  for (int i = 0; i < cw * chh; i++) {
+    int v = ((int)p16a[i] + (int)p16b[i] + off) >> shift;
+    dst[i] = clip3(0, maxv, v);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// motion derivation (hostdec/motion.py MotionDeriver)
+// ---------------------------------------------------------------------------
+static void mvScaleE(const int mv[2], int tb, int td, int out[2]) {
+  if (tb == td) { out[0] = mv[0]; out[1] = mv[1]; return; }
+  tb = clip3(-128, 127, tb);
+  td = clip3(-128, 127, td);
+  int tx = (16384 + (std::abs(td) >> 1)) / td;
+  int dsf = clip3(-4096, 4095, (tb * tx + 32) >> 6);
+  long long px = (long long)dsf * mv[0];
+  long long py = (long long)dsf * mv[1];
+  out[0] = (int)clip3((long long)-32768, (long long)32767,
+                      (px + 127 + (px < 0 ? 1 : 0)) >> 8);
+  out[1] = (int)clip3((long long)-32768, (long long)32767,
+                      (py + 127 + (py < 0 ? 1 : 0)) >> 8);
+}
+
+struct BlkE {
+  bool ok = false;
+  int dir = 0;
+  int mv[2][2] = {{0, 0}, {0, 0}};
+  int refIdx[2] = {-1, -1};
+  int refPoc[2] = {0, 0};
+  int refLt[2] = {0, 0};
+};
+
+static BlkE blkE(const Ctx& E, int x, int y, int curX, int curY,
+                 bool checkZ = true) {
+  BlkE b;
+  if (!E.available(x, y, curX, curY, checkZ)) return b;
+  size_t i = E.mi(x, y);
+  if (E.predMode[i] != MODE_INTER) return b;
+  b.ok = true;
+  b.dir = E.interDir[i];
+  for (int l = 0; l < 2; l++) {
+    b.mv[l][0] = E.mv[i * 4 + l * 2];
+    b.mv[l][1] = E.mv[i * 4 + l * 2 + 1];
+    b.refIdx[l] = E.refIdx[i * 2 + l];
+    b.refPoc[l] = E.refPocM[i * 2 + l];
+    b.refLt[l] = E.refIsLt[i * 2 + l];
+  }
+  return b;
+}
+
+struct MergeCandE {
+  int dir = 0;
+  int mv[2][2] = {{0, 0}, {0, 0}};
+  int refIdx[2] = {-1, -1};
+  bool sameMotion(const MergeCandE& o) const {
+    if (dir != o.dir) return false;
+    for (int l = 0; l < 2; l++)
+      if (dir & (1 << l)) {
+        if (mv[l][0] != o.mv[l][0] || mv[l][1] != o.mv[l][1] ||
+            refIdx[l] != o.refIdx[l])
+          return false;
+      }
+    return true;
+  }
+};
+
+static int refPocOf(const Ctx& E, int l, int idx) {
+  if (E.refs[l].empty()) return 0;
+  if (idx >= (int)E.refs[l].size()) idx = (int)E.refs[l].size() - 1;
+  return E.refs[l][idx].poc;
+}
+static int refLtOf(const Ctx& E, int l, int idx) {
+  if (E.refs[l].empty()) return 0;
+  if (idx >= (int)E.refs[l].size()) idx = (int)E.refs[l].size() - 1;
+  return E.refs[l][idx].isLt;
+}
+
+// motion.py _tmvp — returns true + out[2] on success
+static bool tmvpE(const Ctx& E, int x, int y, int w, int h, int targetList,
+                  int targetRefIdx, int out[2]) {
+  if (!E.col.valid) return false;
+  int candPos[2][2];
+  int nCand = 0;
+  int brX = x + w, brY = y + h;
+  if ((brY >> E.log2Ctb) == (y >> E.log2Ctb) && brY < E.height &&
+      brX < E.width) {
+    candPos[nCand][0] = (brX >> 4) << 4;
+    candPos[nCand][1] = (brY >> 4) << 4;
+    nCand++;
+  }
+  candPos[nCand][0] = ((x + (w >> 1)) >> 4) << 4;
+  candPos[nCand][1] = ((y + (h >> 1)) >> 4) << 4;
+  nCand++;
+  int tgtPoc = refPocOf(E, targetList, targetRefIdx);
+  int tgtLt = refLtOf(E, targetList, targetRefIdx);
+  for (int k = 0; k < nCand; k++) {
+    int x4 = candPos[k][0] >> 2, y4 = candPos[k][1] >> 2;
+    if (x4 >= E.col.w4 || y4 >= E.col.h4) continue;
+    size_t i = (size_t)y4 * E.col.w4 + x4;
+    if (E.col.predMode[i] != MODE_INTER) continue;
+    int cdir = E.col.interDir[i];
+    if (cdir == 0) continue;
+    int use;
+    if (!(cdir & 1)) use = 1;
+    else if (!(cdir & 2)) use = 0;
+    else use = E.allRefsBefore ? targetList : E.colFromL0;
+    int colMv[2] = {E.col.mv[i * 4 + use * 2], E.col.mv[i * 4 + use * 2 + 1]};
+    int colRefPoc = E.col.refPoc[i * 2 + use];
+    int colRefLt = E.col.refIsLt[i * 2 + use] ? 1 : 0;
+    if (colRefLt != (tgtLt ? 1 : 0)) continue;
+    if (tgtLt) { out[0] = colMv[0]; out[1] = colMv[1]; return true; }
+    int tb = E.poc - tgtPoc;
+    int td = E.col.poc - colRefPoc;
+    if (td == 0) { out[0] = colMv[0]; out[1] = colMv[1]; return true; }
+    mvScaleE(colMv, tb, td, out);
+    return true;
+  }
+  return false;
+}
+
+// motion.py merge_candidate_list — fills out[0..maxMerge-1], padded
+static void mergeCandListE(const Ctx& E, int x, int y, int w, int h, int cx,
+                           int cy, int cuSize, int puIdx, int partSize,
+                           MergeCandE out[5]) {
+  int plevel = E.log2ParMrg;
+  if (plevel > 2 && cuSize == 8) {
+    x = cx; y = cy; w = cuSize; h = cuSize;
+    puIdx = 0;
+    partSize = SIZE_2Nx2N;
+  }
+  auto parOk = [&](int nx, int ny) {
+    return (x >> plevel != nx >> plevel) || (y >> plevel != ny >> plevel);
+  };
+  auto toCand = [](const BlkE& b) {
+    MergeCandE c;
+    c.dir = b.dir;
+    for (int l = 0; l < 2; l++) {
+      c.mv[l][0] = b.mv[l][0]; c.mv[l][1] = b.mv[l][1];
+      c.refIdx[l] = b.refIdx[l];
+    }
+    return c;
+  };
+  MergeCandE cands[5];
+  int n = 0;
+  int maxCand = E.maxMerge;
+
+  BlkE a1, b1;
+  bool haveA1 = false, haveB1 = false;
+  if (!(puIdx == 1 && (partSize == SIZE_Nx2N || partSize == SIZE_nLx2N ||
+                       partSize == SIZE_nRx2N))) {
+    int nx = x - 1, ny = y + h - 1;
+    if (parOk(nx, ny)) { a1 = blkE(E, nx, ny, x, y, false); haveA1 = a1.ok; }
+  }
+  MergeCandE cA1, cB1;
+  if (haveA1) { cA1 = toCand(a1); if (n < 5) cands[n++] = cA1; }
+  if (!(puIdx == 1 && (partSize == SIZE_2NxN || partSize == SIZE_2NxnU ||
+                       partSize == SIZE_2NxnD))) {
+    int nx = x + w - 1, ny = y - 1;
+    if (parOk(nx, ny)) { b1 = blkE(E, nx, ny, x, y, false); haveB1 = b1.ok; }
+  }
+  if (haveB1) {
+    cB1 = toCand(b1);
+    if (!(haveA1 && cB1.sameMotion(cA1)) && n < 5) cands[n++] = cB1;
+  }
+  {
+    int nx = x + w, ny = y - 1;
+    if (parOk(nx, ny)) {
+      BlkE b0 = blkE(E, nx, ny, x, y);
+      if (b0.ok) {
+        MergeCandE c = toCand(b0);
+        if (!(haveB1 && c.sameMotion(cB1)) && n < 5) cands[n++] = c;
+      }
+    }
+  }
+  {
+    int nx = x - 1, ny = y + h;
+    if (parOk(nx, ny)) {
+      BlkE a0 = blkE(E, nx, ny, x, y);
+      if (a0.ok) {
+        MergeCandE c = toCand(a0);
+        if (!(haveA1 && c.sameMotion(cA1)) && n < 5) cands[n++] = c;
+      }
+    }
+  }
+  if (n < 4) {
+    int nx = x - 1, ny = y - 1;
+    if (parOk(nx, ny)) {
+      BlkE b2 = blkE(E, nx, ny, x, y);
+      if (b2.ok) {
+        MergeCandE c = toCand(b2);
+        if (!(haveA1 && c.sameMotion(cA1)) &&
+            !(haveB1 && c.sameMotion(cB1)) && n < 5)
+          cands[n++] = c;
+      }
+    }
+  }
+  if (E.tmvp && n < maxCand && E.col.valid) {
+    MergeCandE c;
+    int mv0[2];
+    if (tmvpE(E, x, y, w, h, 0, 0, mv0)) {
+      c.dir |= 1;
+      c.mv[0][0] = mv0[0]; c.mv[0][1] = mv0[1];
+      c.refIdx[0] = 0;
+    }
+    if (E.sliceType == 0) {
+      int mv1[2];
+      if (tmvpE(E, x, y, w, h, 1, 0, mv1)) {
+        c.dir |= 2;
+        c.mv[1][0] = mv1[0]; c.mv[1][1] = mv1[1];
+        c.refIdx[1] = 0;
+      }
+    }
+    if (c.dir && n < 5) cands[n++] = c;
+  }
+  if (E.sliceType == 0 && n > 1 && n < maxCand) {
+    static const int pairs[12][2] = {{0, 1}, {1, 0}, {0, 2}, {2, 0},
+                                     {1, 2}, {2, 1}, {0, 3}, {3, 0},
+                                     {1, 3}, {3, 1}, {2, 3}, {3, 2}};
+    int norig = n;
+    for (auto& pr : pairs) {
+      if (n >= maxCand) break;
+      if (pr[0] >= norig || pr[1] >= norig) break;
+      const MergeCandE& ci = cands[pr[0]];
+      const MergeCandE& cj = cands[pr[1]];
+      if (!(ci.dir & 1) || !(cj.dir & 2)) continue;
+      if (refPocOf(E, 0, ci.refIdx[0]) == refPocOf(E, 1, cj.refIdx[1]) &&
+          ci.mv[0][0] == cj.mv[1][0] && ci.mv[0][1] == cj.mv[1][1])
+        continue;
+      MergeCandE c;
+      c.dir = 3;
+      c.mv[0][0] = ci.mv[0][0]; c.mv[0][1] = ci.mv[0][1];
+      c.mv[1][0] = cj.mv[1][0]; c.mv[1][1] = cj.mv[1][1];
+      c.refIdx[0] = ci.refIdx[0];
+      c.refIdx[1] = cj.refIdx[1];
+      if (n < 5) cands[n++] = c;
+    }
+  }
+  int nref = E.sliceType == 0 ? std::min(E.numRef[0], E.numRef[1])
+                              : E.numRef[0];
+  int zeroIdx = 0;
+  while (n < maxCand && n < 5) {
+    int r = zeroIdx < nref ? zeroIdx : 0;
+    MergeCandE c;
+    if (E.sliceType == 0) { c.dir = 3; c.refIdx[0] = r; c.refIdx[1] = r; }
+    else { c.dir = 1; c.refIdx[0] = r; c.refIdx[1] = -1; }
+    c.mv[0][0] = c.mv[0][1] = c.mv[1][0] = c.mv[1][1] = 0;
+    cands[n++] = c;
+    zeroIdx++;
+  }
+  for (int i = 0; i < maxCand && i < 5; i++) out[i] = cands[i];
+}
+
+// motion.py amvp_candidates
+static void amvpCandsE(const Ctx& E, int x, int y, int w, int h,
+                       int targetList, int targetRefIdx, int out[2][2]) {
+  int tgtPoc = refPocOf(E, targetList, targetRefIdx);
+  int tgtLt = refLtOf(E, targetList, targetRefIdx) ? 1 : 0;
+  BlkE a0 = blkE(E, x - 1, y + h, x, y);
+  BlkE a1 = blkE(E, x - 1, y + h - 1, x, y, false);
+  bool isScaled = a0.ok || a1.ok;
+
+  auto matchUnscaled = [&](const BlkE& b, int mv[2]) {
+    if (!b.ok) return false;
+    int order[2] = {targetList, 1 - targetList};
+    for (int li = 0; li < 2; li++) {
+      int l = order[li];
+      if ((b.dir & (1 << l)) && b.refPoc[l] == tgtPoc &&
+          (b.refLt[l] ? 1 : 0) == tgtLt) {
+        mv[0] = b.mv[l][0]; mv[1] = b.mv[l][1];
+        return true;
+      }
+    }
+    return false;
+  };
+  auto matchScaled = [&](const BlkE& b, int mv[2]) {
+    if (!b.ok) return false;
+    int order[2] = {targetList, 1 - targetList};
+    for (int li = 0; li < 2; li++) {
+      int l = order[li];
+      if ((b.dir & (1 << l)) && (b.refLt[l] ? 1 : 0) == tgtLt) {
+        if (tgtLt) { mv[0] = b.mv[l][0]; mv[1] = b.mv[l][1]; }
+        else mvScaleE(b.mv[l], E.poc - tgtPoc, E.poc - b.refPoc[l], mv);
+        return true;
+      }
+    }
+    return false;
+  };
+
+  int mvA[2];
+  bool haveA = matchUnscaled(a0, mvA) || matchUnscaled(a1, mvA);
+  if (!haveA) haveA = matchScaled(a0, mvA) || matchScaled(a1, mvA);
+
+  BlkE b0 = blkE(E, x + w, y - 1, x, y);
+  BlkE b1 = blkE(E, x + w - 1, y - 1, x, y, false);
+  BlkE b2 = blkE(E, x - 1, y - 1, x, y);
+  int mvB[2];
+  bool haveB = matchUnscaled(b0, mvB) || matchUnscaled(b1, mvB) ||
+               matchUnscaled(b2, mvB);
+  if (!isScaled) {
+    if (!haveA && haveB) { mvA[0] = mvB[0]; mvA[1] = mvB[1]; haveA = true; }
+    haveB = matchScaled(b0, mvB) || matchScaled(b1, mvB) ||
+            matchScaled(b2, mvB);
+  }
+  int nc = 0;
+  int cands[3][2];
+  if (haveA) { cands[nc][0] = mvA[0]; cands[nc][1] = mvA[1]; nc++; }
+  if (haveB && !(haveA && mvB[0] == mvA[0] && mvB[1] == mvA[1])) {
+    cands[nc][0] = mvB[0]; cands[nc][1] = mvB[1]; nc++;
+  }
+  if (nc < 2 && E.tmvp && E.col.valid) {
+    int tmv[2];
+    if (tmvpE(E, x, y, w, h, targetList, targetRefIdx, tmv)) {
+      cands[nc][0] = tmv[0]; cands[nc][1] = tmv[1]; nc++;
+    }
+  }
+  while (nc < 2) { cands[nc][0] = 0; cands[nc][1] = 0; nc++; }
+  out[0][0] = cands[0][0]; out[0][1] = cands[0][1];
+  out[1][0] = cands[1][0]; out[1][1] = cands[1][1];
+}
+
+// motion.py _write_pu (map writes only; the encoder keeps no InterPU list —
+// deblock BS inputs and future TMVP read the 4x4 maps, dir-gated, so the
+// unused-list cells keep their previous values exactly like the Python)
+static void writePuMapsE(Ctx& E, int x, int y, int w, int h, int dir,
+                         const int mvs[2][2], const int refIdx[2]) {
+  int x0 = x >> 2, x1 = (x + w) >> 2, y0 = y >> 2, y1 = (y + h) >> 2;
+  for (int yy = y0; yy < y1; yy++) {
+    size_t i = (size_t)yy * E.w4 + x0;
+    for (int xx = x0; xx < x1; xx++, i++) {
+      E.interDir[i] = (int8_t)dir;
+      for (int l = 0; l < 2; l++) {
+        if (dir & (1 << l)) {
+          E.mv[i * 4 + l * 2] = mvs[l][0];
+          E.mv[i * 4 + l * 2 + 1] = mvs[l][1];
+          E.refIdx[i * 2 + l] = (int8_t)refIdx[l];
+          E.refPocM[i * 2 + l] = refPocOf(E, l, refIdx[l]);
+          E.refIsLt[i * 2 + l] = (int8_t)(refLtOf(E, l, refIdx[l]) ? 1 : 0);
+        } else {
+          E.refIdx[i * 2 + l] = -1;
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// PU decision (encoder.py _best_pu_motion / _pu_me_lists)
+// ---------------------------------------------------------------------------
+struct PuDesc {
+  bool isMerge = false;
+  int mergeIdx = 0;
+  MergeCandE cand;  // merge motion (as derived)
+  int mergeDir = 0;  // clamped dir for merge
+  int dir = 0;       // amvp
+  int refIdx[2] = {-1, -1};
+  int mv[2][2] = {{0, 0}, {0, 0}};
+  int mvd[2][2] = {{0, 0}, {0, 0}};
+  int mvpIdx[2] = {0, 0};
+};
+
+// motion.py apply_merge / apply_amvp equivalents over Ctx maps
+static void applyPuE(Ctx& E, const PuDesc& d, int px, int py, int w, int h,
+                     int cx, int cy, int cuSize, int puIdx) {
+  if (d.isMerge) {
+    int partSize = E.partSize[E.mi(cx, cy)];
+    MergeCandE cl[5];
+    mergeCandListE(E, px, py, w, h, cx, cy, cuSize, puIdx, partSize, cl);
+    MergeCandE c = cl[d.mergeIdx];
+    int dir = c.dir;
+    if (E.numRef[1] == 0) dir &= 1;
+    if (w + h == 12 && dir == 3) {
+      dir = 1;
+      c.refIdx[1] = -1;
+      c.mv[1][0] = c.mv[1][1] = 0;
+    }
+    writePuMapsE(E, px, py, w, h, dir, c.mv, c.refIdx);
+    return;
+  }
+  int mvs[2][2] = {{0, 0}, {0, 0}};
+  for (int l = 0; l < 2; l++) {
+    if (d.dir & (1 << l)) {
+      int cands[2][2];
+      amvpCandsE(E, px, py, w, h, l, d.refIdx[l], cands);
+      mvs[l][0] = cands[d.mvpIdx[l]][0] + d.mvd[l][0];
+      mvs[l][1] = cands[d.mvpIdx[l]][1] + d.mvd[l][1];
+    }
+  }
+  writePuMapsE(E, px, py, w, h, d.dir, mvs, d.refIdx);
+}
+
+static int refBitsE(int r, int nref) {
+  if (nref <= 1) return 0;
+  return std::min(r + 1, nref - 1);
+}
+
+// TEncSearch::xGetBlkBits (encoder.py _blk_bits)
+static void blkBitsE(int part, bool pSlice, int puIdx, int lastMode,
+                     int out[3]) {
+  if (part == SIZE_2Nx2N || part == SIZE_NxN) {
+    if (pSlice) { out[0] = 1; out[1] = 3; out[2] = 5; }
+    else { out[0] = 3; out[1] = 3; out[2] = 5; }
+    return;
+  }
+  if (pSlice) { out[0] = 3; out[1] = 0; out[2] = 0; return; }
+  static const int tabH[2][3][3] = {
+      {{0, 0, 3}, {0, 0, 0}, {0, 0, 0}},
+      {{5, 7, 7}, {7, 5, 7}, {6, 6, 6}}};
+  static const int tabV[2][3][3] = {
+      {{0, 2, 3}, {0, 0, 0}, {0, 0, 0}},
+      {{5, 7, 7}, {5, 5, 7}, {6, 6, 6}}};
+  bool horiz = part == SIZE_2NxN || part == SIZE_2NxnU || part == SIZE_2NxnD;
+  const int (*tab)[3][3] = horiz ? tabH : tabV;
+  int row = puIdx < 1 ? 0 : 1;
+  for (int k = 0; k < 3; k++) out[k] = tab[row][lastMode][k];
+}
+
+// encoder.py _pu_me_lists.  orig32: contiguous w*h int32.  Appends (cost,
+// desc) AMVP candidates to out (best uni per list + bi).
+static void puMeListsE(Ctx& E, int px, int py, int w, int h,
+                       const int32_t* orig32, int partSize, int puIdx,
+                       std::vector<std::pair<double, PuDesc>>& out) {
+  double lamM = E.lamMotion;
+  int dshift = 2 * (E.bd - 8);
+  int nl = (E.sliceType == 0 && E.numRef[1]) ? 2 : 1;
+  int blk[3];
+  blkBitsE(partSize, nl == 1, puIdx, E.puLastMode, blk);
+  static thread_local std::vector<int16_t> o16;
+  o16.resize((size_t)w * h);
+  for (int i = 0; i < w * h; i++) o16[i] = (int16_t)orig32[i];
+  struct Uni {
+    bool have = false;
+    double cost = 0;
+    int r = 0, mv[2] = {0, 0}, mvd[2] = {0, 0}, mvpIdx = 0;
+    int amvp[2][2];
+  } bestUni[2];
+  // (l, r) -> running cMvTemp + amvp + mvp for the bi passes
+  struct Rec { int mv[2]; int amvp[2][2]; int mvp; };
+  Rec uniRec[2][16];
+  // plane-dedup (GPB duplicate lists): planeId -> (mv, cost)
+  struct PC { int id; int mv[2]; long long cost; };
+  std::vector<PC> planeCache;
+  for (int l = 0; l < nl; l++) {
+    for (int r = 0; r < E.numRef[l]; r++) {
+      int amvp[2][2];
+      amvpCandsE(E, px, py, w, h, l, r, amvp);
+      const Ctx::Ref& ref = E.refs[l][r];
+      int mv[2];
+      long long pcost = 0;
+      bool hit = false;
+      for (auto& pc : planeCache)
+        if (pc.id == ref.planeId) {
+          mv[0] = pc.mv[0]; mv[1] = pc.mv[1];
+          pcost = pc.cost;
+          hit = true;
+          break;
+        }
+      if (!hit) {
+        enc::MeArgs a;
+        a.padded = ref.padded;
+        a.pw = ref.padW; a.ph = ref.padH; a.pad = E.searchRange + 8;
+        a.orig = o16.data();
+        a.px = px; a.py = py; a.w = w; a.h = h;
+        a.R = E.searchRange;
+        a.pmx = amvp[0][0]; a.pmy = amvp[0][1];
+        a.lam = lamM;
+        a.bd = E.bd;
+        a.fast = E.fastSearch;
+        int64_t res[3];
+        enc::meSearch(a, res);
+        mv[0] = (int)res[0]; mv[1] = (int)res[1];
+        pcost = res[2];
+        planeCache.push_back({ref.planeId, {mv[0], mv[1]}, pcost});
+      }
+      double best = 0;
+      int bestMi = -1, bestMvd[2] = {0, 0};
+      for (int mi = 0; mi < 2; mi++) {
+        int mvd[2] = {mv[0] - amvp[mi][0], mv[1] - amvp[mi][1]};
+        int bits = blk[l] + enc::mvBits(mvd[0], mvd[1]) + 1 +
+                   refBitsE(r, E.numRef[l]);
+        double c = (double)pcost + lamM * bits;
+        if (bestMi < 0 || c < best) {
+          best = c;
+          bestMi = mi;
+          bestMvd[0] = mvd[0]; bestMvd[1] = mvd[1];
+        }
+      }
+      uniRec[l][r].mv[0] = mv[0]; uniRec[l][r].mv[1] = mv[1];
+      std::memcpy(uniRec[l][r].amvp, amvp, sizeof(amvp));
+      uniRec[l][r].mvp = bestMi;
+      if (!bestUni[l].have || best < bestUni[l].cost) {
+        bestUni[l].have = true;
+        bestUni[l].cost = best;
+        bestUni[l].r = r;
+        bestUni[l].mv[0] = mv[0]; bestUni[l].mv[1] = mv[1];
+        bestUni[l].mvd[0] = bestMvd[0]; bestUni[l].mvd[1] = bestMvd[1];
+        bestUni[l].mvpIdx = bestMi;
+        std::memcpy(bestUni[l].amvp, amvp, sizeof(amvp));
+      }
+    }
+  }
+  for (int l = 0; l < nl; l++) {
+    if (!bestUni[l].have) continue;
+    PuDesc d;
+    d.isMerge = false;
+    d.dir = l + 1;
+    d.refIdx[l] = bestUni[l].r;
+    d.mv[l][0] = bestUni[l].mv[0]; d.mv[l][1] = bestUni[l].mv[1];
+    d.mvd[l][0] = bestUni[l].mvd[0]; d.mvd[l][1] = bestUni[l].mvd[1];
+    d.mvpIdx[l] = bestUni[l].mvpIdx;
+    out.push_back({bestUni[l].cost, d});
+  }
+  // bi-prediction refinement (B slices, 8x4/4x8 excluded)
+  if (nl == 2 && bestUni[0].have && bestUni[1].have && w + h != 12) {
+    int refs2[2] = {bestUni[0].r, bestUni[1].r};
+    int mvs2[2][2] = {{bestUni[0].mv[0], bestUni[0].mv[1]},
+                      {bestUni[1].mv[0], bestUni[1].mv[1]}};
+    int mvds2[2][2] = {{bestUni[0].mvd[0], bestUni[0].mvd[1]},
+                       {bestUni[1].mvd[0], bestUni[1].mvd[1]}};
+    int mvps2[2] = {bestUni[0].mvpIdx, bestUni[1].mvpIdx};
+    int nref[2] = {E.numRef[0], E.numRef[1]};
+    int motBits[2] = {
+        enc::mvBits(bestUni[0].mvd[0], bestUni[0].mvd[1]) + 1 +
+            refBitsE(refs2[0], nref[0]),
+        enc::mvBits(bestUni[1].mvd[0], bestUni[1].mvd[1]) + 1 +
+            refBitsE(refs2[1], nref[1])};
+    bool haveCost = false;
+    double costBi = 0;
+    static thread_local std::vector<int32_t> pOther;
+    static thread_local std::vector<int16_t> target;
+    pOther.resize((size_t)w * h);
+    target.resize((size_t)w * h);
+    for (int it = 0; it < 4; it++) {
+      int l = it % 2;
+      int other = 1 - l;
+      predFromCand(E, 0, px, py, w, h, other + 1, mvs2, refs2,
+                   pOther.data());
+      for (int i = 0; i < w * h; i++)
+        target[i] = (int16_t)(2 * orig32[i] - pOther[i]);
+      bool changed = false;
+      for (int r = 0; r < nref[l]; r++) {
+        Rec& rec = uniRec[l][r];
+        int predMv[2] = {rec.amvp[rec.mvp][0], rec.amvp[rec.mvp][1]};
+        const Ctx::Ref& ref = E.refs[l][r];
+        enc::MeArgs a;
+        a.padded = ref.padded;
+        a.pw = ref.padW; a.ph = ref.padH; a.pad = E.searchRange + 8;
+        a.orig = target.data();
+        a.px = px; a.py = py; a.w = w; a.h = h;
+        a.R = E.searchRange;
+        a.pmx = predMv[0]; a.pmy = predMv[1];
+        a.lam = lamM;
+        a.bd = E.bd;
+        a.fast = E.fastSearch;
+        int64_t res[3];
+        enc::biRefine(a, rec.mv[0], rec.mv[1], res);
+        int mv2[2] = {(int)res[0], (int)res[1]};
+        long long dist = res[2];
+        rec.mv[0] = mv2[0]; rec.mv[1] = mv2[1];
+        // xCheckBestMVP: re-pick the AMVP candidate minimizing mvd bits
+        int mi2 = 0;
+        int bb = enc::mvBits(mv2[0] - rec.amvp[0][0],
+                             mv2[1] - rec.amvp[0][1]);
+        int bb1 = enc::mvBits(mv2[0] - rec.amvp[1][0],
+                              mv2[1] - rec.amvp[1][1]);
+        if (bb1 < bb) mi2 = 1;
+        rec.mvp = mi2;
+        int mvd2[2] = {mv2[0] - rec.amvp[mi2][0], mv2[1] - rec.amvp[mi2][1]};
+        int bits = blk[2] + motBits[other] + 1 + refBitsE(r, nref[l]) +
+                   enc::mvBits(mvd2[0], mvd2[1]);
+        double c = (double)(dist >> 1) + lamM * bits;
+        if (!haveCost || c < costBi) {
+          changed = true;
+          haveCost = true;
+          costBi = c;
+          refs2[l] = r;
+          mvs2[l][0] = mv2[0]; mvs2[l][1] = mv2[1];
+          mvds2[l][0] = mvd2[0]; mvds2[l][1] = mvd2[1];
+          mvps2[l] = mi2;
+          motBits[l] = bits - blk[2] - motBits[other];
+        }
+      }
+      if (!changed) break;
+    }
+    static thread_local std::vector<int32_t> predBi;
+    predBi.resize((size_t)w * h);
+    predFromCand(E, 0, px, py, w, h, 3, mvs2, refs2, predBi.data());
+    int bits = blk[2] + enc::mvBits(mvds2[0][0], mvds2[0][1]) +
+               enc::mvBits(mvds2[1][0], mvds2[1][1]) + 2 +
+               refBitsE(refs2[0], E.numRef[0]) +
+               refBitsE(refs2[1], E.numRef[1]);
+    double c = (double)(satd32(predBi.data(), orig32, w, h) >> dshift) +
+               lamM * bits;
+    PuDesc d;
+    d.isMerge = false;
+    d.dir = 3;
+    d.refIdx[0] = refs2[0]; d.refIdx[1] = refs2[1];
+    std::memcpy(d.mv, mvs2, sizeof(mvs2));
+    std::memcpy(d.mvd, mvds2, sizeof(mvds2));
+    d.mvpIdx[0] = mvps2[0]; d.mvpIdx[1] = mvps2[1];
+    out.push_back({c, d});
+  }
+}
+
+// encoder.py _best_pu_motion.  Returns the winning (cost, desc); fills
+// mergeCands (deduped merge candidates) and meAll (the ME candidate list).
+static double bestPuMotionE(Ctx& E, int px, int py, int w, int h, int cx,
+                            int cy, int cuSize, int puIdx, int partSize,
+                            PuDesc* bestDesc,
+                            std::vector<PuDesc>* mergeCands,
+                            std::vector<std::pair<double, PuDesc>>* meAll) {
+  static thread_local std::vector<int32_t> orig32, pred;
+  orig32.resize((size_t)w * h);
+  pred.resize((size_t)w * h);
+  const int stride = E.planeW[0];
+  for (int j = 0; j < h; j++)
+    for (int i = 0; i < w; i++)
+      orig32[(size_t)j * w + i] =
+          E.orig[0][(size_t)(py + j) * stride + px + i];
+  double lamM = E.lamMotion;
+  int dshift = 2 * (E.bd - 8);
+  bool haveBest = false;
+  double bestCost = 0;
+  PuDesc best;
+  MergeCandE clist[5];
+  mergeCandListE(E, px, py, w, h, cx, cy, cuSize, puIdx, partSize, clist);
+  if (mergeCands) mergeCands->clear();
+  std::vector<MergeCandE> seen;  // clamped-motion dedup (Python seen_motion)
+  for (int mi = 0; mi < E.maxMerge; mi++) {
+    MergeCandE cand = clist[mi];
+    int dir = cand.dir;
+    if (E.numRef[1] == 0) dir &= 1;
+    if (w + h == 12 && dir == 3) dir = 1;
+    if (!dir) continue;
+    // dedup key: (dir, per-used-list (mv, ref))
+    MergeCandE key = cand;
+    key.dir = dir;
+    bool dup = false;
+    for (auto& s : seen)
+      if (s.sameMotion(key)) { dup = true; break; }
+    if (!dup) {
+      seen.push_back(key);
+      if (mergeCands) {
+        PuDesc d;
+        d.isMerge = true;
+        d.mergeIdx = mi;
+        d.cand = cand;
+        d.mergeDir = dir;
+        mergeCands->push_back(d);
+      }
+    }
+    predFromCand(E, 0, px, py, w, h, dir, cand.mv, cand.refIdx, pred.data());
+    double cost = (double)(satd32(pred.data(), orig32.data(), w, h) >>
+                           dshift) +
+                  lamM * (mi + 2);
+    if (!haveBest || cost < bestCost) {
+      haveBest = true;
+      bestCost = cost;
+      best = PuDesc();
+      best.isMerge = true;
+      best.mergeIdx = mi;
+      best.cand = cand;
+      best.mergeDir = dir;
+    }
+  }
+  std::vector<std::pair<double, PuDesc>> me;
+  puMeListsE(E, px, py, w, h, orig32.data(), partSize, puIdx, me);
+  if (meAll) *meAll = me;
+  for (auto& cd : me) {
+    if (!haveBest || cd.first < bestCost) {
+      haveBest = true;
+      bestCost = cd.first;
+      best = cd.second;
+    }
+  }
+  // uiLastMode for the second PU's xGetBlkBits row
+  int d = best.isMerge ? best.mergeDir : best.dir;
+  E.puLastMode = d == 3 ? 2 : d - 1;
+  *bestDesc = best;
+  return bestCost;
+}
+
+// ---------------------------------------------------------------------------
+// PU / CU syntax writers (encoder.py _write_*)
+// ---------------------------------------------------------------------------
+static void writeMergeIdxE(Ctx& E, int idx) {
+  int n = E.maxMerge;
+  if (n > 1) {
+    E.recBin(B_MERGE_IDX, 0, idx > 0 ? 1 : 0);
+    if (idx > 0) {
+      for (int k = 1; k < idx; k++) E.recBypass(1);
+      if (idx < n - 1) E.recBypass(0);
+    }
+  }
+}
+
+static void writeMvdE(Ctx& E, const int mvd[2]) {
+  int ax = std::abs(mvd[0]), ay = std::abs(mvd[1]);
+  E.recBin(B_MVD, 0, ax ? 1 : 0);
+  E.recBin(B_MVD, 0, ay ? 1 : 0);
+  if (ax) E.recBin(B_MVD, 1, ax > 1 ? 1 : 0);
+  if (ay) E.recBin(B_MVD, 1, ay > 1 ? 1 : 0);
+  if (ax) {
+    if (ax > 1) E.recEg(ax - 2, 1);
+    E.recBypass(mvd[0] < 0 ? 1 : 0);
+  }
+  if (ay) {
+    if (ay > 1) E.recEg(ay - 2, 1);
+    E.recBypass(mvd[1] < 0 ? 1 : 0);
+  }
+}
+
+static void writeRefIdxE(Ctx& E, int l, int r) {
+  int nref = E.numRef[l];
+  if (nref <= 1) return;
+  E.recBin(B_REF_IDX, 0, r > 0 ? 1 : 0);
+  if (r > 0) {
+    int nrem = nref - 2;
+    for (int i = 0; i < r - 1; i++) {
+      if (i == 0) E.recBin(B_REF_IDX, 1, 1);
+      else E.recBypass(1);
+    }
+    if (r - 1 < nrem) {
+      if (r - 1 == 0) E.recBin(B_REF_IDX, 1, 0);
+      else E.recBypass(0);
+    }
+  }
+}
+
+static void writePuSyntaxE(Ctx& E, const PuDesc& d, int cuSize,
+                           int partSize) {
+  if (d.isMerge) {
+    E.recBin(B_MERGE_FLAG, 0, 1);
+    writeMergeIdxE(E, d.mergeIdx);
+    return;
+  }
+  E.recBin(B_MERGE_FLAG, 0, 0);
+  if (E.sliceType == 0) {
+    if (partSize == SIZE_2Nx2N || cuSize != 8)
+      E.recBin(B_INTER_DIR, E.curDepth, d.dir == 3 ? 1 : 0);
+    if (d.dir != 3) E.recBin(B_INTER_DIR, 4, d.dir - 1);
+  }
+  for (int l = 0; l < 2; l++) {
+    bool use = (d.dir == 3) || (d.dir == l + 1);
+    if (!use || E.numRef[l] == 0) continue;
+    writeRefIdxE(E, l, d.refIdx[l]);
+    writeMvdE(E, d.mvd[l]);
+    E.recBin(B_MVP, 0, d.mvpIdx[l]);
+  }
+}
+
+static int skipCtxE(const Ctx& E, int x, int y) {
+  int ctx = 0;
+  if (E.available(x - 1, y, x, y, false) && E.skip[E.mi(x - 1, y)]) ctx++;
+  if (E.available(x, y - 1, x, y, false) && E.skip[E.mi(x, y - 1)]) ctx++;
+  return ctx;
+}
+
+// encoder.py _write_inter_part_size
+static void writeInterPartSizeE(Ctx& E, int part, int log2size) {
+  bool atMin = log2size == E.log2MinCb;
+  int base = part;
+  int ampBin = -1;  // -1 = none
+  if (part == SIZE_2NxnU || part == SIZE_2NxnD) {
+    base = SIZE_2NxN;
+    ampBin = part == SIZE_2NxnU ? 0 : 1;
+  } else if (part == SIZE_nLx2N || part == SIZE_nRx2N) {
+    base = SIZE_Nx2N;
+    ampBin = part == SIZE_nLx2N ? 0 : 1;
+  }
+  int maxBits = (atMin && (1 << log2size) != 8) ? 3 : 2;
+  for (int i = 0; i < std::min(base, maxBits); i++) E.recBin(B_PART, i, 0);
+  if (base < maxBits) E.recBin(B_PART, base, 1);
+  if (E.ampEnabled && !atMin && (base == SIZE_2NxN || base == SIZE_Nx2N)) {
+    if (ampBin < 0) E.recBin(B_PART, 3, 1);
+    else {
+      E.recBin(B_PART, 3, 0);
+      E.recBypass(ampBin);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// PU partitions (slicedec.pu_partitions)
+// ---------------------------------------------------------------------------
+static int puPartitionsE(int part, int size, int out[4][4]) {
+  int s = size, q = size >> 2, h = size >> 1;
+  switch (part) {
+    case SIZE_2Nx2N: {
+      int v[1][4] = {{0, 0, s, s}};
+      std::memcpy(out, v, sizeof(v));
+      return 1;
+    }
+    case SIZE_2NxN: {
+      int v[2][4] = {{0, 0, s, h}, {0, h, s, h}};
+      std::memcpy(out, v, sizeof(v));
+      return 2;
+    }
+    case SIZE_Nx2N: {
+      int v[2][4] = {{0, 0, h, s}, {h, 0, h, s}};
+      std::memcpy(out, v, sizeof(v));
+      return 2;
+    }
+    case SIZE_NxN: {
+      int v[4][4] = {{0, 0, h, h}, {h, 0, h, h}, {0, h, h, h}, {h, h, h, h}};
+      std::memcpy(out, v, sizeof(v));
+      return 4;
+    }
+    case SIZE_2NxnU: {
+      int v[2][4] = {{0, 0, s, q}, {0, q, s, s - q}};
+      std::memcpy(out, v, sizeof(v));
+      return 2;
+    }
+    case SIZE_2NxnD: {
+      int v[2][4] = {{0, 0, s, s - q}, {0, s - q, s, q}};
+      std::memcpy(out, v, sizeof(v));
+      return 2;
+    }
+    case SIZE_nLx2N: {
+      int v[2][4] = {{0, 0, q, s}, {q, 0, s - q, s}};
+      std::memcpy(out, v, sizeof(v));
+      return 2;
+    }
+    default: {  // SIZE_nRx2N
+      int v[2][4] = {{0, 0, s - q, s}, {s - q, 0, q, s}};
+      std::memcpy(out, v, sizeof(v));
+      return 2;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// inter residual coding (encoder.py _encode_inter_res_* / _inter_tt_*)
+// ---------------------------------------------------------------------------
+// per-CU prediction buffers: [comp] -> (size>>ssx) x (size>>ssy), packed
+struct CuPreds {
+  std::vector<int32_t> p[3];
+  int cw[3], chh[3];
+};
+
+// inter transform-tree node (Python dict in _inter_tt_decide)
+struct ITt {
+  bool split = false;
+  int l2 = 0, x = 0, y = 0, depth = 0;
+  std::vector<int32_t> lev, rec;
+  int cbf = 0, ts = -1;
+  ITt* kids[4] = {nullptr, nullptr, nullptr, nullptr};
+  int cb[2] = {0, 0}, cr[2] = {0, 0};
+  bool hasChroma = false;
+  struct CTu {
+    std::vector<int32_t> lev, rec;
+    int cbf = 0, ts = -1;
+  };
+  CTu* ch[3] = {nullptr, nullptr, nullptr};
+  ~ITt() {
+    for (int i = 0; i < 4; i++) delete kids[i];
+    delete[] ch[1];
+    delete[] ch[2];
+  }
+};
+
+static ITt* interTtDecide(Ctx& E, int x, int y, int l2, int depth, int minTu,
+                          const int32_t* resiL, int resiStride, int ox,
+                          int oy);
+
+static ITt* interTtLeafTry(Ctx& E, int x, int y, int l2, int depth,
+                           int minTu, const int32_t* resiL, int resiStride,
+                           int ox, int oy) {
+  int size = 1 << l2;
+  ITt* node = new ITt();
+  node->l2 = l2; node->x = x; node->y = y; node->depth = depth;
+  static thread_local std::vector<int32_t> sub;
+  sub.resize((size_t)size * size);
+  for (int j = 0; j < size; j++)
+    std::memcpy(&sub[(size_t)j * size],
+                resiL + (size_t)(oy + j) * resiStride + ox,
+                (size_t)size * sizeof(int32_t));
+  TuOut tu;
+  tuFwd(E, sub.data(), size, false, 0, SCAN_DIAG, false, &tu);
+  if (subdivCoded(E, l2, minTu)) E.recBin(B_SUBDIV, 5 - l2, 0);
+  E.recBin(B_QT_CBF, depth == 0 ? 1 : 0, tu.cbf);
+  if (tu.cbf)
+    encodeResidual(E, tu.lev, size, size, 0, SCAN_DIAG, E.sdh, tu.ts);
+  node->lev.assign(tu.lev, tu.lev + (size_t)size * size);
+  node->rec.assign(tu.rec, tu.rec + (size_t)size * size);
+  node->cbf = tu.cbf;
+  node->ts = tu.ts;
+  return node;
+}
+
+static ITt* interTtSplitTry(Ctx& E, int x, int y, int l2, int depth,
+                            int minTu, const int32_t* resiL, int resiStride,
+                            int ox, int oy) {
+  if (subdivCoded(E, l2, minTu)) E.recBin(B_SUBDIV, 5 - l2, 1);
+  ITt* node = new ITt();
+  node->split = true;
+  node->l2 = l2; node->x = x; node->y = y; node->depth = depth;
+  int h = 1 << (l2 - 1);
+  static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+  for (int k = 0; k < 4; k++)
+    node->kids[k] = interTtDecide(E, x + off[k][0] * h, y + off[k][1] * h,
+                                  l2 - 1, depth + 1, minTu, resiL,
+                                  resiStride, ox + off[k][0] * h,
+                                  oy + off[k][1] * h);
+  return node;
+}
+
+static double interTreeSse(const ITt* node, const int32_t* resiL,
+                           int resiStride, int ox, int oy) {
+  if (node->split) {
+    int hh = 1 << (node->l2 - 1);
+    static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+    double s = 0;
+    for (int k = 0; k < 4; k++)
+      s += interTreeSse(node->kids[k], resiL, resiStride,
+                        ox + off[k][0] * hh, oy + off[k][1] * hh);
+    return s;
+  }
+  int n = 1 << node->l2;
+  long long sse = 0;
+  for (int j = 0; j < n; j++)
+    for (int i = 0; i < n; i++) {
+      long long d = resiL[(size_t)(oy + j) * resiStride + ox + i];
+      if (node->cbf) d -= node->rec[(size_t)j * n + i];
+      sse += d * d;
+    }
+  return (double)sse;
+}
+
+static ITt* interTtDecide(Ctx& E, int x, int y, int l2, int depth, int minTu,
+                          const int32_t* resiL, int resiStride, int ox,
+                          int oy) {
+  if (l2 > E.log2MaxTb)
+    return interTtSplitTry(E, x, y, l2, depth, minTu, resiL, resiStride, ox,
+                           oy);
+  if (!(l2 > minTu && l2 > E.log2MinTb))
+    return interTtLeafTry(E, x, y, l2, depth, minTu, resiL, resiStride, ox,
+                          oy);
+  size_t mark = E.ops.size();
+  ITt* leaf = interTtLeafTry(E, x, y, l2, depth, minTu, resiL, resiStride,
+                             ox, oy);
+  double norm = (double)(1 << (2 * (E.bd - 8)));
+  double costLeaf = interTreeSse(leaf, resiL, resiStride, ox, oy) / norm +
+                    E.rdLambda * E.estOpsBits(mark);
+  OpsSlice leafOps = E.saveOps(mark);
+  E.truncate(mark);
+  ITt* split = interTtSplitTry(E, x, y, l2, depth, minTu, resiL, resiStride,
+                               ox, oy);
+  double costSplit = interTreeSse(split, resiL, resiStride, ox, oy) / norm +
+                     E.rdLambda * E.estOpsBits(mark);
+  if (costLeaf <= costSplit) {
+    E.truncate(mark);
+    E.reinstate(leafOps);
+    delete split;
+    return leaf;
+  }
+  delete leaf;
+  return split;
+}
+
+// encoder.py _inter_tt_chroma (4:2:0 only on the native path)
+static void interTtChroma(Ctx& E, ITt* node, const CuPreds& preds, int cuX,
+                          int cuY) {
+  int idc = E.cfmt;
+  int l2 = node->l2;
+  if (idc == 0) {
+    node->cb[0] = node->cb[1] = node->cr[0] = node->cr[1] = 0;
+    if (node->split)
+      for (int k = 0; k < 4; k++) interTtChroma(E, node->kids[k], preds,
+                                                cuX, cuY);
+    return;
+  }
+  if (node->split && (idc == 3 || l2 > 3)) {
+    for (int k = 0; k < 4; k++) interTtChroma(E, node->kids[k], preds, cuX,
+                                              cuY);
+    int vb = 0, vr = 0;
+    for (int k = 0; k < 4; k++) {
+      if (node->kids[k]->cb[0] || node->kids[k]->cb[1]) vb = 1;
+      if (node->kids[k]->cr[0] || node->kids[k]->cr[1]) vr = 1;
+    }
+    node->cb[0] = node->cb[1] = vb;
+    node->cr[0] = node->cr[1] = vr;
+    return;
+  }
+  int x = node->x, y = node->y;
+  int ssx = E.chromaShiftX(), ssy = E.chromaShiftY();
+  int cn = 1 << (l2 - ssx);
+  int cx = x >> ssx, cy0 = y >> ssy;
+  int px0 = (x - cuX) >> ssx, py0 = (y - cuY) >> ssy;
+  node->hasChroma = true;
+  static thread_local std::vector<int32_t> resi;
+  resi.resize((size_t)cn * cn);
+  for (int comp = 1; comp <= 2; comp++) {
+    node->ch[comp] = new ITt::CTu[1];
+    int cy = cy0;
+    const int stride = E.planeW[comp];
+    for (int j = 0; j < cn; j++)
+      for (int i = 0; i < cn; i++)
+        resi[(size_t)j * cn + i] =
+            E.orig[comp][(size_t)(cy + j) * stride + cx + i] -
+            preds.p[comp][(size_t)(py0 + j) * preds.cw[comp] + px0 + i];
+    TuOut tu;
+    tuFwd(E, resi.data(), cn, false, comp, SCAN_DIAG, false, &tu);
+    auto& e = node->ch[comp][0];
+    e.lev.assign(tu.lev, tu.lev + (size_t)cn * cn);
+    e.rec.assign(tu.rec, tu.rec + (size_t)cn * cn);
+    e.cbf = tu.cbf;
+    e.ts = tu.ts;
+  }
+  node->cb[0] = node->cb[1] = node->ch[1][0].cbf;
+  node->cr[0] = node->cr[1] = node->ch[2][0].cbf;
+  if (node->split) {
+    for (int k = 0; k < 4; k++) {
+      node->kids[k]->cb[0] = node->kids[k]->cb[1] = 0;
+      node->kids[k]->cr[0] = node->kids[k]->cr[1] = 0;
+    }
+  }
+}
+
+static bool interTtAnyLuma(const ITt* node) {
+  if (node->split) {
+    for (int k = 0; k < 4; k++)
+      if (interTtAnyLuma(node->kids[k])) return true;
+    return false;
+  }
+  return node->cbf != 0;
+}
+
+// chroma recon for one chroma-holding node (encoder.py _inter_tt_chroma_recon)
+static void interTtChromaRecon(Ctx& E, const ITt* node, ITt::CTu* const* ch,
+                               const CuPreds& preds, int cuX, int cuY) {
+  int ssx = E.chromaShiftX(), ssy = E.chromaShiftY();
+  int cn = 1 << (node->l2 - ssx);
+  int cx = node->x >> ssx, cy = node->y >> ssy;
+  int px0 = (node->x - cuX) >> ssx, py0 = (node->y - cuY) >> ssy;
+  int maxv = (1 << E.bd) - 1;
+  for (int comp = 1; comp <= 2; comp++) {
+    const auto& e = ch[comp][0];
+    const int stride = E.planeW[comp];
+    for (int j = 0; j < cn; j++)
+      for (int i = 0; i < cn; i++) {
+        int v = preds.p[comp][(size_t)(py0 + j) * preds.cw[comp] + px0 + i];
+        if (e.cbf) v += e.rec[(size_t)j * cn + i];
+        E.recon[comp][(size_t)(cy + j) * stride + cx + i] =
+            clip3(0, maxv, v);
+      }
+  }
+}
+
+// encoder.py _inter_tt_emit
+static void interTtEmit(Ctx& E, ITt* node, int minTu, const int parentCb[2],
+                        const int parentCr[2], int blkIdx,
+                        ITt::CTu* const* parentChroma, const ITt* parentNode,
+                        const CuPreds& preds, int cuX, int cuY) {
+  int idc = E.cfmt;
+  int l2 = node->l2, depth = node->depth;
+  bool subdiv = node->split;
+  int maxv = (1 << E.bd) - 1;
+  if (subdivCoded(E, l2, minTu)) E.recBin(B_SUBDIV, 5 - l2, subdiv ? 1 : 0);
+  int cb[2] = {parentCb[0], parentCb[1]};
+  int cr[2] = {parentCr[0], parentCr[1]};
+  if (idc != 0 && (l2 > 2 || idc == 3)) {
+    cb[0] = node->cb[0]; cb[1] = node->cb[1];
+    cr[0] = node->cr[0]; cr[1] = node->cr[1];
+    int lowest = subdiv ? 0 : 1;
+    if (depth == 0 || parentCb[0] || parentCb[1])
+      writeCbfChroma(E, l2, depth, cb[0], cb[1], lowest);
+    else { cb[0] = cb[1] = 0; }
+    if (depth == 0 || parentCr[0] || parentCr[1])
+      writeCbfChroma(E, l2, depth, cr[0], cr[1], lowest);
+    else { cr[0] = cr[1] = 0; }
+  }
+  if (subdiv) {
+    ITt::CTu* const* held = node->hasChroma ? node->ch : nullptr;
+    for (int i = 0; i < 4; i++)
+      interTtEmit(E, node->kids[i], minTu, cb, cr, i, held, node, preds,
+                  cuX, cuY);
+    if (held) interTtChromaRecon(E, node, held, preds, cuX, cuY);
+    return;
+  }
+  int x = node->x, y = node->y;
+  int size = 1 << l2;
+  int cbf = node->cbf;
+  if (depth > 0 || cb[0] || cb[1] || cr[0] || cr[1])
+    E.recBin(B_QT_CBF, depth == 0 ? 1 : 0, cbf);
+  maybeWriteDqp(E, cbf || cb[0] || cb[1] || cr[0] || cr[1]);
+  if (cbf)
+    encodeResidual(E, node->lev.data(), size, size, 0, SCAN_DIAG, E.sdh,
+                   node->ts);
+  const int stride = E.planeW[0];
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++) {
+      int v = preds.p[0][(size_t)(y - cuY + j) * preds.cw[0] + x - cuX + i];
+      if (cbf) v += node->rec[(size_t)j * size + i];
+      E.recon[0][(size_t)(y + j) * stride + x + i] = clip3(0, maxv, v);
+    }
+  E.setRect8(E.cbfY, x, y, size, size, cbf);
+  E.markTuEdges(x, y, size);
+  (void)parentNode;
+  bool chromaHere = idc != 0 && (l2 - E.chromaShiftX()) >= 2;
+  ITt::CTu* const* ch = nullptr;
+  if (chromaHere && node->hasChroma) ch = node->ch;
+  else if (idc != 0 && !chromaHere && blkIdx == 3 && parentChroma)
+    ch = parentChroma;
+  if (ch) {
+    for (int comp = 1; comp <= 2; comp++) {
+      const auto& e = ch[comp][0];
+      if (e.cbf) {
+        int holderL2 = chromaHere ? l2 : (l2 + 1);
+        int cn = 1 << (holderL2 - E.chromaShiftX());
+        encodeResidual(E, e.lev.data(), cn, cn, comp, SCAN_DIAG, E.sdh,
+                       e.ts);
+      }
+    }
+    if (chromaHere) interTtChromaRecon(E, node, ch, preds, cuX, cuY);
+  }
+}
+
+// prediction-only reconstruction of the whole CU (skip / zero-cbf paths)
+static void predReconCu(Ctx& E, int x, int y, int size,
+                        const CuPreds& preds) {
+  int maxv = (1 << E.bd) - 1;
+  for (int c = 0; c < E.ncomp(); c++) {
+    int ssx = c ? E.chromaShiftX() : 0;
+    int ssy = c ? E.chromaShiftY() : 0;
+    int nx = size >> ssx, ny = size >> ssy;
+    const int stride = E.planeW[c];
+    for (int j = 0; j < ny; j++)
+      for (int i = 0; i < nx; i++)
+        E.recon[c][(size_t)((y >> ssy) + j) * stride + (x >> ssx) + i] =
+            clip3(0, maxv, preds.p[c][(size_t)j * preds.cw[c] + i]);
+  }
+}
+
+// encoder.py _emit_skip_cu
+static void emitSkipCuE(Ctx& E, int x, int y, int log2size,
+                        const PuDesc& desc, const CuPreds& preds) {
+  int size = 1 << log2size;
+  E.recBin(B_SKIP, skipCtxE(E, x, y), 1);
+  E.setRect8(E.skip, x, y, size, size, 1);
+  E.setRect8(E.cbfY, x, y, size, size, 0);
+  writeMergeIdxE(E, desc.mergeIdx);
+  predReconCu(E, x, y, size, preds);
+  finishCuQp(E, x, y, size);
+}
+
+static void encodeInterRes2nx2nTree(Ctx& E, int x, int y, int log2size,
+                                    const PuDesc& desc,
+                                    const CuPreds& preds);
+
+// encoder.py _encode_inter_res_2nx2n (single-TU path + dispatch to tree)
+static void encodeInterRes2nx2n(Ctx& E, int x, int y, int log2size,
+                                const PuDesc& desc, const CuPreds& preds) {
+  int size = 1 << log2size;
+  bool useMerge = desc.isMerge;
+  if (log2size > E.log2MaxTb ||
+      (E.maxTrInter > 0 && log2size - 1 >= E.log2MinTb)) {
+    encodeInterRes2nx2nTree(E, x, y, log2size, desc, preds);
+    return;
+  }
+  // flat single-TU path (4:2:0: one sub-TU per comp)
+  TuOut tu[3];
+  static thread_local std::vector<int32_t> resi;
+  for (int comp = 0; comp < E.ncomp(); comp++) {
+    int ssx = comp ? E.chromaShiftX() : 0;
+    int ssy = comp ? E.chromaShiftY() : 0;
+    int n = size >> ssx;
+    int cxp = x >> ssx, cyp = y >> ssy;
+    resi.resize((size_t)n * n);
+    const int stride = E.planeW[comp];
+    for (int j = 0; j < n; j++)
+      for (int i = 0; i < n; i++)
+        resi[(size_t)j * n + i] =
+            E.orig[comp][(size_t)(cyp + j) * stride + cxp + i] -
+            preds.p[comp][(size_t)j * preds.cw[comp] + i];
+    tuFwd(E, resi.data(), n, false, comp, SCAN_DIAG, false, &tu[comp]);
+  }
+  bool anyCbf = tu[0].cbf != 0;
+  if (E.ncomp() > 1) anyCbf = anyCbf || tu[1].cbf || tu[2].cbf;
+  E.setRect8(E.cbfY, x, y, size, size, tu[0].cbf);
+
+  bool isSkip = useMerge && !anyCbf;
+  E.recBin(B_SKIP, skipCtxE(E, x, y), isSkip ? 1 : 0);
+  E.setRect8(E.skip, x, y, size, size, isSkip ? 1 : 0);
+  if (isSkip) {
+    writeMergeIdxE(E, desc.mergeIdx);
+    predReconCu(E, x, y, size, preds);
+    finishCuQp(E, x, y, size);
+    return;
+  }
+  E.recBin(B_PREDMODE, 0, 0);
+  E.recBin(B_PART, 0, 1);  // 2Nx2N
+  writePuSyntaxE(E, desc, size, SIZE_2Nx2N);
+  if (!useMerge) E.recBin(B_ROOT_CBF, 0, anyCbf ? 1 : 0);
+  int minTuI = ttMinTu(E, log2size, false);
+  if (anyCbf) {
+    if (E.maxTrInter > 0) maybeWriteSubdiv(E, log2size, 0, minTuI);
+    if (E.ncomp() > 1) {
+      E.recBin(B_QT_CBF, 5, tu[1].cbf);
+      E.recBin(B_QT_CBF, 5, tu[2].cbf);
+      if (tu[1].cbf || tu[2].cbf) E.recBin(B_QT_CBF, 1, tu[0].cbf);
+    }
+    maybeWriteDqp(E, true);
+    for (int comp = 0; comp < E.ncomp(); comp++) {
+      int ssx = comp ? E.chromaShiftX() : 0;
+      int n = size >> ssx;
+      if (tu[comp].cbf)
+        encodeResidual(E, tu[comp].lev, n, n, comp, SCAN_DIAG, E.sdh,
+                       tu[comp].ts);
+    }
+  }
+  int maxv = (1 << E.bd) - 1;
+  for (int comp = 0; comp < E.ncomp(); comp++) {
+    int ssx = comp ? E.chromaShiftX() : 0;
+    int ssy = comp ? E.chromaShiftY() : 0;
+    int n = size >> ssx;
+    int cxp = x >> ssx, cyp = y >> ssy;
+    const int stride = E.planeW[comp];
+    for (int j = 0; j < n; j++)
+      for (int i = 0; i < n; i++) {
+        int v = preds.p[comp][(size_t)j * preds.cw[comp] + i];
+        if (tu[comp].cbf) v += tu[comp].rec[(size_t)j * n + i];
+        E.recon[comp][(size_t)(cyp + j) * stride + cxp + i] =
+            clip3(0, maxv, v);
+      }
+  }
+  finishCuQp(E, x, y, size);
+}
+
+// encoder.py _encode_inter_res_2nx2n_tree
+static void encodeInterRes2nx2nTree(Ctx& E, int x, int y, int log2size,
+                                    const PuDesc& desc,
+                                    const CuPreds& preds) {
+  int size = 1 << log2size;
+  bool useMerge = desc.isMerge;
+  std::vector<int32_t> resiL((size_t)size * size);
+  const int stride = E.planeW[0];
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++)
+      resiL[(size_t)j * size + i] =
+          E.orig[0][(size_t)(y + j) * stride + x + i] -
+          preds.p[0][(size_t)j * preds.cw[0] + i];
+  int minTu = ttMinTu(E, log2size, false);
+  size_t mark = E.ops.size();
+  ITt* tree = interTtDecide(E, x, y, log2size, 0, minTu, resiL.data(),
+                            size, 0, 0);
+  E.truncate(mark);  // luma-only trial syntax
+  interTtChroma(E, tree, preds, x, y);
+  bool anyCbf = interTtAnyLuma(tree) || tree->cb[0] || tree->cb[1] ||
+                tree->cr[0] || tree->cr[1];
+  bool isSkip = useMerge && !anyCbf;
+  E.recBin(B_SKIP, skipCtxE(E, x, y), isSkip ? 1 : 0);
+  E.setRect8(E.skip, x, y, size, size, isSkip ? 1 : 0);
+  if (isSkip) {
+    writeMergeIdxE(E, desc.mergeIdx);
+    E.setRect8(E.cbfY, x, y, size, size, 0);
+    predReconCu(E, x, y, size, preds);
+    finishCuQp(E, x, y, size);
+    delete tree;
+    return;
+  }
+  E.recBin(B_PREDMODE, 0, 0);
+  E.recBin(B_PART, 0, 1);  // 2Nx2N
+  writePuSyntaxE(E, desc, size, SIZE_2Nx2N);
+  if (!useMerge) E.recBin(B_ROOT_CBF, 0, anyCbf ? 1 : 0);
+  if (anyCbf) {
+    int zero2[2] = {0, 0};
+    interTtEmit(E, tree, minTu, zero2, zero2, 0, nullptr, nullptr, preds,
+                x, y);
+  } else {
+    E.setRect8(E.cbfY, x, y, size, size, 0);
+    predReconCu(E, x, y, size, preds);
+  }
+  finishCuQp(E, x, y, size);
+  delete tree;
+}
+
+// encoder.py _encode_inter_res_part_tree (non-2Nx2N, hierarchy > 0)
+static void encodeInterResPartTree(Ctx& E, int x, int y, int log2size,
+                                   const std::vector<PuDesc>& descs,
+                                   int part, const CuPreds& preds) {
+  int size = 1 << log2size;
+  std::vector<int32_t> resiL((size_t)size * size);
+  const int stride = E.planeW[0];
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++)
+      resiL[(size_t)j * size + i] =
+          E.orig[0][(size_t)(y + j) * stride + x + i] -
+          preds.p[0][(size_t)j * preds.cw[0] + i];
+  int minTu = ttMinTu(E, log2size, false);
+  size_t mark = E.ops.size();
+  ITt* tree = interTtDecide(E, x, y, log2size, 0, minTu, resiL.data(),
+                            size, 0, 0);
+  E.truncate(mark);
+  interTtChroma(E, tree, preds, x, y);
+  bool anyCbf = interTtAnyLuma(tree) || tree->cb[0] || tree->cb[1] ||
+                tree->cr[0] || tree->cr[1];
+  E.recBin(B_SKIP, skipCtxE(E, x, y), 0);
+  E.setRect8(E.skip, x, y, size, size, 0);
+  E.recBin(B_PREDMODE, 0, 0);
+  writeInterPartSizeE(E, part, log2size);
+  for (const auto& d : descs) writePuSyntaxE(E, d, size, part);
+  E.recBin(B_ROOT_CBF, 0, anyCbf ? 1 : 0);
+  if (anyCbf) {
+    int zero2[2] = {0, 0};
+    interTtEmit(E, tree, minTu, zero2, zero2, 0, nullptr, nullptr, preds,
+                x, y);
+  } else {
+    E.setRect8(E.cbfY, x, y, size, size, 0);
+    predReconCu(E, x, y, size, preds);
+  }
+  finishCuQp(E, x, y, size);
+  delete tree;
+}
+
+// encoder.py _encode_inter_res_split (non-2Nx2N, hierarchy == 0: forced
+// one-level quadtree)
+static void encodeInterResSplit(Ctx& E, int x, int y, int log2size,
+                                const std::vector<PuDesc>& descs, int part,
+                                const CuPreds& preds) {
+  int size = 1 << log2size;
+  int half = size >> 1;
+  int maxv = (1 << E.bd) - 1;
+  static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+  TuOut ctu[4][3];
+  static thread_local std::vector<int32_t> resi;
+  for (int ci = 0; ci < 4; ci++) {
+    int dx = off[ci][0] * half, dy = off[ci][1] * half;
+    for (int comp = 0; comp < E.ncomp(); comp++) {
+      int ssx = comp ? E.chromaShiftX() : 0;
+      int ssy = comp ? E.chromaShiftY() : 0;
+      int n = half >> ssx;
+      int ox = (x + dx) >> ssx, oy = (y + dy) >> ssy;
+      resi.resize((size_t)n * n);
+      const int stride = E.planeW[comp];
+      for (int j = 0; j < n; j++)
+        for (int i = 0; i < n; i++)
+          resi[(size_t)j * n + i] =
+              E.orig[comp][(size_t)(oy + j) * stride + ox + i] -
+              preds.p[comp][(size_t)((dy >> ssy) + j) * preds.cw[comp] +
+                            (dx >> ssx) + i];
+      tuFwd(E, resi.data(), n, false, comp, SCAN_DIAG, false, &ctu[ci][comp]);
+    }
+  }
+  int rootCb = 0, rootCr = 0;
+  for (int ci = 0; ci < 4; ci++) {
+    if (E.ncomp() > 1) {
+      rootCb |= ctu[ci][1].cbf;
+      rootCr |= ctu[ci][2].cbf;
+    }
+  }
+  bool anyCbf = rootCb || rootCr;
+  for (int ci = 0; ci < 4; ci++) anyCbf = anyCbf || ctu[ci][0].cbf;
+
+  E.recBin(B_SKIP, skipCtxE(E, x, y), 0);
+  E.setRect8(E.skip, x, y, size, size, 0);
+  E.recBin(B_PREDMODE, 0, 0);
+  writeInterPartSizeE(E, part, log2size);
+  for (const auto& d : descs) writePuSyntaxE(E, d, size, part);
+  E.recBin(B_ROOT_CBF, 0, anyCbf ? 1 : 0);
+  if (anyCbf) {
+    int minTuI = ttMinTu(E, log2size, false);
+    if (E.maxTrInter > 0) maybeWriteSubdiv(E, log2size, 1, minTuI);
+    if (E.cfmt) {
+      E.recBin(B_QT_CBF, 5, rootCb);
+      E.recBin(B_QT_CBF, 5, rootCr);
+    }
+    for (int ci = 0; ci < 4; ci++) {
+      if (E.maxTrInter > 0 && log2size - 1 != E.log2MinTb &&
+          log2size - 1 != minTuI && log2size - 1 <= E.log2MaxTb)
+        E.recBin(B_SUBDIV, 5 - (log2size - 1), 0);
+      if (rootCb) E.recBin(B_QT_CBF, 6, ctu[ci][1].cbf);
+      if (rootCr) E.recBin(B_QT_CBF, 6, ctu[ci][2].cbf);
+      E.recBin(B_QT_CBF, 0, ctu[ci][0].cbf);
+      maybeWriteDqp(E, ctu[ci][0].cbf || (rootCb && ctu[ci][1].cbf) ||
+                           (rootCr && ctu[ci][2].cbf));
+      for (int comp = 0; comp < E.ncomp(); comp++) {
+        if (comp == 1 && !rootCb) continue;
+        if (comp == 2 && !rootCr) continue;
+        int ssx = comp ? E.chromaShiftX() : 0;
+        int n = half >> ssx;
+        if (ctu[ci][comp].cbf)
+          encodeResidual(E, ctu[ci][comp].lev, n, n, comp, SCAN_DIAG, E.sdh,
+                         ctu[ci][comp].ts);
+      }
+    }
+  }
+  // recon + cbf map + TU edge flags per child
+  for (int ci = 0; ci < 4; ci++) {
+    int dx = off[ci][0] * half, dy = off[ci][1] * half;
+    int cx0 = x + dx, cy0 = y + dy;
+    E.markTuEdges(cx0, cy0, half);
+    E.setRect8(E.cbfY, cx0, cy0, half, half, ctu[ci][0].cbf);
+    for (int comp = 0; comp < E.ncomp(); comp++) {
+      int ssx = comp ? E.chromaShiftX() : 0;
+      int ssy = comp ? E.chromaShiftY() : 0;
+      int n = half >> ssx;
+      int ox = cx0 >> ssx, oy = cy0 >> ssy;
+      bool cbfOk = ctu[ci][comp].cbf &&
+                   (comp == 0 || (comp == 1 ? rootCb : rootCr));
+      const int stride = E.planeW[comp];
+      for (int j = 0; j < n; j++)
+        for (int i = 0; i < n; i++) {
+          int v = preds.p[comp][(size_t)((dy >> ssy) + j) * preds.cw[comp] +
+                                (dx >> ssx) + i];
+          if (cbfOk) v += ctu[ci][comp].rec[(size_t)j * n + i];
+          E.recon[comp][(size_t)(oy + j) * stride + ox + i] =
+              clip3(0, maxv, v);
+        }
+    }
+  }
+  finishCuQp(E, x, y, size);
+}
+
+// encoder.py _inter_2nx2n_rd (merge 2Nx2N: forced-skip vs coded-residual)
+static void inter2nx2nRd(Ctx& E, int x, int y, int log2size,
+                         const PuDesc& desc, const CuPreds& preds) {
+  if (!desc.isMerge) {
+    encodeInterRes2nx2n(E, x, y, log2size, desc, preds);
+    return;
+  }
+  int size = 1 << log2size;
+  CuSnap st;
+  saveCu(E, x, y, size, &st);
+  size_t mark = st.nops;
+  emitSkipCuE(E, x, y, log2size, desc, preds);
+  double costSkip = cuRdCost(E, x, y, size, mark);
+  restoreCu(E, st);
+  encodeInterRes2nx2n(E, x, y, log2size, desc, preds);
+  double costFull = cuRdCost(E, x, y, size, mark);
+  if (costSkip < costFull) {
+    restoreCu(E, st);
+    emitSkipCuE(E, x, y, log2size, desc, preds);
+  }
+}
+
+// apply PU maps + PU edge flags, compute per-comp predictions
+// (encoder.py encode_cu_inter.apply_and_preds)
+static void applyAndPredsE(Ctx& E, int x, int y, int size, int part,
+                           const std::vector<PuDesc>& descs, CuPreds* out) {
+  int pus[4][4];
+  int npu = puPartitionsE(part, size, pus);
+  for (int pu = 0; pu < npu; pu++) {
+    int dx = pus[pu][0], dy = pus[pu][1], w = pus[pu][2], h = pus[pu][3];
+    applyPuE(E, descs[pu], x + dx, y + dy, w, h, x, y, size, pu);
+    for (int j = (y + dy) >> 2; j < (y + dy + h) >> 2; j++)
+      E.edgeFlags[(size_t)j * E.w4 + ((x + dx) >> 2)] |= EDGE_PU_LEFT;
+    for (int i = (x + dx) >> 2; i < (x + dx + w) >> 2; i++)
+      E.edgeFlags[(size_t)((y + dy) >> 2) * E.w4 + i] |= EDGE_PU_TOP;
+  }
+  static thread_local std::vector<int32_t> blk;
+  for (int comp = 0; comp < E.ncomp(); comp++) {
+    int ssx = comp ? E.chromaShiftX() : 0;
+    int ssy = comp ? E.chromaShiftY() : 0;
+    int cw = size >> ssx, chh = size >> ssy;
+    out->cw[comp] = cw;
+    out->chh[comp] = chh;
+    out->p[comp].assign((size_t)cw * chh, 0);
+    for (int pu = 0; pu < npu; pu++) {
+      int dx = pus[pu][0], dy = pus[pu][1], w = pus[pu][2], h = pus[pu][3];
+      const PuDesc& d = descs[pu];
+      int dir;
+      const int (*mvs)[2];
+      const int* ridx;
+      if (d.isMerge) {
+        dir = d.mergeDir;
+        mvs = d.cand.mv;
+        ridx = d.cand.refIdx;
+      } else {
+        dir = d.dir;
+        mvs = d.mv;
+        ridx = d.refIdx;
+      }
+      int bw = w >> ssx, bh = h >> ssy;
+      blk.resize((size_t)bw * bh);
+      int mvs2[2][2] = {{mvs[0][0], mvs[0][1]}, {mvs[1][0], mvs[1][1]}};
+      int ridx2[2] = {ridx[0], ridx[1]};
+      predFromCand(E, comp, x + dx, y + dy, w, h, dir, mvs2, ridx2,
+                   blk.data());
+      for (int j = 0; j < bh; j++)
+        std::memcpy(&out->p[comp][(size_t)((dy >> ssy) + j) * cw +
+                                  (dx >> ssx)],
+                    &blk[(size_t)j * bw], (size_t)bw * sizeof(int32_t));
+    }
+  }
+}
+
+// motion-map snapshot over one CU rect (encoder.py _snapshot_motion)
+struct MotionSnap {
+  int x, y, size, m;
+  std::vector<int8_t> dir, refIdxS, refLtS;
+  std::vector<int32_t> mvS, refPocS;
+};
+
+static void snapshotMotion(const Ctx& E, int x, int y, int size,
+                           MotionSnap* s) {
+  s->x = x; s->y = y; s->size = size;
+  int m = size >> 2;
+  s->m = m;
+  s->dir.resize((size_t)m * m);
+  s->refIdxS.resize((size_t)m * m * 2);
+  s->refLtS.resize((size_t)m * m * 2);
+  s->mvS.resize((size_t)m * m * 4);
+  s->refPocS.resize((size_t)m * m * 2);
+  for (int j = 0; j < m; j++) {
+    size_t row = (size_t)((y >> 2) + j) * E.w4 + (x >> 2);
+    std::memcpy(&s->dir[(size_t)j * m], E.interDir + row, m);
+    std::memcpy(&s->refIdxS[(size_t)j * m * 2], E.refIdx + row * 2, m * 2);
+    std::memcpy(&s->refLtS[(size_t)j * m * 2], E.refIsLt + row * 2, m * 2);
+    std::memcpy(&s->mvS[(size_t)j * m * 4], E.mv + row * 4,
+                (size_t)m * 4 * sizeof(int32_t));
+    std::memcpy(&s->refPocS[(size_t)j * m * 2], E.refPocM + row * 2,
+                (size_t)m * 2 * sizeof(int32_t));
+  }
+}
+
+static void restoreMotion(Ctx& E, const MotionSnap& s) {
+  int m = s.m;
+  for (int j = 0; j < m; j++) {
+    size_t row = (size_t)((s.y >> 2) + j) * E.w4 + (s.x >> 2);
+    std::memcpy(E.interDir + row, &s.dir[(size_t)j * m], m);
+    std::memcpy(E.refIdx + row * 2, &s.refIdxS[(size_t)j * m * 2], m * 2);
+    std::memcpy(E.refIsLt + row * 2, &s.refLtS[(size_t)j * m * 2], m * 2);
+    std::memcpy(E.mv + row * 4, &s.mvS[(size_t)j * m * 4],
+                (size_t)m * 4 * sizeof(int32_t));
+    std::memcpy(E.refPocM + row * 2, &s.refPocS[(size_t)j * m * 2],
+                (size_t)m * 2 * sizeof(int32_t));
+  }
+}
+
+// intra emission inside an inter slice (encoder.py emit_intra)
+static void emitIntraInInterE(Ctx& E, int x, int y, int log2size,
+                              int depth) {
+  int size = 1 << log2size;
+  E.setRect8(E.partSize, x, y, size, size, SIZE_2Nx2N);
+  E.recBin(B_SKIP, skipCtxE(E, x, y), 0);
+  E.setRect8(E.skip, x, y, size, size, 0);
+  E.recBin(B_PREDMODE, 0, 1);
+  cuIntraBody(E, x, y, log2size, depth);
+}
+
+// encoder.py encode_cu_inter
 void encodeCuInter(Ctx& E, int x, int y, int log2size, int depth) {
-  (void)E; (void)x; (void)y; (void)log2size; (void)depth;
-  std::abort();
+  int size = 1 << log2size;
+  E.curDepth = depth;
+  E.setRect8(E.depth, x, y, size, size, depth);
+  E.markEdges(x, y, size);
+  double lam = E.lamMotion;
+
+  // ---- partition trials ----
+  std::vector<int> parts;
+  parts.push_back(SIZE_2Nx2N);
+  if (log2size >= 4) {
+    parts.push_back(SIZE_2NxN);
+    parts.push_back(SIZE_Nx2N);
+    if (E.ampEnabled && log2size > E.log2MinCb) {
+      parts.push_back(SIZE_2NxnU);
+      parts.push_back(SIZE_2NxnD);
+      parts.push_back(SIZE_nLx2N);
+      parts.push_back(SIZE_nRx2N);
+    }
+  }
+  struct PartTrial {
+    double total;
+    int part;
+    std::vector<PuDesc> descs;
+    int order;
+  };
+  std::vector<PartTrial> partTrials;
+  std::vector<PuDesc> merge2nAll;
+  std::vector<std::pair<double, PuDesc>> me2n;
+  E.setRect8(E.predMode, x, y, size, size, MODE_INTER);
+  E.setRect8(E.skip, x, y, size, size, 0);
+  int bestIdx = -1;
+  for (size_t pi = 0; pi < parts.size(); pi++) {
+    int part = parts[pi];
+    E.setRect8(E.partSize, x, y, size, size, part);
+    MotionSnap snap;
+    snapshotMotion(E, x, y, size, &snap);
+    PartTrial t;
+    t.part = part;
+    t.order = (int)pi;
+    t.total = lam * (part == SIZE_2Nx2N ? 1 : 2);
+    E.puLastMode = 0;
+    int pus[4][4];
+    int npu = puPartitionsE(part, size, pus);
+    std::vector<PuDesc> mc;
+    std::vector<std::pair<double, PuDesc>> ma;
+    for (int pu = 0; pu < npu; pu++) {
+      int dx = pus[pu][0], dy = pus[pu][1], w = pus[pu][2], h = pus[pu][3];
+      PuDesc d;
+      double cost = bestPuMotionE(E, x + dx, y + dy, w, h, x, y, size, pu,
+                                  part, &d, &mc, &ma);
+      t.total += cost;
+      t.descs.push_back(d);
+      applyPuE(E, d, x + dx, y + dy, w, h, x, y, size, pu);
+    }
+    if (part == SIZE_2Nx2N) {
+      merge2nAll = mc;
+      me2n = ma;
+    }
+    restoreMotion(E, snap);
+    if (bestIdx < 0 || t.total < partTrials[bestIdx].total)
+      bestIdx = (int)partTrials.size();
+    partTrials.push_back(std::move(t));
+  }
+  const PartTrial& bestPart = partTrials[bestIdx];
+
+  // ---- intra candidate (SATD preselect) ----
+  AllPreds all;
+  predictAllModes(E, 0, x, y, size, &all);
+  static thread_local std::vector<int32_t> orig32;
+  orig32.resize((size_t)size * size);
+  const int strideL = E.planeW[0];
+  for (int j = 0; j < size; j++)
+    for (int i = 0; i < size; i++)
+      orig32[(size_t)j * size + i] =
+          E.orig[0][(size_t)(y + j) * strideL + x + i];
+  int bestMode = 0;
+  long long bestSad = -1;
+  for (int m = 0; m < 35; m++) {
+    const int32_t* p = all.at(m);
+    long long sad = 0;
+    for (int i = 0; i < size * size; i++) {
+      int d = p[i] - orig32[i];
+      sad += d < 0 ? -d : d;
+    }
+    if (bestSad < 0 || sad < bestSad) { bestSad = sad; bestMode = m; }
+  }
+  long long bestIcost =
+      satd32(all.at(bestMode), orig32.data(), size, size) >> (E.bd - 8);
+
+  auto emitInter = [&](int part, const std::vector<PuDesc>& descs) {
+    E.setRect8(E.partSize, x, y, size, size, part);
+    CuPreds preds;
+    applyAndPredsE(E, x, y, size, part, descs, &preds);
+    if (part == SIZE_2Nx2N)
+      inter2nx2nRd(E, x, y, log2size, descs[0], preds);
+    else if (E.maxTrInter > 0)
+      encodeInterResPartTree(E, x, y, log2size, descs, part, preds);
+    else
+      encodeInterResSplit(E, x, y, log2size, descs, part, preds);
+  };
+
+  // ---- full-RD CU-mode arbitration (always the recording coder natively)
+  std::vector<std::function<void()>> cands;
+  int nfull = E.rdParts ? E.rdParts : (int)partTrials.size();
+  std::vector<int> rankedIdx(partTrials.size());
+  for (size_t i = 0; i < partTrials.size(); i++) rankedIdx[i] = (int)i;
+  std::stable_sort(rankedIdx.begin(), rankedIdx.end(), [&](int a, int b) {
+    return partTrials[a].total < partTrials[b].total;
+  });
+  if ((size_t)nfull < rankedIdx.size()) rankedIdx.resize(nfull);
+  bool have2n = false;
+  for (int ri : rankedIdx) {
+    const PartTrial& t = partTrials[ri];
+    if (t.part == SIZE_2Nx2N) have2n = true;
+    cands.push_back([&, ri]() {
+      emitInter(partTrials[ri].part, partTrials[ri].descs);
+    });
+  }
+  int twonIdx = 0;
+  for (size_t i = 0; i < partTrials.size(); i++)
+    if (partTrials[i].part == SIZE_2Nx2N) { twonIdx = (int)i; break; }
+  if (!have2n)
+    cands.push_back([&]() {
+      emitInter(SIZE_2Nx2N, partTrials[twonIdx].descs);
+    });
+  // every deduped 2Nx2N merge candidate gets a full-RD trial
+  const PuDesc& t2d = partTrials[twonIdx].descs[0];
+  std::vector<std::vector<PuDesc>> single;
+  single.reserve(merge2nAll.size() + me2n.size());
+  for (const auto& mdesc : merge2nAll) {
+    if (t2d.isMerge && t2d.mergeIdx == mdesc.mergeIdx) continue;
+    single.push_back({mdesc});
+    size_t si = single.size() - 1;
+    cands.push_back([&, si]() { emitInter(SIZE_2Nx2N, single[si]); });
+  }
+  // uni-ME champions
+  if (E.rdUni) {
+    for (const auto& cd : me2n) {
+      const PuDesc& mdesc = cd.second;
+      if (mdesc.dir == 3 || (!t2d.isMerge && t2d.dir == mdesc.dir)) continue;
+      single.push_back({mdesc});
+      size_t si = single.size() - 1;
+      cands.push_back([&, si]() { emitInter(SIZE_2Nx2N, single[si]); });
+    }
+  }
+  if ((double)bestIcost < 2 * bestPart.total + lam * 48)
+    cands.push_back([&]() { emitIntraInInterE(E, x, y, log2size, depth); });
+
+  int bestCand = -1;
+  double bestCost = 0;
+  for (size_t ci = 0; ci < cands.size(); ci++) {
+    CuSnap st;
+    saveCu(E, x, y, size, &st);
+    size_t mark = E.ops.size();
+    cands[ci]();
+    double cost = cuRdCost(E, x, y, size, mark);
+    if (bestCand < 0 || cost < bestCost) {
+      bestCand = (int)ci;
+      bestCost = cost;
+    }
+    restoreCu(E, st);
+  }
+  cands[bestCand]();
 }
 
 }  // namespace encctu
 }  // namespace hevc
+
+// ---------------------------------------------------------------------------
+// inter C API additions (ctypes bridge: encoder.py _native_compress)
+// ---------------------------------------------------------------------------
+extern "C" {
+
+void enc_ctu_set_ref(void* h, int list, int idx, const int16_t* p0,
+                     const int16_t* p1, const int16_t* p2,
+                     const int16_t* padded, int padW, int padH, int planeId,
+                     int poc, int isLt) {
+  using namespace hevc::encctu;
+  Ctx* E = static_cast<Ctx*>(h);
+  Ctx::Ref r;
+  r.plane[0] = p0;
+  r.plane[1] = p1;
+  r.plane[2] = p2;
+  r.padded = padded;
+  r.padW = padW;
+  r.padH = padH;
+  r.planeId = planeId;
+  r.poc = poc;
+  r.isLt = isLt;
+  if ((int)E->refs[list].size() <= idx) E->refs[list].resize(idx + 1);
+  E->refs[list][idx] = r;
+}
+
+void enc_ctu_set_col(void* h, const int8_t* predMode, const int8_t* interDir,
+                     const int32_t* mv, const int32_t* refPoc,
+                     const int8_t* refIsLt, int w4, int h4, int colPoc) {
+  using namespace hevc::encctu;
+  Ctx* E = static_cast<Ctx*>(h);
+  E->col.valid = true;
+  E->col.predMode = predMode;
+  E->col.interDir = interDir;
+  E->col.mv = mv;
+  E->col.refPoc = refPoc;
+  E->col.refIsLt = refIsLt;
+  E->col.w4 = w4;
+  E->col.h4 = h4;
+  E->col.poc = colPoc;
+}
+
+}  // extern "C"

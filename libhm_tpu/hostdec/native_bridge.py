@@ -109,6 +109,12 @@ def _load():
     lib.enc_ctu_compress.argtypes = [C.c_void_p, C.c_int, C.c_int]
     lib.enc_ctu_fetch_ops.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p,
                                       C.c_void_p]
+    lib.enc_ctu_set_ref.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int]
+    lib.enc_ctu_set_col.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p, C.c_int, C.c_int, C.c_int]
     _LIB = lib
     return lib
 

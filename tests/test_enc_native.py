@@ -62,3 +62,48 @@ def test_intra_decodes_bit_exact(tmp_path):
     stream = _encode(tmp_path, native=True)
     outs = Decoder(parse="native", recon="native").decode_annexb(stream)
     assert len(outs) == 2  # hash SEI verified inside when present
+
+
+def _encode_inter(native, gop, qp=32, n=5, w=64, h=48, **cfg_kw):
+    """Moving synthetic content so merge/skip/ME/bi all fire."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    rng = np.random.default_rng(7)
+    base = (np.linspace(0, 200, w, dtype=np.int32)[None, :] +
+            np.linspace(0, 40, h, dtype=np.int32)[:, None])
+    frames = []
+    for t in range(n):
+        y = np.clip(np.roll(base, 2 * t, axis=1) +
+                    rng.integers(-8, 9, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(128 + base[::2, ::2] // 4, 0, 255).astype(np.uint8)
+        v = np.full((h // 2, w // 2), 90, np.uint8)
+        frames.append((y, u, v))
+    os.environ["HEVC_ENC_NATIVE"] = "1" if native else "0"
+    try:
+        cfg = EncoderConfig(w, h, qp=qp, gop=gop, **cfg_kw)
+        enc = IntraEncoder(cfg)
+        return enc.encode_stream(frames)
+    finally:
+        os.environ.pop("HEVC_ENC_NATIVE", None)
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+@pytest.mark.parametrize("gop", ["lowdelayP", "lowdelayB", "randomaccess"])
+def test_inter_byte_identical(gop):
+    a = _encode_inter(native=False, gop=gop)
+    b = _encode_inter(native=True, gop=gop)
+    assert a == b
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_inter_amp_byte_identical():
+    a = _encode_inter(native=False, gop="lowdelayP", qp=27, amp=True)
+    b = _encode_inter(native=True, gop="lowdelayP", qp=27, amp=True)
+    assert a == b
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_inter_decodes_bit_exact():
+    from libhm_tpu.hostdec.decoder import Decoder
+    stream = _encode_inter(native=True, gop="randomaccess")
+    outs = Decoder(parse="native", recon="native").decode_annexb(stream)
+    assert len(outs) == 5
