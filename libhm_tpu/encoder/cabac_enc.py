@@ -148,3 +148,64 @@ class CabacEncoder:
         while k:
             k -= 1
             self.encode_bypass((v >> k) & 1)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive CABAC init-table selection (reference TEncSbac::determineCabacInitIdx,
+# TEncSbac.cpp:167-226 + ContextModel3DBuffer::calcCost).  HM keeps
+# cabac_init_present_flag always on (TEncTop.cpp:761) and, after encoding
+# each P/B slice, prices the B- and P-init tables against the slice's
+# final context states: for every context that actually coded bins, the
+# expected bits of its empirical bin distribution under the candidate
+# init state are accumulated, and the cheaper table initialises the NEXT
+# slice (cabac_init_flag signals when it differs from the slice's own
+# type).  The probability/entropy tables are generated from the CABAC
+# state model (p_LPS(s) = 0.5 * alpha^s, alpha = (0.01875/0.5)^(1/63)),
+# not copied from the reference.
+import math as _math
+
+_ALPHA = (0.01875 / 0.5) ** (1.0 / 63.0)
+_PROB_LPS = [0.5 * _ALPHA ** i for i in range(64)]
+_EBITS_LPS = [-_math.log2(p) * 32768.0 for p in _PROB_LPS]
+_EBITS_MPS = [-_math.log2(1.0 - p) * 32768.0 for p in _PROB_LPS]
+
+
+def determine_cabac_init_idx(bank, bins_coded, qp):
+    """Return the cheaper init table type (0=B, 1=P) for the next slice.
+
+    bank: the final adapted context bank of the slice just coded.
+    bins_coded: {bank_key: int array} counts of bins actually coded per
+    context (contexts with zero bins contribute no cost, as in the
+    reference's ContextModel::getBinsCoded() gate).
+    """
+    from ..hostdec.tables import INIT_VALUES, ctx_init_state
+    best_cost, best_type = None, 0
+    for cand in (0, 1):                      # {B_SLICE, P_SLICE}, tie -> B
+        cost = 0
+        for name, arr in bank.items():
+            rows = INIT_VALUES.get(
+                "last" if name in ("last_x", "last_y") else name)
+            used = bins_coded.get(name)
+            if rows is None or used is None:
+                continue
+            init_row = rows[cand]
+            for i in range(len(arr)):
+                if used[i] <= 0:
+                    continue
+                cur = int(arr[i])
+                plps = _PROB_LPS[cur >> 1]
+                if cur & 1:
+                    p0, p1 = plps, 1.0 - plps
+                else:
+                    p0, p1 = 1.0 - plps, plps
+                cnd = ctx_init_state(init_row[i], qp)
+                cs = cnd >> 1
+                if cnd & 1:                  # candidate MPS = 1
+                    eb0, eb1 = _EBITS_LPS[cs], _EBITS_MPS[cs]
+                else:
+                    eb0, eb1 = _EBITS_MPS[cs], _EBITS_LPS[cs]
+                # per-context UInt truncation mirrors the reference sum
+                cost += int(p0 * eb0 + p1 * eb1)
+        if best_cost is None or cost < best_cost:
+            best_cost, best_type = cost, cand
+    return best_type

@@ -118,6 +118,20 @@ class _RecordingCabac:
     def pcm_payload(self, bits):
         self.ops.append(("pcm", bits))
 
+    def bins_coded(self, bank):
+        """Per-context coded-bin counts of the accepted op stream, keyed
+        like `bank` (reference ContextModel::getBinsCoded feeding
+        TEncSbac::determineCabacInitIdx)."""
+        idmap = {id(arr): name for name, arr in bank.items()}
+        counts = {name: np.zeros(len(arr), np.int64)
+                  for name, arr in bank.items()}
+        for op in self.ops:
+            if op[0] == "b":
+                nm = idmap.get(id(op[1]))
+                if nm is not None:
+                    counts[nm][op[2]] += 1
+        return counts
+
     def replay(self, enc, lo, hi):
         for op in self.ops[lo:hi]:
             kind = op[0]
@@ -156,6 +170,21 @@ class _NativeRecOps:
         self.b = b
         self.marks = marks
         self._banks = banks
+
+    def bins_coded(self, bank):
+        """Per-context coded-bin counts from the native op arrays (ctx
+        ops carry (set_id << 8) | idx in `a`)."""
+        sel = self.kind == 0
+        hist = np.bincount(np.asarray(self.a)[sel],
+                           minlength=len(_NATIVE_BANK_KEYS) << 8)
+        counts = {name: np.zeros(len(arr), np.int64)
+                  for name, arr in bank.items()}
+        for set_id, name in enumerate(_NATIVE_BANK_KEYS):
+            dst = counts.get(name)
+            if dst is not None:
+                n = min(len(dst), 256)
+                dst[:n] += hist[set_id << 8:(set_id << 8) + n]
+        return counts
 
     def replay(self, enc, lo, hi):
         kind, a, b, banks = self.kind, self.a, self.b, self._banks
@@ -478,10 +507,43 @@ class IntraEncoder:
         return bytes(out)
 
     def _cabac_init(self):
-        # cabac_init_flag=1 on P/B slices when the tool is enabled (both
-        # context banks are valid; HM picks per-slice, we use the swap)
-        return 1 if getattr(self.cfg, "cabac_init", False) and \
-            self.slice_type != 2 else 0
+        """cabac_init_flag for the current slice.
+
+        Reference behavior (cabac_init_present_flag is ALWAYS on,
+        TEncTop.cpp:761): each P/B slice initialises its contexts from
+        the table type the previous picture's determineCabacInitIdx
+        found cheapest, and signals cabac_init_flag when that type
+        differs from its own slice type.  cfg.cabac_init=True keeps the
+        legacy always-swap override."""
+        if self.slice_type == 2:
+            return 0
+        if getattr(self.cfg, "cabac_init", False):
+            return 1
+        ti = getattr(self, "_enc_cabac_table_idx", 2)
+        return 1 if ti in (0, 1) and ti != self.slice_type else 0
+
+    def _update_cabac_table_idx(self, rec, qp_slice):
+        """Post-slice adaptive init-table selection (reference
+        TEncSlice.cpp:1252 + TEncSbac::determineCabacInitIdx).  SAO
+        contexts are coded by the emit pass outside the recorded op
+        stream; they are marked used whenever the picture coded SAO."""
+        if self.slice_type == 2:
+            self._enc_cabac_table_idx = 2
+            return
+        if getattr(self.cfg, "dependent_slices", False):
+            # reference: with dependent slices the table idx is pinned
+            # to the slice type (TEncSlice.cpp:1249)
+            self._enc_cabac_table_idx = self.slice_type
+            return
+        counts = rec.bins_coded(self.bank)
+        if getattr(self.cfg, "sao", False) and \
+                any(getattr(self, "_sao_slice_enabled", None) or []):
+            for k in ("sao_merge", "sao_type"):
+                if k in counts:
+                    counts[k][:] += 1
+        from .cabac_enc import determine_cabac_init_idx
+        self._enc_cabac_table_idx = determine_cabac_init_idx(
+            self.bank, counts, qp_slice)
 
     # ------------------------------------------------------------------
     def _prefix_sei(self, nal_type, tid=0):
@@ -773,6 +835,14 @@ class IntraEncoder:
                     full.append([])
             lists = full
             self.ref_pics = lists
+            # GPB check (reference TEncGOP.cpp:1035-1058): a B slice whose
+            # active L0 and L1 hold the same pictures sets mvd_l1_zero —
+            # bi PUs then code no L1 MVD and the search pins the L1 MV to
+            # its AMVP predictor (TEncSearch.cpp:3312-3339)
+            if slice_type == 0 and lists[1] and \
+                    len(lists[0]) == len(lists[1]) and \
+                    all(a.poc == b.poc for a, b in zip(lists[0], lists[1])):
+                self.sh.mvd_l1_zero = 1
             self.sd.sh = self.sh
             self.motion = MotionDeriver(self.sd, self.sh, lists)
             wp_p = cfg.weighted_pred and slice_type == 1
@@ -812,7 +882,10 @@ class IntraEncoder:
         w = write_slice_header(cfg, nal_type, poc, slice_type, qp_pic,
                                rps=rps, wp=self.cur_wp,
                                wp_l1=getattr(self, "cur_wp_l1", None),
-                               num_ref=nr)
+                               num_ref=nr,
+                               cabac_init_flag=self._cabac_init(),
+                               mvd_l1_zero=getattr(self.sh, "mvd_l1_zero", 0)
+                               if slice_type in (0, 1) else 0)
         # slice-header bits for the rate controller's header-bit model
         # (TEncRCPic::xEstPicHeaderBits averages these per frame level)
         self._hdr_bits_last = len(w.buf) * 8 + w.nbits
@@ -915,6 +988,7 @@ class IntraEncoder:
                 sao_picture(self.recon, self.pic, sps, pps)
             payloads = self._emit_slices(rec, scan, slice_starts, nal_type,
                                          poc, slice_type, qp_base, rps)
+            self._update_cabac_table_idx(rec, qp_base)
         elif multi:
             # pass 1: decide + record the CU symbol stream in decode order
             rec = _RecordingCabac()
@@ -964,7 +1038,9 @@ class IntraEncoder:
                     self.recon[c][m] = pre[c][m]
             payloads = self._emit_slices(rec, scan, slice_starts, nal_type,
                                          poc, slice_type, qp_base, rps)
+            self._update_cabac_table_idx(rec, qp_base)
         else:
+            self._enc_cabac_table_idx = slice_type   # 1-pass debug path
             for addr in range(nctu):
                 ctu_qg_start(addr)
                 cx = (addr % nctu_x) << sps.log2_ctb
@@ -1118,7 +1194,10 @@ class IntraEncoder:
                     dependent=dep and start > 0,
                     sao_flags=(enabled[0], enabled[1]),
                     num_ref=(self.sh.num_ref_idx[0], self.sh.num_ref_idx[1])
-                    if slice_type in (0, 1) else None).data()
+                    if slice_type in (0, 1) else None,
+                    cabac_init_flag=self._cabac_init(),
+                    mvd_l1_zero=getattr(self.sh, "mvd_l1_zero", 0)
+                    if slice_type in (0, 1) else 0).data()
                 from .hls_writer import epb_positions
                 epb = epb_positions(hdr + data)
                 new_eps = []
@@ -1235,7 +1314,9 @@ class IntraEncoder:
             0 if os.environ.get("HEVC_RD_UNI", "1") == "0" else 1,
             pic.depth.shape[1], pic.depth.shape[0],
             sps.pic_width_ctbs, all_before,
-            getattr(sd.pps, "log2_parallel_merge_level", 2)],
+            getattr(sd.pps, "log2_parallel_merge_level", 2),
+            getattr(sh, "mvd_l1_zero", 0) if inter else 0,
+            1 if getattr(cfg, "fast_enc", False) else 0],
             np.int64)
         da = np.array([self.rd_lambda, self._lam_motion,
                        self.rd_lambda ** 0.5, self.chroma_weight[1],
@@ -1895,12 +1976,25 @@ class IntraEncoder:
         blk = self._blk_bits(SIZE_2Nx2N if part_size is None else part_size,
                              nl == 1, pu_idx,
                              getattr(self, "_pu_last_mode", 0))
+        mvdl1zero = nl == 2 and bool(getattr(self.sh, "mvd_l1_zero", 0))
+        fen = bool(getattr(self.cfg, "fast_enc", False))
+        best_bip = None          # (dist, mvp_idx, ref) for mvd_l1_zero L1
         best_uni = [None, None]  # per list: (cost, r, mv, mvd, mvp_idx, amvp)
         uni_rec = {}             # (l, r) -> [mv, amvp, mvp_idx] for bi passes
         plane_cache = {}
         for l in range(nl):
             for r in range(self.sh.num_ref_idx[l]):
                 amvp = self.motion.amvp_candidates(px, py, w, h, l, r)
+                if mvdl1zero and l == 1:
+                    # bestBiPRefIdxL1/bestBiPMvpL1 (TEncSearch.cpp:3214):
+                    # cheapest L1 (ref, AMVP cand) when the candidate IS
+                    # the motion vector (no MVD coded)
+                    for mi, cand in enumerate(amvp):
+                        p = self._pred_from_cand(
+                            0, px, py, w, h, 2, [(0, 0), cand], [-1, r])
+                        d = satd(p, orig) >> dshift
+                        if best_bip is None or d < best_bip[0]:
+                            best_bip = (d, mi, r)
                 plane = self._ref_plane(0, l, r)
                 key = id(plane)
                 if key in plane_cache:
@@ -1955,13 +2049,42 @@ class IntraEncoder:
             # — xMotionEstimation's fWeight=0.5 final cost.  Stops when
             # a full pass changes nothing.
             nref = (self.sh.num_ref_idx[0], self.sh.num_ref_idx[1])
-            mot_bits = [
-                self._mv_bits(*u0[3]) + 1 + self._ref_bits(refs[0], nref[0]),
-                self._mv_bits(*u1[3]) + 1 + self._ref_bits(refs[1], nref[1]),
-            ]
+            if mvdl1zero and best_bip is not None:
+                # L1 pinned to its best AMVP candidate (TEncSearch.cpp:
+                # 3312-3339): no L1 MVD is coded; mot_bits[1] keeps HM's
+                # uiMbBits[1] charge plus ref + mvp-idx bits
+                _, bmi, br = best_bip
+                refs[1] = br
+                amvp1 = self.motion.amvp_candidates(px, py, w, h, 1, br)
+                mvs[1] = amvp1[bmi]
+                mvds[1] = (0, 0)
+                mvps[1] = bmi
+                uni_rec[(1, br)][0] = mvs[1]     # cMvTemp[1][bestRef]
+                uni_rec[(1, br)][2] = bmi
+                mot_bits = [
+                    self._mv_bits(*u0[3]) + 1 +
+                    self._ref_bits(refs[0], nref[0]),
+                    blk[1] + 1 + self._ref_bits(br, nref[1]),
+                ]
+            else:
+                mot_bits = [
+                    self._mv_bits(*u0[3]) + 1 +
+                    self._ref_bits(refs[0], nref[0]),
+                    self._mv_bits(*u1[3]) + 1 +
+                    self._ref_bits(refs[1], nref[1]),
+                ]
+            # iteration policy (TEncSearch.cpp:3345-3380): 4 alternating
+            # passes starting with L0; FEN or mvd_l1_zero run ONE pass —
+            # FEN refines the weaker list, mvd_l1_zero always list 0
+            n_iter = 1 if (fen or mvdl1zero) else 4
             cost_bi = None
-            for it in range(4):
-                l = it % 2
+            for it in range(n_iter):
+                if mvdl1zero:
+                    l = 0
+                elif fen:
+                    l = 1 if u0[0] <= u1[0] else 0
+                else:
+                    l = it % 2
                 other = 1 - l
                 p_other = self._pred_from_cand(
                     0, px, py, w, h, other + 1, mvs, refs).astype(np.int32)
@@ -1994,10 +2117,16 @@ class IntraEncoder:
                 if not changed:
                     break
             pred_bi = self._pred_from_cand(0, px, py, w, h, 3, mvs, refs)
-            bits = (blk[2] +
-                    self._mv_bits(*mvds[0]) + self._mv_bits(*mvds[1]) + 2 +
-                    self._ref_bits(refs[0], self.sh.num_ref_idx[0]) +
-                    self._ref_bits(refs[1], self.sh.num_ref_idx[1]))
+            if mvdl1zero:
+                # HM prices bi with uiBits[2] = mbBits[2] + motBits[0] +
+                # motBits[1] — no L1 MVD bits (none are coded)
+                bits = blk[2] + mot_bits[0] + mot_bits[1]
+            else:
+                bits = (blk[2] +
+                        self._mv_bits(*mvds[0]) + self._mv_bits(*mvds[1]) +
+                        2 +
+                        self._ref_bits(refs[0], self.sh.num_ref_idx[0]) +
+                        self._ref_bits(refs[1], self.sh.num_ref_idx[1]))
             c = (satd(pred_bi, orig) >> dshift) + lam_m * bits
             out.append((c, ("amvp", 3, refs, mvs, mvds, mvps)))
         self._pu_me_all = out
@@ -2117,7 +2246,11 @@ class IntraEncoder:
             if not use or self.sh.num_ref_idx[l] == 0:
                 continue
             self._write_ref_idx(l, ref_idx[l])
-            self._write_mvd(mvds[l])
+            if not (l == 1 and dir_ == 3 and
+                    getattr(self.sh, "mvd_l1_zero", 0)):
+                # mvd_l1_zero_flag: bi PUs code no L1 MVD (Rec. 7.3.8.6;
+                # decode side slicedec.py:682)
+                self._write_mvd(mvds[l])
             enc.encode_bin(bank["mvp_idx"], 0, mvps[l])
 
     def _motion_search_rect(self, px, py, w, h, pred_mv, l=0, r=0,

@@ -271,7 +271,10 @@ def write_pps(cfg) -> bytes:
     w.put(0)            # output_flag_present
     w.put_bits(0, 3)    # extra slice header bits
     w.put(1 if getattr(cfg, "sign_hiding", False) else 0)  # sign_data_hiding
-    w.put(1 if getattr(cfg, "cabac_init", False) else 0)  # cabac_init_present
+    # cabac_init_present_flag is always on (reference TEncTop.cpp:761
+    # CABAC_INIT_PRESENT_FLAG): P/B slices signal per-slice which init
+    # table the encoder's adaptive selection chose
+    w.put(1)
     w.ue(cfg.num_ref_l0 - 1)
     w.ue(cfg.num_ref_l1 - 1)
     w.se(cfg.qp - 26)   # init_qp_minus26
@@ -354,7 +357,8 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
                        rps_idx=0, rps=None, wp=None, segment_address=0,
                        entry_points=None, wp_l1=None,
                        dependent=False, sao_flags=None,
-                       num_ref=None) -> BitWriter:
+                       num_ref=None, cabac_init_flag=0,
+                       mvd_l1_zero=0) -> BitWriter:
     """Returns the writer positioned after the header (byte-aligned).
 
     rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
@@ -439,9 +443,8 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
             if slice_type == 0:
                 w.ue(n1 - 1)
         if slice_type == 0:
-            w.put(0)    # mvd_l1_zero
-        if getattr(cfg, "cabac_init", False):
-            w.put(1)    # cabac_init_flag (swapped P/B init tables)
+            w.put(mvd_l1_zero)  # mvd_l1_zero_flag (GPB, TEncGOP.cpp:1053)
+        w.put(cabac_init_flag)  # cabac_init_flag (P/B init table swap)
         if cfg.tmvp:
             if slice_type == 0:
                 w.put(1)            # collocated_from_l0_flag

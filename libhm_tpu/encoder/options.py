@@ -91,7 +91,7 @@ _BOOL_KEYS = {
     "IntraConstraintFlag": "intra_constraint",
     "SAOLcuBoundary": None, "UseAdaptiveQP": "adaptive_qp",
     "WaveFrontSynchro": "wpp", "ECU": None, "CFM": None, "ESD": None,
-    "FEN": None, "FDM": None, "AdaptiveQP": "adaptive_qp",
+    "FEN": "fast_enc", "FDM": None, "AdaptiveQP": "adaptive_qp",
     "CabacInitFlag": "cabac_init",
     "LFCrossSliceBoundaryFlag": "lf_cross_slices",
     "LFCrossTileBoundaryFlag": "lf_cross_tiles",
@@ -301,6 +301,10 @@ class HmConfig:
         cfg.log2_max_tb = v.get("log2_max_tb", 5)
         cfg.log2_min_tb = v.get("log2_min_tb", 2)
         cfg.fast_search = v.get("fast_search", 1)
+        # FEN (fast encoder setting): honoured — it changes HM's
+        # bi-pred refinement policy (one pass on the weaker list,
+        # TEncSearch.cpp:3352-3370), which the BD ladder follows
+        cfg.fast_enc = bool(v.get("fast_enc", False))
         cfg.hadamard_me = v.get("hadamard_me", True)
         cfg.strong_intra_smoothing = 1 if v.get("strong_intra_smoothing",
                                                 False) else 0

@@ -107,6 +107,7 @@ struct Ctx {
   int sdh, rdoqOn, tsEnabled;
   int sliceType, qp;
   int numRef[2], maxMerge, searchRange, fastSearch;
+  int mvdL1Zero = 0, fastEnc = 0;
   int tmvp, colFromL0, colRefIdx, poc;
   int rdoCu, cuSizeTarget, intraRdCands, rdParts, rdUni;
   int w4, h4, nctbX;
@@ -1923,7 +1924,8 @@ enum {
   EI_QP, EI_NUMREF0, EI_NUMREF1, EI_MAXMERGE, EI_SEARCHRANGE, EI_FASTSEARCH,
   EI_TMVP, EI_COLFROML0, EI_COLREFIDX, EI_POC, EI_RDOCU, EI_CUSIZE,
   EI_INTRARDCANDS, EI_RDPARTS, EI_RDUNI, EI_W4, EI_H4, EI_NCTBX,
-  EI_ALLREFSBEFORE, EI_LOG2PARMRG, EI_N_IARGS
+  EI_ALLREFSBEFORE, EI_LOG2PARMRG, EI_MVDL1ZERO, EI_FASTENC,
+  EI_N_IARGS
 };
 enum { ED_RDLAMBDA = 0, ED_LAMMOTION, ED_LAMPRED, ED_CW1, ED_CW2,
        ED_N_DARGS };
@@ -1966,6 +1968,8 @@ void* enc_ctu_create(const int64_t* ia, const double* da, const int64_t* mp,
   E->nctbX = (int)ia[EI_NCTBX];
   E->allRefsBefore = (int)ia[EI_ALLREFSBEFORE];
   E->log2ParMrg = (int)ia[EI_LOG2PARMRG];
+  E->mvdL1Zero = (int)ia[EI_MVDL1ZERO];
+  E->fastEnc = (int)ia[EI_FASTENC];
   E->rdLambda = da[ED_RDLAMBDA]; E->lamMotion = da[ED_LAMMOTION];
   E->lamPred = da[ED_LAMPRED];
   E->cw[0] = 1.0; E->cw[1] = da[ED_CW1]; E->cw[2] = da[ED_CW2];
@@ -2590,10 +2594,29 @@ static void puMeListsE(Ctx& E, int px, int py, int w, int h,
   // plane-dedup (GPB duplicate lists): planeId -> (mv, cost)
   struct PC { int id; int mv[2]; long long cost; };
   std::vector<PC> planeCache;
+  // mvd_l1_zero: track the cheapest L1 (ref, AMVP cand) used AS the MV
+  // (encoder.py best_bip; reference TEncSearch.cpp:3214 bestBiPDist)
+  bool mvdl1 = nl == 2 && E.mvdL1Zero != 0;
+  bool haveBip = false;
+  long long bipDist = 0;
+  int bipMvp = 0, bipRef = 0;
   for (int l = 0; l < nl; l++) {
     for (int r = 0; r < E.numRef[l]; r++) {
       int amvp[2][2];
       amvpCandsE(E, px, py, w, h, l, r, amvp);
+      if (mvdl1 && l == 1) {
+        static thread_local std::vector<int32_t> pT;
+        pT.resize((size_t)w * h);
+        for (int mi = 0; mi < 2; mi++) {
+          int mvsT[2][2] = {{0, 0}, {amvp[mi][0], amvp[mi][1]}};
+          int refsT[2] = {-1, r};
+          predFromCand(E, 0, px, py, w, h, 2, mvsT, refsT, pT.data());
+          long long dBi = satd32(pT.data(), orig32, w, h) >> dshift;
+          if (!haveBip || dBi < bipDist) {
+            haveBip = true; bipDist = dBi; bipMvp = mi; bipRef = r;
+          }
+        }
+      }
       const Ctx::Ref& ref = E.refs[l][r];
       int mv[2];
       long long pcost = 0;
@@ -2669,19 +2692,41 @@ static void puMeListsE(Ctx& E, int px, int py, int w, int h,
                        {bestUni[1].mvd[0], bestUni[1].mvd[1]}};
     int mvps2[2] = {bestUni[0].mvpIdx, bestUni[1].mvpIdx};
     int nref[2] = {E.numRef[0], E.numRef[1]};
-    int motBits[2] = {
-        enc::mvBits(bestUni[0].mvd[0], bestUni[0].mvd[1]) + 1 +
-            refBitsE(refs2[0], nref[0]),
-        enc::mvBits(bestUni[1].mvd[0], bestUni[1].mvd[1]) + 1 +
-            refBitsE(refs2[1], nref[1])};
+    int motBits[2];
+    if (mvdl1 && haveBip) {
+      // L1 pinned to its best AMVP candidate: no L1 MVD is coded;
+      // motBits[1] keeps HM's uiMbBits[1] charge (TEncSearch.cpp:3327)
+      refs2[1] = bipRef;
+      mvs2[1][0] = uniRec[1][bipRef].amvp[bipMvp][0];
+      mvs2[1][1] = uniRec[1][bipRef].amvp[bipMvp][1];
+      mvds2[1][0] = 0; mvds2[1][1] = 0;
+      mvps2[1] = bipMvp;
+      uniRec[1][bipRef].mv[0] = mvs2[1][0];
+      uniRec[1][bipRef].mv[1] = mvs2[1][1];
+      uniRec[1][bipRef].mvp = bipMvp;
+      motBits[0] = enc::mvBits(bestUni[0].mvd[0], bestUni[0].mvd[1]) + 1 +
+                   refBitsE(refs2[0], nref[0]);
+      motBits[1] = blk[1] + 1 + refBitsE(bipRef, nref[1]);
+    } else {
+      motBits[0] = enc::mvBits(bestUni[0].mvd[0], bestUni[0].mvd[1]) + 1 +
+                   refBitsE(refs2[0], nref[0]);
+      motBits[1] = enc::mvBits(bestUni[1].mvd[0], bestUni[1].mvd[1]) + 1 +
+                   refBitsE(refs2[1], nref[1]);
+    }
     bool haveCost = false;
     double costBi = 0;
     static thread_local std::vector<int32_t> pOther;
     static thread_local std::vector<int16_t> target;
     pOther.resize((size_t)w * h);
     target.resize((size_t)w * h);
-    for (int it = 0; it < 4; it++) {
-      int l = it % 2;
+    // iteration policy (TEncSearch.cpp:3345-3380): FEN or mvd_l1_zero
+    // run ONE pass — FEN refines the weaker list, mvd_l1_zero list 0
+    int nIter = (E.fastEnc || mvdl1) ? 1 : 4;
+    for (int it = 0; it < nIter; it++) {
+      int l;
+      if (mvdl1) l = 0;
+      else if (E.fastEnc) l = bestUni[0].cost <= bestUni[1].cost ? 1 : 0;
+      else l = it % 2;
       int other = 1 - l;
       predFromCand(E, 0, px, py, w, h, other + 1, mvs2, refs2,
                    pOther.data());
@@ -2735,10 +2780,15 @@ static void puMeListsE(Ctx& E, int px, int py, int w, int h,
     static thread_local std::vector<int32_t> predBi;
     predBi.resize((size_t)w * h);
     predFromCand(E, 0, px, py, w, h, 3, mvs2, refs2, predBi.data());
-    int bits = blk[2] + enc::mvBits(mvds2[0][0], mvds2[0][1]) +
-               enc::mvBits(mvds2[1][0], mvds2[1][1]) + 2 +
-               refBitsE(refs2[0], E.numRef[0]) +
-               refBitsE(refs2[1], E.numRef[1]);
+    int bits;
+    if (mvdl1)
+      // uiBits[2] = mbBits[2] + motBits[0] + motBits[1] — no L1 MVD bits
+      bits = blk[2] + motBits[0] + motBits[1];
+    else
+      bits = blk[2] + enc::mvBits(mvds2[0][0], mvds2[0][1]) +
+             enc::mvBits(mvds2[1][0], mvds2[1][1]) + 2 +
+             refBitsE(refs2[0], E.numRef[0]) +
+             refBitsE(refs2[1], E.numRef[1]);
     double c = (double)(satd32(predBi.data(), orig32, w, h) >> dshift) +
                lamM * bits;
     PuDesc d;
@@ -2894,7 +2944,8 @@ static void writePuSyntaxE(Ctx& E, const PuDesc& d, int cuSize,
     bool use = (d.dir == 3) || (d.dir == l + 1);
     if (!use || E.numRef[l] == 0) continue;
     writeRefIdxE(E, l, d.refIdx[l]);
-    writeMvdE(E, d.mvd[l]);
+    // mvd_l1_zero_flag: bi PUs code no L1 MVD (Rec. 7.3.8.6)
+    if (!(l == 1 && d.dir == 3 && E.mvdL1Zero)) writeMvdE(E, d.mvd[l]);
     E.recBin(B_MVP, 0, d.mvpIdx[l]);
   }
 }
