@@ -1718,6 +1718,11 @@ class IntraEncoder:
     _TZ_DIAMOND = ((0, -1), (0, 1), (-1, 0), (1, 0),
                    (-1, -1), (1, -1), (-1, 1), (1, 1))
 
+    def _me_subshift(self, h):
+        """FEN subsampled-SAD row shift for integer ME (reference
+        TEncSearch.cpp:351/4127: every other row when rows > 8)."""
+        return 1 if getattr(self.cfg, "fast_enc", False) and h > 8 else 0
+
     def _tz_integer(self, orig, plane, px, py, w, h, pred_int, R,
                     pred_mv=(0, 0)):
         # edge-padded reference (cached per plane): SAD windows become
@@ -1733,14 +1738,19 @@ class IntraEncoder:
         lam_m = self._lam_motion
         dsh = self.cfg.bit_depth - 8
 
+        sub = self._me_subshift(h)
+        step = 1 << sub
+        orig_s = orig[::step]
+
         def sad(d):
             # SAD + sqrt-lambda * MV bits vs the AMVP predictor (reference
-            # xGetCost inside xTZSearch)
+            # xGetCost inside xTZSearch); FEN subsamples rows
             if d in cache:
                 return cache[d]
             dx, dy = d
             y0, x0 = py + dy + pad, px + dx + pad
-            c = (int(np.abs(padded[y0:y0 + h, x0:x0 + w] - orig).sum())
+            c = ((int(np.abs(padded[y0:y0 + h:step, x0:x0 + w]
+                             - orig_s).sum()) << sub)
                  >> dsh) + lam_m * self._mv_bits((dx << 2) - pred_mv[0],
                                                  (dy << 2) - pred_mv[1])
             cache[d] = c
@@ -1811,22 +1821,26 @@ class IntraEncoder:
                 R + 8, t16.ctypes.data, px, py, w, h, R,
                 int(pred_mv[0]), int(pred_mv[1]),
                 float(self._lam_motion), cfg.bit_depth,
-                int(start_mv[0]), int(start_mv[1]), out.ctypes.data)
+                int(start_mv[0]), int(start_mv[1]),
+                self._me_subshift(h), out.ctypes.data)
             return (int(out[0]), int(out[1])), int(out[2])
         H, W = plane.shape
         lam_m = self._lam_motion
         dsh = self.cfg.bit_depth - 8
         cx, cy = start_mv[0] >> 2, start_mv[1] >> 2
         t32 = target.astype(np.int32)
+        sub = self._me_subshift(h)
+        step = 1 << sub
         best, bmv = None, (cx, cy)
         for dy in range(-4, 5):
-            ys = np.clip(np.arange(py + cy + dy, py + cy + dy + h), 0, H - 1)
+            ys = np.clip(np.arange(py + cy + dy, py + cy + dy + h, step),
+                         0, H - 1)
             rows = plane[ys]
             for dx in range(-4, 5):
                 xs = np.clip(np.arange(px + cx + dx, px + cx + dx + w),
                              0, W - 1)
-                sad = int(np.abs(rows[:, xs].astype(np.int32)
-                                 - t32).sum()) >> dsh
+                sad = (int(np.abs(rows[:, xs].astype(np.int32)
+                                  - t32[::step]).sum()) << sub) >> dsh
                 mvq = ((cx + dx) << 2, (cy + dy) << 2)
                 c = sad + lam_m * self._mv_bits(mvq[0] - pred_mv[0],
                                                 mvq[1] - pred_mv[1])
@@ -2282,7 +2296,7 @@ class IntraEncoder:
                 px, py, w, h, R, int(pred_mv[0]), int(pred_mv[1]),
                 float(self._lam_motion), cfg.bit_depth,
                 1 if getattr(cfg, "fast_search", 1) else 0,
-                out.ctypes.data)
+                self._me_subshift(h), out.ctypes.data)
             return (int(out[0]), int(out[1])), int(out[2])
         pred_int = ((pred_mv[0] + 2) >> 2, (pred_mv[1] + 2) >> 2)
         if getattr(cfg, "fast_search", 1):
@@ -2293,11 +2307,14 @@ class IntraEncoder:
             lam_m = self._lam_motion
             dsh = cfg.bit_depth - 8
             best, imv = float("inf"), (0, 0)
+            sub = self._me_subshift(h)
+            stp = 1 << sub
             for dy in range(-R, R + 1):
-                ys0 = np.clip(np.arange(py + dy, py + dy + h), 0, H - 1)
+                ys0 = np.clip(np.arange(py + dy, py + dy + h, stp), 0, H - 1)
                 for dx in range(-R, R + 1):
                     xs0 = np.clip(np.arange(px + dx, px + dx + w), 0, W - 1)
-                    c = (int(np.abs(plane[np.ix_(ys0, xs0)] - orig).sum())
+                    c = ((int(np.abs(plane[np.ix_(ys0, xs0)]
+                                     - orig[::stp]).sum()) << sub)
                          >> dsh) + lam_m * self._mv_bits(
                              (dx << 2) - pred_mv[0], (dy << 2) - pred_mv[1])
                     if c < best:

@@ -2639,6 +2639,8 @@ static void puMeListsE(Ctx& E, int px, int py, int w, int h,
         a.lam = lamM;
         a.bd = E.bd;
         a.fast = E.fastSearch;
+        // FEN: subsampled SAD rows for blocks taller than 8
+        a.subShift = (E.fastEnc && h > 8) ? 1 : 0;
         int64_t res[3];
         enc::meSearch(a, res);
         mv[0] = (int)res[0]; mv[1] = (int)res[1];
@@ -2747,6 +2749,7 @@ static void puMeListsE(Ctx& E, int px, int py, int w, int h,
         a.lam = lamM;
         a.bd = E.bd;
         a.fast = E.fastSearch;
+        a.subShift = (E.fastEnc && h > 8) ? 1 : 0;
         int64_t res[3];
         enc::biRefine(a, rec.mv[0], rec.mv[1], res);
         int mv2[2] = {(int)res[0], (int)res[1]};

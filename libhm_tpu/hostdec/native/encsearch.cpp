@@ -202,13 +202,15 @@ struct MeArgs {
   double lam;             // sqrt-lambda motion cost weight
   int bd;                 // bit depth
   int fast;               // 1 = TZ, 0 = exhaustive
+  int subShift = 0;       // FEN subsampled SAD: rows stepped 1<<subShift
 };
 
 static long long sadAt(const MeArgs& a, int dx, int dy) {
   const int16_t* p =
       a.padded + (long long)(a.py + dy + a.pad) * a.pw + a.px + dx + a.pad;
   long long s = 0;
-  for (int j = 0; j < a.h; j++) {
+  int step = 1 << a.subShift;   // FEN: every other row for tall blocks
+  for (int j = 0; j < a.h; j += step) {
     const int16_t* row = p + (long long)j * a.pw;
     const int16_t* o = a.orig + (long long)j * a.w;
     int acc = 0;
@@ -218,7 +220,7 @@ static long long sadAt(const MeArgs& a, int dx, int dy) {
     }
     s += acc;
   }
-  return s;
+  return s << a.subShift;
 }
 
 static const int kDiamond[8][2] = {{0, -1}, {0, 1},  {-1, 0}, {1, 0},
@@ -387,18 +389,18 @@ long long enc_satd32(const int32_t* a, const int32_t* b, int w, int h) {
 void enc_me_search(const int16_t* padded, int pw, int ph, int pad,
                    const int16_t* orig, int px, int py, int w, int h,
                    int R, int pmx, int pmy, double lam, int bd, int fast,
-                   int64_t* out) {
+                   int sub, int64_t* out) {
   hevc::enc::MeArgs a{padded, pw, ph, pad, orig, px, py, w, h,
-                      R, pmx, pmy, lam, bd, fast};
+                      R, pmx, pmy, lam, bd, fast, sub};
   hevc::enc::meSearch(a, out);
 }
 
 void enc_bi_refine(const int16_t* padded, int pw, int ph, int pad,
                    const int16_t* target, int px, int py, int w, int h,
                    int R, int pmx, int pmy, double lam, int bd,
-                   int startMvX, int startMvY, int64_t* out) {
+                   int startMvX, int startMvY, int sub, int64_t* out) {
   hevc::enc::MeArgs a{padded, pw, ph, pad, target, px, py, w, h,
-                      R, pmx, pmy, lam, bd, 1};
+                      R, pmx, pmy, lam, bd, 1, sub};
   hevc::enc::biRefine(a, startMvX, startMvY, out);
 }
 

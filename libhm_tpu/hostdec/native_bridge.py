@@ -76,11 +76,11 @@ def _load():
     lib.enc_me_search.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_void_p,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
-        C.c_double, C.c_int, C.c_int, C.c_void_p]
+        C.c_double, C.c_int, C.c_int, C.c_int, C.c_void_p]
     lib.enc_bi_refine.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_void_p,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
-        C.c_double, C.c_int, C.c_int, C.c_int, C.c_void_p]
+        C.c_double, C.c_int, C.c_int, C.c_int, C.c_int, C.c_void_p]
     lib.enc_interp_luma.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_longlong,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,

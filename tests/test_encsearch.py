@@ -98,11 +98,17 @@ def test_me_search_matches_python(lib):
             assert res == res_py, (px, py, w, h, pred_mv, l, r)
         return res
 
+    import os
     IntraEncoder._ENC_NATIVE = (lib,)
     IntraEncoder._motion_search_rect = wrapper
+    # force the Python decision path: the native CTU compressor would
+    # otherwise run the whole search in C++ without ever reaching
+    # _motion_search_rect (the surface under test here)
+    os.environ["HEVC_ENC_NATIVE"] = "0"
     try:
         enc.encode_stream(frames)
     finally:
+        os.environ.pop("HEVC_ENC_NATIVE", None)
         IntraEncoder._motion_search_rect = orig_fn
         IntraEncoder._ENC_NATIVE = ("unset",)
     assert state["checked"] >= 10
