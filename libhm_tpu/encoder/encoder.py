@@ -335,6 +335,34 @@ def _rough_level_bits(lev):
     return bits + 2.0 * ncg + 8.0
 
 
+def _hm_col_from_l0(entries, gop_size, gi):
+    """collocated_from_l0_flag for a B GOP entry (reference
+    TEncGOP.cpp:644-689): default col pic from L1 (uiColDir=1); switch to
+    L0 when the closest FUTURE reference's GOP QP offset is lower than
+    the closest past one's (its motion field is better quantized)."""
+    e = entries[gi]
+    close_l, close_r = 1, -1
+    for d in e.ref_pics:
+        if d > 0 and (close_r == -1 or d < close_r):
+            close_r = d
+        elif d < 0 and (close_l == 1 or d > close_l):
+            close_l = d
+    if close_r > -1:
+        close_r = close_r + e.poc - 1
+    if close_l < 1:
+        close_l = close_l + e.poc - 1
+        while close_l < 0:
+            close_l += gop_size
+    lq = rq = 0
+    for e2 in entries:
+        if e2.poc == (close_l % gop_size) + 1:
+            lq = e2.qp_offset
+        if close_r > -1 and e2.poc == (close_r % gop_size) + 1:
+            rq = e2.qp_offset
+    col_dir = 0 if (close_r > -1 and rq < lq) else 1
+    return 1 - col_dir
+
+
 def _hm_gop_depth(poc, gop_size):
     """Hierarchy depth of a picture within its GOP (reference
     TEncSlice::initEncSlice depth computation, TEncSlice.cpp:227-264)."""
@@ -436,6 +464,9 @@ class IntraEncoder:
                 # GOP-entry #ref_pics_active (TEncSlice::initEncSlice
                 # clips to the RPS picture count per slice)
                 self.cur_num_active = item[10] if len(item) > 10 else None
+                self.cur_col_from_l0 = _hm_col_from_l0(
+                    cfg.gop_entries, cfg.gop_size or len(cfg.gop_entries),
+                    item[11]) if len(item) > 11 else 1
                 slices, recon = self.encode_picture(
                     frames[poc], poc - idr_base, nal_type, slice_type,
                     rps=rps)
@@ -464,6 +495,9 @@ class IntraEncoder:
         inter_gop = cfg.gop in ("lowdelayP", "lowdelayB")
         self.cur_qp_factor = None
         self.cur_num_active = None
+        # lowdelay B: no future refs -> HM's default uiColDir=1 keeps
+        # the collocated picture in L1 (same pictures as L0 under GPB)
+        self.cur_col_from_l0 = 0 if cfg.gop == "lowdelayB" else 1
         refs = []                                # newest first
         for src_idx, frame in enumerate(frames):
             poc = src_idx
@@ -805,6 +839,9 @@ class IntraEncoder:
         self.cur_wp = None
         if slice_type in (0, 1):
             self.sh = _PSliceHeader(poc, cfg, slice_type)
+            if slice_type == 0:
+                self.sh.collocated_from_l0 = \
+                    getattr(self, "cur_col_from_l0", 1)
             if getattr(self, "_ref_lists_pics", None) is not None:
                 lists = self._ref_lists_pics
             else:
@@ -885,7 +922,10 @@ class IntraEncoder:
                                num_ref=nr,
                                cabac_init_flag=self._cabac_init(),
                                mvd_l1_zero=getattr(self.sh, "mvd_l1_zero", 0)
-                               if slice_type in (0, 1) else 0)
+                               if slice_type in (0, 1) else 0,
+                               col_from_l0=getattr(
+                                   self.sh, "collocated_from_l0", 1)
+                               if slice_type in (0, 1) else 1)
         # slice-header bits for the rate controller's header-bit model
         # (TEncRCPic::xEstPicHeaderBits averages these per frame level)
         self._hdr_bits_last = len(w.buf) * 8 + w.nbits
@@ -1197,7 +1237,9 @@ class IntraEncoder:
                     if slice_type in (0, 1) else None,
                     cabac_init_flag=self._cabac_init(),
                     mvd_l1_zero=getattr(self.sh, "mvd_l1_zero", 0)
-                    if slice_type in (0, 1) else 0).data()
+                    if slice_type in (0, 1) else 0,
+                    col_from_l0=getattr(self.sh, "collocated_from_l0", 1)
+                    if slice_type in (0, 1) else 1).data()
                 from .hls_writer import epb_positions
                 epb = epb_positions(hdr + data)
                 new_eps = []

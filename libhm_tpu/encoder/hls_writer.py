@@ -358,7 +358,7 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
                        entry_points=None, wp_l1=None,
                        dependent=False, sao_flags=None,
                        num_ref=None, cabac_init_flag=0,
-                       mvd_l1_zero=0) -> BitWriter:
+                       mvd_l1_zero=0, col_from_l0=1) -> BitWriter:
     """Returns the writer positioned after the header (byte-aligned).
 
     rps: optional explicit (neg_deltas, pos_deltas) short-term RPS written
@@ -447,9 +447,13 @@ def write_slice_header(cfg, nal_type, poc, slice_type, slice_qp,
         w.put(cabac_init_flag)  # cabac_init_flag (P/B init table swap)
         if cfg.tmvp:
             if slice_type == 0:
-                w.put(1)            # collocated_from_l0_flag
-            if n0 > 1:  # collocated_ref_idx (from_l0 path)
-                w.ue(0)
+                # collocated direction per HM's closest-ref QP rule
+                # (TEncGOP.cpp:648-689: col pic from L1 unless the
+                # closest future ref has a lower GOP QP offset)
+                w.put(col_from_l0)
+            n_col = n0 if (slice_type == 1 or col_from_l0) else n1
+            if n_col > 1:
+                w.ue(0)             # collocated_ref_idx
         if getattr(cfg, "weighted_pred", False) and slice_type == 1:
             _write_pred_weight_table(w, cfg, wp or [None] * n0)
         elif getattr(cfg, "weighted_bipred", False) and slice_type == 0:
