@@ -416,6 +416,23 @@ class IntraEncoder:
             cfg.vui_enabled = True
             self.sps, self.pps = _mk_sps_pps(cfg)
         out = bytearray()
+        # SPS short-term-RPS candidate sets: one per GOP-table entry, so
+        # steady-state slice headers reference them by index (~4 bits)
+        # instead of writing an explicit RPS (~25-40 bits) per slice
+        # (reference TEncTop::xInitRPS, TEncCavlc::codeShortTermRefPicSet;
+        # pictures whose availability-filtered RPS differs — leading
+        # pictures, the first GOP — still write an explicit set).
+        self._st_rps_lookup = {}
+        if cfg.gop == "table" and getattr(cfg, "gop_entries", None):
+            cand = []
+            for e in cfg.gop_entries:
+                key = (tuple(sorted(d for d in e.ref_pics if d < 0)),
+                       tuple(sorted(d for d in e.ref_pics if d > 0)))
+                if key not in self._st_rps_lookup and \
+                        (key[0] or key[1]):
+                    self._st_rps_lookup[key] = len(cand)
+                    cand.append((list(key[0]), list(key[1])))
+            cfg.st_rps = cand
         out += nal_unit(32, write_vps(cfg))
         out += nal_unit(33, write_sps(cfg))
         out += nal_unit(34, write_pps(cfg))
@@ -916,8 +933,19 @@ class IntraEncoder:
                         crops, croplist(lists[1]), cfg.bit_depth)
         nr = (self.sh.num_ref_idx[0], self.sh.num_ref_idx[1]) \
             if slice_type in (0, 1) else None
+        # reference the SPS candidate RPS by index when this picture's
+        # set matches one (used_by_curr=1 sets only; CRA retention sets
+        # with used=0 stay explicit)
+        self._cur_rps_hdr, self._cur_rps_idx = rps, 0
+        if rps is not None and (len(rps) < 3 or rps[2]) and \
+                getattr(self, "_st_rps_lookup", None):
+            key = (tuple(sorted(rps[0])), tuple(sorted(rps[1])))
+            idx = self._st_rps_lookup.get(key)
+            if idx is not None:
+                self._cur_rps_hdr, self._cur_rps_idx = None, idx
         w = write_slice_header(cfg, nal_type, poc, slice_type, qp_pic,
-                               rps=rps, wp=self.cur_wp,
+                               rps=self._cur_rps_hdr,
+                               rps_idx=self._cur_rps_idx, wp=self.cur_wp,
                                wp_l1=getattr(self, "cur_wp_l1", None),
                                num_ref=nr,
                                cabac_init_flag=self._cabac_init(),
@@ -1226,7 +1254,9 @@ class IntraEncoder:
             eps = list(rbsp_offs)
             for _ in range(4):
                 hdr = write_slice_header(
-                    cfg, nal_type, poc, slice_type, qp_pic, rps=rps,
+                    cfg, nal_type, poc, slice_type, qp_pic,
+                    rps=getattr(self, "_cur_rps_hdr", rps),
+                    rps_idx=getattr(self, "_cur_rps_idx", 0),
                     wp=self.cur_wp,
                     wp_l1=getattr(self, "cur_wp_l1", None),
                     segment_address=scan[start] if start

@@ -192,15 +192,24 @@ def write_sps(cfg) -> bytes:
     else:
         w.put(0)        # pcm_enabled
     w.ue(len(cfg.st_rps))   # num_short_term_ref_pic_sets
-    for rps in cfg.st_rps:  # (list of (delta_poc<0 list...)) simple neg-only
-        if cfg.st_rps.index(rps) != 0:
+    # candidate sets the slice headers reference by index (reference
+    # TEncTop::xInitRPS builds one per GOP entry; TEncCavlc::codeShortTermRefPicSet).
+    # Each entry is (neg_deltas, pos_deltas) with used_by_curr=1, matching
+    # the explicit slice-header form below; a bare list means neg-only.
+    for i, rps in enumerate(cfg.st_rps):
+        if i != 0:
             w.put(0)    # inter_ref_pic_set_prediction_flag
-        negs = rps
+        negs, poss = (rps, []) if not isinstance(rps, tuple) else rps[:2]
         w.ue(len(negs))
-        w.ue(0)         # num_positive
+        w.ue(len(poss))
         prev = 0
-        for dp in negs:
-            w.ue(-(dp - prev) - 1)
+        for dp in sorted(negs, reverse=True):   # closest first
+            w.ue(prev - dp - 1)
+            prev = dp
+            w.put(1)    # used_by_curr
+        prev = 0
+        for dp in sorted(poss):
+            w.ue(dp - prev - 1)
             prev = dp
             w.put(1)    # used_by_curr
     w.put(0)            # long_term_ref_pics_present

@@ -394,10 +394,15 @@ def _inter_level_gathered(items, stacked_all, res_all):
 
 
 # ---------------------------------------------------------------------------
-def _recon_levels(items, mesh=None):
+def _recon_levels(items, mesh=None, download=True):
     """Device-resident reconstruction of collect items grouped into
     reference-DAG levels.  Returns [(dp, item, small_planes)] where
     small_planes are narrow-dtype device arrays with downloads in flight.
+
+    download=False keeps every output in HBM (no narrow copies, no
+    async D2H): small_planes comes back empty and callers read pixels
+    through dp._device_planes — the device-compute bench mode for hosts
+    whose D2H path is pathologically slow.
     """
     from .batch_decode import _residual_planes_batch_device, _intra_batch
     from .device_filters import filter_level
@@ -438,9 +443,11 @@ def _recon_levels(items, mesh=None):
                 Hc = sps.height >> sy
                 Wc = sps.width >> sx
                 cache[(c, Hc, Wc)] = stacked[c][b, :Hc, :Wc]
-                bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
-                dt = jnp.uint8 if bd == 8 else jnp.uint16
-                small.append(stacked[c][b].astype(dt))
+                if download:
+                    bd = (sps.bit_depth_luma if c == 0
+                          else sps.bit_depth_chroma)
+                    dt = jnp.uint8 if bd == 8 else jnp.uint16
+                    small.append(stacked[c][b].astype(dt))
             # filtered planes feed the next level's MC straight from HBM
             dp._device_planes = cache
             for s in small:
@@ -503,6 +510,70 @@ def decode_batch(data, parse="native", check_sei_hash=False, mesh=None):
     _check_geometry(items, "decode_batch")
     pending = _recon_levels(items, mesh=mesh)
     return _materialize(dec, pending, check_sei_hash)
+
+
+def decode_batch_device(data, parse="native", mesh=None):
+    """Device-compute decode: host parse + fully device-resident
+    reconstruction, downloading NOTHING but one uint32 checksum.
+
+    This is the bench mode for deployments whose D2H path is
+    pathologically slow (a tunneled device): it isolates what the host
+    parse + H2D uploads + on-chip compute actually deliver, with the
+    decoded pictures left in HBM exactly as a device-resident consumer
+    (a downstream model, an on-device encoder) would use them.
+
+    The dispatch path is byte-identical to decode_batch (whose outputs
+    are golden-MD5 verified); the returned checksum — the sum of every
+    conformance-cropped output sample, mod 2^32, matching
+    DecodedPicture.cropped() geometry — lets the caller cross-check this
+    run against a host decode of the same stream.
+
+    Returns (parse_seconds, compute_seconds, checksum_int, n_pictures).
+    """
+    import time as _time
+
+    from ..hostdec.decoder import Decoder
+
+    dec = Decoder(parse=parse, recon="collect")
+    t0 = _time.monotonic()
+    dec.decode_annexb(data)
+    t1 = _time.monotonic()
+    items = getattr(dec, "collected", [])
+    if not items:
+        return t1 - t0, 0.0, 0, 0
+    _check_geometry(items, "decode_batch_device")
+    pending = _recon_levels(items, mesh=mesh, download=False)
+    parts = []
+    # sum over the bumped output list so the checksum covers exactly the
+    # pictures (and geometry) that cropped_checksum(Decoder.outputs) sees
+    for dp in dec.output_records:
+        sps = dp.sps
+        ncomp = 3 if sps.chroma_format_idc else 1
+        cl, cr, ct, cb = sps.conf_win
+        for c in range(ncomp):
+            sx = sps.chroma_shift_x() if c else 0
+            sy = sps.chroma_shift_y() if c else 0
+            w = sps.width >> sx
+            h = sps.height >> sy
+            mulx = 1 if c else (1 << sps.chroma_shift_x())
+            muly = 1 if c else (1 << sps.chroma_shift_y())
+            view = dp._device_planes[(c, h, w)]
+            crop = view[ct * muly:h - cb * muly, cl * mulx:w - cr * mulx]
+            parts.append(jnp.sum(crop.astype(jnp.uint32)))
+    total = jnp.sum(jnp.stack(parts)) if parts else jnp.uint32(0)
+    csum = int(jax.device_get(total)) & 0xFFFFFFFF
+    t2 = _time.monotonic()
+    return t1 - t0, t2 - t1, csum, len(pending)
+
+
+def cropped_checksum(outs):
+    """Host-side counterpart of decode_batch_device's checksum: uint32 sum
+    of every sample of a list of cropped pictures (Decoder.outputs)."""
+    tot = 0
+    for pic in outs:
+        for p in pic:
+            tot = (tot + int(np.asarray(p, np.uint64).sum())) & 0xFFFFFFFF
+    return tot
 
 
 def decode_streams(datas, parse="native", check_sei_hash=False, mesh=None,
