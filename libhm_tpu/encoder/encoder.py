@@ -118,14 +118,15 @@ class _RecordingCabac:
     def pcm_payload(self, bits):
         self.ops.append(("pcm", bits))
 
-    def bins_coded(self, bank):
-        """Per-context coded-bin counts of the accepted op stream, keyed
-        like `bank` (reference ContextModel::getBinsCoded feeding
+    def bins_coded(self, bank, lo=0, hi=None):
+        """Per-context coded-bin counts of the accepted op stream
+        (optionally an op range — one slice's span), keyed like `bank`
+        (reference ContextModel::getBinsCoded feeding
         TEncSbac::determineCabacInitIdx)."""
         idmap = {id(arr): name for name, arr in bank.items()}
         counts = {name: np.zeros(len(arr), np.int64)
                   for name, arr in bank.items()}
-        for op in self.ops:
+        for op in self.ops[lo:hi]:
             if op[0] == "b":
                 nm = idmap.get(id(op[1]))
                 if nm is not None:
@@ -171,11 +172,13 @@ class _NativeRecOps:
         self.marks = marks
         self._banks = banks
 
-    def bins_coded(self, bank):
+    def bins_coded(self, bank, lo=0, hi=None):
         """Per-context coded-bin counts from the native op arrays (ctx
-        ops carry (set_id << 8) | idx in `a`)."""
-        sel = self.kind == 0
-        hist = np.bincount(np.asarray(self.a)[sel],
+        ops carry (set_id << 8) | idx in `a`), optionally over one
+        slice's op range."""
+        kind = self.kind[lo:hi]
+        sel = kind == 0
+        hist = np.bincount(np.asarray(self.a[lo:hi])[sel],
                            minlength=len(_NATIVE_BANK_KEYS) << 8)
         counts = {name: np.zeros(len(arr), np.int64)
                   for name, arr in bank.items()}
@@ -573,11 +576,16 @@ class IntraEncoder:
         ti = getattr(self, "_enc_cabac_table_idx", 2)
         return 1 if ti in (0, 1) and ti != self.slice_type else 0
 
-    def _update_cabac_table_idx(self, rec, qp_slice):
+    def _update_cabac_table_idx(self, rec, qp_slice, lo=0, hi=None,
+                                sao_counts=None):
         """Post-slice adaptive init-table selection (reference
-        TEncSlice.cpp:1252 + TEncSbac::determineCabacInitIdx).  SAO
-        contexts are coded by the emit pass outside the recorded op
-        stream; they are marked used whenever the picture coded SAO."""
+        TEncSlice.cpp:1249-1252 + TEncSbac::determineCabacInitIdx).
+
+        Called per slice from the emit pass with that slice's op range,
+        the post-slice emit bank states (self.bank — reset/adapted in
+        place by _emit_slices, including SAO context adaptation) and the
+        slice's real SAO bin counts; the chosen table feeds the NEXT
+        slice, as in the reference."""
         if self.slice_type == 2:
             self._enc_cabac_table_idx = 2
             return
@@ -586,12 +594,11 @@ class IntraEncoder:
             # to the slice type (TEncSlice.cpp:1249)
             self._enc_cabac_table_idx = self.slice_type
             return
-        counts = rec.bins_coded(self.bank)
-        if getattr(self.cfg, "sao", False) and \
-                any(getattr(self, "_sao_slice_enabled", None) or []):
-            for k in ("sao_merge", "sao_type"):
+        counts = rec.bins_coded(self.bank, lo, hi)
+        if sao_counts:
+            for k, v in sao_counts.items():
                 if k in counts:
-                    counts[k][:] += 1
+                    counts[k] += v
         from .cabac_enc import determine_cabac_init_idx
         self._enc_cabac_table_idx = determine_cabac_init_idx(
             self.bank, counts, qp_slice)
@@ -1056,7 +1063,6 @@ class IntraEncoder:
                 sao_picture(self.recon, self.pic, sps, pps)
             payloads = self._emit_slices(rec, scan, slice_starts, nal_type,
                                          poc, slice_type, qp_base, rps)
-            self._update_cabac_table_idx(rec, qp_base)
         elif multi:
             # pass 1: decide + record the CU symbol stream in decode order
             rec = _RecordingCabac()
@@ -1106,7 +1112,6 @@ class IntraEncoder:
                     self.recon[c][m] = pre[c][m]
             payloads = self._emit_slices(rec, scan, slice_starts, nal_type,
                                          poc, slice_type, qp_base, rps)
-            self._update_cabac_table_idx(rec, qp_base)
         else:
             self._enc_cabac_table_idx = slice_type   # 1-pass debug path
             for addr in range(nctu):
@@ -1180,6 +1185,11 @@ class IntraEncoder:
             if si == 0 or not dep:
                 bank_reset()
             # dependent segments continue the previous segment's contexts
+            sao_counts = {"sao_merge": np.zeros(len(bank["sao_merge"]),
+                                                np.int64),
+                          "sao_type": np.zeros(len(bank["sao_type"]),
+                                               np.int64)} \
+                if "sao_merge" in bank else None
             subs = []
             bw = BitWriter()
             enc = CabacEncoder(bw)
@@ -1232,7 +1242,8 @@ class IntraEncoder:
                         enc, bank, self.pic, addr, wc, enabled, sps,
                         avail=lambda other, _t=tile, _lo=lo, _hi=hi: (
                             sd.tile_map[other] == _t and
-                            _lo <= pos_of[other] < _hi))
+                            _lo <= pos_of[other] < _hi),
+                        counts=sao_counts)
                 rec.replay(enc, rec.marks[pos], rec.marks[pos + 1])
                 last_of_slice = pos == end - 1
                 enc.encode_terminate(1 if last_of_slice else 0)
@@ -1283,6 +1294,12 @@ class IntraEncoder:
                     break
                 eps = new_eps
             payloads.append(hdr + data)
+            # per-slice adaptive init-table selection: this slice's op
+            # range + its post-slice bank feed the NEXT slice's choice
+            # (reference TEncSlice.cpp:1249-1252)
+            self._update_cabac_table_idx(rec, qp_pic, rec.marks[start],
+                                         rec.marks[end],
+                                         sao_counts=sao_counts)
         return payloads
 
     # ------------------------------------------------------------------

@@ -138,12 +138,17 @@ def params_gain(stats, t, band_pos, offsets):
     return sum(_gain(ee[i], nn[i], int(offsets[i])) for i in range(4))
 
 
-def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps, avail=None):
+def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps, avail=None,
+                  counts=None):
     """Mirror of _parse_sao_ctu for one CTU's chosen parameters.
 
     avail(other_addr): extra availability predicate for the merge
     neighbours (same slice + tile, mirrored from the decode side); None
     means everything in-picture is available (single slice/tile).
+    counts: optional {name: array} per-context coded-bin counters
+    (ContextModel::getBinsCoded parity for determineCabacInitIdx — SAO
+    bins are coded here in the emit pass, outside the recorded op
+    stream).
     """
     def params_equal(a, b):
         return all(
@@ -157,11 +162,15 @@ def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps, avail=None):
     merge_left = can_left and params_equal(addr, addr - 1)
     if can_left:
         enc.encode_bin(bank["sao_merge"], 0, 1 if merge_left else 0)
+        if counts is not None:
+            counts["sao_merge"][0] += 1
     if merge_left:
         return
     merge_up = can_up and params_equal(addr, addr - wc)
     if can_up:
         enc.encode_bin(bank["sao_merge"], 0, 1 if merge_up else 0)
+        if counts is not None:
+            counts["sao_merge"][0] += 1
     if merge_up:
         return
 
@@ -173,6 +182,8 @@ def write_sao_ctu(enc, bank, pic, addr, wc, enabled, sps, avail=None):
         t = int(pic.sao_type[addr, c])
         if c <= 1:
             enc.encode_bin(bank["sao_type"], 0, 0 if t < 0 else 1)
+            if counts is not None:
+                counts["sao_type"][0] += 1
             if t >= 0:
                 enc.encode_bypass(0 if t == 0 else 1)
         if t < 0:

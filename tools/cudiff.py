@@ -34,7 +34,6 @@ def summarize(path):
         area = float(w4 * h4)
         mv = ps.mv[:h4, :w4]
         amv = np.abs(mv).sum(axis=(2, 3))[inter].mean() if inter.any() else 0
-        ncoef = sum(len(tu.coeffs[0][0]) if False else 0 for tu in [])
         nz = sum(1 for tu in ps.tu_list for c in range(3)
                  if tu.coeffs[c] is not None)
         bi = (ps.inter_dir[:h4, :w4] == 3)
