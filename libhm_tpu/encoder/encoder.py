@@ -1330,8 +1330,6 @@ class IntraEncoder:
             return False
         if getattr(cfg, "scaling_list", False):
             return False
-        if getattr(self, "_dqp_enabled", False):
-            return False
         if cfg.bit_depth > 12:
             return False
         if getattr(sps, "extended_precision", 0):
@@ -1405,7 +1403,8 @@ class IntraEncoder:
             sps.pic_width_ctbs, all_before,
             getattr(sd.pps, "log2_parallel_merge_level", 2),
             getattr(sh, "mvd_l1_zero", 0) if inter else 0,
-            1 if getattr(cfg, "fast_enc", False) else 0],
+            1 if getattr(cfg, "fast_enc", False) else 0,
+            1 if getattr(self, "_dqp_enabled", False) else 0],
             np.int64)
         da = np.array([self.rd_lambda, self._lam_motion,
                        self.rd_lambda ** 0.5, self.chroma_weight[1],
@@ -1483,10 +1482,49 @@ class IntraEncoder:
         try:
             marks = [0]
             wc = sps.pic_width_ctbs
+            # dqp (adaptive QP / per-LCU rate control): mirror the Python
+            # path's ctu_qg_start/_rc_lcu_close around each native CTU
+            dqp_en = getattr(self, "_dqp_enabled", False)
+            rc = getattr(self, "_rc", None)
+            lcu_rc = (not cfg.adaptive_qp and rc is not None and
+                      getattr(rc, "lcu_level", False) and
+                      getattr(rc, "lcu_rc", True))
+            m4c = sps.ctb_size >> 2
+            nctu_x = sps.pic_width_ctbs
+            rc_prev = None     # (addr, qp, lam, ops_lo)
+
+            def _rc_close():
+                if rc_prev is None:
+                    return
+                addr0, qp0, lam0, lo0 = rc_prev
+                bits = int(lib.enc_ctu_est_bits(h, lo0) + 0.5)
+                x4 = (addr0 % nctu_x) * m4c
+                y4 = (addr0 // nctu_x) * m4c
+                sk = pic.skip[y4:y4 + m4c, x4:x4 + m4c]
+                rc.lcu_end(max(1, bits), qp0,
+                           lam0 if lam0 is not None else self.rd_lambda,
+                           bool((sk == 0).any()))
             for addr in scan:
                 cx = (addr % wc) << sps.log2_ctb
                 cy = (addr // wc) << sps.log2_ctb
+                if dqp_en:
+                    if cfg.adaptive_qp:
+                        lib.enc_ctu_qg_start(h, int(self._qp_map[addr]),
+                                             0.0, 0.0, 0.0)
+                    elif lcu_rc:
+                        _rc_close()
+                        qp, lam = rc.lcu_start(
+                            forced_fixed=(self.slice_type == 2 and
+                                          rc.force_intra_qp))
+                        if lam is not None:
+                            lib.enc_ctu_qg_start(h, qp, lam, lam ** 0.5,
+                                                 lam ** 0.5)
+                        else:
+                            lib.enc_ctu_qg_start(h, qp, 0.0, 0.0, 0.0)
+                        rc_prev = (addr, qp, lam, marks[-1])
                 marks.append(int(lib.enc_ctu_compress(h, cx, cy)))
+            if dqp_en and lcu_rc:
+                _rc_close()
             n = marks[-1]
             kind = np.empty(n, np.uint8)
             a = np.empty(n, np.int32)

@@ -155,6 +155,12 @@ struct Ctx {
   int curQp;
   int ctuX, ctuY;
 
+  // dqp (cu_qp_delta) state — encoder.py _maybe_write_dqp / _finish_cu_qp;
+  // one quantization group per CTU (diff_cu_qp_delta_depth == 0)
+  int dqpEnabled = 0;
+  int lastQpEnc = 0, qpPredEnc = 0, cuDeltaEnc = 0;
+  bool dqpCoded = true;
+
   // inter helper state (mirrors transient attrs on IntraEncoder)
   int puLastMode;
   int curDepth;  // _cur_depth (inter_dir context)
@@ -880,6 +886,8 @@ struct CuSnap {
   std::vector<int8_t> refIdxS, refLtS;
   std::vector<int32_t> rec[3];
   size_t nops;
+  int lastQpS, qpPredS, cuDeltaS;
+  bool dqpCodedS;
 };
 
 static void saveCu(Ctx& E, int x, int y, int size, CuSnap* s) {
@@ -922,6 +930,8 @@ static void saveCu(Ctx& E, int x, int y, int size, CuSnap* s) {
                   (size_t)wC * sizeof(int32_t));
   }
   s->nops = E.ops.size();
+  s->lastQpS = E.lastQpEnc; s->qpPredS = E.qpPredEnc;
+  s->cuDeltaS = E.cuDeltaEnc; s->dqpCodedS = E.dqpCoded;
 }
 
 static void applyMapsRecon(Ctx& E, const CuSnap& s) {
@@ -952,6 +962,8 @@ static void applyMapsRecon(Ctx& E, const CuSnap& s) {
                       (x >> ssx),
                   &s.rec[c][(size_t)j * wC], (size_t)wC * sizeof(int32_t));
   }
+  E.lastQpEnc = s.lastQpS; E.qpPredEnc = s.qpPredS;
+  E.cuDeltaEnc = s.cuDeltaS; E.dqpCoded = s.dqpCodedS;
 }
 
 static void restoreCu(Ctx& E, const CuSnap& s) {
@@ -1254,13 +1266,32 @@ static void writeCbfChroma(Ctx& E, int log2size, int trDepth,
 }
 
 static void maybeWriteDqp(Ctx& E, bool anyCbf) {
-  // dqp disabled in the native-eligible configuration (encoder.py gates
-  // adaptive-QP / LCU-rate-control pictures to the Python path)
-  (void)E; (void)anyCbf;
+  // cu_qp_delta_abs/sign at the first coded leaf of the quantization
+  // group (encoder.py _maybe_write_dqp; decoder _parse_cu_qp_delta)
+  if (!E.dqpEnabled || E.dqpCoded || !anyCbf) return;
+  int v = E.curQp - E.qpPredEnc;
+  int m = v < 0 ? -v : v;
+  E.recBin(B_DQP, 0, m ? 1 : 0);
+  if (m) {
+    int k = 1;
+    while (k < 5 && k < m) { E.recBin(B_DQP, 1, 1); k++; }
+    if (m < 5) E.recBin(B_DQP, 1, 0);
+    else E.recEg(m - 5, 0);
+    E.recBypass(v < 0 ? 1 : 0);
+  }
+  E.cuDeltaEnc = v;
+  E.dqpCoded = true;
 }
 
 static void finishCuQp(Ctx& E, int x, int y, int size) {
-  E.setRect8(E.qpMap, x, y, size, size, E.curQp);
+  // CU-final QP map entry + predictor state (encoder.py _finish_cu_qp)
+  int qp = E.curQp;
+  if (E.dqpEnabled) {
+    qp = E.cuDeltaEnc ? ((E.qpPredEnc + E.cuDeltaEnc + 52) % 52)
+                      : E.qpPredEnc;
+    E.lastQpEnc = qp;
+  }
+  E.setRect8(E.qpMap, x, y, size, size, qp);
 }
 
 static void intraTtEmit(Ctx& E, TtNode* node, int minTu, const int parentCb[2],
@@ -1924,7 +1955,7 @@ enum {
   EI_QP, EI_NUMREF0, EI_NUMREF1, EI_MAXMERGE, EI_SEARCHRANGE, EI_FASTSEARCH,
   EI_TMVP, EI_COLFROML0, EI_COLREFIDX, EI_POC, EI_RDOCU, EI_CUSIZE,
   EI_INTRARDCANDS, EI_RDPARTS, EI_RDUNI, EI_W4, EI_H4, EI_NCTBX,
-  EI_ALLREFSBEFORE, EI_LOG2PARMRG, EI_MVDL1ZERO, EI_FASTENC,
+  EI_ALLREFSBEFORE, EI_LOG2PARMRG, EI_MVDL1ZERO, EI_FASTENC, EI_DQPEN,
   EI_N_IARGS
 };
 enum { ED_RDLAMBDA = 0, ED_LAMMOTION, ED_LAMPRED, ED_CW1, ED_CW2,
@@ -2007,12 +2038,39 @@ void* enc_ctu_create(const int64_t* ia, const double* da, const int64_t* mp,
   E->nextMps = (const int32_t*)mp[EP_NEXTMPS];
   E->nextLps = (const int32_t*)mp[EP_NEXTLPS];
   for (int s = 0; s < NSETS; s++) E->bank[s] = (int32_t*)bankp[s];
+  E->dqpEnabled = (int)ia[EI_DQPEN];
   E->curQp = E->qp;
+  E->lastQpEnc = E->qp;
   return E;
 }
 
 void enc_ctu_destroy(void* h) {
   delete static_cast<hevc::encctu::Ctx*>(h);
+}
+
+// quantization-group start (one QG per CTU): set the CTU's target QP and
+// lambdas, reset the dqp predictor chain (encoder.py ctu_qg_start)
+void enc_ctu_qg_start(void* h, int qp, double rdLambda, double lamMotion,
+                      double lamPred) {
+  using namespace hevc::encctu;
+  Ctx* E = static_cast<Ctx*>(h);
+  E->curQp = qp;
+  if (rdLambda > 0) {
+    E->rdLambda = rdLambda;
+    E->lamMotion = lamMotion;
+    E->lamPred = lamPred;
+  }
+  E->qpPredEnc = E->lastQpEnc;
+  E->dqpCoded = false;
+  E->cuDeltaEnc = 0;
+}
+
+// estimated trial bits of ops[lo:] (per-LCU rate-control feedback —
+// encoder.py _rc_lcu_close uses _est_ops_bits the same way)
+double enc_ctu_est_bits(void* h, int64_t lo) {
+  using namespace hevc::encctu;
+  Ctx* E = static_cast<Ctx*>(h);
+  return E->estOpsBits((size_t)lo);
 }
 
 // compress one CTU; returns the total op count afterwards (the caller's

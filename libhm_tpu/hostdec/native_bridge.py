@@ -115,6 +115,10 @@ def _load():
     lib.enc_ctu_set_col.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
         C.c_void_p, C.c_int, C.c_int, C.c_int]
+    lib.enc_ctu_qg_start.argtypes = [
+        C.c_void_p, C.c_int, C.c_double, C.c_double, C.c_double]
+    lib.enc_ctu_est_bits.restype = C.c_double
+    lib.enc_ctu_est_bits.argtypes = [C.c_void_p, C.c_longlong]
     _LIB = lib
     return lib
 

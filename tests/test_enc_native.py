@@ -107,3 +107,32 @@ def test_inter_decodes_bit_exact():
     stream = _encode_inter(native=True, gop="randomaccess")
     outs = Decoder(parse="native", recon="native").decode_annexb(stream)
     assert len(outs) == 5
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_adaptive_qp_byte_identical(tmp_path):
+    """dqp path: TM5 adaptive QP codes cu_qp_delta per quantization group
+    through the native compressor byte-identically."""
+    a = _encode(tmp_path, native=False, adaptive_qp=True, rdo_cu=True,
+                rdoq=True, sign_hiding=True, w=96, h=64, n=3)
+    b = _encode(tmp_path, native=True, adaptive_qp=True, rdo_cu=True,
+                rdoq=True, sign_hiding=True, w=96, h=64, n=3)
+    assert a == b
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_adaptive_qp_inter_byte_identical():
+    a = _encode_inter(native=False, gop="lowdelayB", adaptive_qp=True)
+    b = _encode_inter(native=True, gop="lowdelayB", adaptive_qp=True)
+    assert a == b
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_lcu_rate_control_byte_identical():
+    """Per-LCU R-lambda rate control (lcu_start/lcu_end feedback from the
+    native est-bits) must match the Python path exactly."""
+    a = _encode_inter(native=False, gop="lowdelayP", rate_kbps=150, fps=30,
+                      rdo_cu=True, rdoq=True, sign_hiding=True)
+    b = _encode_inter(native=True, gop="lowdelayP", rate_kbps=150, fps=30,
+                      rdo_cu=True, rdoq=True, sign_hiding=True)
+    assert a == b
