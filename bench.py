@@ -228,25 +228,50 @@ def device_child(budget_s, ours_fps, expect_csum):
     n = NFRAMES * REPEAT
 
     # --- device-compute decode (pixels stay in HBM; checksum only) ---
-    # cost ~= parse + coeff/map uploads + compile (first run) + compute
-    est = 5 + (12 * n) / max(h2d, 0.1) + 150
-    if left() > est:
+    # One 17-frame pass: measured ~55 s warm on this deployment (the
+    # pipeline is dispatch-latency-bound through the tunnel; ~15 min
+    # cold while every kernel compiles).  A SIGALRM bound aborts the
+    # run between dispatches if compiles blow the remaining budget.
+    n1 = NFRAMES
+    data1 = open(STREAM, "rb").read()
+
+    class _Abort(Exception):
+        pass
+
+    def _on_alarm(_s, _f):
+        raise _Abort()
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    if left() > 120:
         from libhm_tpu.parallel.dag_decode import decode_batch_device
         best = None
-        for _ in range(2):
-            ps, cs, csum, npics = decode_batch_device(data, parse="native")
-            assert npics == n
-            ok = (csum == expect_csum) if expect_csum is not None else None
-            fps = n / cs
-            best = max(best or 0.0, fps)
-            _emit_line({"device_compute_fps": round(best, 3),
-                        "device_parse_s": round(ps, 3),
-                        "device_checksum_ok": ok})
-            if left() < 1.5 * cs + 30:
-                break
+        try:
+            for _ in range(2):
+                budget_i = max(30, int(left()) - 40)
+                signal.alarm(budget_i)
+                ps, cs, csum, npics = decode_batch_device(data1,
+                                                          parse="native")
+                signal.alarm(0)
+                assert npics == n1
+                ok = (csum == expect_csum) if expect_csum is not None \
+                    else None
+                fps = n1 / cs
+                best = max(best or 0.0, fps)
+                _emit_line({"device_compute_fps": round(best, 3),
+                            "device_parse_s": round(ps, 3),
+                            "device_checksum_ok": ok,
+                            "device_compute_frames": n1})
+                if left() < 1.5 * cs + 30:
+                    break
+        except _Abort:
+            _emit_line({"skipped_device_compute":
+                        "aborted by watchdog (cold-compile run exceeded "
+                        "the remaining budget)"})
+        finally:
+            signal.alarm(0)
     else:
         _emit_line({"skipped_device_compute":
-                    f"projected {est:.0f}s > {left():.0f}s left"})
+                    f"only {left():.0f}s left"})
 
     # --- D2H probe, then full pipeline incl. YUV download if it fits ---
     small = jnp.zeros(32 << 10, jnp.uint8)
@@ -372,7 +397,9 @@ def main():
               f"median paired ratio {ratio:.3f}", file=sys.stderr)
         if not os.environ.get("BENCH_SKIP_TPU"):
             from libhm_tpu.parallel.dag_decode import cropped_checksum
-            csum = cropped_checksum(outs) if outs else None
+            # the device child decodes ONE 17-frame repetition; golden
+            # equality of each repetition is asserted in _check_exact
+            csum = cropped_checksum(outs[:NFRAMES]) if outs else None
             extras = _run_device_section(ours, csum)
             for k in ("device_compute_fps", "device_parse_s",
                       "device_checksum_ok", "tpu_fps", "h2d_mb_per_frame",

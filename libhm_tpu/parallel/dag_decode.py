@@ -186,8 +186,63 @@ def _mc_grid_fn(blkx, blky, taps, fbx, fby, bd, sx, sy, h4, w4, W, H):
     return fn
 
 
-def _inter_level_grid(items, stacked_all, res_all):
-    """Map-driven MC for a level with no weighted prediction."""
+@functools.lru_cache(maxsize=None)
+def _mc_phase_grid_fn(sx, sy, taps, fbx, fby, bd, h4, w4, W, H):
+    """Full-grid MC via phase planes + single-point gathers (ops/interp
+    phase_planes): every fractional phase of every reference plane is
+    precomputed as regular whole-plane filters, then each output sample
+    is ONE gather — ~1000x less irregular access than the window-gather
+    kernel, which measured 0.06 Gsamp/s on the v5e vs 73 Gsamp/s for
+    point gathers."""
+    # The plane build runs as its own jit: fusing it into the sharded
+    # MC computation makes XLA's SPMD partitioner thread in-process
+    # collectives through the build (observed stuck AllReduce on the
+    # 8-virtual-device CPU mesh); materialized planes enter the MC jit
+    # as a replicated operand instead.
+    build = jax.jit(lambda refs: IK.phase_planes(refs, taps, fbx, fby, bd))
+
+    @jax.jit
+    def fn(stacked, resplane, planes, mv, dirm, sel):
+        Bp, Hp, Wp = stacked.shape
+        py = jnp.arange(Hp, dtype=jnp.int32)
+        px = jnp.arange(Wp, dtype=jnp.int32)
+        cy = jnp.minimum((py << sy) >> 2, h4 - 1)
+        cx = jnp.minimum((px << sx) >> 2, w4 - 1)
+        cell = (cy[:, None], cx[None, :])
+        d = dirm.astype(jnp.int32)[:, cell[0], cell[1]]       # [Bp, Hp, Wp]
+        # padding rows/cols beyond the component size never code inter
+        valid = (py[:, None] < H) & (px[None, :] < W)
+        d = jnp.where(valid[None], d, 0)
+        headroom = max(2, IK.IF_PREC - bd)
+        off = 1 << (headroom - 1)
+        maxs = (1 << bd) - 1
+        preds = []
+        for l in range(2):
+            mvl = mv.astype(jnp.int32)[:, cell[0], cell[1], l]  # [B,H,W,2]
+            sl = sel.astype(jnp.int32)[:, cell[0], cell[1], l]
+            p = IK.mc_phase_gather(planes, sl, py[None, :, None],
+                                   px[None, None, :], mvl[..., 0],
+                                   mvl[..., 1], fbx, fby, taps, H, W)
+            preds.append(p)
+        p0, p1 = preds
+        uni0 = jnp.clip((p0 + IK.IF_OFFS + off) >> headroom, 0, maxs)
+        uni1 = jnp.clip((p1 + IK.IF_OFFS + off) >> headroom, 0, maxs)
+        bi = IK.bi_average(p0, p1, bd)
+        pred = jnp.where(d == 3, bi, jnp.where(d == 1, uni0, uni1))
+        out = jnp.clip(pred + resplane, 0, maxs)
+        return jnp.where(d > 0, out, stacked)
+    return build, fn
+
+
+def _inter_level_grid(items, stacked_all, res_all, mesh=None):
+    """Map-driven MC for a level with no weighted prediction.
+
+    With a mesh, every per-picture operand is explicitly sharded over
+    the pics axis and the phase planes are explicitly replicated before
+    entering the jit: left to itself, the SPMD partitioner has been
+    observed to pick shardings that thread in-process collectives
+    through the computation and wedge the virtual-device CPU mesh.
+    """
     from ..recon_tpu import _device_plane
     sps0 = items[0]["sps"]
     ncomp = 3 if sps0.chroma_format_idc else 1
@@ -246,14 +301,20 @@ def _inter_level_grid(items, stacked_all, res_all):
         R = _pad_pow2(len(planes_dev), 4)
         planes_dev += [planes_dev[-1]] * (R - len(planes_dev))
         refs = jnp.stack(planes_dev)
-        fn = _mc_grid_fn(4 >> sx, 4 >> sy, 8 if c == 0 else 4,
-                         2 + (sx if c else 0), 2 + (sy if c else 0),
-                         bd, sx, sy, h4, w4, W, H)
-        stacked_all[c] = fn(stacked_all[c], res_all[c], refs,
+        # phase-plane MC: regular whole-plane filtering + one point
+        # gather per sample (~1000x less irregular access than the
+        # window-gather kernel).  Single-device by construction — under
+        # a mesh the level state is pinned off-mesh (see _recon_levels),
+        # so no implicit resharding collectives are generated here.
+        build, fn = _mc_phase_grid_fn(sx, sy, 8 if c == 0 else 4,
+                                      2 + (sx if c else 0),
+                                      2 + (sy if c else 0),
+                                      bd, h4, w4, W, H)
+        stacked_all[c] = fn(stacked_all[c], res_all[c], build(refs),
                             mv_dev, dir_dev, sel_dev)
 
 
-def _inter_level(items, stacked_all, res_all):
+def _inter_level(items, stacked_all, res_all, mesh=None):
     """Batched MC + residual add for every inter block of one DAG level.
 
     stacked_all: list per component of device [Bp, H, W] planes (updated).
@@ -265,7 +326,7 @@ def _inter_level(items, stacked_all, res_all):
     """
     if not any(getattr(pu, "wp", None) is not None
                for it in items for pu in it["pic"].inter_list):
-        return _inter_level_grid(items, stacked_all, res_all)
+        return _inter_level_grid(items, stacked_all, res_all, mesh=mesh)
     return _inter_level_gathered(items, stacked_all, res_all)
 
 
@@ -426,11 +487,24 @@ def _recon_levels(items, mesh=None, download=True):
                 blk = np.asarray(samples, np.int32) << (bd - bits)
                 stacked[c] = stacked[c].at[b, y:y + h, x:x + w].set(
                     xfer.up(blk))
-        _inter_level(lv_items, stacked, res_stacked)
+        _inter_level(lv_items, stacked, res_stacked, mesh=mesh)
         for c in range(ncomp):
             stacked[c] = _intra_batch(lv_items, c, None, None, mesh=mesh,
                                       stacked=stacked[c],
                                       res_stacked=res_stacked[c])
+            if mesh is not None:
+                # Pin inter-level state to one device: the multi-device
+                # fan-out stays self-contained inside _intra_batch's
+                # sharded program.  Eager ops (slicing/stacking/astype)
+                # on mesh-sharded arrays make XLA insert implicit
+                # resharding collectives, and the in-process CPU
+                # communicator CHECK-crashes ("Termination timeout for
+                # all reduce ... of 40 seconds exceeded",
+                # rendezvous.cc:127) whenever one of 8 virtual-device
+                # threads is starved >40s — routine on a loaded 1-core
+                # host.  The host bounce below is a memcpy on the CPU
+                # mesh this path validates on.
+                stacked[c] = jnp.asarray(np.asarray(stacked[c]))
         stacked = filter_level(lv_items, stacked, sps0)
         for b, it in enumerate(lv_items):
             dp = it["dp"]

@@ -23,7 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compile cache: the TPU-backend sweep compiles many
 # programs; caching them on disk makes the subprocess-isolated groups in
 # test_recon_tpu (and repeated CI runs) cheap after the first pass.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_libhm")
+# The directory is per-configuration (cpu + 8 virtual devices): sharing
+# one dir across backend/flag configurations makes XLA load AOT entries
+# compiled under other machine flags, which can wedge the 8-device
+# in-process collectives (observed: CHECK crash in
+# InProcessCommunicator::AllReduce via AwaitAndLogIfStuck).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_cache_libhm_cpu8")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
