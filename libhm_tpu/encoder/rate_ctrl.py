@@ -226,7 +226,13 @@ class _RCGOP:
             for i in range(seq.gop_size):
                 lvl = seq.gopid2level[i]
                 a, b = seq.pic_para[lvl]
-                ca.append((1.0 / a) ** (1.0 / b) * lr[i] ** (1.0 / b))
+                # the reference's 0.725*log(lastLambda)+c ratio formula
+                # goes NEGATIVE for lastLambda < ~0.45 (very high rates);
+                # pow(negative, 1/beta) is NaN/UB in the reference
+                # (TEncRateCtrl.cpp:319,393) — clamp to the defined
+                # domain so the bisection stays meaningful
+                ratio = max(0.01, lr[i])
+                ca.append((1.0 / a) ** (1.0 / b) * ratio ** (1.0 / b))
                 cb.append(1.0 / b)
             lam = self._solve(target_bpp, ca, cb)
             seq.bits_ratio = [

@@ -366,3 +366,37 @@ def test_rate_control_target_accuracy(tmp_path):
                    for p in enc._rc.pic_list if p.frame_level > 0]
         assert any(len(s) > 1 for s in qp_sets), qp_sets
     assert achieved[300] < 0.6 * achieved[800]
+
+
+def test_rate_control_cfg_four_targets(tmp_path):
+    """R-lambda RC through the reference LD-P cfg (GOP-4 per-level models
+    + adaptive lambda-ratio allocation, TEncRCGOP:311-421) hits four
+    targets within 3%, including a near-saturating high rate that drives
+    lastLambda below the reference formula's defined domain
+    (TEncRateCtrl.cpp:319 pow(negative, 1/beta))."""
+    from libhm_tpu.encoder.options import parse_cfg_files, HmConfig
+    from libhm_tpu.encoder.encoder import IntraEncoder
+    from libhm_tpu.hostdec import nal as N
+
+    rng = np.random.RandomState(3)
+    ys, xs = np.mgrid[0:96, 0:160]
+    frames = []
+    for t in range(20):
+        y = (xs * 3 + ys * 2 + t * 7) % 220 + rng.randint(0, 12, (96, 160))
+        u = ((xs[::2, ::2] + t * 3) % 200) + 10
+        v = ((ys[::2, ::2] * 2 + t * 5) % 200) + 20
+        frames.append((np.clip(y, 0, 255).astype(np.uint8),
+                       u.astype(np.uint8), v.astype(np.uint8)))
+    for target in (150, 300, 800, 1500):
+        opts = parse_cfg_files(
+            ["/root/reference/cfg/encoder_lowdelay_P_main.cfg"],
+            ["SourceWidth=160", "SourceHeight=96", "FramesToBeEncoded=20",
+             "FrameRate=30", "RateControl=1",
+             f"TargetBitrate={target * 1000}", "LCULevelRateControl=1"])
+        cfg = HmConfig(opts).to_encoder_config()
+        stream = IntraEncoder(cfg).encode_stream(frames)
+        vcl = sum(len(e) * 8 for e in N.split_annexb(stream)
+                  if (e[0] >> 1) & 0x3F < 32)
+        kbps = vcl * 30.0 / 20 / 1000.0
+        assert abs(kbps - target) / target < 0.03, \
+            f"target {target} kbps, achieved {kbps:.1f}"
