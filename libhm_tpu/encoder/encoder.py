@@ -1344,14 +1344,18 @@ class IntraEncoder:
 
     def _native_inter_eligible(self):
         """Extra gates for P/B pictures on the native CTU compressor:
-        no weighted prediction (the search/pred paths would need the
-        pre-weighted planes), complete reference lists, and the col-pic
-        TMVP maps when temporal MVP is on."""
-        if getattr(self, "cur_wp", None) or getattr(self, "cur_wp_l1", None):
-            return False
+        complete reference lists and the col-pic TMVP maps when temporal
+        MVP is on.  WP slices are native: the ME runs on the same
+        pre-weighted planes as the Python path and predFromCand applies
+        the exact weighted uni/bi epilogues."""
         sh = getattr(self, "sh", None)
         if sh is None or getattr(sh, "wp_luma", None) is not None:
             return False
+        if (getattr(self, "cur_wp", None) or
+                getattr(self, "cur_wp_l1", None)):
+            lib = self._enc_native()
+            if lib is None or not hasattr(lib, "enc_ctu_set_wp"):
+                return False
         ref_pics = getattr(self, "ref_pics", None)
         if not ref_pics:
             return False
@@ -1443,9 +1447,13 @@ class IntraEncoder:
             R = cfg.search_range
             plane_ids = {}
             i16cache = self._i16ref_cache
+            wp_any = bool(getattr(self, "cur_wp", None) or
+                          getattr(self, "cur_wp_l1", None))
             for l in range(2):
                 for r in range(sh.num_ref_idx[l]):
                     luma = self._ref_plane(0, l, r)
+                    # plane dedup keys on the UNWEIGHTED picture plane,
+                    # mirroring _pu_me_lists' plane_cache
                     pid = plane_ids.setdefault(id(luma), len(plane_ids))
                     planes16 = []
                     for c in range(self.ncomp):
@@ -1457,7 +1465,20 @@ class IntraEncoder:
                         planes16.append(hit[1])
                     while len(planes16) < 3:
                         planes16.append(None)
-                    padded = self._padded_i16(luma, R)
+                    # ME runs on the pre-weighted plane under WP (the
+                    # exact plane _motion_search_rect would pad)
+                    padded = self._padded_i16(self._search_plane(l, r), R)
+                    if wp_any:
+                        tab = self.cur_wp if l == 0 else \
+                            getattr(self, "cur_wp_l1", None)
+                        wp = tab[min(r, len(tab) - 1)] if tab else None
+                        if wp is not None:
+                            ws = (list(wp["w"]) + [0, 0])[:3]
+                            os_ = (list(wp["o"]) + [0, 0])[:3]
+                            lib.enc_ctu_set_wp(
+                                h, l, r, int(ws[0]), int(ws[1]),
+                                int(ws[2]), int(os_[0]), int(os_[1]),
+                                int(os_[2]), int(wp["denom"]), 1)
                     rp = self.ref_pics[l][min(r,
                                               len(self.ref_pics[l]) - 1)]
                     lib.enc_ctu_set_ref(

@@ -1,6 +1,8 @@
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <functional>
@@ -82,6 +84,48 @@ static inline int bitLength(unsigned long long v) {
 // ---------------------------------------------------------------------------
 // recording trial coder (encoder.py _RecordingCabac)
 // ---------------------------------------------------------------------------
+// ---------------------------------------------------------------------------
+// lightweight phase profiler (HEVC_ENC_PROF=1): coarse per-phase wall time
+// accumulated across the picture, printed at enc_ctu_destroy
+// ---------------------------------------------------------------------------
+namespace prof {
+enum { P_ME = 0, P_TUFWD, P_RESBITS, P_INTRAPRED, P_INTERPRED, P_EMIT,
+       P_SNAP, P_N };
+static const char* kNames[P_N] = {"motion-search", "tu-fwd",
+                                  "residual-bits", "intra-pred",
+                                  "inter-pred", "residual-emit",
+                                  "cu-snapshots"};
+static double acc[P_N];
+static long cnt[P_N];
+static bool on() {
+  static int v = -1;
+  if (v < 0) { const char* e = getenv("HEVC_ENC_PROF"); v = e && *e == '1'; }
+  return v;
+}
+struct Scope {
+  int i;
+  std::chrono::steady_clock::time_point t0;
+  bool act;
+  explicit Scope(int idx) : i(idx), act(on()) {
+    if (act) t0 = std::chrono::steady_clock::now();
+  }
+  ~Scope() {
+    if (act) {
+      acc[i] += std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - t0).count();
+      cnt[i]++;
+    }
+  }
+};
+static void dump() {
+  if (!on()) return;
+  for (int i = 0; i < P_N; i++)
+    if (cnt[i])
+      fprintf(stderr, "[encprof] %-14s %8.3fs  x%ld\n", kNames[i], acc[i],
+              cnt[i]);
+}
+}  // namespace prof
+
 struct Ops {
   std::vector<uint8_t> kind;
   std::vector<int32_t> a;    // OP_B: (set<<8)|idx; OP_PN: n; OP_EG: k
@@ -130,6 +174,21 @@ struct Ctx {
 
   int32_t *bank[NSETS];
   const int32_t *nextMps, *nextLps;
+
+  // --- weighted prediction (slice WP tables; encoder.py cur_wp/_l1) ---
+  struct WpEntry {
+    int w[3] = {0, 0, 0};
+    int o[3] = {0, 0, 0};
+    int denom = 0;
+    bool flag = false;
+  };
+  WpEntry wpTab[2][16];
+  bool wpOn = false;
+  const WpEntry* wpOf(int l, int r) const {
+    if (!wpOn) return nullptr;
+    const WpEntry& e = wpTab[l][r < 0 ? 0 : (r > 15 ? 15 : r)];
+    return e.flag ? &e : nullptr;
+  }
 
   // --- reference pictures (inter) ---
   struct Ref {
@@ -427,6 +486,7 @@ static bool useFilteredRefs(const Ctx& E, int comp, int n, int mode) {
 // predict_intra (refimpl.py:223), full oracle incl. boundary filters
 static void predictIntra(const int32_t* top, const int32_t* left, int n,
                          int mode, int comp, int bd, int32_t* pred) {
+  prof::Scope _ps(prof::P_INTRAPRED);
   const int maxv = (1 << bd) - 1;
   const int log2n = bitLength((unsigned)n) - 1;
   if (mode == 0) {  // planar
@@ -674,6 +734,7 @@ static const int C1FLAG_NUMBER = 8;
 static void encodeResidual(Ctx& E, const int32_t* coeffs, int w, int h,
                            int comp, int scanType, int signHiding,
                            int tsFlag) {
+  prof::Scope _ps(prof::P_EMIT);
   if (tsFlag >= 0) E.recBin(B_TSKIP, comp == 0 ? 0 : 1, tsFlag);
   int log2w = bitLength((unsigned)w) - 1;
   bool isChroma = comp > 0;
@@ -848,6 +909,7 @@ struct TuOut {
 
 static void tuFwd(Ctx& E, const int32_t* resi, int n, bool useDst, int comp,
                   int scan, bool isIntra, TuOut* out) {
+  prof::Scope _ps(prof::P_TUFWD);
   int qp = qpForComp(E, comp);
   double lam = E.rdLambda / E.cw[comp];
   int tsEn = (E.tsEnabled && n == 4) ? 1 : 0;
@@ -866,6 +928,7 @@ static void tuFwd(Ctx& E, const int32_t* resi, int n, bool useDst, int comp,
 // bit-identical to record-then-price in the same accumulation order)
 static double residualTrialBits(Ctx& E, const int32_t* lev, int n, int comp,
                                 int scan, size_t mark, int ts) {
+  prof::Scope _ps(prof::P_RESBITS);
   double nb = rdoq::residualBits(
       lev, n, n, comp, scan, E.sdh, ts, E.bank[B_SIG], E.bank[B_SIG_CG],
       E.bank[B_GT1], E.bank[B_GT2], E.bank[B_LAST_X], E.bank[B_LAST_Y],
@@ -891,6 +954,7 @@ struct CuSnap {
 };
 
 static void saveCu(Ctx& E, int x, int y, int size, CuSnap* s) {
+  prof::Scope _ps(prof::P_SNAP);
   s->x = x; s->y = y; s->size = size;
   int m = size >> 2;
   s->m = m;
@@ -935,6 +999,7 @@ static void saveCu(Ctx& E, int x, int y, int size, CuSnap* s) {
 }
 
 static void applyMapsRecon(Ctx& E, const CuSnap& s) {
+  prof::Scope _ps(prof::P_SNAP);
   int x = s.x, y = s.y, size = s.size, m = s.m;
   int8_t* maps8[11] = {E.depth, E.predMode, E.partSize, E.skip, E.intraY,
                        E.intraC, E.chromaDm, E.qpMap, E.cbfY, E.interDir,
@@ -2046,6 +2111,22 @@ void* enc_ctu_create(const int64_t* ia, const double* da, const int64_t* mp,
 
 void enc_ctu_destroy(void* h) {
   delete static_cast<hevc::encctu::Ctx*>(h);
+  hevc::encctu::prof::dump();
+}
+
+// per-(list, ref) weighted-prediction entry (encoder.py cur_wp/cur_wp_l1
+// from wp_analysis.analyse_picture)
+void enc_ctu_set_wp(void* h, int l, int r, int w0, int w1, int w2, int o0,
+                    int o1, int o2, int denom, int flag) {
+  using namespace hevc::encctu;
+  Ctx* E = static_cast<Ctx*>(h);
+  if (l < 0 || l > 1 || r < 0 || r > 15) return;
+  Ctx::WpEntry& e = E->wpTab[l][r];
+  e.w[0] = w0; e.w[1] = w1; e.w[2] = w2;
+  e.o[0] = o0; e.o[1] = o1; e.o[2] = o2;
+  e.denom = denom;
+  e.flag = flag != 0;
+  if (e.flag) E->wpOn = true;
 }
 
 // quantization-group start (one QG per CTU): set the CTU's target QP and
@@ -2176,11 +2257,12 @@ static void interpChromaE(const int16_t* ref, int W, int H, long long stride,
     }
 }
 
-// ---- prediction for one candidate (encoder.py _pred_from_cand, no WP) ----
+// ---- prediction for one candidate (encoder.py _pred_from_cand incl. WP) ----
 // dst: (h>>ssy) x (w>>ssx) int32, densely packed.
 static void predFromCand(Ctx& E, int comp, int x, int y, int w, int h,
                          int dir, const int mvs[2][2], const int refIdx[2],
                          int32_t* dst) {
+  prof::Scope _ps(prof::P_INTERPRED);
   int ssx = comp ? E.chromaShiftX() : 0;
   int ssy = comp ? E.chromaShiftY() : 0;
   int cw = w >> ssx, chh = h >> ssy;
@@ -2199,18 +2281,60 @@ static void predFromCand(Ctx& E, int comp, int x, int y, int w, int h,
       interpChromaE(plane, W, H, W, cx, cy, cw, chh,
                     mvs[l][0], mvs[l][1], E.bd, isLast, out);
   };
+  int maxv = (1 << E.bd) - 1;
+  int hr = std::max(2, kIfPrec - E.bd);
   if (dir != 3) {
     int l = dir == 1 ? 0 : 1;
-    interp1(l, true, p16a.data());
-    for (int i = 0; i < cw * chh; i++) dst[i] = p16a[i];
+    const Ctx::WpEntry* wp = E.wpOf(l, refIdx[l]);
+    if (!wp) {
+      interp1(l, true, p16a.data());
+      for (int i = 0; i < cw * chh; i++) dst[i] = p16a[i];
+      return;
+    }
+    // weighted uni on IF-precision samples (encoder.py _pred_from_cand;
+    // decoder _weighted_uni / reference addWeightUni)
+    interp1(l, false, p16a.data());
+    int wgt = wp->w[comp];
+    int off = wp->o[comp] << (E.bd - 8);
+    int shift = wp->denom + hr;
+    int rnd = shift > 0 ? (1 << (shift - 1)) : 0;
+    for (int i = 0; i < cw * chh; i++) {
+      int v = (int)(((long long)wgt * ((int)p16a[i] + kIfOffs) + rnd)
+                    >> shift) + off;
+      dst[i] = clip3(0, maxv, v);
+    }
     return;
   }
   p16b.resize((size_t)cw * chh);
   interp1(0, false, p16a.data());
   interp1(1, false, p16b.data());
+  const Ctx::WpEntry* wp0 = E.wpOf(0, refIdx[0]);
+  const Ctx::WpEntry* wp1 = E.wpOf(1, refIdx[1]);
+  if (wp0 || wp1) {
+    // flag-0 references carry identity weights and still take the
+    // weighted rounding path (encoder.py _pred_from_cand)
+    Ctx::WpEntry ident;
+    ident.denom = (wp0 ? wp0 : wp1)->denom;
+    ident.w[0] = ident.w[1] = ident.w[2] = 1 << ident.denom;
+    if (!wp0) wp0 = &ident;
+    if (!wp1) wp1 = &ident;
+    int scale = 1 << (E.bd - 8);
+    int o0 = wp0->o[comp] * scale;
+    int o1 = wp1->o[comp] * scale;
+    int shift = (wp0->denom + 1) + hr;
+    long long rnd = 1LL << (shift - 1);
+    long long obias = ((long long)(o0 + o1)) << (shift - 1);
+    int w0 = wp0->w[comp], w1 = wp1->w[comp];
+    for (int i = 0; i < cw * chh; i++) {
+      long long v = ((long long)w0 * ((int)p16a[i] + kIfOffs) +
+                     (long long)w1 * ((int)p16b[i] + kIfOffs) + rnd +
+                     obias) >> shift;
+      dst[i] = clip3(0, maxv, (int)v);
+    }
+    return;
+  }
   int shift = kIfPrec + 1 - E.bd;
   int off = (1 << (shift - 1)) + 2 * kIfOffs;
-  int maxv = (1 << E.bd) - 1;
   for (int i = 0; i < cw * chh; i++) {
     int v = ((int)p16a[i] + (int)p16b[i] + off) >> shift;
     dst[i] = clip3(0, maxv, v);
@@ -2632,6 +2756,7 @@ static void blkBitsE(int part, bool pSlice, int puIdx, int lastMode,
 static void puMeListsE(Ctx& E, int px, int py, int w, int h,
                        const int32_t* orig32, int partSize, int puIdx,
                        std::vector<std::pair<double, PuDesc>>& out) {
+  prof::Scope _ps(prof::P_ME);
   double lamM = E.lamMotion;
   int dshift = 2 * (E.bd - 8);
   int nl = (E.sliceType == 0 && E.numRef[1]) ? 2 : 1;

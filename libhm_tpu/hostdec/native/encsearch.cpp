@@ -229,15 +229,28 @@ static const int kDiamond[8][2] = {{0, -1}, {0, 1},  {-1, 0}, {1, 0},
 void meSearch(const MeArgs& a, int64_t out[3]) {
   int dsh = a.bd - 8;
   int side = 2 * a.R + 1;
+  // generation-stamped cost cache: reassigning the full 129x129 array
+  // per call costs ~130 KB of writes per PU search — measurable at
+  // ~20k searches/picture
   static thread_local std::vector<double> costCache;
-  costCache.assign((size_t)side * side, -1.0);
+  static thread_local std::vector<uint32_t> costGen;
+  static thread_local uint32_t gen = 0;
+  if (costCache.size() < (size_t)side * side) {
+    costCache.resize((size_t)side * side);
+    costGen.assign((size_t)side * side, 0);
+    gen = 0;
+  }
+  if (++gen == 0) {   // wrapped: reset stamps once
+    std::fill(costGen.begin(), costGen.end(), 0);
+    gen = 1;
+  }
   auto cost = [&](int dx, int dy) -> double {
     size_t idx = (size_t)(dy + a.R) * side + (dx + a.R);
-    double c = costCache[idx];
-    if (c >= 0) return c;
-    c = (double)(sadAt(a, dx, dy) >> dsh) +
-        a.lam * mvBits((dx << 2) - a.pmx, (dy << 2) - a.pmy);
+    if (costGen[idx] == gen) return costCache[idx];
+    double c = (double)(sadAt(a, dx, dy) >> dsh) +
+               a.lam * mvBits((dx << 2) - a.pmx, (dy << 2) - a.pmy);
     costCache[idx] = c;
+    costGen[idx] = gen;
     return c;
   };
 

@@ -117,6 +117,7 @@ def _load():
         C.c_void_p, C.c_int, C.c_int, C.c_int]
     lib.enc_ctu_qg_start.argtypes = [
         C.c_void_p, C.c_int, C.c_double, C.c_double, C.c_double]
+    lib.enc_ctu_set_wp.argtypes = [C.c_void_p] + [C.c_int] * 10
     lib.enc_ctu_est_bits.restype = C.c_double
     lib.enc_ctu_est_bits.argtypes = [C.c_void_p, C.c_longlong]
     _LIB = lib

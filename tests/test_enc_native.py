@@ -136,3 +136,48 @@ def test_lcu_rate_control_byte_identical():
     b = _encode_inter(native=True, gop="lowdelayP", rate_kbps=150, fps=30,
                       rdo_cu=True, rdoq=True, sign_hiding=True)
     assert a == b
+
+
+def _encode_wp(native, gop, wb=False, n=7, w=64, h=48):
+    """Brightness-ramped content so WP analysis fires on every ref."""
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    rng = np.random.default_rng(7)
+    base = (np.linspace(0, 180, w, dtype=np.int32)[None, :] +
+            np.linspace(0, 40, h, dtype=np.int32)[:, None])
+    frames = []
+    for t in range(n):
+        y = np.clip(np.roll(base, t, axis=1) +
+                    rng.integers(-6, 7, (h, w)) + 9 * t, 0,
+                    255).astype(np.uint8)
+        u = np.clip(110 + base[::2, ::2] // 5 + 3 * t, 0,
+                    255).astype(np.uint8)
+        v = np.full((h // 2, w // 2), 90, np.uint8)
+        frames.append((y, u, v))
+    os.environ["HEVC_ENC_NATIVE"] = "1" if native else "0"
+    try:
+        cfg = EncoderConfig(w, h, qp=32, gop=gop, weighted_pred=True,
+                            rdo_cu=True, rdoq=True, sign_hiding=True)
+        if wb:
+            cfg.weighted_bipred = True
+        enc = IntraEncoder(cfg)
+        stream = enc.encode_stream(frames)
+        assert any(x is not None for x in (enc.cur_wp or [])), \
+            "WP analysis did not fire; test content needs a bigger ramp"
+        return stream
+    finally:
+        os.environ.pop("HEVC_ENC_NATIVE", None)
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_wp_p_byte_identical():
+    """Weighted prediction (P): native ME on the pre-weighted planes +
+    weighted uni epilogue must reproduce the Python path exactly."""
+    assert _encode_wp(False, "lowdelayP") == _encode_wp(True, "lowdelayP")
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_wp_bi_byte_identical():
+    """Explicit bi WP (B slices incl. the identity-substitution rule for
+    flag-0 references)."""
+    assert _encode_wp(False, "lowdelayB", wb=True) == \
+        _encode_wp(True, "lowdelayB", wb=True)
