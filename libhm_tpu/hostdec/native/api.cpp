@@ -777,6 +777,7 @@ struct Decoder {
 // ===========================================================================
 // C API
 extern "C" {
+void enc_me_stats(long long* out) { out[0]=hevc::enc::g_meCalls; out[1]=hevc::enc::g_sadCalls; out[2]=hevc::enc::g_hadCalls; out[3]=hevc::enc::g_sadPels; }
 
 // Self-contained SIMD calibration: run the decode hot loops (8-tap MC
 // filters) over a synthetic block and return elapsed seconds.  The bridge

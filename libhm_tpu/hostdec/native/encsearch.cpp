@@ -33,11 +33,71 @@ static inline void fwht4(int32_t* v) {
   v[0] = a + c; v[1] = b + d; v[2] = a - c; v[3] = b - d;
 }
 
+#if defined(__AVX2__)
+// one 8x8 SATD tile: rows in 8 ymm registers of int32; the column pass is
+// register-wise butterflies, the row pass is the same after an 8x8 int32
+// transpose.  Exact (all arithmetic int32, same order-independent abs-sum).
+static inline long long satd8x8Tile(const int32_t* d, int stride) {
+  __m256i r[8];
+  for (int i = 0; i < 8; i++)
+    r[i] = _mm256_loadu_si256((const __m256i*)(d + (long long)i * stride));
+  auto bfly = [](__m256i* v) {
+    for (int half = 1; half < 8; half <<= 1)
+      for (int i = 0; i < 8; i += half << 1)
+        for (int j = i; j < i + half; j++) {
+          __m256i a = v[j], b = v[j + half];
+          v[j] = _mm256_add_epi32(a, b);
+          v[j + half] = _mm256_sub_epi32(a, b);
+        }
+  };
+  bfly(r);           // vertical pass (columns)
+  // 8x8 int32 transpose
+  __m256i t0 = _mm256_unpacklo_epi32(r[0], r[1]);
+  __m256i t1 = _mm256_unpackhi_epi32(r[0], r[1]);
+  __m256i t2 = _mm256_unpacklo_epi32(r[2], r[3]);
+  __m256i t3 = _mm256_unpackhi_epi32(r[2], r[3]);
+  __m256i t4 = _mm256_unpacklo_epi32(r[4], r[5]);
+  __m256i t5 = _mm256_unpackhi_epi32(r[4], r[5]);
+  __m256i t6 = _mm256_unpacklo_epi32(r[6], r[7]);
+  __m256i t7 = _mm256_unpackhi_epi32(r[6], r[7]);
+  __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+  __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+  __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+  __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+  __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+  __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+  __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+  __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+  r[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+  r[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+  r[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+  r[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+  r[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+  r[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+  r[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+  r[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+  bfly(r);           // second pass (the original rows)
+  __m256i acc = _mm256_setzero_si256();
+  for (int i = 0; i < 8; i++)
+    acc = _mm256_add_epi32(acc, _mm256_abs_epi32(r[i]));
+  __m128i lo = _mm256_castsi256_si128(acc);
+  __m128i hi = _mm256_extracti128_si256(acc, 1);
+  __m128i s4 = _mm_add_epi32(lo, hi);
+  s4 = _mm_add_epi32(s4, _mm_shuffle_epi32(s4, 0x4E));
+  s4 = _mm_add_epi32(s4, _mm_shuffle_epi32(s4, 0xB1));
+  long long s = (uint32_t)_mm_cvtsi128_si32(s4);
+  return (s + 2) >> 2;
+}
+#endif
+
 static long long satdBlock(const int32_t* diff, int w, int h) {
   long long total = 0;
   if (w % 8 == 0 && h % 8 == 0) {
     for (int ty = 0; ty < h; ty += 8)
       for (int tx = 0; tx < w; tx += 8) {
+#if defined(__AVX2__)
+        total += satd8x8Tile(diff + (long long)ty * w + tx, w);
+#else
         int32_t m[64];
         for (int r = 0; r < 8; r++) {
           for (int c = 0; c < 8; c++) m[r * 8 + c] = diff[(ty + r) * w + tx + c];
@@ -51,6 +111,7 @@ static long long satdBlock(const int32_t* diff, int w, int h) {
           for (int r = 0; r < 8; r++) s += col[r] < 0 ? -col[r] : col[r];
         }
         total += (s + 2) >> 2;
+#endif
       }
     return total;
   }
@@ -122,41 +183,74 @@ static void interpLuma(const int16_t* ref, int W, int H, long long stride,
       }
     return;
   }
+  static thread_local int32_t acc32[128];
   if (fy == 0) {
     // single horizontal stage (is_first=true)
     int shift = 6, offset;
     if (isLast) offset = 1 << (shift - 1);
     else { shift -= hr; offset = -(kIfOffs << shift); }
-    for (int j = 0; j < h; j++)
-      for (int i = 0; i < w; i++) {
-        int acc = 0;
-        if (interior) {
-          const int16_t* row = ref + (long long)(iy + j) * stride + ix + i - 3;
-          for (int k = 0; k < 8; k++) acc += fh[k] * row[k];
-        } else {
-          for (int k = 0; k < 8; k++) acc += fh[k] * S(iy + j, ix + i + k - 3);
+    for (int j = 0; j < h; j++) {
+      if (interior) {
+        const int16_t* row = ref + (long long)(iy + j) * stride + ix - 3;
+#if defined(__AVX2__)
+        hevc::simd::hfilt<8>(row, w, fh, acc32);
+        if (isLast)
+          hevc::simd::shiftClipStore(acc32, w, offset, shift, maxv,
+                                     dst + (long long)j * w);
+        else
+          hevc::simd::shiftNarrow(acc32, w, offset, shift,
+                                  dst + (long long)j * w);
+#else
+        for (int i = 0; i < w; i++) {
+          int acc = 0;
+          for (int k = 0; k < 8; k++) acc += fh[k] * row[i + k];
+          int v = (acc + offset) >> shift;
+          dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
         }
-        int v = (acc + offset) >> shift;
-        dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+#endif
+      } else {
+        for (int i = 0; i < w; i++) {
+          int acc = 0;
+          for (int k = 0; k < 8; k++) acc += fh[k] * S(iy + j, ix + i + k - 3);
+          int v = (acc + offset) >> shift;
+          dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+        }
       }
+    }
     return;
   }
   if (fx == 0) {
     int shift = 6, offset;
     if (isLast) offset = 1 << (shift - 1);
     else { shift -= hr; offset = -(kIfOffs << shift); }
-    for (int j = 0; j < h; j++)
-      for (int i = 0; i < w; i++) {
-        int acc = 0;
-        if (interior) {
-          const int16_t* col = ref + (long long)(iy + j - 3) * stride + ix + i;
-          for (int k = 0; k < 8; k++) acc += fv[k] * col[k * stride];
-        } else {
-          for (int k = 0; k < 8; k++) acc += fv[k] * S(iy + j + k - 3, ix + i);
+    for (int j = 0; j < h; j++) {
+      if (interior) {
+        const int16_t* col = ref + (long long)(iy + j - 3) * stride + ix;
+#if defined(__AVX2__)
+        hevc::simd::vfilt<8>(col, stride, w, fv, acc32);
+        if (isLast)
+          hevc::simd::shiftClipStore(acc32, w, offset, shift, maxv,
+                                     dst + (long long)j * w);
+        else
+          hevc::simd::shiftNarrow(acc32, w, offset, shift,
+                                  dst + (long long)j * w);
+#else
+        for (int i = 0; i < w; i++) {
+          int acc = 0;
+          for (int k = 0; k < 8; k++) acc += fv[k] * col[k * stride + i];
+          int v = (acc + offset) >> shift;
+          dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
         }
-        int v = (acc + offset) >> shift;
-        dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+#endif
+      } else {
+        for (int i = 0; i < w; i++) {
+          int acc = 0;
+          for (int k = 0; k < 8; k++) acc += fv[k] * S(iy + j + k - 3, ix + i);
+          int v = (acc + offset) >> shift;
+          dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
+        }
       }
+    }
     return;
   }
   // two stages: H (is_first, not last) then V (not first)
@@ -164,27 +258,47 @@ static void interpLuma(const int16_t* ref, int W, int H, long long stride,
   int off1 = -(kIfOffs << sh1);
   static thread_local std::vector<int16_t> tmp;
   tmp.resize((size_t)(h + 7) * w);
-  for (int j = 0; j < h + 7; j++)
-    for (int i = 0; i < w; i++) {
-      int acc = 0;
-      if (interior) {
-        const int16_t* row = ref + (long long)(iy + j - 3) * stride + ix + i - 3;
-        for (int k = 0; k < 8; k++) acc += fh[k] * row[k];
-      } else {
-        for (int k = 0; k < 8; k++) acc += fh[k] * S(iy + j - 3, ix + i + k - 3);
+  for (int j = 0; j < h + 7; j++) {
+    if (interior) {
+      const int16_t* row = ref + (long long)(iy + j - 3) * stride + ix - 3;
+#if defined(__AVX2__)
+      hevc::simd::hfilt<8>(row, w, fh, acc32);
+      hevc::simd::shiftNarrow(acc32, w, off1, sh1, &tmp[(size_t)j * w]);
+#else
+      for (int i = 0; i < w; i++) {
+        int acc = 0;
+        for (int k = 0; k < 8; k++) acc += fh[k] * row[i + k];
+        tmp[(size_t)j * w + i] = (int16_t)((acc + off1) >> sh1);
       }
-      tmp[(size_t)j * w + i] = (int16_t)((acc + off1) >> sh1);
+#endif
+    } else {
+      for (int i = 0; i < w; i++) {
+        int acc = 0;
+        for (int k = 0; k < 8; k++) acc += fh[k] * S(iy + j - 3, ix + i + k - 3);
+        tmp[(size_t)j * w + i] = (int16_t)((acc + off1) >> sh1);
+      }
     }
+  }
   int sh2, off2;
   if (isLast) { sh2 = 6 + hr; off2 = (1 << (sh2 - 1)) + (kIfOffs << 6); }
   else { sh2 = 6; off2 = 0; }
-  for (int j = 0; j < h; j++)
+  for (int j = 0; j < h; j++) {
+#if defined(__AVX2__)
+    hevc::simd::vfilt<8>(tmp.data() + (size_t)j * w, w, w, fv, acc32);
+    if (isLast)
+      hevc::simd::shiftClipStore(acc32, w, off2, sh2, maxv,
+                                 dst + (long long)j * w);
+    else
+      hevc::simd::shiftNarrow(acc32, w, off2, sh2, dst + (long long)j * w);
+#else
     for (int i = 0; i < w; i++) {
       int acc = 0;
       for (int k = 0; k < 8; k++) acc += fv[k] * tmp[(size_t)(j + k) * w + i];
       int v = (acc + off2) >> sh2;
       dst[j * w + i] = (int16_t)(isLast ? clip3(0, maxv, v) : v);
     }
+#endif
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -205,7 +319,9 @@ struct MeArgs {
   int subShift = 0;       // FEN subsampled SAD: rows stepped 1<<subShift
 };
 
+long long g_sadCalls = 0, g_hadCalls = 0, g_meCalls = 0, g_sadPels = 0;
 static long long sadAt(const MeArgs& a, int dx, int dy) {
+  g_sadCalls++; g_sadPels += (long long)a.w * (a.h >> a.subShift);
   const int16_t* p =
       a.padded + (long long)(a.py + dy + a.pad) * a.pw + a.px + dx + a.pad;
   long long s = 0;
@@ -227,6 +343,7 @@ static const int kDiamond[8][2] = {{0, -1}, {0, 1},  {-1, 0}, {1, 0},
                                    {-1, -1}, {1, -1}, {-1, 1}, {1, 1}};
 
 void meSearch(const MeArgs& a, int64_t out[3]) {
+  g_meCalls++;
   int dsh = a.bd - 8;
   int side = 2 * a.R + 1;
   // generation-stamped cost cache: reassigning the full 129x129 array
@@ -304,6 +421,7 @@ void meSearch(const MeArgs& a, int64_t out[3]) {
   static thread_local std::vector<int32_t> diff;
   diff.resize((size_t)a.w * a.h);
   auto had = [&](int mvx, int mvy) -> long long {
+    g_hadCalls++;
     interpLuma(a.padded, a.pw, a.ph, a.pw, a.px + a.pad, a.py + a.pad,
                a.w, a.h, mvx, mvy, a.bd, true, pred.data());
     for (int i = 0; i < a.w * a.h; i++)
@@ -353,6 +471,7 @@ void biRefine(const MeArgs& a, int startMvX, int startMvY, int64_t out[3]) {
   static thread_local std::vector<int32_t> diff;
   diff.resize((size_t)a.w * a.h);
   auto had = [&](int mvx, int mvy) -> long long {
+    g_hadCalls++;
     interpLuma(a.padded, a.pw, a.ph, a.pw, a.px + a.pad, a.py + a.pad,
                a.w, a.h, mvx, mvy, a.bd, true, pred.data());
     for (int i = 0; i < a.w * a.h; i++)

@@ -672,28 +672,80 @@ static inline int32_t clip16i(long long v) {
   return v < -32768 ? -32768 : (v > 32767 ? 32767 : int32_t(v));
 }
 
+// one output row of an n-point stage: out[c] = clip16((Σ_j w[j]*rows_j[c]
+// + rnd) >> shift), where rows_j are n contiguous int32 rows.  All
+// accumulators fit int32 (|M| <= 90, operands clip16 => |acc| <=
+// 32*90*32768 < 2^31), so the vector math is exact.
+static inline void stageRow(const int32_t* base, int n, const int32_t* w,
+                            int rnd, int shift, int32_t* out) {
+#if defined(__AVX2__)
+  if (n >= 8) {
+    __m256i vr = _mm256_set1_epi32(rnd);
+    __m256i vmin = _mm256_set1_epi32(-32768), vmax = _mm256_set1_epi32(32767);
+    for (int c = 0; c < n; c += 8) {
+      __m256i acc = _mm256_setzero_si256();
+      for (int j = 0; j < n; j++) {
+        __m256i row = _mm256_loadu_si256((const __m256i*)(base + j * n + c));
+        acc = _mm256_add_epi32(
+            acc, _mm256_mullo_epi32(_mm256_set1_epi32(w[j]), row));
+      }
+      __m256i v = _mm256_srai_epi32(_mm256_add_epi32(acc, vr), shift);
+      v = _mm256_min_epi32(vmax, _mm256_max_epi32(vmin, v));
+      _mm256_storeu_si256((__m256i*)(out + c), v);
+    }
+    return;
+  }
+  if (n == 4) {
+    __m128i acc = _mm_setzero_si128();
+    for (int j = 0; j < 4; j++) {
+      __m128i row = _mm_loadu_si128((const __m128i*)(base + j * 4));
+      acc = _mm_add_epi32(acc, _mm_mullo_epi32(_mm_set1_epi32(w[j]), row));
+    }
+    __m128i v = _mm_srai_epi32(_mm_add_epi32(acc, _mm_set1_epi32(rnd)),
+                               shift);
+    v = _mm_min_epi32(_mm_set1_epi32(32767),
+                      _mm_max_epi32(_mm_set1_epi32(-32768), v));
+    _mm_storeu_si128((__m128i*)out, v);
+    return;
+  }
+#endif
+  for (int c = 0; c < n; c++) {
+    long long acc = 0;
+    for (int j = 0; j < n; j++) acc += (long long)w[j] * base[j * n + c];
+    out[c] = clip16i((acc + rnd) >> shift);
+  }
+}
+
+// transposed transform matrices (for the stages that index M by column)
+static const int32_t* mTransposed(const int32_t* M, int n) {
+  static thread_local int32_t t4[16], t8[64], t16[256], t32[1024], td4[16];
+  static thread_local const int32_t* last[5] = {};
+  int32_t* buf = n == 4 ? (M == kT.dst4 ? td4 : t4)
+                        : (n == 8 ? t8 : (n == 16 ? t16 : t32));
+  int slot = n == 4 ? (M == kT.dst4 ? 4 : 0) : (n == 8 ? 1 : (n == 16 ? 2 : 3));
+  if (last[slot] != M) {
+    for (int r = 0; r < n; r++)
+      for (int j = 0; j < n; j++) buf[j * n + r] = M[r * n + j];
+    last[slot] = M;
+  }
+  return buf;
+}
+
 static void fwdTransform(const int32_t* resi, int n, bool useDst, int bd,
                          int32_t* coef) {
   int lg = 0;
   while ((1 << lg) < n) lg++;
   const int32_t* M = (useDst && n == 4) ? kT.dst4 : kT.dct[lg].data();
   const int s1 = lg + bd - 9, s2 = lg + 6;
-  const long long r1 = 1LL << (s1 - 1), r2 = 1LL << (s2 - 1);
+  const int r1 = 1 << (s1 - 1), r2 = 1 << (s2 - 1);
   static thread_local int32_t tmp[32 * 32];
+  // stage 1: tmp[k,:] = rows of resi weighted by M[k,:]
   for (int k = 0; k < n; k++)
-    for (int c = 0; c < n; c++) {
-      long long acc = 0;
-      for (int j = 0; j < n; j++)
-        acc += (long long)M[k * n + j] * resi[j * n + c];
-      tmp[k * n + c] = clip16i((acc + r1) >> s1);
-    }
+    stageRow(resi, n, M + k * n, r1, s1, tmp + k * n);
+  // stage 2: coef[k,r] = Σ_j tmp[k,j] * M[r,j] — vector over r via M^T
+  const int32_t* Mt = mTransposed(M, n);
   for (int k = 0; k < n; k++)
-    for (int r = 0; r < n; r++) {
-      long long acc = 0;
-      for (int j = 0; j < n; j++)
-        acc += (long long)tmp[k * n + j] * M[r * n + j];
-      coef[k * n + r] = clip16i((acc + r2) >> s2);
-    }
+    stageRow(Mt, n, tmp + k * n, r2, s2, coef + k * n);
 }
 
 static void invTransform(const int32_t* coef, int n, bool useDst, int bd,
@@ -702,24 +754,15 @@ static void invTransform(const int32_t* coef, int n, bool useDst, int bd,
   while ((1 << lg) < n) lg++;
   const int32_t* M = (useDst && n == 4) ? kT.dst4 : kT.dct[lg].data();
   const int s1 = 7, s2 = 20 - bd;
-  const long long r1 = 1LL << (s1 - 1), r2 = 1LL << (s2 - 1);
+  const int r1 = 1 << (s1 - 1), r2 = 1 << (s2 - 1);
   static thread_local int32_t t1[32 * 32];
-  // stage 1: t1 = M^T @ coef
+  // stage 1: t1[i,c] = Σ_j M[j,i] * coef[j,c] — weights are M^T rows
+  const int32_t* Mt = mTransposed(M, n);
   for (int i = 0; i < n; i++)
-    for (int c = 0; c < n; c++) {
-      long long acc = 0;
-      for (int j = 0; j < n; j++)
-        acc += (long long)M[j * n + i] * coef[j * n + c];
-      t1[i * n + c] = clip16i((acc + r1) >> s1);
-    }
-  // stage 2: rec = t1 @ M
+    stageRow(coef, n, Mt + i * n, r1, s1, t1 + i * n);
+  // stage 2: rec[i,r] = Σ_j t1[i,j] * M[j,r] — vector over r via M rows
   for (int i = 0; i < n; i++)
-    for (int r = 0; r < n; r++) {
-      long long acc = 0;
-      for (int j = 0; j < n; j++)
-        acc += (long long)t1[i * n + j] * M[j * n + r];
-      rec[i * n + r] = clip16i((acc + r2) >> s2);
-    }
+    stageRow(M, n, t1 + i * n, r2, s2, rec + i * n);
 }
 
 static void dequantFlat(const int32_t* lev, int n, int qp, int bd,
