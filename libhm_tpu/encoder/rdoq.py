@@ -10,18 +10,27 @@ CABAC context states, then zeroes whole 4x4 coefficient groups when the
 group flag pays for itself, and finally re-optimizes the last-significant
 position (the reference's d64BestCost sweep).
 
-Rate estimates use the standard CABAC state probability model
-p_LPS(s) = 0.5 * alpha^s, alpha = (0.01875/0.5)^(1/63) — the same model
-the reference's precomputed entropy-bit table (ContextModel.cpp
-sm_aucNextStateMPS / g_entropyBits) was generated from; bits are in
-1/32768 units like the reference's 15-bit fixed point.
+Rate estimates model the REAL renormalized arithmetic coder (the
+reference's corrected FAST_BIT_EST table, ContextModel.cpp:106-118):
+coding a symbol that shrinks the 9-bit range R to R' costs log2(R/R')
+bits, averaged over the coder's asymptotic log-uniform range
+distribution (density 1/R on [256,510]).  This reproduces the reference
+table to within 0.0015 bit per entry; the earlier pure -log2(p) state
+model was off by up to 1.75 bits at confident states, which skews every
+RD decision toward improbable bins (measured: +14% intra-mode
+signalling bits vs HM on noisy content).  Bits are in 1/32768 units
+like the reference's 15-bit fixed point.
+
+NOTE: the loop below must stay OPERATION-IDENTICAL to the native
+EstBits constructor (native/rdoq.cpp) — both paths price RD decisions
+with these doubles and byte-identity requires bit-equal tables.
 """
 import math
 
 import numpy as np
 
 from ..hostdec.tables import (scan_xy, SCAN_DIAG, SCAN_VER, MIN_IN_GROUP,
-                              GROUP_IDX, QUANT_SCALES)
+                              GROUP_IDX, QUANT_SCALES, LPS_TABLE)
 from ..hostdec.residual import (grouped_scan, CTX_IND_MAP_4x4, SIG_SET_START,
                                 NON_DIAG_8x8_OFFSET, NOT_FIRST_GROUP_OFFSET,
                                 COEF_REMAIN_BIN_REDUCTION, C1FLAG_NUMBER)
@@ -29,13 +38,21 @@ from ..hostdec.residual import (grouped_scan, CTX_IND_MAP_4x4, SIG_SET_START,
 FRAC = 32768.0  # one bit
 
 # entropy-bit tables per (pState 0..62, bin==MPS?)
-_ALPHA = (0.01875 / 0.5) ** (1.0 / 63.0)
 _EST_LPS = np.empty(64)
 _EST_MPS = np.empty(64)
+_wsum = 0.0
+for _r in range(256, 511):
+    _wsum += 1.0 / _r
 for _i in range(64):
-    _p = 0.5 * (_ALPHA ** _i)
-    _EST_LPS[_i] = -math.log2(_p) * FRAC
-    _EST_MPS[_i] = -math.log2(1.0 - _p) * FRAC
+    _em = 0.0
+    _el = 0.0
+    for _r in range(256, 511):
+        _w = (1.0 / _r) / _wsum
+        _rl = float(LPS_TABLE[_i][(_r >> 6) & 3])
+        _em += _w * math.log2(_r / (_r - _rl))
+        _el += _w * math.log2(_r / _rl)
+    _EST_MPS[_i] = _em * FRAC
+    _EST_LPS[_i] = _el * FRAC
 
 
 def _bits(ctx_arr, idx, binval):

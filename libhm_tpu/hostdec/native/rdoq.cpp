@@ -41,16 +41,27 @@ static const int kNonDiag8x8Offset[2] = {6, 0};
 static const int kNotFirstGroupOffset[2] = {3, 0};
 
 // entropy-bit tables per pState (0..63): bits for coding the LPS / MPS,
-// in 1/32768 units.  Same libm expressions as rdoq.py module init.
+// in 1/32768 units.  Models the REAL renormalized arithmetic coder (the
+// reference's corrected FAST_BIT_EST table, ContextModel.cpp:106-118):
+// cost = E_{R ~ 1/R on [256,510]}[log2(R / R')] with R' from the LPS
+// range table.  OPERATION-IDENTICAL to rdoq.py module init — both paths
+// must price RD with bit-equal doubles for byte identity.
 struct EstBits {
   double lps[64];
   double mps[64];
   EstBits() {
-    double alpha = std::pow(0.01875 / 0.5, 1.0 / 63.0);
+    double wsum = 0.0;
+    for (int r = 256; r <= 510; r++) wsum += 1.0 / r;
     for (int i = 0; i < 64; i++) {
-      double p = 0.5 * std::pow(alpha, (double)i);
-      lps[i] = -std::log2(p) * kFrac;
-      mps[i] = -std::log2(1.0 - p) * kFrac;
+      double em = 0.0, el = 0.0;
+      for (int r = 256; r <= 510; r++) {
+        double w = (1.0 / r) / wsum;
+        double rl = (double)kLpsTable[i * 4 + ((r >> 6) & 3)];
+        em += w * std::log2(r / ((double)r - rl));
+        el += w * std::log2(r / rl);
+      }
+      mps[i] = em * kFrac;
+      lps[i] = el * kFrac;
     }
   }
 };
