@@ -1329,7 +1329,9 @@ class IntraEncoder:
                 getattr(cfg, "pcm_enabled", False):
             return False
         if getattr(cfg, "scaling_list", False):
-            return False
+            lib = self._enc_native()
+            if lib is None or not hasattr(lib, "enc_ctu_set_scaling"):
+                return False
         if cfg.bit_depth > 12:
             return False
         if getattr(sps, "extended_precision", 0):
@@ -1442,6 +1444,15 @@ class IntraEncoder:
                       np.int64)
         h = lib.enc_ctu_create(ia.ctypes.data, da.ctypes.data,
                                mp.ctypes.data, bp.ctypes.data)
+        if getattr(cfg, "scaling_list", False):
+            # build + pin the dequant matrices; the Python _tu_fwd path
+            # uses the same tables, so both passes fold identically
+            self._scaling_matrix(2, 0, True)
+            for size_id in range(4):
+                for matrix_id in range(6):
+                    m = self._scal_mats[(size_id, matrix_id)]
+                    lib.enc_ctu_set_scaling(h, size_id, matrix_id,
+                                            m.ctypes.data)
         keep = []   # pin int16 ref copies + padded planes for the call
         if inter:
             R = cfg.search_range
@@ -4533,7 +4544,7 @@ class IntraEncoder:
         qp = self._qp_for_comp(comp)
         log2n = n.bit_length() - 1
         mat = self._scaling_matrix(log2n, comp, is_intra)
-        if mat is None and resi.shape[0] == n:
+        if resi.shape[0] == n:
             lib = self._enc_native()
             if lib is not None:
                 # native whole-TU forward path (enc_tu_fwd, bit-identical
@@ -4562,7 +4573,8 @@ class IntraEncoder:
                     1 if comp > 0 else 0, qp, bd, 1 if is_intra else 0,
                     int(scan), ent[7], lam, ent[8], ts_en, lam * ent[10],
                     ent[1], ent[2], ent[3], ent[4], ent[5], ent[6],
-                    lev.ctypes.data, rec.ctypes.data)
+                    lev.ctypes.data, rec.ctypes.data,
+                    mat.ctypes.data if mat is not None else 0)
                 cbf = flags & 1
                 ts = (flags >> 1) - 1
                 if ts >= 0:

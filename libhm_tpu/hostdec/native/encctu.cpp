@@ -175,6 +175,11 @@ struct Ctx {
   int32_t *bank[NSETS];
   const int32_t *nextMps, *nextLps;
 
+  // --- scaling lists (encoder.py _scaling_matrix; sizeIdx = log2n-2,
+  // listIdx = (0 if intra else 3) + comp) ---
+  const int32_t* scalMat[4][6] = {};
+  bool scalOn = false;
+
   // --- weighted prediction (slice WP tables; encoder.py cur_wp/_l1) ---
   struct WpEntry {
     int w[3] = {0, 0, 0};
@@ -914,11 +919,15 @@ static void tuFwd(Ctx& E, const int32_t* resi, int n, bool useDst, int comp,
   double lam = E.rdLambda / E.cw[comp];
   int tsEn = (E.tsEnabled && n == 4) ? 1 : 0;
   double norm = (double)(1 << (2 * (E.bd - 8)));
+  int lg = 0;
+  while ((1 << lg) < n) lg++;
+  const int32_t* mat =
+      E.scalOn ? E.scalMat[lg - 2][(isIntra ? 0 : 3) + comp] : nullptr;
   int flags = enc_tu_fwd(
       resi, n, useDst ? 1 : 0, comp > 0 ? 1 : 0, qp, E.bd, isIntra ? 1 : 0,
       scan, E.rdoqOn, lam, E.sdh, tsEn, lam * norm, E.bank[B_SIG],
       E.bank[B_SIG_CG], E.bank[B_GT1], E.bank[B_GT2], E.bank[B_LAST_X],
-      E.bank[B_LAST_Y], out->lev, out->rec);
+      E.bank[B_LAST_Y], out->lev, out->rec, mat);
   out->cbf = flags & 1;
   out->ts = (flags >> 1) - 1;
 }
@@ -2112,6 +2121,17 @@ void* enc_ctu_create(const int64_t* ia, const double* da, const int64_t* mp,
 void enc_ctu_destroy(void* h) {
   delete static_cast<hevc::encctu::Ctx*>(h);
   hevc::encctu::prof::dump();
+}
+
+// scaling-list matrix for one (sizeIdx, listIdx); caller keeps the array
+// alive for the context's lifetime (encoder.py _scaling_matrix tables)
+void enc_ctu_set_scaling(void* h, int sizeIdx, int listIdx,
+                         const int32_t* mat) {
+  using namespace hevc::encctu;
+  Ctx* E = static_cast<Ctx*>(h);
+  if (sizeIdx < 0 || sizeIdx > 3 || listIdx < 0 || listIdx > 5) return;
+  E->scalMat[sizeIdx][listIdx] = mat;
+  if (mat) E->scalOn = true;
 }
 
 // per-(list, ref) weighted-prediction entry (encoder.py cur_wp/cur_wp_l1

@@ -57,8 +57,13 @@ struct EstBits {
       for (int r = 256; r <= 510; r++) {
         double w = (1.0 / r) / wsum;
         double rl = (double)kLpsTable[i * 4 + ((r >> 6) & 3)];
-        em += w * std::log2(r / ((double)r - rl));
-        el += w * std::log2(r / rl);
+        // volatile temporaries block FMA contraction: the multiply must
+        // round to double before the add, exactly like the Python loop
+        // (byte parity requires bit-equal tables on both sides)
+        volatile double tm = w * std::log2(r / ((double)r - rl));
+        volatile double tl = w * std::log2(r / rl);
+        em += tm;
+        el += tl;
       }
       mps[i] = em * kFrac;
       lps[i] = el * kFrac;
@@ -797,6 +802,31 @@ static void dequantFlat(const int32_t* lev, int n, int qp, int bd,
   }
 }
 
+// scaling-list dequant (refimpl.dequant scaling branch: dequantCoef =
+// listCoef * invQuantScale[rem], right += LOG2_SCALING_LIST_NEUTRAL (4),
+// clip budget 32 + right - 15)
+static void dequantScaled(const int32_t* lev, int n, int qp, int bd,
+                          const int32_t* mat, int32_t* out) {
+  int lg = 0;
+  while ((1 << lg) < n) lg++;
+  const int per = qp / 6, rem = qp % 6;
+  const int tshift = 15 - bd - lg;
+  const long long tmin = -(1LL << 15), tmax = (1LL << 15) - 1;
+  const int scale = kInvQuantScales[rem];
+  const int right = 6 - (tshift + per) + 4;
+  const int targetBits = std::min(16, 32 + right - 15);
+  const long long lo = -(1LL << (targetBits - 1));
+  const long long hi = (1LL << (targetBits - 1)) - 1;
+  for (int i = 0; i < n * n; i++) {
+    long long c = lev[i];
+    c = c < lo ? lo : (c > hi ? hi : c);
+    long long dq = (long long)mat[i] * scale;
+    long long q = right > 0 ? ((c * dq + (1LL << (right - 1))) >> right)
+                            : ((c * dq) << (-right));
+    out[i] = int32_t(q < tmin ? tmin : (q > tmax ? tmax : q));
+  }
+}
+
 static void quantPlain(const int32_t* coef, int n, int qp, int bd,
                        bool isIntra, int32_t* lev) {
   int lg = 0;
@@ -941,7 +971,8 @@ extern "C" int enc_tu_fwd(const int32_t* resi, int n, int use_dst, int comp,
                           const int32_t* sig, const int32_t* sig_cg,
                           const int32_t* gt1, const int32_t* gt2,
                           const int32_t* last_x, const int32_t* last_y,
-                          int32_t* lev_out, int32_t* rec_out) {
+                          int32_t* lev_out, int32_t* rec_out,
+                          const int32_t* deq_mat) {
   using namespace hevc;
   using namespace hevc::tufwd;
   const int n2 = n * n;
@@ -950,6 +981,16 @@ extern "C" int enc_tu_fwd(const int32_t* resi, int n, int use_dst, int comp,
   static thread_local int32_t coef[32 * 32], deq[32 * 32];
 
   fwdTransform(resi, n, use_dst != 0, bit_depth, coef);
+  if (deq_mat) {
+    // fold the scaling list into the forward quantiser (encoder.py
+    // _tu_fwd: sign(coef) * ((|coef| * 16) // mat); reference
+    // xSetScalingListEnc quantCoef = scale*16/list)
+    for (int i = 0; i < n2; i++) {
+      long long a = coef[i] < 0 ? -(long long)coef[i] : coef[i];
+      long long v = (a * 16) / deq_mat[i];
+      coef[i] = int32_t(coef[i] < 0 ? -v : v);
+    }
+  }
   if (rdoq_on)
     rdoq::run(coef, qp, lg, bit_depth, comp, scan_type, sig, sig_cg, gt1,
               gt2, last_x, last_y, rdoq_lam, 15, lev_out);
@@ -959,7 +1000,8 @@ extern "C" int enc_tu_fwd(const int32_t* resi, int n, int use_dst, int comp,
                                            scan_type);
   int cbf = anyNz(lev_out, n2) ? 1 : 0;
   if (cbf) {
-    dequantFlat(lev_out, n, qp, bit_depth, deq);
+    if (deq_mat) dequantScaled(lev_out, n, qp, bit_depth, deq_mat, deq);
+    else dequantFlat(lev_out, n, qp, bit_depth, deq);
     invTransform(deq, n, use_dst != 0, bit_depth, rec_out);
   } else {
     for (int i = 0; i < n2; i++) rec_out[i] = 0;
@@ -978,7 +1020,8 @@ extern "C" int enc_tu_fwd(const int32_t* resi, int n, int use_dst, int comp,
     if (sdh_on && anyNz(levTs, n2)) sdhFix(levTs, coefTs, n, qp, bit_depth,
                                            scan_type);
     if (anyNz(levTs, n2)) {
-      dequantFlat(levTs, n, qp, bit_depth, deq);
+      if (deq_mat) dequantScaled(levTs, n, qp, bit_depth, deq_mat, deq);
+      else dequantFlat(levTs, n, qp, bit_depth, deq);
       for (int i = 0; i < n2; i++) {
         long long c = deq[i];
         long long r = tshift >= 0

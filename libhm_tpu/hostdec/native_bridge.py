@@ -99,7 +99,7 @@ def _load():
         C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
         C.c_int, C.c_int, C.c_double, C.c_int, C.c_int, C.c_double,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
-        C.c_void_p, C.c_void_p, C.c_void_p]
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
     # native CTU compressor (encctu.cpp)
     lib.enc_ctu_create.restype = C.c_void_p
     lib.enc_ctu_create.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p,
@@ -118,6 +118,8 @@ def _load():
     lib.enc_ctu_qg_start.argtypes = [
         C.c_void_p, C.c_int, C.c_double, C.c_double, C.c_double]
     lib.enc_ctu_set_wp.argtypes = [C.c_void_p] + [C.c_int] * 10
+    lib.enc_ctu_set_scaling.argtypes = [C.c_void_p, C.c_int, C.c_int,
+                                        C.c_void_p]
     lib.enc_ctu_est_bits.restype = C.c_double
     lib.enc_ctu_est_bits.argtypes = [C.c_void_p, C.c_longlong]
     _LIB = lib

@@ -181,3 +181,42 @@ def test_wp_bi_byte_identical():
     flag-0 references)."""
     assert _encode_wp(False, "lowdelayB", wb=True) == \
         _encode_wp(True, "lowdelayB", wb=True)
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_scaling_list_byte_identical(tmp_path):
+    """Default scaling lists: the native pass folds the list into the
+    forward quantiser and dequants with the spec matrices, byte-identical
+    to the Python path (enc_tu_fwd deq_mat; encctu enc_ctu_set_scaling)."""
+    a = _encode_sl(False, "intra")
+    b = _encode_sl(True, "intra")
+    assert a == b
+
+
+@pytest.mark.skipif(not _have_native(), reason="native toolchain absent")
+def test_scaling_list_inter_byte_identical():
+    a = _encode_sl(False, "randomaccess")
+    b = _encode_sl(True, "randomaccess")
+    assert a == b
+
+
+def _encode_sl(native, gop, n=3, w=96, h=64):
+    from libhm_tpu.encoder.encoder import IntraEncoder, EncoderConfig
+    rng = np.random.default_rng(9)
+    base = (np.linspace(0, 200, w, dtype=np.int32)[None, :] +
+            np.linspace(0, 40, h, dtype=np.int32)[:, None])
+    frames = []
+    for t in range(n):
+        y = np.clip(np.roll(base, t, axis=1) + rng.integers(-8, 9, (h, w)),
+                    0, 255).astype(np.uint8)
+        u = np.clip(120 + base[::2, ::2] // 4, 0, 255).astype(np.uint8)
+        v = np.full((h // 2, w // 2), 90, np.uint8)
+        frames.append((y, u, v))
+    os.environ["HEVC_ENC_NATIVE"] = "1" if native else "0"
+    try:
+        cfg = EncoderConfig(w, h, qp=32, gop=gop, rdo_cu=True, rdoq=True,
+                            sign_hiding=True)
+        cfg.scaling_list = True
+        return IntraEncoder(cfg).encode_stream(frames)
+    finally:
+        os.environ.pop("HEVC_ENC_NATIVE", None)

@@ -231,5 +231,5 @@ def test_tu_fwd_matches_python(lib):
                        _addr(bank["sig"]), _addr(bank["sig_cg"]),
                        _addr(bank["gt1"]), _addr(bank["gt2"]),
                        _addr(bank["last_x"]), _addr(bank["last_y"]),
-                       lev.ctypes.data, rec.ctypes.data)
+                       lev.ctypes.data, rec.ctypes.data, 0)
         assert (lev == lev_py).all(), (trial, n, comp, scan, qp, sdh)
